@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, last-wins, MinHash-LSH, SimHash, n-gram
+Jaccard — the corpus-dedup toolbox for training-data pipelines at 100TB.
+
+Design for scale:
+- Everything up to candidate generation is pure Catalyst expressions
+  (xxhash64, transform, array_min) — JVM-side, no UDFs, no driver state.
+- Near-dup candidate generation is band-bucket grouping (MinHash-LSH) or
+  block-bucket grouping (SimHash): one shuffle on the bucket key instead
+  of an O(n²) cross join. Verification (exact Jaccard / Hamming) runs only
+  on candidate pairs inside buckets.
+- Skew guard: giant buckets (boilerplate docs) are capped via a per-bucket
+  row limit before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps a*h+b inside int64 (ANSI overflow-safe)
+# while giving a big enough universal-hash family for MinHash.
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column] | None = None) -> DataFrame:
+    """Exact dedup on key columns. With ``order_by`` → deterministic
+    last-wins (SURVEY F6, ref etl/tasks/base.py:303-335); without →
+    dropDuplicates (arbitrary survivor, cheapest plan)."""
+    if order_by is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(t)), r"\s+")
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles. Expression-only: sequence + transform +
+    slice, no UDF."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature: for hash function j, min over shingles of
+    (a_j * xxhash64(s) + b_j) mod p. Deterministic universal-hash family
+    derived from ``seed`` — stable across runs/partitions."""
+    import random
+
+    rng = random.Random(seed)
+    coefs = [(rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME)) for _ in range(num_hashes)]
+    # pmod keeps the base hash in [0, p) without abs() (abs(Long.MIN) would
+    # itself overflow under ANSI); h < 2^31 and a < 2^31 so a*h+b < 2^63.
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME)))
+    sigs = [
+        F.array_min(F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)))
+        for a, b in coefs
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    sig → split into ``bands`` bands of ``num_hashes/bands`` rows → hash
+    each band → explode → shuffle once on (band_idx, band_hash) → pair up
+    within buckets. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket`` caps degenerate buckets (exact-duplicate floods) so the
+    within-bucket self-join can't go quadratic on skew; exact dups are
+    caught by fingerprint dedup first anyway.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes=num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    capped = banded.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= max_bucket)
+    a = capped.select("band_idx", "band_hash", F.col("id").alias("id_a"))
+    b = capped.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Output: (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: LSH candidates → exact Jaccard verify →
+    survivor set. Rows whose id appears as the *greater* member of a dup
+    pair are dropped (min-id canonical survivor)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_k=shingle_k, **lsh_kwargs)
+    dups = jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash64(text_col: Column | str, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-gram features, as pure expressions.
+
+    Each feature votes ±1 per bit (from xxhash64 of the feature); the
+    signature packs the vote signs. aggregate+zip_with keeps it one
+    projection — no shuffle, no UDF.
+    """
+    feats = shingles(text_col, ngram)
+
+    def bit_votes(t):
+        # Literal shift amounts (shiftright needs a Python int), one ±1
+        # vote per bit of xxhash64(feature).
+        return F.array(
+            *[
+                F.when(F.shiftrightunsigned(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        feats,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v),
+    )
+    # Pack vote signs into one long; bit 63 is the sign bit (Long.MIN).
+    bit_terms = [
+        F.when(F.element_at(votes, i + 1) > 0, F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    packed = bit_terms[0]
+    for term in bit_terms[1:]:
+        packed = packed.bitwiseOR(term)
+    return packed
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: split the 64-bit signature into ``blocks``
+    16-bit blocks; by pigeonhole, pairs within ``max_hamming`` ≤ blocks-1
+    share ≥1 exact block → group per block value, verify Hamming ≤ max.
+    Output: (id_a, id_b, hamming)."""
+    width = 64 // blocks
+    sigd = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    blocks_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(blocks)
+        ]
+    )
+    exploded = sigd.select(
+        "id",
+        "sig",
+        F.posexplode(blocks_arr).alias("block_idx", "block_val"),
+    )
+    a = exploded.select("block_idx", "block_val", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = exploded.select("block_idx", "block_val", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

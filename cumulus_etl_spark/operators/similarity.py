@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+- ``knn_bruteforce``: exact top-k cosine. The query set is broadcast; the
+  corpus is scanned once; per-partition top-k then global top-k (Spark's
+  window + filter compiles to this). Right answer up to ~10⁶ corpus rows
+  per query batch; it is also the recall oracle for the ANN path.
+- ``ann_lsh``: random-hyperplane LSH bucketing. Sign-bit signature over
+  ``planes`` fixed hyperplanes (seed-derived, broadcast as literals) →
+  bucket join → exact cosine re-rank within buckets. One shuffle on the
+  bucket key instead of a full cross product; recall tunable via
+  planes/probes.
+
+All vector math is done with zip_with/aggregate on array<double> — stays
+JVM-side; no Python per-row cost.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, score). Ties broken by
+    neighbor_id so results are total-ordered and reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, broadcast as
+    literal arrays — a few KB; never a shuffle)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit j = sign(vec · plane_j), packed to a long."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    ``tables`` independent signatures; a corpus row is a candidate for a
+    query if they collide in any table. Candidates are exact-cosine
+    re-ranked. Recall rises with tables, cost with bucket size.
+    Output: (query_id, rank, neighbor_id, score).
+    """
+    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = as_double_array(vec_col)
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            v.alias(vec_alias),
+            F.posexplode(
+                F.array(*[lsh_signature(v, pl) for pl in all_planes])
+            ).alias("table_idx", "bucket"),
+        )
+
+    cb = with_buckets(corpus, "neighbor_id", "cv")
+    qb = with_buckets(queries, "query_id", "qv")
+    cands = cb.join(F.broadcast(qb), ["table_idx", "bucket"]).select(
+        "query_id", "neighbor_id", "qv", "cv"
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cands.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path logic is Catalyst expressions (regexp/split/length) so it
+runs JVM-side inside whole-stage codegen — no Python UDFs. Patterned after
+the reference's note-text handling (SURVEY §2.9 U1-U6) but built for
+100TB document corpora: every function is a narrow projection over one
+row at a time, embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist"),
+    "fr": ("le", "la", "et", "un", "une", "est", "les"),
+    "es": ("el", "la", "y", "un", "una", "es", "los"),
+}
+
+PUNCT_PATTERN = r"[^a-zA-Z0-9\s]"
+TOKEN_SPLIT = r"\s+"
+# BPE-ish word/number/punct tokenizer (GPT-2-style contractions + words).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_SPLIT)))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via a GPT-2-style regex (a cheap proxy for
+    BPE token budgeting in training-data prep)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_count(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """Count of stopword hits (word-bounded, case-insensitive)."""
+    t = F.col(text) if isinstance(text, str) else text
+    pattern = r"(?i)\b(?:" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature bundle: length, token stats, punctuation and
+    stopword ratios. Mirrors common LLM-corpus quality filters (C4/Gopher
+    rules) as pure expressions."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        "punct_ratio": punct_count(t) / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stopword_count(t) / safe_tokens,
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose stopword set hits the
+    text most wins; ties broken by language code order; no hits → 'und'.
+
+    A real deployment swaps in fastText/CLD3 via pandas_udf — this is the
+    dependency-free heuristic baseline, fully JVM-side.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    # struct(hits, negated lang) sorted desc by hits picks the winner.
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_count(t, lang).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text. The exact-dedup key (SURVEY beyond-parity; ref analogue is the
+    NLP cache checksum, nlp/utils.py:93-94 sha256 of note text)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set to a documents DataFrame."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        *[c.alias(name) for name, c in feats.items()],
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,78 @@
+"""Query catalog: every operator from SURVEY.md §2 exposed as a named query.
+
+Each entry pairs a Spark DataFrame builder with (where SQL-expressible) an
+equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. Builders take (spark, sf_dir) and must alias every computed column
+to exactly the oracle's column name.
+
+Determinism rules (both sides must follow them):
+- Money/double aggregation goes through DECIMAL so the sum is exact and
+  order-independent, then casts to DOUBLE at the end. Never SUM/AVG raw
+  doubles — Spark's partial aggregation order would diverge from DuckDB.
+- Any LIMIT/top-k has a total tiebreak order.
+- DuckDB SUM(integer) returns HUGEINT: oracles cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        CATALOG[name] = Query(name=name, build=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+# ---- shared decimal helpers (exact, order-independent aggregation) ----
+
+def dec(c: Column | str, prec: int = 18, scale: int = 6) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as DOUBLE.
+
+    Safe only while scale ≤ ~6 and |sum|·10^scale < 2^53 — beyond that
+    DuckDB's decimal→double is not correctly rounded (off-by-ulp) and the
+    value hash diverges. Use dsum2 for high-scale products.
+    """
+    return F.sum(c).cast("double").alias(alias)
+
+
+def dsum2(c: Column, alias: str) -> Column:
+    """Exact decimal sum, rounded to 2dp in decimal space, then DOUBLE.
+    The 2dp decimal→double conversion is correctly rounded on both
+    engines, so cross-engine equality is exact."""
+    return F.round(F.sum(c), 2).cast("double").alias(alias)
+
+
+def davg(c: Column, alias: str) -> Column:
+    """Order-independent average: exact decimal sum / count, as DOUBLE."""
+    return (F.sum(c).cast("double") / F.count(c)).alias(alias)

@@ -1,0 +1,75 @@
+"""De-identification operators exercised as oracle-checked queries.
+
+The deid engine proper runs on FHIR NDJSON (tested in tests/test_deid.py);
+these catalog entries prove the same scalar semantics on the harness
+tables so the driver's DuckDB oracle can check them: salted-hash ID
+anonymization (P7), reference rewriting (P4), year generalization (P5),
+zip generalization (P6), and whitespace/empty normalization (P12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.functions import anon_id, anon_ref, year_only, zip_generalize
+from cumulus_etl_spark.plans.catalog import register
+from cumulus_etl_spark.sources import table
+
+_SALT = "0123456789abcdef"
+
+# The 14 restricted prefixes, inlined for the SQL oracle.
+_RESTRICTED_SQL = "('036','059','102','203','205','369','556','692','821','823','878','879','884','893')"
+
+_DEID_ORACLE = f"""
+SELECT
+  c_custkey,
+  sha256(concat('{_SALT}', CAST(c_custkey AS VARCHAR))) AS anon_id,
+  concat('Customer/', sha256(concat('{_SALT}', CAST(c_custkey AS VARCHAR)))) AS anon_ref,
+  CASE WHEN substring(lpad(CAST(c_custkey * 37 % 100000 AS VARCHAR), 5, '0'), 1, 3) IN {_RESTRICTED_SQL}
+       THEN concat('000', translate(substring(lpad(CAST(c_custkey * 37 % 100000 AS VARCHAR), 5, '0'), 4, 99), '123456789', '000000000'))
+       ELSE concat(substring(lpad(CAST(c_custkey * 37 % 100000 AS VARCHAR), 5, '0'), 1, 3),
+                   translate(substring(lpad(CAST(c_custkey * 37 % 100000 AS VARCHAR), 5, '0'), 4, 99), '123456789', '000000000'))
+  END AS zip_generalized,
+  NULLIF(trim(c_name), '') AS name_trimmed
+FROM customer
+"""
+
+
+@register("deid_anonymize_customers", _DEID_ORACLE, tags=("deid",), bench=True)
+def deid_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless de-id projection: every transform is a pure Catalyst
+    expression (sha2/concat/translate/substring), so the whole stage is
+    codegen'd — no codebook lookups, no UDFs (ref: deid/codebook.py:204-217,
+    deid/scrubber.py:374-419 re-expressed declaratively)."""
+    cust = table(spark, sf_dir, "customer")
+    # Synthetic 5-digit zip derived from the key (the harness tables have no
+    # zip column); exercises the real zip_generalize expression.
+    zip_col = F.lpad(((F.col("c_custkey") * 37) % 100000).cast("string"), 5, "0")
+    return cust.select(
+        "c_custkey",
+        anon_id(F.col("c_custkey"), _SALT).alias("anon_id"),
+        anon_ref(F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string")), _SALT).alias("anon_ref"),
+        zip_generalize(zip_col).alias("zip_generalized"),
+        F.nullif(F.trim("c_name"), F.lit("")).alias("name_trimmed"),
+    )
+
+
+_YEAR_ORACLE = """
+SELECT
+  substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS order_year_only,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("deid_year_generalize", _YEAR_ORACLE, tags=("deid",))
+def deid_year_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date→year generalization on string dates (ref: scrubber.py:258-259;
+    dates-at-rest are ISO strings in the data model, SURVEY §1.2)."""
+    o = table(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.groupBy(year_only(date_str).alias("order_year_only")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -1,0 +1,212 @@
+"""Text-analysis + dedup catalog entries over the `documents` table.
+
+Oracle-checked where SQL-expressible (token/quality/lang/fingerprint/
+exact-Jaccard); the LSH pipelines are registered rows-only (probabilistic
+candidate generation isn't portably SQL-expressible) and their recall is
+pytest-verified against exact all-pairs instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators import dedup as D
+from cumulus_etl_spark.operators import textstats as T
+from cumulus_etl_spark.plans.catalog import register
+from cumulus_etl_spark.sources import table
+
+_TOKEN_ORACLE = r"""
+SELECT
+  doc_id,
+  lang,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+  CAST(len(regexp_extract_all(text, '(?i)\b(?:the|a|and|of|to|in|is)\b')) AS INTEGER) AS n_stopwords
+FROM documents
+"""
+
+
+@register("text_token_stats", _TOKEN_ORACLE, tags=("text",), bench=True)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation/stopword counts — all regexp
+    expressions, JVM-side (SURVEY beyond-parity text analysis)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.punct_count("text").alias("n_punct"),
+        T.stopword_count("text", "en").alias("n_stopwords"),
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+    CAST(len(regexp_extract_all(text, '(?i)\b(?:the|a|and|of|to|in|is)\b')) AS INTEGER) AS n_stop
+  FROM documents
+)
+SELECT
+  doc_id,
+  (n_chars - (n_tokens - 1)) / GREATEST(n_tokens, 1) AS avg_token_len,
+  n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+  n_stop / GREATEST(n_tokens, 1) AS stopword_ratio,
+  CASE
+    WHEN n_tokens < 10 THEN 'too_short'
+    WHEN n_punct / GREATEST(n_chars, 1) > 0.2 THEN 'too_noisy'
+    WHEN n_stop / GREATEST(n_tokens, 1) >= 0.05 THEN 'good'
+    ELSE 'low_signal'
+  END AS quality_band
+FROM feats
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality heuristics as one pure projection."""
+    d = table(spark, sf_dir, "documents")
+    feats = T.quality_features("text")
+    n_chars, n_tokens = feats["n_chars"], feats["n_tokens"]
+    punct_ratio = feats["punct_ratio"]
+    stop_ratio = feats["stopword_ratio"]
+    band = (
+        F.when(n_tokens < 10, "too_short")
+        .when(punct_ratio > 0.2, "too_noisy")
+        .when(stop_ratio >= 0.05, "good")
+        .otherwise("low_signal")
+    )
+    return d.select(
+        "doc_id",
+        feats["avg_token_len"].alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        band.alias("quality_band"),
+    )
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+_LANG_ORACLE = f"""
+WITH hits AS (
+  SELECT
+    doc_id,
+    lang,
+    {_hits_sql(T.LANG_STOPWORDS['de'])} AS h_de,
+    {_hits_sql(T.LANG_STOPWORDS['en'])} AS h_en,
+    {_hits_sql(T.LANG_STOPWORDS['es'])} AS h_es,
+    {_hits_sql(T.LANG_STOPWORDS['fr'])} AS h_fr
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  CASE
+    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+    WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+    WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+    WHEN h_fr > 0 THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred
+FROM hits
+"""
+
+
+@register("text_lang_id", _LANG_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (ties → lang code order)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+_FP_ORACLE = r"""
+SELECT
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("text_fingerprint_dedup", _FP_ORACLE, tags=("text", "dedup"), bench=True)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on a normalized md5 fingerprint, min-id
+    survivor (the hash-groupBy dedup; one shuffle on the hash)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(T.fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+)
+SELECT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  CAST(len(list_intersect(a.tok, b.tok)) AS INTEGER)
+    / CAST(len(list_distinct(list_concat(a.tok, b.tok))) AS INTEGER) AS jaccard
+FROM toks a
+JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tok, b.tok))
+      >= 0.5 * len(list_distinct(list_concat(a.tok, b.tok)))
+"""
+
+
+@register("text_ngram_jaccard_pairs", _JACCARD_ORACLE, tags=("text", "dedup"))
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 among same-source pairs — the
+    blocked all-pairs form (block key = source). The un-blocked scale path
+    is MinHash-LSH (`text_minhash_dedup`); this one is the oracle-checked
+    ground truth for it."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size(F.array_union("tok_a", "tok_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter >= 0.5 * union)
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+@register("text_minhash_dedup", None, tags=("text", "dedup"), bench=True)
+def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup survivors (shingle→minhash→band→bucket-join
+    →exact-Jaccard verify). Probabilistic candidate gen → rows-only check;
+    recall vs exact all-pairs is pytest-asserted."""
+    d = table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_dedup(d, "doc_id", "text", shingle_k=3, threshold=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register("text_simhash_pairs", None, tags=("text", "dedup"))
+def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, 4-block pigeonhole, Hamming ≤ 3)."""
+    d = table(spark, sf_dir, "documents")
+    return D.simhash_candidates(d, "doc_id", "text", blocks=4, max_hamming=3)

@@ -1,0 +1,98 @@
+"""Similarity-search catalog entries over the `embeddings` table.
+
+The brute-force top-k is oracle-checked against DuckDB computing the
+identical sequential-fold cosine (list_zip→list_transform→list_sum mirrors
+zip_with→aggregate, so the doubles match bit-for-bit; scores additionally
+rounded to 6 dp for belt-and-braces). The LSH ANN path is rows-only;
+its recall is pytest-asserted against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators import similarity as S
+from cumulus_etl_spark.plans.catalog import register
+from cumulus_etl_spark.sources import table
+
+_N_QUERIES = 5
+_K = 5
+
+_KNN_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS score
+  FROM vecs q
+  JOIN vecs c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_K}
+"""
+
+
+@register("vector_knn_bruteforce", _KNN_ORACLE, tags=("vector",), bench=True)
+def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast query set × one corpus scan
+    → per-partition top-k (window+filter). The recall baseline for ANN."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    knn = S.knn_bruteforce(emb, queries, k=_K)
+    return knn.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+@register("vector_ann_lsh", None, tags=("vector",))
+def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH: bucket join +
+    exact re-rank within buckets (the 100TB path — no cross product)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = S.ann_lsh(emb, queries, k=_K, dim=64, planes=8, tables=6)
+    return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+_NORM_ORACLE = """
+SELECT
+  label,
+  COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS DECIMAL(18,6))) AS DOUBLE)
+    / COUNT(*) AS avg_norm,
+  CAST(MIN(len(embedding)) AS INTEGER) AS dim_min,
+  CAST(MAX(len(embedding)) AS INTEGER) AS dim_max
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("vector_norm_stats", _NORM_ORACLE, tags=("vector",))
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats; norms summed via DECIMAL for order-
+    independent equality."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    return (
+        emb.select(
+            "label",
+            S.l2_norm(v).cast("decimal(18,6)").alias("norm"),
+            F.size("embedding").alias("dim"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("norm").cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+        )
+    )

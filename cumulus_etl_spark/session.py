@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Parity with the reference's embedded-Spark session config
+(cumulus_etl/formats/deltalake.py:58-90) but tuned for a real cluster:
+AQE on (runtime re-planning, skew-join handling), UTC session timezone
+(timestamps-at-rest are strings in the data model; see SURVEY.md §1.2),
+Arrow enabled for pandas interchange, and Delta Lake extensions only when
+the delta-spark package is actually importable (it is optional).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # delta-spark is optional; the merge sink falls back to parquet-merge
+    from delta import configure_spark_with_delta_pip  # type: ignore
+
+    HAVE_DELTA = True
+except ImportError:  # pragma: no cover
+    configure_spark_with_delta_pip = None
+    HAVE_DELTA = False
+
+
+def get_spark(
+    app_name: str = "cumulus-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults assume local mode for tests; on a cluster, pass ``master=None``
+    with ``spark.master`` preconfigured and a shuffle partition count sized
+    to ~128MB per task at the target data scale.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics: data-at-rest is naive/UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / toPandas interchange (the NLP + multimodal path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Parquet pushdown + pruning: on by default but pinned here as contract.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Bound single-file read parallelism at 100TB scale.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if HAVE_DELTA:
+        builder = (
+            builder.config("spark.sql.extensions", "io.delta.sql.DeltaSparkSqlExtension")
+            .config("spark.sql.catalog.spark_catalog", "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+            .config("spark.databricks.delta.schema.autoMerge.enabled", "true")
+        )
+        builder = configure_spark_with_delta_pip(builder)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
