@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall time of the headline set (lower is better). Each query
+is fully materialized via a count-ish action that forces every column
+(df.write to noop would skip nothing; we use collect on small results and
+count on large ones via a cheap hash agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from cumulus_etl_spark.plans import CATALOG
+from cumulus_etl_spark.session import get_spark
+
+
+def materialize(df) -> int:
+    """Force full evaluation of every output column (not just count)."""
+    from pyspark.sql import functions as F
+
+    agg = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+        F.count("h").alias("n"), F.sum(F.col("h").cast("decimal(38,0)")).alias("s")
+    )
+    row = agg.collect()[0]
+    return int(row["n"])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="cumulus-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {name: q for name, q in CATALOG.items() if q.bench}
+    # Warm the JVM + file listing once with the cheapest query.
+    try:
+        materialize(CATALOG["q1_pricing_summary"].build(spark, sf_dir))
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_queries.items()):
+        t0 = time.perf_counter()
+        materialize(q.build(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
