@@ -1,0 +1,415 @@
+"""Contractual FHIR R4 StructType schemas.
+
+The reference computes a wide per-resource-type schema from the FHIR spec
+(via cumulus-fhir-support, cumulus_etl/etl/tasks/base.py:458-467) so that
+"downstream SQL can be dumber" — columns exist even when absent from the
+data, and empty tables still carry full schemas (etl/init/cli.py:32-46).
+
+We build the same contract natively as Spark ``StructType``s, composed
+from the standard FHIR element types. Never infer schemas from data:
+inference makes column order/nullability drift between runs (SURVEY §7.4).
+
+Timestamps/dates are stored as ISO-8601 **strings** (not timestamp
+columns) for NDJSON round-trip parity (completion/schema.py:47-51);
+queries cast when comparing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+S = StringType()
+B = BooleanType()
+L = LongType()
+D = DoubleType()
+
+
+def _struct(**fields) -> StructType:
+    return StructType([StructField(k, v, nullable=True) for k, v in fields.items()])
+
+
+def _arr(t) -> ArrayType:
+    return ArrayType(t, containsNull=True)
+
+
+# ---- element types (http://hl7.org/fhir/R4/datatypes.html) ----
+
+CODING = _struct(system=S, version=S, code=S, display=S, userSelected=B)
+CODEABLE_CONCEPT = _struct(coding=_arr(CODING), text=S)
+REFERENCE = _struct(reference=S, type=S, display=S)
+PERIOD = _struct(start=S, end=S)
+QUANTITY = _struct(value=D, comparator=S, unit=S, system=S, code=S)
+RANGE = _struct(low=QUANTITY, high=QUANTITY)
+RATIO = _struct(numerator=QUANTITY, denominator=QUANTITY)
+IDENTIFIER = _struct(use=S, type=CODEABLE_CONCEPT, system=S, value=S, period=PERIOD)
+HUMAN_NAME = _struct(use=S, text=S, family=S, given=_arr(S), prefix=_arr(S), suffix=_arr(S))
+ADDRESS = _struct(
+    use=S, type=S, text=S, line=_arr(S), city=S, district=S, state=S, postalCode=S, country=S
+)
+CONTACT_POINT = _struct(system=S, value=S, use=S, rank=L)
+ATTACHMENT = _struct(contentType=S, language=S, data=S, url=S, size=L, hash=S, title=S, creation=S)
+ANNOTATION = _struct(authorReference=REFERENCE, authorString=S, time=S, text=S)
+
+# Extensions are recursive in FHIR; we carry one level of common value[x]
+# members — the de-id allow-list drops unknown extensions anyway.
+EXTENSION = _struct(
+    url=S,
+    valueString=S,
+    valueCode=S,
+    valueBoolean=B,
+    valueInteger=L,
+    valueDecimal=D,
+    valueDateTime=S,
+    valueCoding=CODING,
+    valueCodeableConcept=CODEABLE_CONCEPT,
+    valueReference=REFERENCE,
+    valueQuantity=QUANTITY,
+)
+
+META = _struct(versionId=S, lastUpdated=S, source=S, profile=_arr(S), security=_arr(CODING), tag=_arr(CODING))
+
+
+def _resource(**fields) -> StructType:
+    """Base DomainResource envelope + resource-specific fields."""
+    base = {
+        "resourceType": S,
+        "id": S,
+        "meta": META,
+        "implicitRules": S,
+        "language": S,
+        "extension": _arr(EXTENSION),
+        "modifierExtension": _arr(EXTENSION),
+    }
+    base.update(fields)
+    return _struct(**base)
+
+
+# ---- resource schemas (the task-relevant subset of FHIR R4) ----
+
+_RESOURCES: dict[str, StructType] = {
+    "Patient": _resource(
+        identifier=_arr(IDENTIFIER),
+        active=B,
+        name=_arr(HUMAN_NAME),
+        telecom=_arr(CONTACT_POINT),
+        gender=S,
+        birthDate=S,
+        deceasedBoolean=B,
+        deceasedDateTime=S,
+        address=_arr(ADDRESS),
+        maritalStatus=CODEABLE_CONCEPT,
+        multipleBirthBoolean=B,
+        communication=_arr(_struct(language=CODEABLE_CONCEPT, preferred=B)),
+        generalPractitioner=_arr(REFERENCE),
+        managingOrganization=REFERENCE,
+    ),
+    "Encounter": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        **{"class": CODING},
+        type=_arr(CODEABLE_CONCEPT),
+        serviceType=CODEABLE_CONCEPT,
+        priority=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        participant=_arr(
+            _struct(type=_arr(CODEABLE_CONCEPT), period=PERIOD, individual=REFERENCE)
+        ),
+        period=PERIOD,
+        length=_struct(value=D, unit=S, system=S, code=S),
+        reasonCode=_arr(CODEABLE_CONCEPT),
+        reasonReference=_arr(REFERENCE),
+        diagnosis=_arr(_struct(condition=REFERENCE, use=CODEABLE_CONCEPT, rank=L)),
+        hospitalization=_struct(
+            admitSource=CODEABLE_CONCEPT,
+            reAdmission=CODEABLE_CONCEPT,
+            dischargeDisposition=CODEABLE_CONCEPT,
+        ),
+        location=_arr(_struct(location=REFERENCE, status=S, period=PERIOD)),
+        serviceProvider=REFERENCE,
+        partOf=REFERENCE,
+    ),
+    "Condition": _resource(
+        identifier=_arr(IDENTIFIER),
+        clinicalStatus=CODEABLE_CONCEPT,
+        verificationStatus=CODEABLE_CONCEPT,
+        category=_arr(CODEABLE_CONCEPT),
+        severity=CODEABLE_CONCEPT,
+        code=CODEABLE_CONCEPT,
+        bodySite=_arr(CODEABLE_CONCEPT),
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        onsetDateTime=S,
+        onsetPeriod=PERIOD,
+        abatementDateTime=S,
+        recordedDate=S,
+        recorder=REFERENCE,
+        asserter=REFERENCE,
+    ),
+    "Observation": _resource(
+        identifier=_arr(IDENTIFIER),
+        basedOn=_arr(REFERENCE),
+        partOf=_arr(REFERENCE),
+        status=S,
+        category=_arr(CODEABLE_CONCEPT),
+        code=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        effectiveDateTime=S,
+        effectivePeriod=PERIOD,
+        issued=S,
+        performer=_arr(REFERENCE),
+        valueQuantity=QUANTITY,
+        valueCodeableConcept=CODEABLE_CONCEPT,
+        valueString=S,
+        valueBoolean=B,
+        valueInteger=L,
+        valueRange=RANGE,
+        valueRatio=RATIO,
+        valueDateTime=S,
+        dataAbsentReason=CODEABLE_CONCEPT,
+        interpretation=_arr(CODEABLE_CONCEPT),
+        bodySite=CODEABLE_CONCEPT,
+        method=CODEABLE_CONCEPT,
+        referenceRange=_arr(_struct(low=QUANTITY, high=QUANTITY, type=CODEABLE_CONCEPT, text=S)),
+        hasMember=_arr(REFERENCE),
+        derivedFrom=_arr(REFERENCE),
+        component=_arr(
+            _struct(
+                code=CODEABLE_CONCEPT,
+                valueQuantity=QUANTITY,
+                valueCodeableConcept=CODEABLE_CONCEPT,
+                valueString=S,
+                dataAbsentReason=CODEABLE_CONCEPT,
+            )
+        ),
+    ),
+    "DocumentReference": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        docStatus=S,
+        type=CODEABLE_CONCEPT,
+        category=_arr(CODEABLE_CONCEPT),
+        subject=REFERENCE,
+        date=S,
+        author=_arr(REFERENCE),
+        authenticator=REFERENCE,
+        custodian=REFERENCE,
+        content=_arr(_struct(attachment=ATTACHMENT, format=CODING)),
+        context=_struct(
+            encounter=_arr(REFERENCE),
+            event=_arr(CODEABLE_CONCEPT),
+            period=PERIOD,
+            facilityType=CODEABLE_CONCEPT,
+            practiceSetting=CODEABLE_CONCEPT,
+        ),
+    ),
+    "DiagnosticReport": _resource(
+        identifier=_arr(IDENTIFIER),
+        basedOn=_arr(REFERENCE),
+        status=S,
+        category=_arr(CODEABLE_CONCEPT),
+        code=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        effectiveDateTime=S,
+        effectivePeriod=PERIOD,
+        issued=S,
+        performer=_arr(REFERENCE),
+        result=_arr(REFERENCE),
+        presentedForm=_arr(ATTACHMENT),
+    ),
+    "MedicationRequest": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        statusReason=CODEABLE_CONCEPT,
+        intent=S,
+        category=_arr(CODEABLE_CONCEPT),
+        priority=S,
+        reportedBoolean=B,
+        medicationCodeableConcept=CODEABLE_CONCEPT,
+        medicationReference=REFERENCE,
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        authoredOn=S,
+        requester=REFERENCE,
+        reasonCode=_arr(CODEABLE_CONCEPT),
+        reasonReference=_arr(REFERENCE),
+        courseOfTherapyType=CODEABLE_CONCEPT,
+        dosageInstruction=_arr(
+            _struct(
+                sequence=L,
+                text=S,
+                timing=_struct(code=CODEABLE_CONCEPT),
+                asNeededBoolean=B,
+                route=CODEABLE_CONCEPT,
+                method=CODEABLE_CONCEPT,
+                doseAndRate=_arr(
+                    _struct(type=CODEABLE_CONCEPT, doseQuantity=QUANTITY, doseRange=RANGE)
+                ),
+            )
+        ),
+    ),
+    "Medication": _resource(
+        identifier=_arr(IDENTIFIER),
+        code=CODEABLE_CONCEPT,
+        status=S,
+        form=CODEABLE_CONCEPT,
+        ingredient=_arr(
+            _struct(
+                itemCodeableConcept=CODEABLE_CONCEPT,
+                itemReference=REFERENCE,
+                isActive=B,
+                strength=RATIO,
+            )
+        ),
+    ),
+    "AllergyIntolerance": _resource(
+        identifier=_arr(IDENTIFIER),
+        clinicalStatus=CODEABLE_CONCEPT,
+        verificationStatus=CODEABLE_CONCEPT,
+        type=S,
+        category=_arr(S),
+        criticality=S,
+        code=CODEABLE_CONCEPT,
+        patient=REFERENCE,
+        encounter=REFERENCE,
+        onsetDateTime=S,
+        recordedDate=S,
+        recorder=REFERENCE,
+        asserter=REFERENCE,
+        lastOccurrence=S,
+        reaction=_arr(
+            _struct(
+                substance=CODEABLE_CONCEPT,
+                manifestation=_arr(CODEABLE_CONCEPT),
+                description=S,
+                onset=S,
+                severity=S,
+                exposureRoute=CODEABLE_CONCEPT,
+            )
+        ),
+    ),
+    "Immunization": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        statusReason=CODEABLE_CONCEPT,
+        vaccineCode=CODEABLE_CONCEPT,
+        patient=REFERENCE,
+        encounter=REFERENCE,
+        occurrenceDateTime=S,
+        recorded=S,
+        primarySource=B,
+        lotNumber=S,
+        expirationDate=S,
+        site=CODEABLE_CONCEPT,
+        route=CODEABLE_CONCEPT,
+        doseQuantity=QUANTITY,
+    ),
+    "Procedure": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        statusReason=CODEABLE_CONCEPT,
+        category=CODEABLE_CONCEPT,
+        code=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        performedDateTime=S,
+        performedPeriod=PERIOD,
+        recorder=REFERENCE,
+        asserter=REFERENCE,
+        performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+        reasonCode=_arr(CODEABLE_CONCEPT),
+        reasonReference=_arr(REFERENCE),
+        bodySite=_arr(CODEABLE_CONCEPT),
+        outcome=CODEABLE_CONCEPT,
+    ),
+    "ServiceRequest": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        intent=S,
+        category=_arr(CODEABLE_CONCEPT),
+        priority=S,
+        code=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        encounter=REFERENCE,
+        occurrenceDateTime=S,
+        occurrencePeriod=PERIOD,
+        authoredOn=S,
+        requester=REFERENCE,
+        performer=_arr(REFERENCE),
+        reasonCode=_arr(CODEABLE_CONCEPT),
+        reasonReference=_arr(REFERENCE),
+    ),
+    "Practitioner": _resource(
+        identifier=_arr(IDENTIFIER),
+        active=B,
+        name=_arr(HUMAN_NAME),
+        telecom=_arr(CONTACT_POINT),
+        gender=S,
+        qualification=_arr(_struct(code=CODEABLE_CONCEPT, period=PERIOD, issuer=REFERENCE)),
+    ),
+    "PractitionerRole": _resource(
+        identifier=_arr(IDENTIFIER),
+        active=B,
+        period=PERIOD,
+        practitioner=REFERENCE,
+        organization=REFERENCE,
+        code=_arr(CODEABLE_CONCEPT),
+        specialty=_arr(CODEABLE_CONCEPT),
+    ),
+    "Organization": _resource(
+        identifier=_arr(IDENTIFIER),
+        active=B,
+        type=_arr(CODEABLE_CONCEPT),
+        name=S,
+        address=_arr(ADDRESS),
+    ),
+}
+
+FHIR_RESOURCE_TYPES: tuple[str, ...] = tuple(sorted(_RESOURCES))
+
+# Binary-with-metadata schema for multimodal attachments kept out-of-row
+# (image/audio/video payloads as opaque bytes; see operators/multimodal.py).
+MEDIA_BLOB = _struct(
+    content_type=S,
+    media_kind=S,  # image | audio | video
+    byte_size=L,
+    checksum_sha256=S,
+    payload=BinaryType(),
+)
+
+
+def schema_for(resource_type: str) -> StructType:
+    """Contractual schema for one resource type (raises on unknown)."""
+    try:
+        return _RESOURCES[resource_type]
+    except KeyError:
+        raise ValueError(
+            f"no contractual schema for resource type {resource_type!r}; "
+            f"known: {', '.join(FHIR_RESOURCE_TYPES)}"
+        ) from None
+
+
+def wide_schema(resource_types: list[str] | tuple[str, ...]) -> StructType:
+    """Union schema across several resource types (for mixed NDJSON dirs).
+
+    Field name collisions must agree on type — FHIR guarantees this for
+    the common envelope; resource-specific fields are disjoint or shared
+    element types.
+    """
+    fields: dict[str, StructField] = {}
+    for rt in resource_types:
+        for f in schema_for(rt).fields:
+            if f.name in fields and fields[f.name].dataType != f.dataType:
+                raise ValueError(f"conflicting types for field {f.name!r} in {rt}")
+            fields.setdefault(f.name, f)
+    return StructType(list(fields.values()))
