@@ -1,0 +1,250 @@
+"""The de-id scrubber: rule config → pure Catalyst projection.
+
+The reference walks each resource dict interpretively, per row, per key
+(cumulus_etl/deid/scrubber.py:110-306). Spark-first, the walk happens ONCE
+at plan-build time over the DataFrame *schema*: the rules compile into a
+nested ``select`` of struct-rebuild expressions (``F.struct`` /
+``F.transform`` for arrays-of-structs), so scrubbing executes entirely
+inside whole-stage codegen — zero Python per row (philter is the one
+optional pandas_udf).
+
+Semantics covered (SURVEY §2.3): P1 allow-list projection, P2 masks,
+P3/P7 anon-id, P4 anon-ref, P5 year, P6 zip, P8 philter, P9 check-system,
+P10 extension allow-list + modifier-extension veto (at any nesting depth,
+threaded up through array ``exists``), P11 resource-level filter, P12
+trim/empty-drop.
+
+Known divergence from the reference: masked values become plain nulls —
+no ``data-absent-reason`` extension is synthesized (scrubber.py:320-335),
+and empty structs are kept as all-null structs rather than removed keys
+(columnar schemas are fixed; NDJSON output drops nulls at write time,
+which yields the same serialized form).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, StringType, StructType
+
+from cumulus_etl_spark.deid.philter import philter_mask
+from cumulus_etl_spark.deid.rules import (
+    ALLOWED_EXTENSION_URLS,
+    ALLOWED_MODIFIER_EXTENSION_URLS,
+    NODE_RULES,
+    resolve_node,
+)
+from cumulus_etl_spark.functions import anon_id, anon_ref, nullif_empty, year_only, zip_generalize
+
+# Epic site-specific code systems may carry free-text (possibly PHI) codes;
+# a code under one is trusted only if purely numeric (ref scrubber.py:421-467).
+EPIC_SYSTEM_PREFIX = "urn:oid:1.2.840.114350."
+
+
+def _rules_can_veto(dtype: DataType, rules: dict[str, object]) -> bool:
+    """Schema-only walk: does any reachable field carry a modifier-extension
+    veto? Decides whether to emit exists() veto conditions for arrays."""
+    if isinstance(dtype, ArrayType):
+        return _rules_can_veto(dtype.elementType, rules)
+    if not isinstance(dtype, StructType):
+        return False
+    for sf in dtype.fields:
+        spec = rules.get(sf.name)
+        if spec is None:
+            continue
+        if spec == "ModifierExtension":
+            return True
+        if isinstance(spec, dict):
+            child = {**resolve_node("BackboneElement"), **spec}
+            if _rules_can_veto(sf.dataType, child):
+                return True
+        elif isinstance(spec, str) and spec[:1].isupper() and spec != "Extension":
+            if _rules_can_veto(sf.dataType, resolve_node(spec)):
+                return True
+    return False
+
+
+@dataclass
+class Scrubber:
+    """Compiles scrub rules against a DataFrame schema.
+
+    ``nlp_mode`` keeps note text (``mask-note`` fields survive and philter
+    is skipped on them) — parity with the NLP pipeline's scrubber settings
+    (etl/pipeline.py:213-215).
+    """
+
+    salt: str
+    philter_enabled: bool = False
+    nlp_mode: bool = False
+    allowed_extensions: frozenset[str] = field(default_factory=lambda: ALLOWED_EXTENSION_URLS)
+    allowed_modifier_extensions: frozenset[str] = field(
+        default_factory=lambda: ALLOWED_MODIFIER_EXTENSION_URLS
+    )
+
+    # ---- public API ----
+
+    def scrub(self, df: DataFrame, resource_type: str) -> DataFrame:
+        """Project ``df`` down to the de-identified allow-listed shape.
+
+        Rows carrying unknown *modifier* extensions (at any depth) are
+        dropped entirely — ignoring a modifier would change meaning.
+        """
+        if resource_type not in NODE_RULES:
+            raise ValueError(f"no scrub rules for resource type {resource_type!r}")
+        rules = resolve_node(resource_type)
+        exprs: list[Column] = []
+        vetoes: list[Column] = []
+        for sf in df.schema.fields:
+            spec = rules.get(sf.name)
+            if spec is None:
+                continue  # allow-list: unlisted fields are dropped
+            expr, veto = self._field_expr(F.col(sf.name), sf.dataType, sf.name, spec)
+            if expr is not None:
+                exprs.append(expr.alias(sf.name))
+            if veto is not None:
+                vetoes.append(veto)
+        out = df.select(*exprs)
+        if vetoes:
+            keep = ~vetoes[0]
+            for v in vetoes[1:]:
+                keep = keep & ~v
+            # coalesce: a null veto condition (e.g. null array) means "no veto"
+            out = out.filter(F.coalesce(keep, F.lit(True)))
+        return out
+
+    def dropped_extension_report(self, df: DataFrame, resource_type: str) -> DataFrame:
+        """A1: counts of dropped extension URLs, as a real aggregation
+        (``groupBy(url).count()``) instead of driver-side dicts
+        (ref scrubber.py:343-349)."""
+        if "extension" not in df.columns:
+            return df.sparkSession.createDataFrame([], "resource_type string, url string, n bigint")
+        return (
+            df.select(F.explode("extension").alias("ext"))
+            .filter(~F.col("ext.url").isin(*self.allowed_extensions))
+            .groupBy(F.col("ext.url").alias("url"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(resource_type).alias("resource_type"), "url", "n")
+        )
+
+    # ---- compiler ----
+
+    def _field_expr(
+        self, col: Column, dtype: DataType, name: str, spec: object, parent: Column | None = None
+    ) -> tuple[Column | None, Column | None]:
+        """Returns (rewritten expression | None-to-drop, veto condition | None)."""
+        if spec == "ModifierExtension":
+            # Unknown modifier extension → veto the resource; the field
+            # itself is dropped from output (nothing allowed survives).
+            allowed = list(self.allowed_modifier_extensions)
+            if allowed:
+                unknown = F.exists(col, lambda x: ~x["url"].isin(*allowed))
+            else:
+                unknown = F.size(col) > 0
+            return None, F.coalesce(unknown, F.lit(False))
+        if spec == "Extension":
+            return self._extension_expr(col, dtype), None
+        if isinstance(spec, str) and spec[:1].islower():
+            return self._leaf_expr(col, dtype, spec, parent=parent), None
+        # node recursion (named node or inline dict of child rules)
+        child_rules = resolve_node(spec) if isinstance(spec, str) else dict(spec)
+        if isinstance(spec, dict):
+            # inline backbone rules implicitly extend BackboneElement
+            base = resolve_node("BackboneElement")
+            child_rules = {**base, **child_rules}
+        return self._node_expr(col, dtype, child_rules)
+
+    def _node_expr(
+        self, col: Column, dtype: DataType, rules: dict[str, object]
+    ) -> tuple[Column | None, Column | None]:
+        if isinstance(dtype, ArrayType):
+            elem_type = dtype.elementType
+            if not isinstance(elem_type, StructType):
+                # e.g. category: array<string> declared "val"
+                return F.transform(col, lambda x: nullif_empty(x)) if isinstance(
+                    elem_type, StringType
+                ) else col, None
+            # Veto inside arrays: exists(arr, elem-veto) — checked first via
+            # a schema-only walk so we don't emit a needless exists().
+            rebuilt = F.transform(col, lambda x: self._struct_expr(x, elem_type, rules)[0])
+            veto = None
+            if _rules_can_veto(elem_type, rules):
+                veto = F.exists(col, lambda x: self._struct_expr(x, elem_type, rules)[1])
+            return rebuilt, veto
+        if isinstance(dtype, StructType):
+            expr, veto = self._struct_expr(col, dtype, rules)
+            return F.when(col.isNotNull(), expr), veto
+        raise ValueError(f"node rules applied to non-struct type {dtype.simpleString()}")
+
+    def _struct_expr(
+        self, col: Column, dtype: StructType, rules: dict[str, object]
+    ) -> tuple[Column, Column | None]:
+        parts: list[Column] = []
+        vetoes: list[Column] = []
+        for sf in dtype.fields:
+            spec = rules.get(sf.name)
+            if spec is None:
+                continue
+            expr, veto = self._field_expr(col[sf.name], sf.dataType, sf.name, spec, parent=col)
+            if expr is not None:
+                parts.append(expr.alias(sf.name))
+            if veto is not None:
+                vetoes.append(veto)
+        if not parts:
+            parts = [F.lit(None).cast("string").alias("__empty__")]
+        veto_out: Column | None = None
+        for v in vetoes:
+            veto_out = v if veto_out is None else (veto_out | v)
+        return F.struct(*parts), veto_out
+
+    def _extension_expr(self, col: Column, dtype: DataType) -> Column:
+        """P10: keep only allow-listed extension URLs, preserving payloads."""
+        if not isinstance(dtype, ArrayType):
+            return F.lit(None).cast(dtype)
+        if not self.allowed_extensions:
+            return F.lit(None).cast(dtype)
+        kept = F.filter(col, lambda x: x["url"].isin(*self.allowed_extensions))
+        return F.when(F.size(kept) > 0, kept)
+
+    def _leaf_expr(
+        self, col: Column, dtype: DataType, action: str, parent: Column | None
+    ) -> Column | None:
+        if action.startswith("check-system;"):
+            # Trust gate on the sibling `system` value; `parent` is the
+            # enclosing Coding struct (wired by _struct_expr caller below).
+            sub = action.split(";", 1)[1]
+            inner = self._leaf_expr(col, dtype, sub, parent=None)
+            if parent is None:
+                return inner
+            system = parent["system"]
+            code = parent["code"]
+            unsafe = system.startswith(EPIC_SYSTEM_PREFIX) & ~F.coalesce(
+                code.rlike(r"^[0-9.]+$"), F.lit(False)
+            )
+            return F.when(~F.coalesce(unsafe, F.lit(False)), inner)
+        if action == "val":
+            if isinstance(dtype, StringType):
+                return nullif_empty(col)
+            if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StringType):
+                return F.transform(col, lambda x: nullif_empty(x))
+            return col
+        if action == "mask":
+            return F.lit(None).cast(dtype)
+        if action == "mask-note":
+            if self.nlp_mode:
+                return nullif_empty(col) if isinstance(dtype, StringType) else col
+            return F.lit(None).cast(dtype)
+        if action == "anon-id":
+            return anon_id(col, self.salt)
+        if action == "anon-ref":
+            return anon_ref(col, self.salt)
+        if action == "year":
+            return year_only(col)
+        if action == "zip":
+            return zip_generalize(col)
+        if action == "philter":
+            if self.philter_enabled and not self.nlp_mode:
+                return philter_mask(nullif_empty(col))
+            return nullif_empty(col)
+        raise ValueError(f"unknown scrub action {action!r}")
