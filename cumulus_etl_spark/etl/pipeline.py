@@ -1,0 +1,172 @@
+"""The ETL pipeline verbs: etl / init / convert (SURVEY §3).
+
+The reference's lifecycle (etl/pipeline.py, etl/tasks/base.py) is an
+async row-iterator with hand-rolled batching. Spark-first, a task is
+three lazy plan stages — scan → scrub → merge — and all batching,
+spilling, and parallelism belong to the engine. Per-table row counts are
+collected with ``df.observe`` metrics, not a second pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.deid import Codebook, Scrubber
+from cumulus_etl_spark.etl.completion import (
+    write_completion,
+    write_completion_encounters,
+)
+from cumulus_etl_spark.etl.config import JobConfig, check_output_phi_pairing
+from cumulus_etl_spark.etl.tasks import TaskDef, select_tasks
+from cumulus_etl_spark.schemas import schema_for
+from cumulus_etl_spark.sinks import ManagedTable
+from cumulus_etl_spark.sources import (
+    detect_resources,
+    read_deleted_ids,
+    scan_with_quarantine,
+)
+
+
+def run_etl(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    phi_dir: str,
+    tasks: list[str] | None = None,
+    philter: bool = False,
+    group_name: str | None = None,
+    export_datetime: str | None = None,
+) -> dict:
+    """The main de-identifying ETL run. Returns the job summary dict."""
+    codebook = Codebook(phi_dir)
+    check_output_phi_pairing(output_dir, codebook.codebook_id)
+
+    available = detect_resources(spark, input_dir)
+    selected = select_tasks(tasks, available_resources=available)
+    config = JobConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        phi_dir=phi_dir,
+        tasks=[t.name for t in selected],
+        group_name=group_name,
+        export_datetime=export_datetime,
+        philter=philter,
+    )
+    config.save()
+
+    scrubber = Scrubber(salt=codebook.salt, philter_enabled=philter)
+    deleted = read_deleted_ids(spark, input_dir)
+
+    summary: dict = {"tables": {}, "errors": 0}
+    for task in selected:
+        table_summary = _run_task(
+            spark, task, input_dir, output_dir, codebook, scrubber, deleted, group_name
+        )
+        summary["tables"][task.table_name] = table_summary
+        summary["errors"] += table_summary["quarantined"]
+
+    write_completion(
+        spark,
+        output_dir,
+        [t.table_name for t in selected],
+        group_name,
+        export_datetime,
+    )
+    summary["success"] = summary["errors"] == 0
+    config.save_summary(summary)
+    return summary
+
+
+def _run_task(
+    spark: SparkSession,
+    task: TaskDef,
+    input_dir: str,
+    output_dir: str,
+    codebook: Codebook,
+    scrubber: Scrubber,
+    deleted,
+    group_name: str | None,
+) -> dict:
+    good, bad = scan_with_quarantine(spark, input_dir, [task.resource_type])
+
+    # Codebook audit mappings committed before data (crash-safe either way:
+    # pseudonyms are pure functions of the salt; see deid/codebook.py).
+    codebook.save_mappings(good, task.resource_type)
+
+    obs = Observation(f"etl_{task.name}")
+    scrubbed = scrubber.scrub(good, task.resource_type).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
+
+    table = ManagedTable(spark, output_dir, task.table_name)
+    table.merge(scrubbed, task.policy)
+
+    # Tombstones from the bulk export's deleted/ bundles (J6), applied
+    # post-merge with anonymized ids.
+    dead = deleted.filter(F.col("resource_type") == task.resource_type)
+    dead_ids = [
+        r["anon"]
+        for r in dead.select(codebook.anonymize(dead, "id").alias("anon")).collect()
+    ]
+    if dead_ids:
+        table.delete_ids(dead_ids)
+
+    # Quarantined raw lines spill to errors/<task>/ (K7; PHI by design —
+    # errors stay PHI-side in real deployments, ref base.py:356-364).
+    bad_rows = bad.count()
+    if bad_rows:
+        bad.write.mode("overwrite").json(os.path.join(output_dir, "errors", task.name))
+
+    if task.resource_type == "Encounter":
+        write_completion_encounters(spark, output_dir, table.read(), group_name)
+
+    return {"rows": obs.get["rows"], "quarantined": bad_rows}
+
+
+def run_init(spark: SparkSession, output_dir: str, tasks: list[str] | None = None) -> list[str]:
+    """Create every output table empty but with its full de-identified
+    schema, so downstream SQL works before data arrives
+    (ref etl/init/cli.py:32-46)."""
+    created = []
+    scrubber = Scrubber(salt="00")
+    for task in select_tasks(tasks):
+        table = ManagedTable(spark, output_dir, task.table_name)
+        if table.exists():
+            continue
+        empty = spark.createDataFrame([], schema_for(task.resource_type))
+        table.merge(scrubber.scrub(empty, task.resource_type), task.policy)
+        created.append(task.table_name)
+    return created
+
+
+def run_convert(spark: SparkSession, ndjson_dir: str, output_dir: str) -> list[str]:
+    """Re-load a previous run's batched NDJSON output into managed tables
+    (ref etl/convert/cli.py:191-208). The batch files + sidecars are a
+    complete serialized representation of a run: conversion is just
+    scan → merge per table (data is already de-identified)."""
+    from cumulus_etl_spark.sinks.batched import read_meta
+
+    converted = []
+    for task in select_tasks():
+        src = os.path.join(ndjson_dir, task.table_name)
+        if not os.path.isdir(src):
+            continue
+        schema = _scrubbed_schema(spark, task)
+        df = spark.read.schema(schema).json(src)
+        table = ManagedTable(spark, output_dir, task.table_name)
+        table.merge(df, task.policy)
+        meta = read_meta(src)
+        if meta.get("deleted"):
+            table.delete_ids(meta["deleted"])
+        converted.append(task.table_name)
+    return converted
+
+
+def _scrubbed_schema(spark: SparkSession, task: TaskDef):
+    """The post-scrub schema for a task's table (drive reads of engine
+    NDJSON output with the same contract the scrubber produces)."""
+    empty = spark.createDataFrame([], schema_for(task.resource_type))
+    return Scrubber(salt="00").scrub(empty, task.resource_type).schema

@@ -1,0 +1,136 @@
+"""End-to-end ETL pipeline tests (SURVEY §3.1, §3.3): NDJSON in →
+de-identified managed tables → SQL."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.etl import run_convert, run_etl, run_init
+from cumulus_etl_spark.etl.completion import COMPLETION_ENCOUNTERS_TABLE, COMPLETION_TABLE
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+from cumulus_etl_spark.sinks.batched import write_ndjson_batches
+from tests.fhir_fixtures import write_ndjson, write_standard_input
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "input": write_standard_input(str(tmp_path / "input")),
+        "output": str(tmp_path / "output"),
+        "phi": str(tmp_path / "phi"),
+    }
+
+
+def test_etl_end_to_end(spark, dirs):
+    summary = run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], group_name="g1",
+                      export_datetime="2021-03-05T00:00:00Z")
+    assert summary["success"]
+    assert summary["tables"]["patient"]["rows"] == 2
+    assert summary["tables"]["encounter"]["rows"] == 2
+
+    # Query the lake: de-identified, joinable via pseudonymous refs
+    pat = ManagedTable(spark, dirs["output"], "patient").read()
+    enc = ManagedTable(spark, dirs["output"], "encounter").read()
+    assert pat.count() == 2
+    assert "name" not in pat.columns
+    joined = enc.join(pat, enc["subject.reference"] == F.concat(F.lit("Patient/"), pat["id"]))
+    assert joined.count() == 2
+
+    # Codebook salt determines the pseudonyms
+    with open(os.path.join(dirs["phi"], "codebook.json")) as fh:
+        salt = json.load(fh)["salt"]
+    anon_pat1 = hashlib.sha256((salt + "pat-1").encode()).hexdigest()
+    assert anon_pat1 in {r["id"] for r in pat.collect()}
+
+    # Completion metadata written
+    comp = ManagedTable(spark, dirs["output"], COMPLETION_TABLE).read()
+    comp_rows = {r["table_name"] for r in comp.collect()}
+    assert {"patient", "encounter", "condition", "documentreference"} <= comp_rows
+    ce = ManagedTable(spark, dirs["output"], COMPLETION_ENCOUNTERS_TABLE).read()
+    assert ce.count() == 2
+
+    # JobConfig + summary persisted
+    jc_dir = os.path.join(dirs["output"], "JobConfig")
+    runs = os.listdir(jc_dir)
+    assert len(runs) == 1
+    assert os.path.exists(os.path.join(jc_dir, runs[0], "job_config.json"))
+    assert os.path.exists(os.path.join(jc_dir, runs[0], "job_summary.json"))
+
+
+def test_etl_is_incremental(spark, dirs):
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"])
+    # second run with an updated row
+    write_ndjson(dirs["input"], "patients.ndjson", [
+        {
+            "resourceType": "Patient",
+            "id": "pat-1",
+            "meta": {"lastUpdated": "2022-01-01T00:00:00Z"},
+            "gender": "female",
+            "birthDate": "1980-06-15",
+        },
+        {"resourceType": "Patient", "id": "pat-3", "gender": "other"},
+    ])
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"])
+    pat = ManagedTable(spark, dirs["output"], "patient").read()
+    assert pat.count() == 3  # pat-1 updated, pat-2 kept, pat-3 inserted
+
+
+def test_deleted_bundle_applied(spark, dirs):
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"])
+    write_ndjson(os.path.join(dirs["input"], "deleted"), "d.ndjson", [
+        {"resourceType": "Bundle",
+         "entry": [{"request": {"method": "DELETE", "url": "Patient/pat-2"}}]}
+    ])
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"])
+    pat = ManagedTable(spark, dirs["output"], "patient").read()
+    with open(os.path.join(dirs["phi"], "codebook.json")) as fh:
+        salt = json.load(fh)["salt"]
+    assert hashlib.sha256((salt + "pat-2").encode()).hexdigest() not in {
+        r["id"] for r in pat.collect()
+    }
+    assert pat.count() == 1
+
+
+def test_phi_pairing_guard(spark, dirs, tmp_path):
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"])
+    other_phi = str(tmp_path / "other-phi")
+    with pytest.raises(ValueError, match="refusing to mix"):
+        run_etl(spark, dirs["input"], dirs["output"], other_phi)
+
+
+def test_quarantine_spill(spark, dirs):
+    with open(os.path.join(dirs["input"], "broken.ndjson"), "w") as fh:
+        fh.write('{"resourceType": "Patient", "id": "okx"}\n')
+        fh.write("not json at all\n")
+    summary = run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"])
+    assert not summary["success"]
+    assert summary["tables"]["patient"]["quarantined"] == 1
+    assert os.path.isdir(os.path.join(dirs["output"], "errors", "patient"))
+
+
+def test_init_creates_empty_tables_with_schema(spark, tmp_path):
+    out = str(tmp_path / "out")
+    created = run_init(spark, out, tasks=["patient", "condition"])
+    assert created == ["patient", "condition"]
+    pat = ManagedTable(spark, out, "patient").read()
+    assert pat.count() == 0
+    assert "birthDate" in pat.columns and "name" not in pat.columns
+
+
+def test_convert_roundtrip(spark, dirs, tmp_path):
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"])
+    # export the patient table as batched NDJSON, then convert into a new lake
+    pat = ManagedTable(spark, dirs["output"], "patient").read()
+    staging = str(tmp_path / "staging")
+    write_ndjson_batches(pat, os.path.join(staging, "patient"))
+    new_lake = str(tmp_path / "lake2")
+    converted = run_convert(spark, staging, new_lake)
+    assert converted == ["patient"]
+    pat2 = ManagedTable(spark, new_lake, "patient").read()
+    assert pat2.count() == 2
+    assert {r["id"] for r in pat2.collect()} == {r["id"] for r in pat.collect()}
