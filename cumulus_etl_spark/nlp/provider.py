@@ -1,0 +1,108 @@
+"""NLP model providers: executor-side fan-out via mapInPandas (U1-U4).
+
+The reference POSTs note text to cTAKES / cNLP / LLM endpoints one note
+at a time from a single process (nlp/extract.py:16-66, nlp/models.py:
+95-664, ~0.1-1.4 notes/s per BASELINE.md). Spark-first, provider calls
+happen INSIDE ``mapInPandas`` partitions: each executor task drains its
+Arrow batches and fans requests out concurrently, so throughput scales
+with executors × per-task concurrency, and a provider hiccup fails only
+one task (retried by the scheduler), not the run.
+
+No HTTP service exists in this container, so the real providers are
+represented by :class:`StubSymptomModel` — a deterministic fake with the
+same interface and result schema as a cTAKES-style symptom extractor.
+A real provider drops in by implementing ``__call__`` with an async
+HTTP fan-out; the Spark plumbing (batching, schema, cache, envelope)
+is identical and is what these modules test.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# result rows: list of matches, each with concept text, CUI-style code,
+# polarity, and [begin, end) span — the covid_symptom task shape
+# (etl/studies/covid_symptom/covid_ctakes.py:13-130).
+MATCH_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("text", StringType(), True),
+            StructField("code", StringType(), True),
+            StructField("polarity", StringType(), True),
+            StructField("begin", IntegerType(), True),
+            StructField("end", IntegerType(), True),
+        ]
+    )
+)
+
+
+@dataclass(frozen=True)
+class StubSymptomModel:
+    """Deterministic keyword 'model' standing in for cTAKES+cNLP (U1-U3).
+
+    Finds dictionary terms in the note, emits one match per occurrence
+    with a fake CUI and a trivial negation check ('no X' / 'denies X').
+    """
+
+    terms: tuple[str, ...] = ("cough", "fever", "headache", "nausea", "congestion")
+
+    def __call__(self, text: str | None) -> list[dict]:
+        if not text:
+            return []
+        lower = text.lower()
+        out = []
+        for term in self.terms:
+            start = 0
+            while (idx := lower.find(term, start)) != -1:
+                prefix = lower[max(0, idx - 12) : idx]
+                negated = "no " in prefix or "denies " in prefix or "without " in prefix
+                out.append(
+                    {
+                        "text": term,
+                        "code": f"C{abs(hash(term)) % 10_000_000:07d}",
+                        "polarity": "negated" if negated else "positive",
+                        "begin": idx,
+                        "end": idx + len(term),
+                    }
+                )
+                start = idx + len(term)
+        # deterministic order: by code then begin (ref covid_ctakes.py:80-83)
+        out.sort(key=lambda m: (m["code"], m["begin"]))
+        return out
+
+
+def run_model(
+    notes: DataFrame,
+    model,
+    text_col: str = "note_text",
+    result_col: str = "result",
+) -> DataFrame:
+    """Apply ``model`` to each note via mapInPandas; adds a JSON string
+    ``result`` column (JSON at the boundary keeps the cache table schema
+    stable across task versions; parsing to structs happens downstream
+    with ``from_json`` against the task's declared schema)."""
+    out_schema = StructType(
+        list(notes.schema.fields) + [StructField(result_col, StringType(), True)]
+    )
+
+    def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One model instance per task; a real provider opens its HTTP
+        # session here and fans out concurrently within each batch.
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[result_col] = [json.dumps(model(t)) for t in pdf[text_col]]
+            yield pdf
+
+    return notes.mapInPandas(apply_batches, schema=out_schema)

@@ -1,0 +1,98 @@
+"""NLP task runner: cache-first model pipeline with replacement writes
+(SURVEY §3.2; ref etl/tasks/nlp_task.py:38-482).
+
+Flow per task:
+  notes → extract text → checksum → [cache hits ∪ run model on misses]
+        → envelope (note_ref / encounter_ref / subject_ref / generated_on
+          / task_version) → explode matches → merge with
+          group_field=note_ref (a re-run REPLACES a note's rows — J2)
+
+The provider only ever sees cache misses; the cache append happens
+before the table merge so an interrupted run still banks its model
+calls (parity: nlp/models.py:571-582 resume semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.nlp.cache import NlpCache
+from cumulus_etl_spark.nlp.notes import extract_note_text, note_checksum
+from cumulus_etl_spark.nlp.provider import MATCH_SCHEMA, run_model
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+NLP_POLICY = MergePolicy(keys=("id",), group_field="note_ref", last_updated_field=None)
+
+
+def run_nlp_task(
+    spark: SparkSession,
+    docrefs: DataFrame,
+    model,
+    task_name: str,
+    task_version: int,
+    output_dir: str,
+    phi_dir: str,
+    generated_on: str,
+) -> dict:
+    """Run one NLP study task over DocumentReference rows. Returns funnel
+    counters (A3: seen/with_text/from_cache/model_called)."""
+    notes = extract_note_text(docrefs)
+    seen = notes.count()
+    notes = notes.filter(F.col("note_text").isNotNull()).withColumn(
+        "checksum", note_checksum()
+    )
+    # cache() here: the hits/misses split and the later union both read
+    # this frame; without it the scan + decode would run twice.
+    notes.cache()
+    with_text = notes.count()
+
+    cache = NlpCache(spark, phi_dir, task_name, task_version)
+    hits, misses = cache.split(notes)
+    n_hits = hits.count() if hits is not None else 0
+
+    fresh = run_model(misses, model)
+    cache.append(fresh)
+    scored = fresh if hits is None else hits.unionByName(fresh)
+
+    result = scored.select(
+        F.concat(F.lit("DocumentReference/"), F.col("id")).alias("note_ref"),
+        F.element_at(F.col("context.encounter"), 1)["reference"].alias("encounter_ref"),
+        F.col("subject.reference").alias("subject_ref"),
+        F.lit(generated_on).alias("generated_on"),
+        F.lit(task_version).alias("task_version"),
+        F.from_json(F.col("result"), MATCH_SCHEMA).alias("matches"),
+    )
+    # one row per match; a no-match note keeps one null row so "processed,
+    # found nothing" is distinguishable from "never processed"
+    # (ref covid_ctakes.py:141-147)
+    exploded = result.select(
+        "*", F.explode_outer("matches").alias("match")
+    ).drop("matches")
+    rows = exploded.select(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                "note_ref",
+                F.coalesce(F.col("match.code"), F.lit("-")),
+                F.coalesce(F.col("match.begin").cast("string"), F.lit("-")),
+            ),
+            256,
+        ).alias("id"),
+        "note_ref",
+        "encounter_ref",
+        "subject_ref",
+        "generated_on",
+        "task_version",
+        "match",
+    )
+
+    table = ManagedTable(spark, output_dir, task_name)
+    table.merge(rows, NLP_POLICY)
+    notes.unpersist()
+    return {
+        "seen": seen,
+        "with_text": with_text,
+        "from_cache": n_hits,
+        "model_called": with_text - n_hits,
+    }

@@ -1,0 +1,124 @@
+"""NLP framework tests (U1-U8, F2, J4)."""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.nlp import (
+    StubSymptomModel,
+    anchor_span,
+    extract_note_text,
+    filter_by_cohort,
+    filter_by_words,
+    run_nlp_task,
+)
+from cumulus_etl_spark.sinks import ManagedTable
+from cumulus_etl_spark.sources import scan_resources
+from tests.fhir_fixtures import write_ndjson
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def docref(doc_id, text=None, url=None, content_type="text/plain", patient="p1", enc="e1"):
+    att = {"contentType": content_type}
+    if text is not None:
+        att["data"] = b64(text)
+    if url is not None:
+        att["url"] = url
+    return {
+        "resourceType": "DocumentReference",
+        "id": doc_id,
+        "status": "current",
+        "subject": {"reference": f"Patient/{patient}"},
+        "context": {"encounter": [{"reference": f"Encounter/{enc}"}]},
+        "content": [{"attachment": att}],
+    }
+
+
+def load_docrefs(spark, tmp_path, docs):
+    write_ndjson(str(tmp_path), "docs.ndjson", docs)
+    return scan_resources(spark, str(tmp_path), ["DocumentReference"])
+
+
+def test_extract_note_text(spark, tmp_path):
+    df = load_docrefs(spark, tmp_path, [
+        docref("d1", text="Patient has a cough."),
+        docref("d2", url="https://blob/1"),
+        docref("d3", text="<p>HTML <b>note</b></p>", content_type="text/html"),
+        docref("d4", text="ZmFrZQ==-not-text", content_type="application/pdf"),
+    ])
+    out = {r["id"]: r for r in extract_note_text(df).collect()}
+    assert out["d1"]["note_text"] == "Patient has a cough."
+    assert out["d2"]["note_text"] is None
+    assert out["d2"]["note_missing_reason"] == "remote-only attachment"
+    assert "HTML" in out["d3"]["note_text"] and "<b>" not in out["d3"]["note_text"]
+    assert out["d4"]["note_missing_reason"] == "no text attachment"
+
+
+def test_stub_model_negation_and_order():
+    m = StubSymptomModel()
+    got = m("Fever for 3 days. Denies cough. No nausea reported.")
+    by_term = {g["text"]: g for g in got}
+    assert by_term["fever"]["polarity"] == "positive"
+    assert by_term["cough"]["polarity"] == "negated"
+    assert by_term["nausea"]["polarity"] == "negated"
+    assert got == sorted(got, key=lambda x: (x["code"], x["begin"]))
+    assert m(None) == [] and m("") == []
+
+
+def test_anchor_span_fuzzy():
+    note = "Pt c/o severe   chest-pain,  worse at night."
+    assert anchor_span(note, "severe chest pain") == (7, 26)
+    assert anchor_span(note, "CHEST PAIN") == (16, 26)
+    assert anchor_span(note, "not present") is None
+    assert anchor_span(None, "x") is None
+
+
+def test_filters(spark, tmp_path):
+    df = load_docrefs(spark, tmp_path, [
+        docref("d1", text="severe cough and fever"),
+        docref("d2", text="coughing up a storm"),  # 'cough' whole-word fails
+        docref("d3", text="no symptoms"),
+    ])
+    notes = extract_note_text(df)
+    assert {r["id"] for r in filter_by_words(notes, ["cough"]).collect()} == {"d1"}
+    assert {r["id"] for r in filter_by_words(notes, ["cough"], reject=True).collect()} == {"d2", "d3"}
+    cohort = spark.createDataFrame([("d2",), ("d3",)], "docid string")
+    assert {r["id"] for r in filter_by_cohort(notes, cohort, "id").collect()} == {"d2", "d3"}
+
+
+def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    phi_dir = str(tmp_path / "phi")
+    model = StubSymptomModel()
+
+    docs1 = [docref("d1", text="cough and fever present"), docref("d2", text="all clear")]
+    df1 = load_docrefs(spark, tmp_path / "in1", docs1)
+    s1 = run_nlp_task(spark, df1, model, "study__symptoms", 1, out_dir, phi_dir,
+                      generated_on="2021-01-01T00:00:00Z")
+    assert s1 == {"seen": 2, "with_text": 2, "from_cache": 0, "model_called": 2}
+
+    tbl = ManagedTable(spark, out_dir, "study__symptoms").read()
+    d1_rows = tbl.filter(F.col("note_ref") == "DocumentReference/d1").collect()
+    assert {r["match"]["text"] for r in d1_rows} == {"cough", "fever"}
+    # no-match note keeps a null-match marker row
+    d2_rows = tbl.filter(F.col("note_ref") == "DocumentReference/d2").collect()
+    assert len(d2_rows) == 1 and d2_rows[0]["match"] is None
+    assert d1_rows[0]["encounter_ref"] == "Encounter/e1"
+    assert d1_rows[0]["subject_ref"] == "Patient/p1"
+
+    # Re-run: same d1 (cache hit), d2 text changed → one model call;
+    # d2's old rows replaced (group replacement on note_ref)
+    docs2 = [docref("d1", text="cough and fever present"), docref("d2", text="new: headache")]
+    df2 = load_docrefs(spark, tmp_path / "in2", docs2)
+    s2 = run_nlp_task(spark, df2, model, "study__symptoms", 1, out_dir, phi_dir,
+                      generated_on="2021-02-01T00:00:00Z")
+    assert s2["from_cache"] == 1 and s2["model_called"] == 1
+
+    tbl2 = ManagedTable(spark, out_dir, "study__symptoms").read()
+    d2_rows2 = tbl2.filter(F.col("note_ref") == "DocumentReference/d2").collect()
+    assert {r["match"]["text"] for r in d2_rows2} == {"headache"}
