@@ -1,0 +1,98 @@
+"""Incremental / streaming execution (SURVEY §2.10).
+
+The reference is batch-only but resumable: batch-at-a-time writes,
+re-runs skip completed work via caches and sidecars. Structured
+Streaming gives the same semantics natively:
+
+- ``Trigger.AvailableNow`` + file-source checkpointing = resumable
+  batch runs (an interrupted run re-starts where it left off; files
+  already processed are never re-read)
+- ``foreachBatch(merge)`` = the reference's batch-upsert unit, with the
+  engine's MERGE policy applied per micro-batch
+- watermark + windowed aggregation covers late/changed event data —
+  beyond the reference's parity needs but free on this architecture
+
+At scale the same code runs continuously (drop ``availableNow``) over
+an object-store landing zone; ``maxFilesPerTrigger`` bounds micro-batch
+size the way ``--batch-size`` bounded the reference's memory
+(docs/performance.md:35-38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.deid import Codebook, Scrubber
+from cumulus_etl_spark.schemas import wide_schema
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+
+def incremental_etl(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    phi_dir: str,
+    resource_type: str,
+    checkpoint_dir: str,
+    philter: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Checkpointed scan→scrub→merge over an NDJSON landing directory.
+
+    Each invocation processes exactly the files that arrived since the
+    last run (file-source checkpoint), then stops.
+    """
+    codebook = Codebook(phi_dir)
+    scrubber = Scrubber(salt=codebook.salt, philter_enabled=philter)
+    table = ManagedTable(spark, output_dir, resource_type.lower())
+    policy = MergePolicy()
+
+    reader = (
+        spark.readStream.schema(wide_schema([resource_type]))
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.ndjson")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good = batch_df.filter(F.col("resourceType") == resource_type)
+        codebook.save_mappings(good, resource_type)
+        table.merge(scrubber.scrub(good, resource_type), policy)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time windowed counts with late-data tolerance.
+
+    Works on a streaming OR batch DataFrame (same plan); with a stream,
+    the watermark bounds state: events later than ``watermark`` are
+    dropped instead of growing the state store forever.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )

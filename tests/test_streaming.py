@@ -1,0 +1,77 @@
+"""Streaming incremental mode tests (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.sinks import ManagedTable
+from cumulus_etl_spark.streaming import incremental_etl, windowed_event_counts
+from tests.fhir_fixtures import write_ndjson
+
+
+def test_incremental_etl_checkpoint_resume(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    phi = str(tmp_path / "phi")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_ndjson(input_dir, "batch1.ndjson", [
+        {"resourceType": "Patient", "id": "a", "gender": "female"},
+        {"resourceType": "Patient", "id": "b", "gender": "male"},
+    ])
+    incremental_etl(spark, input_dir, out, phi, "Patient", ckpt)
+    tbl = ManagedTable(spark, out, "patient")
+    assert tbl.read().count() == 2
+    v_after_first = tbl.current_version()
+
+    # second run with NO new files: checkpoint makes it a no-op
+    incremental_etl(spark, input_dir, out, phi, "Patient", ckpt)
+    assert tbl.current_version() == v_after_first
+
+    # new file arrives: only it is processed; table upserts incrementally
+    write_ndjson(input_dir, "batch2.ndjson", [
+        {"resourceType": "Patient", "id": "c", "gender": "other"},
+    ])
+    incremental_etl(spark, input_dir, out, phi, "Patient", ckpt)
+    assert tbl.read().count() == 3
+
+
+def test_windowed_event_counts_batch_parity(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2021-01-01 00:10:00", "a"), ("2021-01-01 00:50:00", "a"),
+         ("2021-01-01 01:05:00", "b")],
+        "ts_str string, kind string",
+    ).select(F.col("ts_str").cast("timestamp").alias("ts"), "kind")
+    out = windowed_event_counts(df, window_duration="1 hour", group_cols=("kind",))
+    got = {(str(r["window_start"]), r["kind"]): r["n_events"] for r in out.collect()}
+    assert got[("2021-01-01 00:00:00", "a")] == 2
+    assert got[("2021-01-01 01:00:00", "b")] == 1
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    write_ndjson(src, "e.ndjson", [
+        {"ts": "2021-01-01T00:10:00Z", "kind": "a"},
+        {"ts": "2021-01-01T00:20:00Z", "kind": "a"},
+    ])
+    stream = (
+        spark.readStream.schema("ts string, kind string")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "kind")
+    )
+    agg = windowed_event_counts(stream, group_cols=("kind",))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from wincounts").collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
