@@ -1,0 +1,194 @@
+"""Multimodal (image/audio/video) column operators.
+
+Beyond-parity capability for LLM training-data pipelines (the reference's
+closest analog is base64 note attachments, SURVEY §2.9). Media travels as
+an opaque ``binary`` payload column plus a typed metadata struct; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip through Python row
+objects.
+
+DECODE IS STUBBED: this container ships no image/audio libraries, so the
+pixel-level work inside ``_fake_*`` is a deterministic fake (derived from
+the payload checksum). The Spark-side plumbing — schemas, batch shapes,
+metadata propagation, partition sizing — is real and tested; swap the
+fake for PIL/ffmpeg calls inside the same mapInPandas functions to make
+it live (they are imported lazily and gated).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("content_type", StringType(), True),
+        StructField("media_kind", StringType(), True),  # image | audio | video
+        StructField("byte_size", LongType(), True),
+        StructField("checksum_sha256", StringType(), True),
+    ]
+)
+
+IMAGE_INFO = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+    ]
+)
+
+
+def pack_media(df: DataFrame, payload_col: str, content_type_col: str | Column) -> DataFrame:
+    """Attach the typed metadata struct for a binary payload column —
+    size/checksum are JVM-side expressions, no UDF."""
+    ct = F.col(content_type_col) if isinstance(content_type_col, str) else content_type_col
+    kind = F.split(ct, "/").getItem(0)
+    meta = F.struct(
+        ct.alias("content_type"),
+        kind.alias("media_kind"),
+        F.length(F.col(payload_col)).cast("long").alias("byte_size"),
+        F.sha2(F.col(payload_col), 256).alias("checksum_sha256"),
+    )
+    return df.withColumn("media_meta", meta)
+
+
+def repartition_for_payloads(df: DataFrame, total_bytes: int, target_bytes: int = 128 << 20) -> DataFrame:
+    """Size partitions by payload bytes, not row count — 1k rows of video
+    is not 1k rows of thumbnails. Caller supplies total_bytes (cheap
+    ``agg(sum(byte_size))`` on the metadata column, no payload scan)."""
+    n = max(1, int(total_bytes / target_bytes) + 1)
+    return df.repartition(n)
+
+
+def _fake_dims(checksum: str) -> tuple[int, int, int]:
+    """STUB decode: deterministic pseudo-dimensions from the checksum."""
+    h = int(checksum[:8], 16)
+    return 64 + h % 1920, 64 + (h >> 8) % 1080, 3
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode stage: adds an ``image_info`` struct per row.
+
+    Real implementation = PIL.Image.open(io.BytesIO(payload)) inside the
+    same batch loop; the fake keeps identical schema and batch shape.
+    """
+    out_schema = StructType(list(df.schema.fields) + [StructField("image_info", IMAGE_INFO, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            infos = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    infos.append(None)
+                    continue
+                checksum = hashlib.sha256(bytes(payload)).hexdigest()
+                w, h, c = _fake_dims(checksum)
+                infos.append({"width": w, "height": h, "channels": c})
+            pdf = pdf.copy()
+            pdf["image_info"] = infos
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize stage: rewrites payload + image_info (fake: truncate bytes
+    proportionally to the area ratio — keeps the byte-flow realistic)."""
+    out_schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_payloads, new_infos = [], []
+            for payload, info in zip(pdf[payload_col], pdf["image_info"]):
+                if payload is None or info is None:
+                    new_payloads.append(payload)
+                    new_infos.append(info)
+                    continue
+                w, h = info["width"], info["height"]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(payload) * (nw * nh) / (w * h)))
+                new_payloads.append(bytes(payload)[:keep])
+                new_infos.append({"width": nw, "height": nh, "channels": info["channels"]})
+            pdf = pdf.copy()
+            pdf[payload_col] = new_payloads
+            pdf["image_info"] = new_infos
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n_seconds: float = 1.0, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame (fake:
+    frame count derived from byte_size; real impl = ffmpeg demux).
+    Output schema: input columns + frame_index int + frame_payload binary.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("frame_index", IntegerType(), True),
+            StructField("frame_payload", BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                if payload is None:
+                    continue
+                n_frames = max(1, min(8, len(payload) // 1024))
+                chunk = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    d = row.to_dict()
+                    d["frame_index"] = i
+                    d["frame_payload"] = bytes(payload)[i * chunk : (i + 1) * chunk]
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+EMBED_DIM = 16
+
+
+def embed_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature-extraction stage: fixed-dim float vector per payload
+    (fake: hash-seeded; real impl = a vision/audio encoder batch call)."""
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("embedding", ArrayType(FloatType()), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    embs.append(None)
+                    continue
+                digest = hashlib.sha256(bytes(payload)).digest()
+                embs.append([digest[i] / 255.0 for i in range(EMBED_DIM)])
+            pdf = pdf.copy()
+            pdf["embedding"] = embs
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
