@@ -91,25 +91,43 @@ def minhash_lsh_candidates(
     caught by fingerprint dedup first anyway.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_k), num_hashes=num_hashes)
+    # Explode→aggregate formulation, NOT nested array expressions: building
+    # the signature as array-transforms inlines the whole shingle pipeline
+    # into every one of the 32 hashes × 8 band hashes (≈256 copies → codegen
+    # explosion; measured 88s for 500 docs). Exploding shingles to rows
+    # computes xxhash64 ONCE per shingle, then 32 min() aggregates build the
+    # signature in a single partial+final hash agg — also the right shape at
+    # 100TB (shingle rows parallelize; giant docs don't make giant arrays).
+    import random
+
+    rng = random.Random(42)
+    coefs = [
+        (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("h"))
+    sig_cols = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{j}")
+        for j, (a, b) in enumerate(coefs)
+    ]
+    sigs = sh.groupBy("id").agg(*sig_cols)
     band_hashes = F.array(
         *[
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
+                    *[
+                        F.col(f"s{b * rows_per_band + i}").cast("string")
+                        for i in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
         ]
     )
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
-    )
+    banded = sigs.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
     w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
     capped = banded.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= max_bucket)
     a = capped.select("band_idx", "band_hash", F.col("id").alias("id_a"))
