@@ -28,6 +28,43 @@ def filter_by_regex(
     return notes.filter(~F.coalesce(cond, F.lit(False)) if reject else cond)
 
 
+def filter_by_coding(
+    notes: DataFrame,
+    allowed: dict[str, set[str]],
+    fields: tuple[str, ...] = ("type", "category"),
+) -> DataFrame:
+    """F3: keep notes whose type/category codings hit an allow-list of
+    (system → codes) — the ED-note filter shape
+    (etl/studies/covid_symptom/covid_tasks.py:18-79). Pure higher-order
+    array expressions: exists over flattened codings, no explode shuffle.
+    """
+    conds = []
+    for field in fields:
+        if field not in notes.columns:
+            continue
+        dtype = notes.schema[field].dataType.simpleString()
+        codings = (
+            F.flatten(F.col(field + ".coding"))
+            if dtype.startswith("array")
+            else F.col(field + ".coding")
+        )
+        def coding_hit(c):
+            expr = F.lit(False)
+            for sys, codes in allowed.items():
+                expr = expr | F.coalesce(
+                    (c["system"] == sys) & c["code"].isin(*codes), F.lit(False)
+                )
+            return expr
+
+        conds.append(F.coalesce(F.exists(codings, coding_hit), F.lit(False)))
+    if not conds:
+        raise ValueError(f"none of {fields} present in the notes frame")
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    return notes.filter(keep)
+
+
 def filter_by_cohort(
     notes: DataFrame,
     cohort: DataFrame,

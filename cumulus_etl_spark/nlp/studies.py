@@ -1,0 +1,70 @@
+"""Study task definitions: config-driven NLP pipelines (SURVEY §2.9 U3;
+ref etl/studies/covid_symptom/covid_tasks.py, dynamic TOML tasks
+nlp_task.py:485-561).
+
+A study task = note filter config + model + task metadata. The
+covid_symptom-shaped example composes the ED-note coding filter with the
+symptom model; swapping the model/filter dict defines a new study with
+no new code — the reference's ``tasks.toml`` mechanism as plain data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cumulus_etl_spark.nlp.provider import StubSymptomModel
+from cumulus_etl_spark.nlp.selection import filter_by_coding
+from cumulus_etl_spark.nlp.task import run_nlp_task
+
+
+@dataclass(frozen=True)
+class StudyTask:
+    name: str
+    task_version: int
+    model: object
+    # (system → codes) allow-list for note type/category; None = all notes
+    note_codings: dict | None = None
+    filter_fields: tuple[str, ...] = ("type", "category")
+
+    def run(
+        self,
+        spark: SparkSession,
+        docrefs: DataFrame,
+        output_dir: str,
+        phi_dir: str,
+        generated_on: str,
+    ) -> dict:
+        notes = docrefs
+        if self.note_codings:
+            notes = filter_by_coding(notes, self.note_codings, self.filter_fields)
+        return run_nlp_task(
+            spark,
+            notes,
+            self.model,
+            self.name,
+            self.task_version,
+            output_dir,
+            phi_dir,
+            generated_on,
+        )
+
+
+# ED-visit note codings (LOINC ED notes + a couple of system-specific
+# document-type codes; shape of covid_tasks.py:18-79's dictionary).
+ED_NOTE_CODINGS: dict[str, set[str]] = {
+    "http://loinc.org": {
+        "18842-5",  # Discharge summary
+        "34878-9",  # Emergency medicine note
+        "34111-5",  # Emergency department note
+        "47039-3",  # Inpatient admission history and physical note
+    },
+}
+
+COVID_SYMPTOM_TASK = StudyTask(
+    name="covid_symptom__nlp_results",
+    task_version=1,
+    model=StubSymptomModel(),
+    note_codings=ED_NOTE_CODINGS,
+)

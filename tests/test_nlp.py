@@ -122,3 +122,35 @@ def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
     tbl2 = ManagedTable(spark, out_dir, "study__symptoms").read()
     d2_rows2 = tbl2.filter(F.col("note_ref") == "DocumentReference/d2").collect()
     assert {r["match"]["text"] for r in d2_rows2} == {"headache"}
+
+
+def test_filter_by_coding_ed_notes(spark, tmp_path):
+    from cumulus_etl_spark.nlp.selection import filter_by_coding
+
+    ed = docref("ed1", text="x")
+    ed["type"] = {"coding": [{"system": "http://loinc.org", "code": "18842-5"}]}
+    ed2 = docref("ed2", text="x")
+    ed2["category"] = [{"coding": [{"system": "http://loinc.org", "code": "34878-9"}]}]
+    other = docref("other", text="x")
+    other["type"] = {"coding": [{"system": "http://loinc.org", "code": "99999-9"}]}
+    bare = docref("bare", text="x")
+    write_ndjson(str(tmp_path), "d.ndjson", [ed, ed2, other, bare])
+    df = load_docrefs(spark, tmp_path, [])  # already written above
+    allowed = {"http://loinc.org": {"18842-5", "34878-9"}}
+    got = {r["id"] for r in filter_by_coding(df, allowed).collect()}
+    assert got == {"ed1", "ed2"}
+
+
+def test_covid_symptom_study_task(spark, tmp_path):
+    from cumulus_etl_spark.nlp.studies import COVID_SYMPTOM_TASK
+
+    ed = docref("ed1", text="cough and fever in ED")
+    ed["type"] = {"coding": [{"system": "http://loinc.org", "code": "34111-5"}]}
+    non_ed = docref("clinic", text="cough at clinic")
+    write_ndjson(str(tmp_path / "in"), "d.ndjson", [ed, non_ed])
+    df = scan_resources(spark, str(tmp_path / "in"), ["DocumentReference"])
+    summary = COVID_SYMPTOM_TASK.run(spark, df, str(tmp_path / "out"), str(tmp_path / "phi"),
+                                     generated_on="2021-01-01T00:00:00Z")
+    assert summary["seen"] == 1  # non-ED note filtered before the funnel
+    tbl = ManagedTable(spark, str(tmp_path / "out"), "covid_symptom__nlp_results").read()
+    assert {r["match"]["text"] for r in tbl.collect()} == {"cough", "fever"}
