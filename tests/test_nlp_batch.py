@@ -1,0 +1,64 @@
+"""Batch-API orchestration + response-schema compiler tests (U4, U7)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+from cumulus_etl_spark.nlp.batch_api import BatchRun, LocalStubBatchProvider
+from cumulus_etl_spark.nlp.provider import StubSymptomModel
+from cumulus_etl_spark.nlp.response_schema import SPANS_TYPE, compile_response_schema
+
+
+def test_compile_response_schema():
+    spec = {
+        "symptoms": [{"text": "str", "cui": "str", "spans": "spans"}],
+        "severity": "int",
+        "notes": "str?",
+    }
+    t = compile_response_schema(spec)
+    assert isinstance(t, StructType)
+    sym = t["symptoms"].dataType
+    assert isinstance(sym, ArrayType) and isinstance(sym.elementType, StructType)
+    assert sym.elementType["spans"].dataType == SPANS_TYPE
+    assert t["severity"].dataType == LongType()
+    assert t["notes"].dataType == StringType()
+    inner = SPANS_TYPE.elementType
+    assert isinstance(inner, ArrayType) and inner.elementType == IntegerType()
+
+
+def test_batch_run_submit_poll_resume(spark, tmp_path):
+    misses = spark.createDataFrame(
+        [(f"sum{i}", f"note with cough number {i}") for i in range(10)],
+        "checksum string, note_text string",
+    )
+    work = str(tmp_path / "batchwork")
+    provider = LocalStubBatchProvider(StubSymptomModel())
+
+    run = BatchRun(spark, work)
+    meta1 = run.submit(misses, provider)
+    assert meta1["total_requests"] == 10
+    # resume: a second submit is a no-op returning the same metadata
+    meta2 = run.submit(misses, provider)
+    assert [b["batch_id"] for b in meta1["batches"]] == [b["batch_id"] for b in meta2["batches"]]
+
+    assert run.poll(provider) is True
+    results = run.results()
+    assert results.count() == 10
+    row = results.collect()[0]
+    parsed = json.loads(row["result"])
+    assert parsed and parsed[0]["text"] == "cough"
+
+    # a fresh BatchRun over the same work dir resumes from disk metadata
+    run2 = BatchRun(spark, work)
+    assert run2.poll(provider) is True
+    assert run2.results().count() == 10
+    assert os.path.exists(os.path.join(work, "batch-metadata.json"))
