@@ -29,7 +29,8 @@ from pyspark.sql.types import StringType
 
 # (python regex, java regex) pairs — kept in sync; java flavor used JVM-side.
 _PATTERNS: list[tuple[str, str]] = [
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",) * 2,  # email
+    # RFC 5322 atext local part (hypothesis-found: '*@a.com' is a valid email)
+    (r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",) * 2,  # email
     (r"\b\d{3}[-.]\d{2}[-.]\d{4}\b",) * 2,  # SSN
     (r"(?<!\w)(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b",) * 2,  # phone
     (r"\bhttps?://\S+",) * 2,  # URL

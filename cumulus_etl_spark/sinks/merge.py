@@ -237,12 +237,14 @@ def dedupe_last_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFram
 
 
 def _dedupe_updates(updates: DataFrame, policy: MergePolicy) -> DataFrame:
-    """Collapse duplicate keys inside one batch (freshest timestamp wins,
-    ties arbitrary-but-deterministic via a total ordering on the row)."""
+    """Collapse duplicate keys inside one batch: freshest timestamp wins;
+    exact-tie rows fall back to a content-hash tiebreak so the survivor
+    is deterministic across runs/partitionings (a distributed batch has
+    no file order; callers who need true last-wins ordering use
+    dedupe_last_wins with an explicit order column — F6)."""
     keys = list(policy.keys)
+    order = [F.xxhash64(F.to_json(F.struct(*updates.columns))).desc()]
     if policy.last_updated_field:
-        order = F.col(policy.last_updated_field).cast("timestamp").desc_nulls_last()
-    else:
-        order = F.lit(1).asc()
-    w = Window.partitionBy(*keys).orderBy(order)
+        order.insert(0, F.col(policy.last_updated_field).cast("timestamp").desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return updates.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
