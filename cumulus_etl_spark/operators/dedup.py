@@ -90,29 +90,44 @@ def minhash_lsh_candidates(
     within-bucket self-join can't go quadratic on skew; exact dups are
     caught by fingerprint dedup first anyway.
     """
-    rows_per_band = num_hashes // bands
-    # Explode→aggregate formulation, NOT nested array expressions: building
-    # the signature as array-transforms inlines the whole shingle pipeline
-    # into every one of the 32 hashes × 8 band hashes (≈256 copies → codegen
-    # explosion; measured 88s for 500 docs). Exploding shingles to rows
-    # computes xxhash64 ONCE per shingle, then 32 min() aggregates build the
-    # signature in a single partial+final hash agg — also the right shape at
-    # 100TB (shingle rows parallelize; giant docs don't make giant arrays).
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+    return _lsh_candidates_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate pairs from an (id, sh: array<string>) frame.
+
+    Explode→aggregate formulation, NOT nested array expressions: building
+    the signature as array-transforms inlines the whole shingle pipeline
+    into every one of the 32 hashes × 8 band hashes (≈256 copies → codegen
+    explosion; measured 88s for 500 docs). Exploding shingles to rows
+    computes xxhash64 ONCE per shingle, then 32 min() aggregates build the
+    signature in a single partial+final hash agg — also the right shape at
+    100TB (shingle rows parallelize; giant docs don't make giant arrays).
+    """
     import random
 
+    rows_per_band = num_hashes // bands
     rng = random.Random(42)
     coefs = [
         (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
-    ).select("id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("h"))
+    hashed = sh.select("id", F.explode("sh").alias("shingle")).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("h")
+    )
     sig_cols = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{j}")
         for j, (a, b) in enumerate(coefs)
     ]
-    sigs = sh.groupBy("id").agg(*sig_cols)
+    sigs = hashed.groupBy("id").agg(*sig_cols)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -173,11 +188,29 @@ def ngram_jaccard_dedup(
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: LSH candidates → exact Jaccard verify →
     survivor set. Rows whose id appears as the *greater* member of a dup
-    pair are dropped (min-id canonical survivor)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, shingle_k=shingle_k, **lsh_kwargs)
-    dups = jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
-    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    pair are dropped (min-id canonical survivor).
+
+    The shingle computation feeds both candidate generation and the
+    verify join, so it's materialized once (cache) instead of recomputed
+    in three scans; at cluster scale this is a persisted intermediate,
+    exactly like a CTE a warehouse would spool.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+    ).cache()
+    cands = _lsh_candidates_from_shingles(sh, **lsh_kwargs)
+    j = (
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = j.select(F.col("id_b").alias(id_col)).distinct()
+    out = df.join(losers, id_col, "left_anti")
+    return out
 
 
 def simhash64(text_col: Column | str, ngram: int = 2) -> Column:

@@ -191,6 +191,103 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(strftime(l_shipdate, '%Y') AS INTEGER) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_0' AND cn.n_name = 'NATION_1')
+    OR (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_0'))
+GROUP BY sn.n_name, cn.n_name, l_year
+"""
+
+
+@register("q7_nation_volume", _Q7_ORACLE, tags=("join", "agg"))
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year. Two
+    broadcast copies of nation (aliased) gate a fact-fact join; the
+    nation-pair filter prunes before the aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    pair = ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")) | (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0")
+    )
+    disc_price = dec("l_extendedprice", 24, 4) * (F.lit(1) - dec("l_discount", 8, 6)).cast(
+        "decimal(12,6)"
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum2(disc_price, "revenue"))
+    )
+
+
+_Q8_ORACLE = """
+SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS o_year,
+       CAST(ROUND(SUM(CASE WHEN n_name = 'NATION_0'
+             THEN CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))
+             ELSE CAST(0 AS DECIMAL(24,4)) END), 2) AS DOUBLE) AS nation_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(12,6))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_exists(l_partkey)
+GROUP BY o_year
+"""
+
+
+def _q8_oracle() -> str:
+    # DuckDB has no p_exists; express the part-type restriction inline.
+    return _Q8_ORACLE.replace(
+        "p_exists(l_partkey)",
+        "l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')",
+    )
+
+
+@register("q8_market_share", _q8_oracle(), tags=("join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's share of STANDARD-part revenue
+    by order year — semi-join part restriction + conditional aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    std_parts = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    j = (
+        li.join(F.broadcast(std_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    disc_price = dec("l_extendedprice", 24, 4) * (F.lit(1) - dec("l_discount", 8, 6)).cast(
+        "decimal(12,6)"
+    )
+    zero = F.lit(0).cast("decimal(24,4)")
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum2(F.when(F.col("n_name") == "NATION_0", disc_price).otherwise(zero), "nation_revenue"),
+        dsum2(disc_price, "total_revenue"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # GROUPING SETS / approximate distinct
 # ---------------------------------------------------------------------------

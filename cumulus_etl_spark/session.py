@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Metastore warehouse for bucketed/managed tables; keep out of CWD.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cumulus-etl-spark-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if HAVE_DELTA:
