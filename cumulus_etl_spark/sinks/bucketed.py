@@ -11,6 +11,8 @@ too. Pay one shuffle at load time, never again.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -22,7 +24,23 @@ def write_bucketed(
     sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a metastore-managed bucketed parquet table."""
+    """Persist ``df`` as a metastore-managed bucketed parquet table.
+
+    Overwrite mode also clears an orphaned table location — a managed
+    directory left by a previous session whose (in-memory) metastore is
+    gone would otherwise fail LOCATION_ALREADY_EXISTS.
+    """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        if warehouse and "://" not in warehouse:
+            shutil.rmtree(
+                f"{warehouse.rstrip('/')}/{table_name.split('.')[-1].lower()}",
+                ignore_errors=True,
+            )
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_keys)
     if sort:
         writer = writer.sortBy(*bucket_keys)
