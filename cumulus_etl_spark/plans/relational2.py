@@ -333,6 +333,84 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_ORACLE = """
+SELECT user_id % 100 AS user_bucket,
+       COUNT(*) FILTER (event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (event_type = 'error')    AS n_error
+FROM events
+GROUP BY user_bucket
+"""
+
+
+@register("agg_pivot_event_types", _PIVOT_ORACLE, tags=("agg", "events"))
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long→wide event-type counts. Spark's pivot with an explicit
+    value list compiles to a single hash agg of conditional counts — the
+    same plan the FILTER-clause oracle describes; never omit the value
+    list (an implicit distinct scan would add a pass)."""
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy((F.col("user_id") % 100).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_bucket", *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds]
+    )
+    return renamed
+
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentiles", _PCT_ORACLE, tags=("agg",))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation — Spark
+    percentile ≡ DuckDB quantile_cont; rounded 6dp to absorb the last
+    ulp of engine-order float error). At 100TB you'd reach for
+    approx_percentile(t-digest); the exact form is the correctness
+    anchor."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(name)
+            for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+        ]
+    )
+
+
+_SETALL_ORACLE = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 1000
+)
+GROUP BY o_custkey
+"""
+
+
+@register("set_intersect_all_multiplicity", _SETALL_ORACLE, tags=("setop",))
+def set_intersect_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (multiplicity = min of both sides),
+    distinct from the plain INTERSECT entry's set semantics."""
+    o = table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    right = o.filter(F.col("o_totalprice") > 1000).select("o_custkey")
+    return left.intersectAll(right).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # As-of & range joins (events table)
 # ---------------------------------------------------------------------------
