@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     p_etl.add_argument("--philter", action="store_true")
     p_etl.add_argument("--export-group", dest="group_name")
     p_etl.add_argument("--export-timestamp", dest="export_datetime")
+    p_etl.add_argument(
+        "--output-format", choices=("merged", "ndjson"), default="merged"
+    )
+    p_etl.add_argument("--batch-size", type=int, default=100_000)
 
     p_init = sub.add_parser("init", help="create empty tables with schemas")
     p_init.add_argument("output_dir")
@@ -59,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
             philter=args.philter,
             group_name=args.group_name,
             export_datetime=args.export_datetime,
+            output_format=args.output_format,
+            batch_size=args.batch_size,
         )
         print(json.dumps(summary, indent=2))
         return 0 if summary["success"] else 1

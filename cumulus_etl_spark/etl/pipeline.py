@@ -39,8 +39,16 @@ def run_etl(
     philter: bool = False,
     group_name: str | None = None,
     export_datetime: str | None = None,
+    output_format: str = "merged",
+    batch_size: int = 100_000,
 ) -> dict:
-    """The main de-identifying ETL run. Returns the job summary dict."""
+    """The main de-identifying ETL run. Returns the job summary dict.
+
+    ``output_format="merged"`` upserts managed tables (the Delta-style
+    path); ``"ndjson"`` writes batched NDJSON files per table instead
+    (the reference's file-output mode, formats/ndjson.py) — ``convert``
+    re-loads those into a lake later.
+    """
     codebook = Codebook(phi_dir)
     check_output_phi_pairing(output_dir, codebook.codebook_id)
 
@@ -63,7 +71,16 @@ def run_etl(
     summary: dict = {"tables": {}, "errors": 0}
     for task in selected:
         table_summary = _run_task(
-            spark, task, input_dir, output_dir, codebook, scrubber, deleted, group_name
+            spark,
+            task,
+            input_dir,
+            output_dir,
+            codebook,
+            scrubber,
+            deleted,
+            group_name,
+            output_format=output_format,
+            batch_size=batch_size,
         )
         summary["tables"][task.table_name] = table_summary
         summary["errors"] += table_summary["quarantined"]
@@ -89,6 +106,8 @@ def _run_task(
     scrubber: Scrubber,
     deleted,
     group_name: str | None,
+    output_format: str = "merged",
+    batch_size: int = 100_000,
 ) -> dict:
     good, bad = scan_with_quarantine(spark, input_dir, [task.resource_type])
 
@@ -101,9 +120,6 @@ def _run_task(
         obs, F.count(F.lit(1)).alias("rows")
     )
 
-    table = ManagedTable(spark, output_dir, task.table_name)
-    table.merge(scrubbed, task.policy)
-
     # Tombstones from the bulk export's deleted/ bundles (J6), applied
     # post-merge with anonymized ids.
     dead = deleted.filter(F.col("resource_type") == task.resource_type)
@@ -111,8 +127,25 @@ def _run_task(
         r["anon"]
         for r in dead.select(codebook.anonymize(dead, "id").alias("anon")).collect()
     ]
-    if dead_ids:
-        table.delete_ids(dead_ids)
+
+    if output_format == "ndjson":
+        from cumulus_etl_spark.sinks.batched import write_ndjson_batches
+
+        write_ndjson_batches(
+            scrubbed,
+            os.path.join(output_dir, task.table_name),
+            batch_size=batch_size,
+            deleted_ids=dead_ids or None,
+        )
+        encounters_for_completion = scrubbed if task.resource_type == "Encounter" else None
+    else:
+        table = ManagedTable(spark, output_dir, task.table_name)
+        table.merge(scrubbed, task.policy)
+        if dead_ids:
+            table.delete_ids(dead_ids)
+        encounters_for_completion = (
+            table.read() if task.resource_type == "Encounter" else None
+        )
 
     # Quarantined raw lines spill to errors/<task>/ (K7; PHI by design —
     # errors stay PHI-side in real deployments, ref base.py:356-364).
@@ -120,8 +153,8 @@ def _run_task(
     if bad_rows:
         bad.write.mode("overwrite").json(os.path.join(output_dir, "errors", task.name))
 
-    if task.resource_type == "Encounter":
-        write_completion_encounters(spark, output_dir, table.read(), group_name)
+    if encounters_for_completion is not None:
+        write_completion_encounters(spark, output_dir, encounters_for_completion, group_name)
 
     return {"rows": obs.get["rows"], "quarantined": bad_rows}
 

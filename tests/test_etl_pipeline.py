@@ -122,6 +122,21 @@ def test_init_creates_empty_tables_with_schema(spark, tmp_path):
     assert "birthDate" in pat.columns and "name" not in pat.columns
 
 
+def test_etl_ndjson_output_then_convert(spark, dirs, tmp_path):
+    """The reference's file-output mode: etl --output-format=ndjson writes
+    batched NDJSON per table; convert re-loads it into a lake."""
+    staging = str(tmp_path / "staging")
+    summary = run_etl(spark, dirs["input"], staging, dirs["phi"], output_format="ndjson")
+    assert summary["success"]
+    assert os.path.isdir(os.path.join(staging, "patient"))
+    lake = str(tmp_path / "lake")
+    converted = run_convert(spark, staging, lake)
+    assert "patient" in converted and "encounter" in converted
+    pat = ManagedTable(spark, lake, "patient").read()
+    assert pat.count() == 2
+    assert "name" not in pat.columns  # scrubbed before the files were written
+
+
 def test_convert_roundtrip(spark, dirs, tmp_path):
     run_etl(spark, dirs["input"], dirs["output"], dirs["phi"])
     # export the patient table as batched NDJSON, then convert into a new lake
