@@ -20,6 +20,7 @@ from cumulus_etl_spark.etl.completion import (
     write_completion_encounters,
 )
 from cumulus_etl_spark.etl.config import JobConfig, check_output_phi_pairing
+from cumulus_etl_spark.etl.context import JobContext
 from cumulus_etl_spark.etl.tasks import TaskDef, select_tasks
 from cumulus_etl_spark.schemas import schema_for
 from cumulus_etl_spark.sinks import ManagedTable
@@ -94,6 +95,8 @@ def run_etl(
     )
     summary["success"] = summary["errors"] == 0
     config.save_summary(summary)
+    if summary["success"]:
+        JobContext(phi_dir).record_success(input_dir, output_dir)
     return summary
 
 

@@ -58,6 +58,10 @@ class MergePolicy:
     # dotted path of the ISO-string timestamp used as the freshness guard;
     # None disables the guard (always update on match)
     last_updated_field: str | None = "meta.lastUpdated"
+    # range-cluster data files by key so parquet min/max footers prune key
+    # lookups — the fallback's analog of Delta liquid clustering
+    # (clusterBy(uniqueness_fields), ref deltalake.py:103-106)
+    cluster_on_keys: bool = True
 
 
 class ManagedTable:
@@ -96,6 +100,8 @@ class ManagedTable:
             return
         existing = self.read()
         if existing is None:
+            if policy.cluster_on_keys:
+                updates = updates.repartitionByRange(*[F.col(k) for k in policy.keys])
             self._write_version(updates)
             return
 
@@ -142,9 +148,15 @@ class ManagedTable:
             stale = (F.col("__src") == 0) & ~F.col("__have_upd") & F.col("__g").isNotNull()
             merged = merged.filter(~stale).drop("__g")
 
-        self._write_version(
-            merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
-        )
+        out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
+        if policy.cluster_on_keys:
+            # Each output file covers a narrow key range, so later merges
+            # and point lookups prune files via parquet min/max footers —
+            # the window above already shuffled on the keys, and AQE
+            # folds this range partitioning into the same stage when the
+            # data is small.
+            out = out.repartitionByRange(*[F.col(k) for k in policy.keys])
+        self._write_version(out)
 
     def delete_ids(self, ids: DataFrame | list[str], id_col: str = "id") -> None:
         """K2: delete rows by id. DataFrame-source anti-join — no 50k

@@ -149,3 +149,27 @@ def test_convert_roundtrip(spark, dirs, tmp_path):
     pat2 = ManagedTable(spark, new_lake, "patient").read()
     assert pat2.count() == 2
     assert {r["id"] for r in pat2.collect()} == {r["id"] for r in pat.collect()}
+
+
+def test_job_context_recorded(spark, dirs):
+    from cumulus_etl_spark.etl.context import JobContext
+
+    run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"])
+    ctx = JobContext(dirs["phi"])
+    assert ctx.last_successful_input == dirs["input"]
+    assert ctx.last_successful_output == dirs["output"]
+    assert ctx.last_successful_datetime is not None
+
+
+def test_merge_clustering_prunes_key_lookups(spark, tmp_path):
+    """cluster_on_keys range-partitions version files by key; a point
+    lookup pushes its predicate to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    tbl = ManagedTable(spark, str(tmp_path), "clustered")
+    df = spark.createDataFrame([(f"k{i:05d}", i) for i in range(1000)], "id string, v int")
+    tbl.merge(df, MergePolicy(last_updated_field=None))
+    plan = (
+        tbl.read().filter(F.col("id") == "k00500")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,k00500)]" in plan
