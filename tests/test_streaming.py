@@ -75,3 +75,45 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("select * from wincounts").collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 2
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: gaps close sessions within and
+    across events; open sessions stay in state."""
+    from cumulus_etl_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "sess-events")
+    ckpt = str(tmp_path / "sess-ckpt")
+    rows = [
+        # user 1: two events 10 min apart, then a 2h gap, then one more
+        {"ts": "2021-01-01T00:00:00Z", "user_id": 1},
+        {"ts": "2021-01-01T00:10:00Z", "user_id": 1},
+        {"ts": "2021-01-01T02:30:00Z", "user_id": 1},
+        # user 2: single event (stays open in state)
+        {"ts": "2021-01-01T01:00:00Z", "user_id": 2},
+    ]
+    write_ndjson(src, "e.ndjson", rows)
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "user_id")
+    )
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from sessions_out").collect()
+    assert len(got) == 1  # only user 1's first session closed (by gap)
+    s = got[0]
+    assert s["user_id"] == 1
+    assert s["n_events"] == 2
+    assert s["closed_by"] == "gap"
+    assert str(s["session_start"]).startswith("2021-01-01 00:00:00")
+    assert str(s["session_end"]).startswith("2021-01-01 00:10:00")
