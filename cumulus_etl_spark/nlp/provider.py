@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -57,6 +58,15 @@ class StubSymptomModel:
     """
 
     terms: tuple[str, ...] = ("cough", "fever", "headache", "nausea", "congestion")
+
+    def usage(self, text: str | None) -> tuple[int, int]:
+        """(input_tokens, output_tokens) accounting — a whitespace proxy
+        here; real providers return exact counts per response
+        (ref nlp/models.py:76-93)."""
+        if not text:
+            return 0, 0
+        n_in = len(text.split())
+        return n_in, max(1, n_in // 10)
 
     def __call__(self, text: str | None) -> list[dict]:
         if not text:
@@ -93,9 +103,17 @@ def run_model(
     ``result`` column (JSON at the boundary keeps the cache table schema
     stable across task versions; parsing to structs happens downstream
     with ``from_json`` against the task's declared schema)."""
-    out_schema = StructType(
-        list(notes.schema.fields) + [StructField(result_col, StringType(), True)]
+    usage_schema = StructType(
+        [
+            StructField("input_tokens", LongType(), True),
+            StructField("output_tokens", LongType(), True),
+        ]
     )
+    track_usage = hasattr(model, "usage")
+    out_fields = list(notes.schema.fields) + [StructField(result_col, StringType(), True)]
+    if track_usage:
+        out_fields.append(StructField("usage", usage_schema, True))
+    out_schema = StructType(out_fields)
 
     def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # One model instance per task; a real provider opens its HTTP
@@ -103,6 +121,11 @@ def run_model(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[result_col] = [json.dumps(model(t)) for t in pdf[text_col]]
+            if track_usage:
+                pdf["usage"] = [
+                    dict(zip(("input_tokens", "output_tokens"), model.usage(t)))
+                    for t in pdf[text_col]
+                ]
             yield pdf
 
     return notes.mapInPandas(apply_batches, schema=out_schema)

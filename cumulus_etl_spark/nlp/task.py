@@ -53,7 +53,8 @@ def run_nlp_task(
 
     fresh = run_model(misses, model)
     cache.append(fresh)
-    scored = fresh if hits is None else hits.unionByName(fresh)
+    # cache hits carry no usage column (no tokens were spent on them)
+    scored = fresh if hits is None else hits.unionByName(fresh, allowMissingColumns=True)
 
     result = scored.select(
         F.concat(F.lit("DocumentReference/"), F.col("id")).alias("note_ref"),

@@ -62,3 +62,20 @@ def test_batch_run_submit_poll_resume(spark, tmp_path):
     assert run2.poll(provider) is True
     assert run2.results().count() == 10
     assert os.path.exists(os.path.join(work, "batch-metadata.json"))
+
+
+def test_usage_accounting(spark):
+    from cumulus_etl_spark.nlp.provider import StubSymptomModel, run_model
+    from cumulus_etl_spark.nlp.usage import usage_summary
+
+    notes = spark.createDataFrame(
+        [("a", "cough and fever with six words here"), ("b", None)],
+        "id string, note_text string",
+    )
+    scored = run_model(notes, StubSymptomModel())
+    assert "usage" in scored.columns
+    s = usage_summary(scored, price_per_mtok_in=3.0, price_per_mtok_out=15.0)
+    assert s["calls"] == 2
+    assert s["input_tokens"] == 7  # whitespace tokens of the non-null note
+    assert s["output_tokens"] == 1
+    assert s["cost"] > 0
