@@ -10,7 +10,7 @@ no new code — the reference's ``tasks.toml`` mechanism as plain data.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -17,7 +17,6 @@ JVM-side; no Python per-row cost.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window

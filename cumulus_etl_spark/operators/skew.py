@@ -16,7 +16,7 @@ histogram — the classic salting pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # (partial op, final op) per supported aggregate — the final phase must

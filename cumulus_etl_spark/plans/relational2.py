@@ -415,6 +415,41 @@ def set_intersect_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFram
 # As-of & range joins (events table)
 # ---------------------------------------------------------------------------
 
+_RANGE_FRAME_ORACLE = """
+SELECT event_id,
+       user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_1h_value,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_1h_events
+FROM events
+"""
+
+
+@register("window_range_frame_rolling", _RANGE_FRAME_ORACLE, tags=("window", "events"))
+def window_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour rolling sum/count by
+    event TIME, not row count (rows-frames undercount sparse users and
+    overcount bursts). Spark's rangeBetween needs a numeric sort key →
+    epoch microseconds on both engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 18, 6)).over(w).cast("double").alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
+
+
 _ASOF_ORACLE = """
 SELECT c.event_id AS click_id,
        c.user_id,

@@ -9,7 +9,6 @@ structs, arrays of structs, deep leaves).
 
 from __future__ import annotations
 
-import json
 import random
 
 from pyspark.sql import functions as F

@@ -9,7 +9,6 @@ import json
 import os
 
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from cumulus_etl_spark.sinks import ManagedTable, MergePolicy, dedupe_last_wins
 from cumulus_etl_spark.sinks.batched import read_meta, write_ndjson_batches
