@@ -137,3 +137,110 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantization + multi-probe
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse centroids via k-means over a seeded corpus sample.
+
+    Training runs driver-side in numpy over ≤``sample_rows`` vectors —
+    centroid training needs a sample, not the corpus (FAISS does the
+    same); the expensive parts (assignment, search) stay distributed.
+    Deterministic: seeded sample, seeded init, fixed iterations.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(as_double_array(vec_col).alias("v"))
+        .orderBy(F.rand(seed))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample])
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized vectors
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids by cosine (literal
+    centroids — broadcast as constants, KBs)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda t: t["c"])
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN: corpus rows live in their nearest centroid's list;
+    each query probes its ``n_probe`` nearest lists and exact-re-ranks
+    only those members. One shuffle on the centroid id; recall rises
+    with n_probe (n_probe = n_centroids ≡ brute force).
+
+    Output: (query_id, rank, neighbor_id, score).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+    cv = as_double_array(vec_col)
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("cvec"),
+        F.element_at(_nearest_centroids(cv, centroids, 1), 1).alias("centroid"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        cv.alias("qvec"),
+        F.explode(_nearest_centroids(cv, centroids, n_probe)).alias("centroid"),
+    )
+    cands = lists.join(F.broadcast(probes), "centroid")
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -63,6 +63,19 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
+@register("vector_ann_ivf", None, tags=("vector",))
+def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded coarse k-means centroids (driver-trained on a
+    sample, FAISS-style), corpus assigned to inverted lists, queries
+    probe their n nearest lists — one shuffle on the centroid id.
+    Rows-only check; recall vs brute force is pytest-asserted
+    (tests/test_similarity_extra.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = S.ann_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
 _NEARDUP_ORACLE = """
 WITH vecs AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
