@@ -68,3 +68,41 @@ COVID_SYMPTOM_TASK = StudyTask(
     model=StubSymptomModel(),
     note_codings=ED_NOTE_CODINGS,
 )
+
+
+def load_study_tasks(toml_path: str, models: dict | None = None) -> list[StudyTask]:
+    """Dynamic task loading from a tasks.toml (ref nlp_task.py:485-561 +
+    etl/studies/*/tasks.toml): each ``[tasks.<name>]`` block gives the
+    version, model name, and optional note-coding filter.
+
+    ::
+
+        [tasks.my_study__symptoms]
+        version = 2
+        model = "stub-symptoms"          # key into the models registry
+        terms = ["cough", "fever"]       # stub model dictionary override
+        [tasks.my_study__symptoms.note_codings]
+        "http://loinc.org" = ["34111-5"]
+    """
+    import tomllib
+
+    with open(toml_path, "rb") as fh:
+        doc = tomllib.load(fh)
+    registry = {"stub-symptoms": StubSymptomModel}
+    registry.update(models or {})
+    out = []
+    for name, spec in doc.get("tasks", {}).items():
+        model_cls = registry[spec.get("model", "stub-symptoms")]
+        kwargs = {}
+        if "terms" in spec and model_cls is StubSymptomModel:
+            kwargs["terms"] = tuple(spec["terms"])
+        codings = spec.get("note_codings")
+        out.append(
+            StudyTask(
+                name=name,
+                task_version=int(spec.get("version", 1)),
+                model=model_cls(**kwargs),
+                note_codings={k: set(v) for k, v in codings.items()} if codings else None,
+            )
+        )
+    return out

@@ -79,3 +79,29 @@ def test_usage_accounting(spark):
     assert s["input_tokens"] == 7  # whitespace tokens of the non-null note
     assert s["output_tokens"] == 1
     assert s["cost"] > 0
+
+
+def test_load_study_tasks_from_toml(tmp_path):
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+
+    toml = tmp_path / "tasks.toml"
+    toml.write_text(
+        '[tasks.demo__symptoms]\n'
+        'version = 3\n'
+        'model = "stub-symptoms"\n'
+        'terms = ["wheeze", "rash"]\n'
+        '[tasks.demo__symptoms.note_codings]\n'
+        '"http://loinc.org" = ["34111-5"]\n'
+        '\n'
+        '[tasks.demo__all_notes]\n'
+        'version = 1\n'
+    )
+    tasks = load_study_tasks(str(toml))
+    by_name = {t.name: t for t in tasks}
+    t1 = by_name["demo__symptoms"]
+    assert t1.task_version == 3
+    assert t1.model.terms == ("wheeze", "rash")
+    assert t1.note_codings == {"http://loinc.org": {"34111-5"}}
+    t2 = by_name["demo__all_notes"]
+    assert t2.note_codings is None
+    assert t2.model("wheeze and rash") == [] or t2.model.terms != ("wheeze", "rash")
