@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     p_conv.add_argument("original_dir")
     p_conv.add_argument("target_dir")
 
+    p_i2b2 = sub.add_parser("etl-i2b2", help="i2b2 CSV dump -> de-identified lake")
+    p_i2b2.add_argument("input_dir")
+    p_i2b2.add_argument("output_dir")
+    p_i2b2.add_argument("phi_dir")
+    p_i2b2.add_argument("--philter", action="store_true")
+
     p_sample = sub.add_parser("sample", help="sample N clinical notes")
     p_sample.add_argument("input_dir")
     p_sample.add_argument("count", type=int)
@@ -78,6 +84,14 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps({"converted": run_convert(spark, args.original_dir, args.target_dir)}))
         return 0
+    if args.verb == "etl-i2b2":
+        from cumulus_etl_spark.etl.i2b2_pipeline import run_etl_i2b2
+
+        summary = run_etl_i2b2(
+            spark, args.input_dir, args.output_dir, args.phi_dir, philter=args.philter
+        )
+        print(json.dumps(summary, indent=2))
+        return 0 if summary["success"] else 1
     if args.verb == "sample":
         from cumulus_etl_spark.etl.sample import sample_notes
 

@@ -48,6 +48,21 @@ except ImportError:
 CURRENT_POINTER = "_CURRENT"
 
 
+def _has_field(df: DataFrame, dotted: str) -> bool:
+    """Does a dotted field path resolve in this schema? The lastUpdated
+    guard silently disables when the frame doesn't carry the field (e.g.
+    i2b2-sourced resources have no meta), matching the reference's
+    only-guard-when-present behavior."""
+    from pyspark.sql.types import StructType
+
+    dtype = df.schema
+    for part in dotted.split("."):
+        if not isinstance(dtype, StructType) or part not in dtype.fieldNames():
+            return False
+        dtype = dtype[part].dataType
+    return True
+
+
 @dataclass(frozen=True)
 class MergePolicy:
     """Per-output-table merge configuration (ref etl/tasks/base.py:23-77)."""
@@ -120,7 +135,7 @@ class ManagedTable:
 
         if policy.update_existing:
             guard = F.lit(True)
-            if policy.last_updated_field:
+            if policy.last_updated_field and _has_field(allr, policy.last_updated_field):
                 ts = F.col(policy.last_updated_field).cast("timestamp")
                 ex_ts = F.max(F.when(F.col("__src") == 0, ts)).over(w)
                 up_ts = F.max(F.when(F.col("__src") == 1, ts)).over(w)
@@ -256,7 +271,7 @@ def _dedupe_updates(updates: DataFrame, policy: MergePolicy) -> DataFrame:
     dedupe_last_wins with an explicit order column — F6)."""
     keys = list(policy.keys)
     order = [F.xxhash64(F.to_json(F.struct(*updates.columns))).desc()]
-    if policy.last_updated_field:
+    if policy.last_updated_field and _has_field(updates, policy.last_updated_field):
         order.insert(0, F.col(policy.last_updated_field).cast("timestamp").desc_nulls_last())
     w = Window.partitionBy(*keys).orderBy(*order)
     return updates.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -10,6 +10,7 @@ from cumulus_etl_spark.sources import i2b2
 
 
 def write_csv(tmp_path, name, header, rows):
+    os.makedirs(str(tmp_path), exist_ok=True)
     path = os.path.join(str(tmp_path), name)
     with open(path, "w") as fh:
         fh.write(header + "\n")
@@ -124,3 +125,34 @@ def test_i2b2_output_scrubs(spark, tmp_path):
     assert out["birthDate"] == "1980"
     assert out["address"][0]["postalCode"] == "02100"
     assert len(out["id"]) == 64  # sha-256 hex
+
+
+def test_run_etl_i2b2_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.etl.i2b2_pipeline import run_etl_i2b2
+    from cumulus_etl_spark.sinks import ManagedTable
+
+    indir = str(tmp_path / "dump")
+    write_csv(tmp_path / "dump", "patient_dimension.csv",
+              "PATIENT_NUM,SEX_CD,BIRTH_DATE,DEATH_DATE,ZIP_CD",
+              [(1, "F", "1980-06-15", None, "02115"), (2, "M", "1990-01-01", None, None)])
+    write_csv(tmp_path / "dump", "visit_dimension.csv",
+              "ENCOUNTER_NUM,PATIENT_NUM,START_DATE,END_DATE,INOUT_CD,LENGTH_OF_STAY",
+              [(10, 1, "2021-01-01", "2021-01-02", "Emergency", 1)])
+    write_csv(tmp_path / "dump", "observation_fact_diagnosis.csv",
+              "INSTANCE_NUM,PATIENT_NUM,ENCOUNTER_NUM,CONCEPT_CD,START_DATE",
+              [(1, 1, 10, "ICD10:E11.9", "2021-01-01")])
+
+    summary = run_etl_i2b2(spark, indir, str(tmp_path / "out"), str(tmp_path / "phi"))
+    assert summary["success"]
+    assert summary["tables"]["patient"]["rows"] == 2
+    assert summary["tables"]["condition"]["rows"] == 1
+
+    pat = ManagedTable(spark, str(tmp_path / "out"), "patient").read()
+    con = ManagedTable(spark, str(tmp_path / "out"), "condition").read()
+    assert "birthDate" in pat.columns
+    assert {r["birthDate"] for r in pat.collect()} == {"1980", "1990"}  # year-chopped
+    # refs align across tables under the same codebook
+    joined = con.join(pat, con["subject.reference"] == F.concat(F.lit("Patient/"), pat["id"]))
+    assert joined.count() == 1
