@@ -34,9 +34,17 @@ def run_nlp_task(
     output_dir: str,
     phi_dir: str,
     generated_on: str,
+    batch_provider=None,
 ) -> dict:
     """Run one NLP study task over DocumentReference rows. Returns funnel
-    counters (A3: seen/with_text/from_cache/model_called)."""
+    counters (A3: seen/with_text/from_cache/model_called).
+
+    With ``batch_provider`` set, cache misses go through the provider
+    batch API (submit files → poll → results; nlp/batch_api.py) instead
+    of synchronous mapInPandas calls — the reference's batch mode
+    (nlp_task.py:199-222): results land in the cache first, then the
+    normal cache-first flow proceeds.
+    """
     notes = extract_note_text(docrefs)
     seen = notes.count()
     notes = notes.filter(F.col("note_text").isNotNull()).withColumn(
@@ -51,7 +59,19 @@ def run_nlp_task(
     hits, misses = cache.split(notes)
     n_hits = hits.count() if hits is not None else 0
 
-    fresh = run_model(misses, model)
+    if batch_provider is not None:
+        from cumulus_etl_spark.nlp.batch_api import BatchRun
+
+        import os
+
+        run = BatchRun(spark, os.path.join(phi_dir, f"batch__{task_name}__v{task_version}"))
+        run.submit(misses.select("checksum", "note_text").distinct(), batch_provider)
+        while not run.poll(batch_provider):  # pragma: no cover - stub is sync
+            pass
+        delivered = run.results()
+        fresh = misses.join(delivered, "checksum", "inner")
+    else:
+        fresh = run_model(misses, model)
     cache.append(fresh)
     # cache hits carry no usage column (no tokens were spent on them)
     scored = fresh if hits is None else hits.unionByName(fresh, allowMissingColumns=True)

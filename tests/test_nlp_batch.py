@@ -105,3 +105,31 @@ def test_load_study_tasks_from_toml(tmp_path):
     t2 = by_name["demo__all_notes"]
     assert t2.note_codings is None
     assert t2.model("wheeze and rash") == [] or t2.model.terms != ("wheeze", "rash")
+
+
+def test_run_nlp_task_batch_mode(spark, tmp_path):
+    from cumulus_etl_spark.nlp.batch_api import LocalStubBatchProvider
+    from cumulus_etl_spark.nlp.task import run_nlp_task
+    from cumulus_etl_spark.sinks import ManagedTable
+    from cumulus_etl_spark.sources import scan_resources
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    model = StubSymptomModel()
+    write_ndjson(str(tmp_path / "in"), "d.ndjson", [
+        docref("d1", text="cough and headache today"),
+        docref("d2", text="nothing to report"),
+    ])
+    df = scan_resources(spark, str(tmp_path / "in"), ["DocumentReference"])
+    s = run_nlp_task(spark, df, model, "batch_study", 1, str(tmp_path / "out"),
+                     str(tmp_path / "phi"), generated_on="2021-01-01T00:00:00Z",
+                     batch_provider=LocalStubBatchProvider(model))
+    assert s["with_text"] == 2 and s["from_cache"] == 0
+    tbl = ManagedTable(spark, str(tmp_path / "out"), "batch_study").read()
+    d1 = tbl.filter(tbl["note_ref"] == "DocumentReference/d1").collect()
+    assert {r["match"]["text"] for r in d1} == {"cough", "headache"}
+    # re-run in batch mode: everything cached now, no resubmission needed
+    s2 = run_nlp_task(spark, df, model, "batch_study", 1, str(tmp_path / "out"),
+                      str(tmp_path / "phi"), generated_on="2021-02-01T00:00:00Z",
+                      batch_provider=LocalStubBatchProvider(model))
+    assert s2["from_cache"] == 2
