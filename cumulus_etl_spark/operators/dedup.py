@@ -53,6 +53,37 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Hashed word k-shingles as array<long> in [0, p) — never building
+    shingle strings.
+
+    Why not ``shingles()``: an outer expression referenced inside a
+    higher-order lambda (the token array in slice/concat_ws) re-evaluates
+    PER ELEMENT — the string form recomputed split() for every shingle,
+    O(tokens²) per document (measured ~8s for 5k docs). ``zip_with``
+    evaluates both array arguments once per row, so this is O(tokens):
+    hash each token once, then fold k consecutive token hashes with a
+    polynomial combine under the Mersenne prime.
+    """
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MINHASH_PRIME)))
+    n = F.size(th)
+    combined = th
+    for j in range(1, k):
+        # combined < p (2^31), * 65599 (<2^17) + b < 2^49 — ANSI-safe.
+        combined = F.zip_with(
+            combined,
+            F.slice(th, j + 1, 1_000_000),
+            lambda a, b: F.pmod(a * F.lit(65599) + b, F.lit(_MINHASH_PRIME)),
+        )
+    # zip_with null-pads the short side; the first n-k+1 entries are the
+    # complete shingles. Short docs (< k tokens) hash the whole token list.
+    whole = F.pmod(F.xxhash64(F.concat_ws(" ", toks)), F.lit(_MINHASH_PRIME))
+    return F.when(n < k, F.array(whole)).otherwise(
+        F.array_distinct(F.slice(combined, 1, F.greatest(n - k + 1, F.lit(1))))
+    )
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 42) -> Column:
     """MinHash signature: for hash function j, min over shingles of
     (a_j * xxhash64(s) + b_j) mod p. Deterministic universal-hash family
@@ -90,7 +121,7 @@ def minhash_lsh_candidates(
     within-bucket self-join can't go quadratic on skew; exact dups are
     caught by fingerprint dedup first anyway.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh"))
     return _lsh_candidates_from_shingles(
         sh, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
@@ -102,13 +133,13 @@ def _lsh_candidates_from_shingles(
     bands: int = 8,
     max_bucket: int = 200,
 ) -> DataFrame:
-    """Candidate pairs from an (id, sh: array<string>) frame.
+    """Candidate pairs from an (id, sh: array<long>) hashed-shingle frame.
 
     Explode→aggregate formulation, NOT nested array expressions: building
     the signature as array-transforms inlines the whole shingle pipeline
     into every one of the 32 hashes × 8 band hashes (≈256 copies → codegen
-    explosion; measured 88s for 500 docs). Exploding shingles to rows
-    computes xxhash64 ONCE per shingle, then 32 min() aggregates build the
+    explosion; measured 88s for 500 docs). Exploding shingle hashes to
+    rows costs each hash once, then 32 min() aggregates build the
     signature in a single partial+final hash agg — also the right shape at
     100TB (shingle rows parallelize; giant docs don't make giant arrays).
     """
@@ -120,9 +151,7 @@ def _lsh_candidates_from_shingles(
         (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    hashed = sh.select("id", F.explode("sh").alias("shingle")).select(
-        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("h")
-    )
+    hashed = sh.select("id", F.explode("sh").alias("h"))
     sig_cols = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{j}")
         for j, (a, b) in enumerate(coefs)
@@ -190,13 +219,15 @@ def ngram_jaccard_dedup(
     survivor set. Rows whose id appears as the *greater* member of a dup
     pair are dropped (min-id canonical survivor).
 
-    The shingle computation feeds both candidate generation and the
+    The shingle-hash computation feeds both candidate generation and the
     verify join, so it's materialized once (cache) instead of recomputed
     in three scans; at cluster scale this is a persisted intermediate,
-    exactly like a CTE a warehouse would spool.
+    exactly like a CTE a warehouse would spool. Jaccard verification runs
+    on the hashed shingle sets — identical counts modulo (negligible)
+    64-bit collisions, and long-array intersects beat string-array ones.
     """
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+        F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
     ).cache()
     cands = _lsh_candidates_from_shingles(sh, **lsh_kwargs)
     j = (
