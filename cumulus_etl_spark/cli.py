@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
         "--output-format", choices=("merged", "ndjson"), default="merged"
     )
     p_etl.add_argument("--batch-size", type=int, default=100_000)
+    p_etl.add_argument(
+        "--errors-to",
+        dest="errors_to",
+        default=None,
+        help="explicit dir for quarantined raw rows (default: <phi_dir>/errors; "
+        "never the de-identified output dir)",
+    )
 
     p_init = sub.add_parser("init", help="create empty tables with schemas")
     p_init.add_argument("output_dir")
@@ -71,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
             export_datetime=args.export_datetime,
             output_format=args.output_format,
             batch_size=args.batch_size,
+            errors_to=args.errors_to,
         )
         print(json.dumps(summary, indent=2))
         return 0 if summary["success"] else 1

@@ -42,6 +42,7 @@ def run_etl(
     export_datetime: str | None = None,
     output_format: str = "merged",
     batch_size: int = 100_000,
+    errors_to: str | None = None,
 ) -> dict:
     """The main de-identifying ETL run. Returns the job summary dict.
 
@@ -49,6 +50,10 @@ def run_etl(
     path); ``"ndjson"`` writes batched NDJSON files per table instead
     (the reference's file-output mode, formats/ndjson.py) — ``convert``
     re-loads those into a lake later.
+
+    Quarantined raw lines carry PHI, so they are NEVER written under
+    ``output_dir`` (the de-identified side): they go to ``errors_to``
+    when the caller opts in (ref --errors-to), else under ``phi_dir``.
     """
     codebook = Codebook(phi_dir)
     check_output_phi_pairing(output_dir, codebook.codebook_id)
@@ -69,6 +74,7 @@ def run_etl(
     scrubber = Scrubber(salt=codebook.salt, philter_enabled=philter)
     deleted = read_deleted_ids(spark, input_dir)
 
+    errors_root = errors_to or os.path.join(phi_dir, "errors")
     summary: dict = {"tables": {}, "errors": 0}
     for task in selected:
         table_summary = _run_task(
@@ -82,6 +88,7 @@ def run_etl(
             group_name,
             output_format=output_format,
             batch_size=batch_size,
+            errors_root=errors_root,
         )
         summary["tables"][task.table_name] = table_summary
         summary["errors"] += table_summary["quarantined"]
@@ -111,6 +118,7 @@ def _run_task(
     group_name: str | None,
     output_format: str = "merged",
     batch_size: int = 100_000,
+    errors_root: str | None = None,
 ) -> dict:
     good, bad = scan_with_quarantine(spark, input_dir, [task.resource_type])
 
@@ -124,37 +132,42 @@ def _run_task(
     )
 
     # Tombstones from the bulk export's deleted/ bundles (J6), applied
-    # post-merge with anonymized ids.
+    # post-merge with anonymized ids. Kept as a DataFrame — deletes flow
+    # through an anti-join, never a driver-side id list (bulk deletes at
+    # scale would bottleneck on collect).
     dead = deleted.filter(F.col("resource_type") == task.resource_type)
-    dead_ids = [
-        r["anon"]
-        for r in dead.select(codebook.anonymize(dead, "id").alias("anon")).collect()
-    ]
+    dead_anon = dead.select(codebook.anonymize(dead, "id").alias("id"))
+    have_dead = not dead_anon.isEmpty()
 
     if output_format == "ndjson":
         from cumulus_etl_spark.sinks.batched import write_ndjson_batches
 
+        # The .meta sidecar is a small JSON document, so the ndjson path
+        # is the one place the tombstone set legitimately materializes.
+        dead_ids = [r["id"] for r in dead_anon.collect()] if have_dead else None
         write_ndjson_batches(
             scrubbed,
             os.path.join(output_dir, task.table_name),
             batch_size=batch_size,
-            deleted_ids=dead_ids or None,
+            deleted_ids=dead_ids,
         )
         encounters_for_completion = scrubbed if task.resource_type == "Encounter" else None
     else:
         table = ManagedTable(spark, output_dir, task.table_name)
         table.merge(scrubbed, task.policy)
-        if dead_ids:
-            table.delete_ids(dead_ids)
+        if have_dead:
+            table.delete_ids(dead_anon)
         encounters_for_completion = (
             table.read() if task.resource_type == "Encounter" else None
         )
 
-    # Quarantined raw lines spill to errors/<task>/ (K7; PHI by design —
-    # errors stay PHI-side in real deployments, ref base.py:356-364).
+    # Quarantined raw lines spill to <errors_root>/<task>/ (K7). They are
+    # raw source records — PHI — so the default root lives under phi_dir,
+    # never the de-identified output tree (ref only writes errors to an
+    # explicit --errors-to dir, base.py:356-364).
     bad_rows = bad.count()
     if bad_rows:
-        bad.write.mode("overwrite").json(os.path.join(output_dir, "errors", task.name))
+        bad.write.mode("overwrite").json(os.path.join(errors_root, task.name))
 
     if encounters_for_completion is not None:
         write_completion_encounters(spark, output_dir, encounters_for_completion, group_name)

@@ -110,7 +110,24 @@ def test_quarantine_spill(spark, dirs):
     summary = run_etl(spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"])
     assert not summary["success"]
     assert summary["tables"]["patient"]["quarantined"] == 1
-    assert os.path.isdir(os.path.join(dirs["output"], "errors", "patient"))
+    # PHI discipline: raw quarantined lines live PHI-side, never under the
+    # de-identified output tree.
+    assert os.path.isdir(os.path.join(dirs["phi"], "errors", "patient"))
+    assert not os.path.exists(os.path.join(dirs["output"], "errors"))
+
+
+def test_quarantine_spill_explicit_errors_dir(spark, dirs, tmp_path):
+    with open(os.path.join(dirs["input"], "broken2.ndjson"), "w") as fh:
+        fh.write('{"resourceType": "Patient", "id": "oky"}\n')
+        fh.write("still not json\n")
+    errs = str(tmp_path / "errs")
+    summary = run_etl(
+        spark, dirs["input"], dirs["output"], dirs["phi"], tasks=["patient"], errors_to=errs
+    )
+    assert summary["tables"]["patient"]["quarantined"] == 1
+    assert os.path.isdir(os.path.join(errs, "patient"))
+    assert not os.path.exists(os.path.join(dirs["phi"], "errors"))
+    assert not os.path.exists(os.path.join(dirs["output"], "errors"))
 
 
 def test_init_creates_empty_tables_with_schema(spark, tmp_path):
