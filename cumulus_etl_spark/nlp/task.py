@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cumulus_etl_spark.deid import Codebook
+from cumulus_etl_spark.functions.scalars import anon_id, anon_ref
 from cumulus_etl_spark.nlp.cache import NlpCache
 from cumulus_etl_spark.nlp.notes import extract_note_text, note_checksum
 from cumulus_etl_spark.nlp.provider import MATCH_SCHEMA, run_model
@@ -45,15 +47,19 @@ def run_nlp_task(
     (nlp_task.py:199-222): results land in the cache first, then the
     normal cache-first flow proceeds.
     """
-    notes = extract_note_text(docrefs)
-    seen = notes.count()
-    notes = notes.filter(F.col("note_text").isNotNull()).withColumn(
+    all_notes = extract_note_text(docrefs)
+    # A3 funnel: one aggregate job for seen + with_text instead of two
+    # count() launches (count("note_text") skips nulls).
+    funnel = all_notes.agg(
+        F.count(F.lit(1)).alias("seen"), F.count("note_text").alias("with_text")
+    ).first()
+    seen, with_text = funnel["seen"], funnel["with_text"]
+    notes = all_notes.filter(F.col("note_text").isNotNull()).withColumn(
         "checksum", note_checksum()
     )
     # cache() here: the hits/misses split and the later union both read
     # this frame; without it the scan + decode would run twice.
     notes.cache()
-    with_text = notes.count()
 
     cache = NlpCache(spark, phi_dir, task_name, task_version)
     hits, misses = cache.split(notes)
@@ -76,10 +82,19 @@ def run_nlp_task(
     # cache hits carry no usage column (no tokens were spent on them)
     scored = fresh if hits is None else hits.unionByName(fresh, allowMissingColumns=True)
 
+    # The output table lives on the de-identified side, so every source
+    # identifier is pseudonymized with the codebook salt before the
+    # envelope (ref scrubs each docref via the codebook before emitting —
+    # etl/tasks/nlp_task.py:136-151 + deid/codebook.py). note_ref doubles
+    # as the replacement group key; anon is deterministic, so re-runs
+    # still replace the same group.
+    salt = Codebook(phi_dir).salt
     result = scored.select(
-        F.concat(F.lit("DocumentReference/"), F.col("id")).alias("note_ref"),
-        F.element_at(F.col("context.encounter"), 1)["reference"].alias("encounter_ref"),
-        F.col("subject.reference").alias("subject_ref"),
+        F.concat(F.lit("DocumentReference/"), anon_id(F.col("id"), salt)).alias("note_ref"),
+        anon_ref(
+            F.element_at(F.col("context.encounter"), 1)["reference"], salt
+        ).alias("encounter_ref"),
+        anon_ref(F.col("subject.reference"), salt).alias("subject_ref"),
         F.lit(generated_on).alias("generated_on"),
         F.lit(task_version).alias("task_version"),
         F.from_json(F.col("result"), MATCH_SCHEMA).alias("matches"),

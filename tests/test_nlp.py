@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 import base64
+import hashlib
+import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -91,6 +94,13 @@ def test_filters(spark, tmp_path):
     assert {r["id"] for r in filter_by_cohort(notes, cohort, "id").collect()} == {"d2", "d3"}
 
 
+def _anon(phi_dir: str, real_id: str) -> str:
+    """Mirror of anon_id: sha256(salt || id) with the codebook's salt."""
+    with open(os.path.join(phi_dir, "codebook.json")) as fh:
+        salt = json.load(fh)["salt"]
+    return hashlib.sha256((salt + real_id).encode()).hexdigest()
+
+
 def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     phi_dir = str(tmp_path / "phi")
@@ -102,14 +112,19 @@ def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
                       generated_on="2021-01-01T00:00:00Z")
     assert s1 == {"seen": 2, "with_text": 2, "from_cache": 0, "model_called": 2}
 
+    # Output refs are pseudonyms — the de-identified table never carries a
+    # raw source id.
+    d1_ref = f"DocumentReference/{_anon(phi_dir, 'd1')}"
+    d2_ref = f"DocumentReference/{_anon(phi_dir, 'd2')}"
     tbl = ManagedTable(spark, out_dir, "study__symptoms").read()
-    d1_rows = tbl.filter(F.col("note_ref") == "DocumentReference/d1").collect()
+    assert tbl.filter(F.col("note_ref").contains("d1")).count() == 0  # no raw ids anywhere
+    d1_rows = tbl.filter(F.col("note_ref") == d1_ref).collect()
     assert {r["match"]["text"] for r in d1_rows} == {"cough", "fever"}
     # no-match note keeps a null-match marker row
-    d2_rows = tbl.filter(F.col("note_ref") == "DocumentReference/d2").collect()
+    d2_rows = tbl.filter(F.col("note_ref") == d2_ref).collect()
     assert len(d2_rows) == 1 and d2_rows[0]["match"] is None
-    assert d1_rows[0]["encounter_ref"] == "Encounter/e1"
-    assert d1_rows[0]["subject_ref"] == "Patient/p1"
+    assert d1_rows[0]["encounter_ref"] == f"Encounter/{_anon(phi_dir, 'e1')}"
+    assert d1_rows[0]["subject_ref"] == f"Patient/{_anon(phi_dir, 'p1')}"
 
     # Re-run: same d1 (cache hit), d2 text changed → one model call;
     # d2's old rows replaced (group replacement on note_ref)
@@ -120,7 +135,7 @@ def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
     assert s2["from_cache"] == 1 and s2["model_called"] == 1
 
     tbl2 = ManagedTable(spark, out_dir, "study__symptoms").read()
-    d2_rows2 = tbl2.filter(F.col("note_ref") == "DocumentReference/d2").collect()
+    d2_rows2 = tbl2.filter(F.col("note_ref") == d2_ref).collect()
     assert {r["match"]["text"] for r in d2_rows2} == {"headache"}
 
 

@@ -113,7 +113,7 @@ def test_run_nlp_task_batch_mode(spark, tmp_path):
     from cumulus_etl_spark.sinks import ManagedTable
     from cumulus_etl_spark.sources import scan_resources
     from tests.fhir_fixtures import write_ndjson
-    from tests.test_nlp import docref
+    from tests.test_nlp import _anon, docref
 
     model = StubSymptomModel()
     write_ndjson(str(tmp_path / "in"), "d.ndjson", [
@@ -126,7 +126,8 @@ def test_run_nlp_task_batch_mode(spark, tmp_path):
                      batch_provider=LocalStubBatchProvider(model))
     assert s["with_text"] == 2 and s["from_cache"] == 0
     tbl = ManagedTable(spark, str(tmp_path / "out"), "batch_study").read()
-    d1 = tbl.filter(tbl["note_ref"] == "DocumentReference/d1").collect()
+    d1_ref = f"DocumentReference/{_anon(str(tmp_path / 'phi'), 'd1')}"
+    d1 = tbl.filter(tbl["note_ref"] == d1_ref).collect()
     assert {r["match"]["text"] for r in d1} == {"cough", "headache"}
     # re-run in batch mode: everything cached now, no resubmission needed
     s2 = run_nlp_task(spark, df, model, "batch_study", 1, str(tmp_path / "out"),
