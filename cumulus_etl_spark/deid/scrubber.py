@@ -11,8 +11,9 @@ optional pandas_udf).
 Semantics covered (SURVEY §2.3): P1 allow-list projection, P2 masks,
 P3/P7 anon-id, P4 anon-ref, P5 year, P6 zip, P8 philter, P9 check-system,
 P10 extension allow-list + modifier-extension veto (at any nesting depth,
-threaded up through array ``exists``), P11 resource-level filter, P12
-trim/empty-drop.
+threaded up through array ``exists`` and applied as a filter on the
+ORIGINAL frame before the projection drops the fields), P11
+resource-level filter, P12 trim/empty-drop.
 
 Known divergence from the reference: masked values become plain nulls —
 no ``data-absent-reason`` extension is synthesized (scrubber.py:320-335),
@@ -105,14 +106,17 @@ class Scrubber:
                 exprs.append(expr.alias(sf.name))
             if veto is not None:
                 vetoes.append(veto)
-        out = df.select(*exprs)
+        # Veto conditions reference fields (modifierExtension at any depth)
+        # that the projection drops, so the filter runs against the ORIGINAL
+        # frame, before the select. Catalyst pushes the filter into the scan
+        # either way; ordering here is a correctness constraint, not a cost.
         if vetoes:
             keep = ~vetoes[0]
             for v in vetoes[1:]:
                 keep = keep & ~v
             # coalesce: a null veto condition (e.g. null array) means "no veto"
-            out = out.filter(F.coalesce(keep, F.lit(True)))
-        return out
+            df = df.filter(F.coalesce(keep, F.lit(True)))
+        return df.select(*exprs)
 
     def dropped_extension_report(self, df: DataFrame, resource_type: str) -> DataFrame:
         """A1: counts of dropped extension URLs, as a real aggregation

@@ -78,6 +78,16 @@ EXTENSION = _struct(
 META = _struct(versionId=S, lastUpdated=S, source=S, profile=_arr(S), security=_arr(CODING), tag=_arr(CODING))
 
 
+def _backbone(**fields) -> StructType:
+    """BackboneElement: a nested element carrying its own extension AND
+    modifierExtension arrays. modifierExtension must exist in the schema
+    for the scrubber's nested-veto to see it — a meaning-altering modifier
+    on a backbone element vetoes the whole resource at any depth."""
+    base = {"extension": _arr(EXTENSION), "modifierExtension": _arr(EXTENSION)}
+    base.update(fields)
+    return _struct(**base)
+
+
 def _resource(**fields) -> StructType:
     """Base DomainResource envelope + resource-specific fields."""
     base = {
@@ -108,7 +118,7 @@ _RESOURCES: dict[str, StructType] = {
         address=_arr(ADDRESS),
         maritalStatus=CODEABLE_CONCEPT,
         multipleBirthBoolean=B,
-        communication=_arr(_struct(language=CODEABLE_CONCEPT, preferred=B)),
+        communication=_arr(_backbone(language=CODEABLE_CONCEPT, preferred=B)),
         generalPractitioner=_arr(REFERENCE),
         managingOrganization=REFERENCE,
     ),
@@ -121,19 +131,19 @@ _RESOURCES: dict[str, StructType] = {
         priority=CODEABLE_CONCEPT,
         subject=REFERENCE,
         participant=_arr(
-            _struct(type=_arr(CODEABLE_CONCEPT), period=PERIOD, individual=REFERENCE)
+            _backbone(type=_arr(CODEABLE_CONCEPT), period=PERIOD, individual=REFERENCE)
         ),
         period=PERIOD,
         length=_struct(value=D, unit=S, system=S, code=S),
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
-        diagnosis=_arr(_struct(condition=REFERENCE, use=CODEABLE_CONCEPT, rank=L)),
-        hospitalization=_struct(
+        diagnosis=_arr(_backbone(condition=REFERENCE, use=CODEABLE_CONCEPT, rank=L)),
+        hospitalization=_backbone(
             admitSource=CODEABLE_CONCEPT,
             reAdmission=CODEABLE_CONCEPT,
             dischargeDisposition=CODEABLE_CONCEPT,
         ),
-        location=_arr(_struct(location=REFERENCE, status=S, period=PERIOD)),
+        location=_arr(_backbone(location=REFERENCE, status=S, period=PERIOD)),
         serviceProvider=REFERENCE,
         partOf=REFERENCE,
     ),
@@ -179,11 +189,11 @@ _RESOURCES: dict[str, StructType] = {
         interpretation=_arr(CODEABLE_CONCEPT),
         bodySite=CODEABLE_CONCEPT,
         method=CODEABLE_CONCEPT,
-        referenceRange=_arr(_struct(low=QUANTITY, high=QUANTITY, type=CODEABLE_CONCEPT, text=S)),
+        referenceRange=_arr(_backbone(low=QUANTITY, high=QUANTITY, type=CODEABLE_CONCEPT, text=S)),
         hasMember=_arr(REFERENCE),
         derivedFrom=_arr(REFERENCE),
         component=_arr(
-            _struct(
+            _backbone(
                 code=CODEABLE_CONCEPT,
                 valueQuantity=QUANTITY,
                 valueCodeableConcept=CODEABLE_CONCEPT,
@@ -203,8 +213,8 @@ _RESOURCES: dict[str, StructType] = {
         author=_arr(REFERENCE),
         authenticator=REFERENCE,
         custodian=REFERENCE,
-        content=_arr(_struct(attachment=ATTACHMENT, format=CODING)),
-        context=_struct(
+        content=_arr(_backbone(attachment=ATTACHMENT, format=CODING)),
+        context=_backbone(
             encounter=_arr(REFERENCE),
             event=_arr(CODEABLE_CONCEPT),
             period=PERIOD,
@@ -245,7 +255,7 @@ _RESOURCES: dict[str, StructType] = {
         reasonReference=_arr(REFERENCE),
         courseOfTherapyType=CODEABLE_CONCEPT,
         dosageInstruction=_arr(
-            _struct(
+            _backbone(
                 sequence=L,
                 text=S,
                 timing=_struct(code=CODEABLE_CONCEPT),
@@ -264,7 +274,7 @@ _RESOURCES: dict[str, StructType] = {
         status=S,
         form=CODEABLE_CONCEPT,
         ingredient=_arr(
-            _struct(
+            _backbone(
                 itemCodeableConcept=CODEABLE_CONCEPT,
                 itemReference=REFERENCE,
                 isActive=B,
@@ -288,7 +298,7 @@ _RESOURCES: dict[str, StructType] = {
         asserter=REFERENCE,
         lastOccurrence=S,
         reaction=_arr(
-            _struct(
+            _backbone(
                 substance=CODEABLE_CONCEPT,
                 manifestation=_arr(CODEABLE_CONCEPT),
                 description=S,
@@ -326,7 +336,7 @@ _RESOURCES: dict[str, StructType] = {
         performedPeriod=PERIOD,
         recorder=REFERENCE,
         asserter=REFERENCE,
-        performer=_arr(_struct(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+        performer=_arr(_backbone(function=CODEABLE_CONCEPT, actor=REFERENCE)),
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
         bodySite=_arr(CODEABLE_CONCEPT),
@@ -355,7 +365,7 @@ _RESOURCES: dict[str, StructType] = {
         name=_arr(HUMAN_NAME),
         telecom=_arr(CONTACT_POINT),
         gender=S,
-        qualification=_arr(_struct(code=CODEABLE_CONCEPT, period=PERIOD, issuer=REFERENCE)),
+        qualification=_arr(_backbone(code=CODEABLE_CONCEPT, period=PERIOD, issuer=REFERENCE)),
     ),
     "PractitionerRole": _resource(
         identifier=_arr(IDENTIFIER),

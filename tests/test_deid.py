@@ -101,6 +101,29 @@ def test_modifier_extension_veto(spark, tmp_path):
     assert [r["id"] for r in out.collect()] == [sha("ok")]
 
 
+def test_nested_modifier_extension_veto(spark, tmp_path):
+    """A meaning-altering modifier on a BACKBONE element (any depth) vetoes
+    the whole resource — array element and nested struct cases (ref
+    scrubber.py:289-296 skips the resource at any depth)."""
+    mod = [{"url": "https://example.com/not-really", "valueBoolean": True}]
+    write_ndjson(str(tmp_path), "encs.ndjson", [
+        {"resourceType": "Encounter", "id": "ok", "status": "finished",
+         "participant": [{"individual": {"reference": "Practitioner/pr1"}}]},
+        {"resourceType": "Encounter", "id": "veto-array", "status": "finished",
+         "participant": [{"individual": {"reference": "Practitioner/pr1"},
+                          "modifierExtension": mod}]},
+        {"resourceType": "Encounter", "id": "veto-struct", "status": "finished",
+         "hospitalization": {"modifierExtension": mod}},
+    ])
+    df = scan_resources(spark, str(tmp_path), ["Encounter"])
+    out = Scrubber(salt=SALT).scrub(df, "Encounter")
+    assert {r["id"] for r in out.collect()} == {sha("ok")}
+    # the modifierExtension field itself never reaches the output schema
+    assert "modifierExtension" not in out.columns
+    part_type = out.schema["participant"].dataType.elementType
+    assert "modifierExtension" not in part_type.fieldNames()
+
+
 def test_epic_check_system_guard(spark, tmp_path):
     write_ndjson(str(tmp_path), "conds.ndjson", [
         {

@@ -34,6 +34,11 @@ def _plant(dtype, rules: dict | None, rng: random.Random, depth=0):
     if isinstance(dtype, StructType):
         out = {}
         for sf in dtype.fields:
+            if sf.name == "modifierExtension":
+                # a canary here vetoes the whole row (right outcome, tested
+                # separately) — skip so leaf coverage isn't hidden, at any
+                # depth (backbone elements carry modifierExtension too)
+                continue
             spec = (rules or {}).get(sf.name)
             if isinstance(sf.dataType, (StructType, ArrayType)):
                 child_rules = None
