@@ -13,18 +13,36 @@ Reference behavior being reproduced (cumulus_etl/formats/deltalake.py):
 Physical strategy
 -----------------
 With delta-spark importable, this is a genuine ``DeltaTable.merge`` —
-file-pruned, transactional, liquid-clustered on the keys. In this
-container Delta isn't installed, so the fallback is a *versioned-parquet*
-table: each merge reads the current version, resolves winners with ONE
-shuffle (union + window over the keys — no join needed), and writes the
-next version directory; a ``_CURRENT`` pointer file flips atomically at
-the end, so readers never see a half-written table and a crashed merge
-is invisible. ``finalize()`` drops superseded versions (vacuum analog).
+file-pruned, transactional, liquid-clustered on the keys. Without Delta,
+the fallback is a *bucket-pruned versioned-parquet* table:
 
-At 100 TB the fallback's full rewrite per merge is the known cost of not
-having Delta — the upsert itself stays a single hash-partitioned shuffle
-on the keys (scales linearly, no skewed driver work); install delta-spark
-to get file-pruned merges, which this module picks up automatically.
+- Every version directory is hive-partitioned by ``__bucket =
+  pmod(xxhash64(bucket cols), num_buckets)``. The bucket columns are the
+  ``group_field`` when the policy has one (group replacement must see
+  every row of a touched group), else the uniqueness keys.
+- A merge computes the batch's touched buckets (≤ num_buckets ints on
+  the driver), reads ONLY those partitions of the current version
+  (partition pruning — ``PartitionFilters`` in the scan), resolves
+  winners with one shuffle over the touched subset, and writes only the
+  touched buckets into the next version directory. Untouched buckets are
+  hardlinked (copy fallback) from the previous version — metadata-only
+  on a real filesystem. Shuffle and write are ∝ touched data + batch,
+  NOT table size; this is the fallback's answer to Delta file pruning.
+  On an object store without cheap links you'd run the Delta branch;
+  the merge COMPUTE is bucket-pruned either way.
+- The ``_CURRENT`` pointer (version + schema + num_buckets) flips
+  atomically at the end, so readers never see a half-written table and
+  a crashed merge is invisible. ``finalize()`` drops superseded version
+  dirs (vacuum analog; hardlinked files survive via the live version).
+
+Invariant for group-bucketed tables: a key never migrates between
+groups (true for every reference table — NLP row ids embed note_ref,
+completion keys embed group_name). A migrating key would strand its old
+row in the old group's bucket, exactly as Delta's group-scoped
+``whenNotMatchedBySourceDelete`` would.
+
+Scaling num_buckets: size so a bucket ≈ one comfortable task
+(64 locally; ~4096 at 100 TB keeps buckets ~25 GB before compression).
 """
 
 from __future__ import annotations
@@ -34,8 +52,9 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 try:  # pragma: no cover - exercised only where delta-spark is installed
     from delta.tables import DeltaTable
@@ -46,6 +65,27 @@ except ImportError:
     HAVE_DELTA = False
 
 CURRENT_POINTER = "_CURRENT"
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(cols: tuple[str, ...], num_buckets: int) -> Column:
+    """Deterministic bucket id for a row: pmod(xxhash64(cols), n)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_buckets)).cast("int")
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Re-link one bucket directory into a new version: hardlink each file
+    (metadata-only on a real filesystem), copy as a fallback."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        s, d = os.path.join(src, entry), os.path.join(dst, entry)
+        if os.path.isdir(s):  # pragma: no cover - parquet leaves are flat
+            _link_tree(s, d)
+            continue
+        try:
+            os.link(s, d)
+        except OSError:  # pragma: no cover - cross-device / FS without links
+            shutil.copy2(s, d)
 
 
 def _has_field(df: DataFrame, dotted: str) -> bool:
@@ -77,6 +117,16 @@ class MergePolicy:
     # lookups — the fallback's analog of Delta liquid clustering
     # (clusterBy(uniqueness_fields), ref deltalake.py:103-106)
     cluster_on_keys: bool = True
+    # hive-partition count for bucket-pruned merges; size so one bucket is
+    # one comfortable task (64 locally, ~4096 at 100 TB)
+    num_buckets: int = 64
+
+    @property
+    def bucket_cols(self) -> tuple[str, ...]:
+        """Columns that route a row to its bucket. With a group_field the
+        GROUP is the locality unit — group replacement must see every
+        existing row of a touched group, so groups never straddle buckets."""
+        return (self.group_field,) if self.group_field else self.keys
 
 
 class ManagedTable:
@@ -89,18 +139,53 @@ class ManagedTable:
 
     # ---- read side ----
 
-    def current_version(self) -> int | None:
+    def _pointer(self) -> dict | None:
         ptr = os.path.join(self.path, CURRENT_POINTER)
         if not os.path.exists(ptr):
             return None
         with open(ptr) as fh:
-            return int(json.load(fh)["version"])
+            return json.load(fh)
+
+    def current_version(self) -> int | None:
+        ptr = self._pointer()
+        return None if ptr is None else int(ptr["version"])
+
+    def schema(self) -> StructType | None:
+        """The table's contractual schema (stored in the pointer so empty
+        tables — e.g. ``init`` output — still carry full schemas)."""
+        ptr = self._pointer()
+        if ptr is None or "schema" not in ptr:
+            return None
+        return StructType.fromJson(json.loads(ptr["schema"]))
+
+    def _bucket_dirs(self, vdir: str) -> list[str]:
+        if not os.path.isdir(vdir):
+            return []
+        return [e for e in os.listdir(vdir) if e.startswith(BUCKET_COL + "=")]
+
+    def _read_version(self, ptr: dict, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the current version; ``buckets`` prunes to those hive
+        partitions (shows up as PartitionFilters in the plan)."""
+        vdir = self._vdir(int(ptr["version"]))
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        if not self._bucket_dirs(vdir):
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", vdir)
+            .parquet(vdir)
+        )
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        # stable column contract: pointer-schema order (mergeSchema unions
+        # file schemas in discovery order, which is not contractual)
+        return df.select(*[F.col(f.name) for f in schema.fields])
 
     def read(self) -> DataFrame | None:
-        v = self.current_version()
-        if v is None:
+        ptr = self._pointer()
+        if ptr is None:
             return None
-        return self.spark.read.parquet(self._vdir(v))
+        return self._read_version(ptr)
 
     def exists(self) -> bool:
         return self.current_version() is not None
@@ -113,12 +198,29 @@ class ManagedTable:
         if HAVE_DELTA:
             self._merge_delta(updates, policy)
             return
-        existing = self.read()
-        if existing is None:
-            if policy.cluster_on_keys:
-                updates = updates.repartitionByRange(*[F.col(k) for k in policy.keys])
-            self._write_version(updates)
+        ptr = self._pointer()
+        if ptr is None:
+            self._write_version(updates, policy, touched=None, prev=None)
             return
+        relayout = tuple(ptr.get("bucket_cols") or ()) != policy.bucket_cols or int(
+            ptr.get("num_buckets") or 0
+        ) != policy.num_buckets
+        if relayout:
+            # bucketing layout changed: merge against the whole table once
+            # and rewrite every bucket under the new layout
+            touched = None
+        else:
+            # Bucket pruning: only the batch's buckets are read, shuffled,
+            # and rewritten; the rest of the table is re-linked untouched.
+            touched = sorted(
+                r[0]
+                for r in updates.select(
+                    _bucket_expr(policy.bucket_cols, policy.num_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        existing = self._read_version(ptr, buckets=touched)
 
         keys = list(policy.keys)
         ex = existing.withColumn("__src", F.lit(0))
@@ -164,29 +266,43 @@ class ManagedTable:
             merged = merged.filter(~stale).drop("__g")
 
         out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
-        if policy.cluster_on_keys:
-            # Each output file covers a narrow key range, so later merges
-            # and point lookups prune files via parquet min/max footers —
-            # the window above already shuffled on the keys, and AQE
-            # folds this range partitioning into the same stage when the
-            # data is small.
-            out = out.repartitionByRange(*[F.col(k) for k in policy.keys])
-        self._write_version(out)
+        self._write_version(out, policy, touched=touched, prev=ptr)
 
     def delete_ids(self, ids: DataFrame | list[str], id_col: str = "id") -> None:
         """K2: delete rows by id. DataFrame-source anti-join — no 50k
         chunking needed (the reference chunks to protect a 6 GB driver;
-        an anti-join never materializes the id list on the driver)."""
-        existing = self.read()
-        if existing is None:
+        an anti-join never materializes the id list on the driver).
+
+        Bucket-pruned when the table is bucketed by exactly ``id_col``;
+        a group-bucketed or composite-keyed table rewrites all buckets
+        (the ids alone can't locate the rows)."""
+        ptr = self._pointer()
+        if ptr is None:
             return
         if isinstance(ids, list):
             ids = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
         ids = ids.select(F.col(ids.columns[0]).alias("__del_id")).distinct()
+
+        bucket_cols = tuple(ptr.get("bucket_cols") or (id_col,))
+        num_buckets = int(ptr.get("num_buckets") or 1)
+        touched: list[int] | None = None
+        if bucket_cols == (id_col,):
+            touched = sorted(
+                r[0]
+                for r in ids.select(
+                    _bucket_expr(("__del_id",), num_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        existing = self._read_version(ptr, buckets=touched)
         remaining = existing.join(
             F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_anti"
         )
-        self._write_version(remaining)
+        self._write_raw(
+            remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
+            touched=touched, prev=ptr,
+        )
 
     def finalize(self, keep_versions: int = 1) -> None:
         """K3: compaction analog — drop superseded version directories."""
@@ -238,14 +354,62 @@ class ManagedTable:
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v}")
 
-    def _write_version(self, df: DataFrame) -> None:
+    def _write_version(
+        self,
+        df: DataFrame,
+        policy: MergePolicy,
+        touched: list[int] | None,
+        prev: dict | None,
+    ) -> None:
+        sort_cols = policy.keys if policy.cluster_on_keys else policy.bucket_cols
+        self._write_raw(
+            df, policy.bucket_cols, policy.num_buckets,
+            sort_cols=sort_cols, touched=touched, prev=prev,
+        )
+
+    def _write_raw(
+        self,
+        df: DataFrame,
+        bucket_cols: tuple[str, ...],
+        num_buckets: int,
+        sort_cols: tuple[str, ...],
+        touched: list[int] | None,
+        prev: dict | None,
+    ) -> None:
+        """Write the next version: hive-partition by bucket; one shuffle
+        routes rows to their bucket, rows sorted by ``sort_cols`` within
+        each file so parquet min/max footers prune later key lookups (the
+        liquid-clustering analog). Untouched buckets re-link from the
+        previous version (metadata-only). The pointer flip is atomic."""
         v = (self.current_version() or 0) + 1
         out = self._vdir(v)
-        df.write.mode("overwrite").parquet(out)
+        schema = df.schema
+        bucketed = df.withColumn(BUCKET_COL, _bucket_expr(bucket_cols, num_buckets))
+        (
+            bucketed.repartition(F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, *sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        if touched is not None and prev is not None:
+            prev_dir = self._vdir(int(prev["version"]))
+            keep = {f"{BUCKET_COL}={t}" for t in touched}
+            for entry in self._bucket_dirs(prev_dir):
+                if entry not in keep:
+                    _link_tree(os.path.join(prev_dir, entry), os.path.join(out, entry))
         ptr = os.path.join(self.path, CURRENT_POINTER)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": v}, fh)
+            json.dump(
+                {
+                    "version": v,
+                    "schema": schema.json(),
+                    "bucket_cols": list(bucket_cols),
+                    "num_buckets": num_buckets,
+                },
+                fh,
+            )
         os.replace(tmp, ptr)  # atomic flip
 
 

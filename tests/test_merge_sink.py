@@ -126,6 +126,102 @@ def test_crash_safety_and_finalize(spark, tmp_path):
     assert set(rows_of(tbl)) == {"a", "b"}
 
 
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale property: a small batch into a big table re-links every
+    untouched bucket (same inode — no data copied) and only rewrites the
+    buckets the batch hashes into."""
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None, num_buckets=16)
+    base = spark.createDataFrame([(f"k{i}", "v0") for i in range(200)], "id string, val string")
+    tbl.merge(base, pol)
+    v1 = tbl.path + "/v1"
+    inode_before = {
+        d: {f: os.stat(os.path.join(v1, d, f)).st_ino for f in os.listdir(os.path.join(v1, d))}
+        for d in os.listdir(v1) if d.startswith("__bucket=")
+    }
+    tbl.merge(spark.createDataFrame([("k3", "v1")], "id string, val string"), pol)
+    v2 = tbl.path + "/v2"
+    dirs2 = [d for d in os.listdir(v2) if d.startswith("__bucket=")]
+    assert set(dirs2) == set(inode_before)  # all buckets present in v2
+    relinked = rewritten = 0
+    for d in dirs2:
+        files = {f: os.stat(os.path.join(v2, d, f)).st_ino for f in os.listdir(os.path.join(v2, d))}
+        if files == inode_before[d]:
+            relinked += 1
+        else:
+            rewritten += 1
+    assert rewritten == 1  # exactly the one touched bucket
+    assert relinked == len(dirs2) - 1
+    # and the data is still right
+    got = {r["id"]: r["val"] for r in tbl.read().collect()}
+    assert got["k3"] == "v1" and got["k7"] == "v0" and len(got) == 200
+
+
+def test_merge_reads_prune_partitions(spark, tmp_path):
+    """The pruned scan must carry a PartitionFilters entry on __bucket —
+    i.e. the merge never lists untouched buckets' files."""
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None, num_buckets=16)
+    tbl.merge(spark.createDataFrame([(f"k{i}", "x") for i in range(50)], "id string, val string"), pol)
+    pruned = tbl._read_version(tbl._pointer(), buckets=[3])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+
+def test_group_bucketing_replacement_across_buckets(spark, tmp_path):
+    """Group replacement with MANY groups: rows bucket by group, so a
+    re-run of one group finds all its stale rows without touching other
+    groups' buckets."""
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(keys=("id",), group_field="grp", last_updated_field=None, num_buckets=8)
+    df1 = spark.createDataFrame(
+        [(f"r{g}_{i}", f"g{g}", "x") for g in range(20) for i in range(3)],
+        "id string, grp string, val string",
+    )
+    tbl.merge(df1, pol)
+    # re-run group g5 with 2 rows where 3 existed
+    df2 = spark.createDataFrame(
+        [("r5_0", "g5", "y"), ("r5_1", "g5", "y")], "id string, grp string, val string"
+    )
+    tbl.merge(df2, pol)
+    got = {r["id"]: r["val"] for r in tbl.read().collect()}
+    assert got["r5_0"] == "y" and got["r5_1"] == "y"
+    assert "r5_2" not in got  # stale row of the re-run group dropped
+    assert sum(1 for k in got if k.startswith("r7_")) == 3  # other groups intact
+    assert len(got) == 20 * 3 - 1
+
+
+def test_delete_ids_bucket_pruned(spark, tmp_path):
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None, num_buckets=16)
+    tbl.merge(spark.createDataFrame([(f"k{i}", "x") for i in range(100)], "id string, val string"), pol)
+    v1_inodes = {}
+    v1 = tbl.path + "/v1"
+    for d in os.listdir(v1):
+        if d.startswith("__bucket="):
+            v1_inodes[d] = {f: os.stat(os.path.join(v1, d, f)).st_ino
+                            for f in os.listdir(os.path.join(v1, d))}
+    tbl.delete_ids(["k42"])
+    assert "k42" not in {r["id"] for r in tbl.read().collect()}
+    assert tbl.read().count() == 99
+    v2 = tbl.path + "/v2"
+    changed = [d for d in os.listdir(v2) if d.startswith("__bucket=")
+               and {f: os.stat(os.path.join(v2, d, f)).st_ino
+                    for f in os.listdir(os.path.join(v2, d))} != v1_inodes.get(d)]
+    assert len(changed) == 1  # only k42's bucket rewritten
+
+
+def test_bucket_relayout_on_policy_change(spark, tmp_path):
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    tbl.merge(make_df(spark, [("a", "1", None), ("b", "1", None)]), MergePolicy(num_buckets=4))
+    # same table merged under a different bucket count: full re-layout, data intact
+    tbl.merge(make_df(spark, [("a", "2", None), ("c", "1", None)]), MergePolicy(num_buckets=16))
+    got = rows_of(tbl)
+    assert got["a"][0] == "2" and got["b"][0] == "1" and got["c"][0] == "1"
+    with open(os.path.join(tbl.path, "_CURRENT")) as fh:
+        assert json.load(fh)["num_buckets"] == 16
+
+
 def test_dedupe_last_wins_explicit_order(spark):
     df = spark.createDataFrame(
         [("a", "first", 1), ("a", "last", 2), ("b", "only", 1)],

@@ -117,7 +117,9 @@ def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
     d1_ref = f"DocumentReference/{_anon(phi_dir, 'd1')}"
     d2_ref = f"DocumentReference/{_anon(phi_dir, 'd2')}"
     tbl = ManagedTable(spark, out_dir, "study__symptoms").read()
-    assert tbl.filter(F.col("note_ref").contains("d1")).count() == 0  # no raw ids anywhere
+    # no raw ids anywhere (hex pseudonyms may contain 'd1' by chance, so
+    # check the exact raw ref form)
+    assert tbl.filter(F.col("note_ref") == "DocumentReference/d1").count() == 0
     d1_rows = tbl.filter(F.col("note_ref") == d1_ref).collect()
     assert {r["match"]["text"] for r in d1_rows} == {"cough", "fever"}
     # no-match note keeps a null-match marker row
