@@ -86,6 +86,28 @@ NODE_RULES: dict[str, dict[str, object]] = {
         "creation": "val",
     },
     "Annotation": {"_extends": "Element", "time": "val", "text": "philter"},
+    # Identifier survives only behind conditional node configs
+    # ("Identifier;system=<url>") on non-patient-linked resources
+    # (ref scrub-rules.toml:362-369 + Location/Practitioner/Organization).
+    "Identifier": {
+        "_extends": "Element",
+        "use": "val",
+        "type": "CC",
+        "system": "val",
+        "value": "val",
+        "period": "Period",
+        "assigner": "Ref",
+    },
+    "Dosage": {
+        "_extends": "BackboneElement",
+        "sequence": "val",
+        "text": "philter",
+        "timing": {"code": "CC"},
+        "asNeededBoolean": "val",
+        "route": "CC",
+        "method": "CC",
+        "doseAndRate": {"type": "CC", "doseQuantity": "Quantity", "doseRange": "Range"},
+    },
     # ---- resources ----
     "Patient": {
         "_extends": "DomainResource",
@@ -225,15 +247,7 @@ NODE_RULES: dict[str, dict[str, object]] = {
         "reasonCode": "CC",
         "reasonReference": "Ref",
         "courseOfTherapyType": "CC",
-        "dosageInstruction": {
-            "sequence": "val",
-            "text": "philter",
-            "timing": {"code": "CC"},
-            "asNeededBoolean": "val",
-            "route": "CC",
-            "method": "CC",
-            "doseAndRate": {"type": "CC", "doseQuantity": "Quantity", "doseRange": "Range"},
-        },
+        "dosageInstruction": "Dosage",
     },
     "Medication": {
         "_extends": "DomainResource",
@@ -320,24 +334,198 @@ NODE_RULES: dict[str, dict[str, object]] = {
         "reasonReference": "Ref",
     },
     "Practitioner": {
+        # not patient-linked but still a person: NPI identifiers only
+        # (ref scrub-rules.toml:653-669)
         "_extends": "DomainResource",
+        "identifier": "Identifier;system=http://hl7.org/fhir/sid/us-npi",
         "active": "val",
+        "address": "Address",
         "gender": "val",
-        "qualification": {"code": "CC", "period": "Period", "issuer": "Ref"},
+        "birthDate": "year",
+        "qualification": {
+            "identifier": "Identifier",
+            "code": "CC",
+            "period": "Period",
+            "issuer": "Ref",
+        },
+        "communication": "CC",
     },
     "PractitionerRole": {
         "_extends": "DomainResource",
+        "identifier": "Identifier;system=http://hl7.org/fhir/sid/us-npi",
         "active": "val",
         "period": "Period",
         "practitioner": "Ref",
         "organization": "Ref",
         "code": "CC",
         "specialty": "CC",
+        "location": "Ref",
+        "healthcareService": "Ref",
+        "availableTime": {
+            "daysOfWeek": "val",
+            "allDay": "val",
+            "availableStartTime": "val",
+            "availableEndTime": "val",
+        },
+        "notAvailable": {"during": "Period"},
+        "endpoint": "Ref",
     },
     "Organization": {
+        # US Core org identifier systems (NPI, CLIA, NAIC) allowed
+        # (ref scrub-rules.toml:601-617)
         "_extends": "DomainResource",
+        "identifier": (
+            "Identifier;system=http://hl7.org/fhir/sid/us-npi"
+            ";system=urn:oid:2.16.840.1.113883.4.7"
+            ";system=urn:oid:2.16.840.1.113883.6.300"
+        ),
         "active": "val",
         "type": "CC",
+        "name": "val",
+        "alias": "val",
+        "address": "Address",
+        "partOf": "Ref",
+        "contact": {"purpose": "CC", "address": "Address"},
+        "endpoint": "Ref",
+    },
+    "Device": {
+        # ref scrub-rules.toml:124-159 (freeform device strings are
+        # non-PHI per the reference's commentary; identifier skipped)
+        "_extends": "DomainResource",
+        "definition": "Ref",
+        "udiCarrier": {
+            "deviceIdentifier": "val",
+            "issuer": "val",
+            "jurisdiction": "val",
+            "carrierAIDC": "val",
+            "carrierHRF": "val",
+            "entryType": "val",
+        },
+        "status": "val",
+        "statusReason": "CC",
+        "distinctIdentifier": "val",
+        "manufacturer": "val",
+        "manufactureDate": "val",
+        "expirationDate": "val",
+        "lotNumber": "val",
+        "serialNumber": "val",
+        "deviceName": {"name": "val", "type": "val"},
+        "modelNumber": "val",
+        "partNumber": "val",
+        "type": "CC",
+        "specialization": {"systemType": "CC", "version": "val"},
+        "version": {"type": "CC", "component": "Identifier", "value": "val"},
+        "property": {"type": "CC", "valueQuantity": "Quantity", "valueCode": "CC"},
+        "patient": "Ref",
+        "owner": "Ref",
+        "location": "Ref",
+    },
+    "EpisodeOfCare": {
+        # ref scrub-rules.toml:290-306
+        "_extends": "DomainResource",
+        "status": "val",
+        "statusHistory": {"status": "val", "period": "Period"},
+        "type": "CC",
+        "diagnosis": {"condition": "Ref", "role": "CC", "rank": "val"},
+        "patient": "Ref",
+        "managingOrganization": "Ref",
+        "period": "Period",
+        "referralRequest": "Ref",
+        "careManager": "Ref",
+        "team": "Ref",
+        "account": "Ref",
+    },
+    "Location": {
+        # not patient-linked: NPI identifiers + address allowed
+        # (ref scrub-rules.toml:415-437)
+        "_extends": "DomainResource",
+        "identifier": "Identifier;system=http://hl7.org/fhir/sid/us-npi",
+        "status": "val",
+        "operationalStatus": "Coding",
+        "name": "val",
+        "alias": "val",
+        "mode": "val",
+        "type": "CC",
+        "address": "Address",
+        "physicalType": "CC",
+        "managingOrganization": "Ref",
+        "partOf": "Ref",
+        "hoursOfOperation": {
+            "daysOfWeek": "val",
+            "allDay": "val",
+            "openingTime": "val",
+            "closingTime": "val",
+        },
+        "endpoint": "Ref",
+    },
+    "MedicationDispense": {
+        # ref scrub-rules.toml:454-485
+        "_extends": "DomainResource",
+        "partOf": "Ref",
+        "status": "val",
+        "statusReasonCodeableConcept": "CC",
+        "statusReasonReference": "Ref",
+        "category": "CC",
+        "medicationCodeableConcept": "CC",
+        "medicationReference": "Ref",
+        "subject": "Ref",
+        "context": "Ref",
+        "supportingInformation": "Ref",
+        "performer": {"function": "CC", "actor": "Ref"},
+        "location": "Ref",
+        "authorizingPrescription": "Ref",
+        "type": "CC",
+        "quantity": "Quantity",
+        "daysSupply": "Quantity",
+        "whenPrepared": "val",
+        "whenHandedOver": "val",
+        "destination": "Ref",
+        "receiver": "Ref",
+        "dosageInstruction": "Dosage",
+        "substitution": {
+            "wasSubstituted": "val",
+            "type": "CC",
+            "reason": "CC",
+            "responsibleParty": "Ref",
+        },
+        "detectedIssue": "Ref",
+        "eventHistory": "Ref",
+    },
+    "Specimen": {
+        # ref scrub-rules.toml:826-855 (identifier/accessionIdentifier/
+        # notes/descriptions skipped)
+        "_extends": "DomainResource",
+        "status": "val",
+        "type": "CC",
+        "subject": "Ref",
+        "receivedTime": "val",
+        "parent": "Ref",
+        "request": "Ref",
+        "collection": {
+            "collector": "Ref",
+            "collectedDateTime": "val",
+            "collectedPeriod": "Period",
+            "duration": "Quantity",
+            "quantity": "Quantity",
+            "method": "CC",
+            "bodySite": "CC",
+            "fastingStatusCodeableConcept": "CC",
+            "fastingStatusDuration": "Quantity",
+        },
+        "processing": {
+            "procedure": "CC",
+            "additive": "Ref",
+            "timeDateTime": "val",
+            "timePeriod": "Period",
+        },
+        "container": {
+            "type": "CC",
+            "capacity": "Quantity",
+            "specimenQuantity": "Quantity",
+            "additiveCodeableConcept": "CC",
+            "additiveReference": "Ref",
+        },
+        "condition": "CC",
     },
 }
 

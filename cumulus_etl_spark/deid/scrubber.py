@@ -62,7 +62,8 @@ def _rules_can_veto(dtype: DataType, rules: dict[str, object]) -> bool:
             if _rules_can_veto(sf.dataType, child):
                 return True
         elif isinstance(spec, str) and spec[:1].isupper() and spec != "Extension":
-            if _rules_can_veto(sf.dataType, resolve_node(spec)):
+            node_name = spec.split(";", 1)[0]  # strip conditional part
+            if _rules_can_veto(sf.dataType, resolve_node(node_name)):
                 return True
     return False
 
@@ -151,6 +152,19 @@ class Scrubber:
             return self._extension_expr(col, dtype), None
         if isinstance(spec, str) and spec[:1].islower():
             return self._leaf_expr(col, dtype, spec, parent=parent), None
+        if isinstance(spec, str) and ";" in spec:
+            # conditional node config, e.g. "Identifier;system=url1;system=url2"
+            # (ref scrubber.py node conditions): keep the node only when the
+            # named sibling field matches one of the allowed values.
+            node_name, *pairs = spec.split(";")
+            fields = {p.split("=", 1)[0] for p in pairs}
+            if len(fields) != 1:
+                raise ValueError(f"conditional node rule mixes fields: {spec!r}")
+            cond_field = fields.pop()
+            values = [p.split("=", 1)[1] for p in pairs]
+            return self._conditional_node_expr(
+                col, dtype, resolve_node(node_name), cond_field, values
+            )
         # node recursion (named node or inline dict of child rules)
         child_rules = resolve_node(spec) if isinstance(spec, str) else dict(spec)
         if isinstance(spec, dict):
@@ -180,6 +194,34 @@ class Scrubber:
             expr, veto = self._struct_expr(col, dtype, rules)
             return F.when(col.isNotNull(), expr), veto
         raise ValueError(f"node rules applied to non-struct type {dtype.simpleString()}")
+
+    def _conditional_node_expr(
+        self,
+        col: Column,
+        dtype: DataType,
+        rules: dict[str, object],
+        cond_field: str,
+        values: list[str],
+    ) -> tuple[Column | None, Column | None]:
+        """Node kept only where ``cond_field`` ∈ ``values`` (null → drop).
+        Arrays filter elements; structs gate the whole value."""
+        if isinstance(dtype, ArrayType) and isinstance(dtype.elementType, StructType):
+            kept = F.filter(col, lambda x: x[cond_field].isin(*values))
+            elem_type = dtype.elementType
+            rebuilt = F.transform(kept, lambda x: self._struct_expr(x, elem_type, rules)[0])
+            veto = None
+            if _rules_can_veto(elem_type, rules):
+                veto = F.exists(kept, lambda x: self._struct_expr(x, elem_type, rules)[1])
+            return F.when(F.size(rebuilt) > 0, rebuilt), veto
+        if isinstance(dtype, StructType):
+            expr, veto = self._struct_expr(col, dtype, rules)
+            gate = F.coalesce(col[cond_field].isin(*values), F.lit(False))
+            if veto is not None:
+                veto = veto & gate
+            return F.when(col.isNotNull() & gate, expr), veto
+        raise ValueError(
+            f"conditional node rules applied to non-struct type {dtype.simpleString()}"
+        )
 
     def _struct_expr(
         self, col: Column, dtype: StructType, rules: dict[str, object]

@@ -43,14 +43,22 @@ BASIC_TASKS: tuple[TaskDef, ...] = tuple(
         "Encounter",
         "AllergyIntolerance",
         "Condition",
+        "Device",
         "DiagnosticReport",
         "DocumentReference",
+        "EpisodeOfCare",
         "Immunization",
+        "Location",
         "Medication",
+        "MedicationDispense",
         "MedicationRequest",
         "Observation",
+        "Organization",
+        "Practitioner",
+        "PractitionerRole",
         "Procedure",
         "ServiceRequest",
+        "Specimen",
     )
 )
 

@@ -50,7 +50,9 @@ PERIOD = _struct(start=S, end=S)
 QUANTITY = _struct(value=D, comparator=S, unit=S, system=S, code=S)
 RANGE = _struct(low=QUANTITY, high=QUANTITY)
 RATIO = _struct(numerator=QUANTITY, denominator=QUANTITY)
-IDENTIFIER = _struct(use=S, type=CODEABLE_CONCEPT, system=S, value=S, period=PERIOD)
+IDENTIFIER = _struct(
+    use=S, type=CODEABLE_CONCEPT, system=S, value=S, period=PERIOD, assigner=REFERENCE
+)
 HUMAN_NAME = _struct(use=S, text=S, family=S, given=_arr(S), prefix=_arr(S), suffix=_arr(S))
 ADDRESS = _struct(
     use=S, type=S, text=S, line=_arr(S), city=S, district=S, state=S, postalCode=S, country=S
@@ -86,6 +88,21 @@ def _backbone(**fields) -> StructType:
     base = {"extension": _arr(EXTENSION), "modifierExtension": _arr(EXTENSION)}
     base.update(fields)
     return _struct(**base)
+
+
+# Dosage is a BackboneElement shared by MedicationRequest and
+# MedicationDispense (http://hl7.org/fhir/R4/dosage.html subset).
+DOSAGE = _backbone(
+    sequence=L,
+    text=S,
+    timing=_struct(code=CODEABLE_CONCEPT),
+    asNeededBoolean=B,
+    route=CODEABLE_CONCEPT,
+    method=CODEABLE_CONCEPT,
+    doseAndRate=_arr(
+        _struct(type=CODEABLE_CONCEPT, doseQuantity=QUANTITY, doseRange=RANGE)
+    ),
+)
 
 
 def _resource(**fields) -> StructType:
@@ -254,19 +271,7 @@ _RESOURCES: dict[str, StructType] = {
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
         courseOfTherapyType=CODEABLE_CONCEPT,
-        dosageInstruction=_arr(
-            _backbone(
-                sequence=L,
-                text=S,
-                timing=_struct(code=CODEABLE_CONCEPT),
-                asNeededBoolean=B,
-                route=CODEABLE_CONCEPT,
-                method=CODEABLE_CONCEPT,
-                doseAndRate=_arr(
-                    _struct(type=CODEABLE_CONCEPT, doseQuantity=QUANTITY, doseRange=RANGE)
-                ),
-            )
-        ),
+        dosageInstruction=_arr(DOSAGE),
     ),
     "Medication": _resource(
         identifier=_arr(IDENTIFIER),
@@ -364,8 +369,18 @@ _RESOURCES: dict[str, StructType] = {
         active=B,
         name=_arr(HUMAN_NAME),
         telecom=_arr(CONTACT_POINT),
+        address=_arr(ADDRESS),
         gender=S,
-        qualification=_arr(_backbone(code=CODEABLE_CONCEPT, period=PERIOD, issuer=REFERENCE)),
+        birthDate=S,
+        qualification=_arr(
+            _backbone(
+                identifier=_arr(IDENTIFIER),
+                code=CODEABLE_CONCEPT,
+                period=PERIOD,
+                issuer=REFERENCE,
+            )
+        ),
+        communication=_arr(CODEABLE_CONCEPT),
     ),
     "PractitionerRole": _resource(
         identifier=_arr(IDENTIFIER),
@@ -375,13 +390,182 @@ _RESOURCES: dict[str, StructType] = {
         organization=REFERENCE,
         code=_arr(CODEABLE_CONCEPT),
         specialty=_arr(CODEABLE_CONCEPT),
+        location=_arr(REFERENCE),
+        healthcareService=_arr(REFERENCE),
+        availableTime=_arr(
+            _backbone(daysOfWeek=_arr(S), allDay=B, availableStartTime=S, availableEndTime=S)
+        ),
+        notAvailable=_arr(_backbone(description=S, during=PERIOD)),
+        endpoint=_arr(REFERENCE),
     ),
     "Organization": _resource(
         identifier=_arr(IDENTIFIER),
         active=B,
         type=_arr(CODEABLE_CONCEPT),
         name=S,
+        alias=_arr(S),
+        telecom=_arr(CONTACT_POINT),
         address=_arr(ADDRESS),
+        partOf=REFERENCE,
+        contact=_arr(
+            _backbone(
+                purpose=CODEABLE_CONCEPT,
+                name=HUMAN_NAME,
+                telecom=_arr(CONTACT_POINT),
+                address=ADDRESS,
+            )
+        ),
+        endpoint=_arr(REFERENCE),
+    ),
+    "Device": _resource(
+        identifier=_arr(IDENTIFIER),
+        definition=REFERENCE,
+        udiCarrier=_arr(
+            _backbone(
+                deviceIdentifier=S,
+                issuer=S,
+                jurisdiction=S,
+                carrierAIDC=S,
+                carrierHRF=S,
+                entryType=S,
+            )
+        ),
+        status=S,
+        statusReason=_arr(CODEABLE_CONCEPT),
+        distinctIdentifier=S,
+        manufacturer=S,
+        manufactureDate=S,
+        expirationDate=S,
+        lotNumber=S,
+        serialNumber=S,
+        deviceName=_arr(_backbone(name=S, type=S)),
+        modelNumber=S,
+        partNumber=S,
+        type=CODEABLE_CONCEPT,
+        specialization=_arr(_backbone(systemType=CODEABLE_CONCEPT, version=S)),
+        version=_arr(_backbone(type=CODEABLE_CONCEPT, component=IDENTIFIER, value=S)),
+        property=_arr(
+            _backbone(
+                type=CODEABLE_CONCEPT,
+                valueQuantity=_arr(QUANTITY),
+                valueCode=_arr(CODEABLE_CONCEPT),
+            )
+        ),
+        patient=REFERENCE,
+        owner=REFERENCE,
+        location=REFERENCE,
+        url=S,
+        note=_arr(ANNOTATION),
+    ),
+    "EpisodeOfCare": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        statusHistory=_arr(_backbone(status=S, period=PERIOD)),
+        type=_arr(CODEABLE_CONCEPT),
+        diagnosis=_arr(_backbone(condition=REFERENCE, role=CODEABLE_CONCEPT, rank=L)),
+        patient=REFERENCE,
+        managingOrganization=REFERENCE,
+        period=PERIOD,
+        referralRequest=_arr(REFERENCE),
+        careManager=REFERENCE,
+        team=_arr(REFERENCE),
+        account=_arr(REFERENCE),
+    ),
+    "Location": _resource(
+        identifier=_arr(IDENTIFIER),
+        status=S,
+        operationalStatus=CODING,
+        name=S,
+        alias=_arr(S),
+        description=S,
+        mode=S,
+        type=_arr(CODEABLE_CONCEPT),
+        telecom=_arr(CONTACT_POINT),
+        address=ADDRESS,
+        physicalType=CODEABLE_CONCEPT,
+        managingOrganization=REFERENCE,
+        partOf=REFERENCE,
+        hoursOfOperation=_arr(
+            _backbone(daysOfWeek=_arr(S), allDay=B, openingTime=S, closingTime=S)
+        ),
+        availabilityExceptions=S,
+        endpoint=_arr(REFERENCE),
+    ),
+    "MedicationDispense": _resource(
+        identifier=_arr(IDENTIFIER),
+        partOf=_arr(REFERENCE),
+        status=S,
+        statusReasonCodeableConcept=CODEABLE_CONCEPT,
+        statusReasonReference=REFERENCE,
+        category=CODEABLE_CONCEPT,
+        medicationCodeableConcept=CODEABLE_CONCEPT,
+        medicationReference=REFERENCE,
+        subject=REFERENCE,
+        context=REFERENCE,
+        supportingInformation=_arr(REFERENCE),
+        performer=_arr(_backbone(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+        location=REFERENCE,
+        authorizingPrescription=_arr(REFERENCE),
+        type=CODEABLE_CONCEPT,
+        quantity=QUANTITY,
+        daysSupply=QUANTITY,
+        whenPrepared=S,
+        whenHandedOver=S,
+        destination=REFERENCE,
+        receiver=_arr(REFERENCE),
+        note=_arr(ANNOTATION),
+        dosageInstruction=_arr(DOSAGE),
+        substitution=_backbone(
+            wasSubstituted=B,
+            type=CODEABLE_CONCEPT,
+            reason=_arr(CODEABLE_CONCEPT),
+            responsibleParty=_arr(REFERENCE),
+        ),
+        detectedIssue=_arr(REFERENCE),
+        eventHistory=_arr(REFERENCE),
+    ),
+    "Specimen": _resource(
+        identifier=_arr(IDENTIFIER),
+        accessionIdentifier=IDENTIFIER,
+        status=S,
+        type=CODEABLE_CONCEPT,
+        subject=REFERENCE,
+        receivedTime=S,
+        parent=_arr(REFERENCE),
+        request=_arr(REFERENCE),
+        collection=_backbone(
+            collector=REFERENCE,
+            collectedDateTime=S,
+            collectedPeriod=PERIOD,
+            duration=QUANTITY,
+            quantity=QUANTITY,
+            method=CODEABLE_CONCEPT,
+            bodySite=CODEABLE_CONCEPT,
+            fastingStatusCodeableConcept=CODEABLE_CONCEPT,
+            fastingStatusDuration=QUANTITY,
+        ),
+        processing=_arr(
+            _backbone(
+                description=S,
+                procedure=CODEABLE_CONCEPT,
+                additive=_arr(REFERENCE),
+                timeDateTime=S,
+                timePeriod=PERIOD,
+            )
+        ),
+        container=_arr(
+            _backbone(
+                identifier=_arr(IDENTIFIER),
+                description=S,
+                type=CODEABLE_CONCEPT,
+                capacity=QUANTITY,
+                specimenQuantity=QUANTITY,
+                additiveCodeableConcept=CODEABLE_CONCEPT,
+                additiveReference=REFERENCE,
+            )
+        ),
+        condition=_arr(CODEABLE_CONCEPT),
+        note=_arr(ANNOTATION),
     ),
 }
 

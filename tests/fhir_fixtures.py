@@ -108,6 +108,102 @@ DOCREFS = [
 ]
 
 
+# One small resource per remaining basic-task type (device, episode,
+# location, meds-dispense, org, practitioner(+role), specimen).
+EXTRA_RESOURCES = [
+    {
+        "resourceType": "Device",
+        "id": "dev-1",
+        "status": "active",
+        "manufacturer": "Acme Medical",
+        "serialNumber": "SN-001",
+        "deviceName": [{"name": "Infusion Pump 3000", "type": "user-friendly-name"}],
+        "type": {"coding": [{"system": "http://snomed.info/sct", "code": "25062003"}]},
+        "patient": {"reference": "Patient/pat-1"},
+    },
+    {
+        "resourceType": "EpisodeOfCare",
+        "id": "eoc-1",
+        "status": "active",
+        "statusHistory": [{"status": "planned", "period": {"start": "2021-01-01"}}],
+        "diagnosis": [{"condition": {"reference": "Condition/con-1"}, "rank": 1}],
+        "patient": {"reference": "Patient/pat-1"},
+        "period": {"start": "2021-01-15"},
+    },
+    {
+        "resourceType": "Location",
+        "id": "loc-1",
+        "identifier": [
+            {"system": "http://hl7.org/fhir/sid/us-npi", "value": "1234567890"},
+            {"system": "https://hospital.example.com/internal", "value": "WARD-7"},
+        ],
+        "status": "active",
+        "name": "Main Campus ED",
+        "mode": "instance",
+        "address": {"city": "Boston", "state": "MA", "postalCode": "02115"},
+        "managingOrganization": {"reference": "Organization/org-1"},
+    },
+    {
+        "resourceType": "MedicationDispense",
+        "id": "md-1",
+        "status": "completed",
+        "medicationCodeableConcept": {
+            "coding": [{"system": "http://www.nlm.nih.gov/research/umls/rxnorm", "code": "313782"}]
+        },
+        "subject": {"reference": "Patient/pat-1"},
+        "context": {"reference": "Encounter/enc-1"},
+        "quantity": {"value": 30.0, "unit": "tablets"},
+        "whenHandedOver": "2021-02-02T15:00:00Z",
+        "dosageInstruction": [{"sequence": 1, "text": "One tablet daily"}],
+    },
+    {
+        "resourceType": "Organization",
+        "id": "org-1",
+        "identifier": [
+            {"system": "urn:oid:2.16.840.1.113883.4.7", "value": "11D1111111"},
+            {"system": "https://hospital.example.com/payroll", "value": "P-42"},
+        ],
+        "active": True,
+        "name": "Example Hospital",
+        "address": [{"state": "MA", "postalCode": "02115"}],
+    },
+    {
+        "resourceType": "Practitioner",
+        "id": "prac-1",
+        "identifier": [{"system": "http://hl7.org/fhir/sid/us-npi", "value": "9988776655"}],
+        "active": True,
+        "name": [{"family": "House", "given": ["Gregory"]}],
+        "gender": "male",
+        "birthDate": "1959-06-11",
+        "qualification": [
+            {"code": {"coding": [{"system": "http://terminology.hl7.org/CodeSystem/v2-0360", "code": "MD"}]}}
+        ],
+    },
+    {
+        "resourceType": "PractitionerRole",
+        "id": "pr-1",
+        "active": True,
+        "practitioner": {"reference": "Practitioner/prac-1"},
+        "organization": {"reference": "Organization/org-1"},
+        "specialty": [{"coding": [{"system": "http://snomed.info/sct", "code": "394802001"}]}],
+    },
+    {
+        "resourceType": "Specimen",
+        "id": "spec-1",
+        "accessionIdentifier": {"system": "https://lab.example.com", "value": "ACC-99"},
+        "status": "available",
+        "type": {"coding": [{"system": "http://snomed.info/sct", "code": "119361006"}]},
+        "subject": {"reference": "Patient/pat-1"},
+        "receivedTime": "2021-02-01T12:00:00Z",
+        "collection": {
+            "collector": {"reference": "Practitioner/prac-1"},
+            "collectedDateTime": "2021-02-01T11:45:00Z",
+            "bodySite": {"coding": [{"system": "http://snomed.info/sct", "code": "368208006"}]},
+        },
+    },
+]
+
+
 def write_ndjson(dirpath: str, filename: str, rows: list[dict]) -> str:
     os.makedirs(dirpath, exist_ok=True)
     path = os.path.join(dirpath, filename)
@@ -123,4 +219,38 @@ def write_standard_input(root: str) -> str:
     write_ndjson(root, "encounters.ndjson", ENCOUNTERS)
     write_ndjson(root, "conditions.ndjson", CONDITIONS)
     write_ndjson(root, "docrefs.ndjson", DOCREFS)
+    return root
+
+
+def write_wide_input(root: str) -> str:
+    """The standard tree plus one resource of every remaining basic-task
+    type — covers all 20 task types end-to-end."""
+    write_standard_input(root)
+    write_ndjson(root, "extra.ndjson", EXTRA_RESOURCES)
+    # minimal instances of the remaining standard types
+    write_ndjson(root, "more.ndjson", [
+        {"resourceType": "AllergyIntolerance", "id": "ai-1",
+         "code": {"coding": [{"system": "http://snomed.info/sct", "code": "91936005"}]},
+         "patient": {"reference": "Patient/pat-1"}},
+        {"resourceType": "DiagnosticReport", "id": "dr-1", "status": "final",
+         "code": {"coding": [{"system": "http://loinc.org", "code": "58410-2"}]},
+         "subject": {"reference": "Patient/pat-1"}},
+        {"resourceType": "Immunization", "id": "imm-1", "status": "completed",
+         "vaccineCode": {"coding": [{"system": "http://hl7.org/fhir/sid/cvx", "code": "208"}]},
+         "patient": {"reference": "Patient/pat-1"}},
+        {"resourceType": "Medication", "id": "med-1",
+         "code": {"coding": [{"system": "http://www.nlm.nih.gov/research/umls/rxnorm", "code": "313782"}]}},
+        {"resourceType": "MedicationRequest", "id": "mr-1", "status": "active",
+         "intent": "order", "medicationReference": {"reference": "Medication/med-1"},
+         "subject": {"reference": "Patient/pat-1"}},
+        {"resourceType": "Observation", "id": "obs-1", "status": "final",
+         "code": {"coding": [{"system": "http://loinc.org", "code": "8867-4"}]},
+         "subject": {"reference": "Patient/pat-1"}, "valueQuantity": {"value": 72.0, "unit": "bpm"}},
+        {"resourceType": "Procedure", "id": "proc-1", "status": "completed",
+         "code": {"coding": [{"system": "http://snomed.info/sct", "code": "80146002"}]},
+         "subject": {"reference": "Patient/pat-1"}},
+        {"resourceType": "ServiceRequest", "id": "sr-1", "status": "active", "intent": "order",
+         "code": {"coding": [{"system": "http://snomed.info/sct", "code": "104326007"}]},
+         "subject": {"reference": "Patient/pat-1"}},
+    ])
     return root

@@ -130,6 +130,65 @@ def test_quarantine_spill_explicit_errors_dir(spark, dirs, tmp_path):
     assert not os.path.exists(os.path.join(dirs["output"], "errors"))
 
 
+def test_etl_all_twenty_task_types(spark, tmp_path):
+    """E2E over every basic-task resource type (ref basic_tasks.py:21-138):
+    each type gets its table, refs are pseudonymized, and the conditional
+    identifier rules keep NPI/CLIA identifiers while dropping site-internal
+    ones."""
+    import hashlib as _h
+    import json as _j
+
+    from tests.fhir_fixtures import write_wide_input
+
+    input_dir = write_wide_input(str(tmp_path / "in"))
+    out, phi = str(tmp_path / "out"), str(tmp_path / "phi")
+    summary = run_etl(spark, input_dir, out, phi)
+    assert summary["success"]
+    expected = {
+        "patient", "encounter", "allergyintolerance", "condition", "device",
+        "diagnosticreport", "documentreference", "episodeofcare", "immunization",
+        "location", "medication", "medicationdispense", "medicationrequest",
+        "observation", "organization", "practitioner", "practitionerrole",
+        "procedure", "servicerequest", "specimen",
+    }
+    assert expected <= set(summary["tables"])
+    assert all(summary["tables"][t]["rows"] >= 1 for t in expected)
+
+    with open(os.path.join(phi, "codebook.json")) as fh:
+        salt = _j.load(fh)["salt"]
+
+    def anon(rid):
+        return _h.sha256((salt + rid).encode()).hexdigest()
+
+    # conditional identifiers: NPI kept, site-internal dropped
+    loc = ManagedTable(spark, out, "location").read().collect()[0]
+    systems = {i["system"] for i in (loc["identifier"] or [])}
+    assert systems == {"http://hl7.org/fhir/sid/us-npi"}
+    assert loc["name"] == "Main Campus ED"
+    assert loc["managingOrganization"]["reference"] == f"Organization/{anon('org-1')}"
+
+    org = ManagedTable(spark, out, "organization").read().collect()[0]
+    assert {i["system"] for i in (org["identifier"] or [])} == {"urn:oid:2.16.840.1.113883.4.7"}
+
+    # practitioner: names gone, NPI kept, birthDate generalized to year
+    prac = ManagedTable(spark, out, "practitioner").read().collect()[0]
+    assert "name" not in ManagedTable(spark, out, "practitioner").read().columns
+    assert prac["birthDate"] == "1959"
+    assert {i["system"] for i in (prac["identifier"] or [])} == {"http://hl7.org/fhir/sid/us-npi"}
+
+    # specimen: collector/subject refs pseudonymized; accession dropped
+    spec = ManagedTable(spark, out, "specimen").read()
+    assert "accessionIdentifier" not in spec.columns
+    row = spec.collect()[0]
+    assert row["subject"]["reference"] == f"Patient/{anon('pat-1')}"
+    assert row["collection"]["collector"]["reference"] == f"Practitioner/{anon('prac-1')}"
+
+    # device: patient ref pseudonymized, hardware strings intact
+    dev = ManagedTable(spark, out, "device").read().collect()[0]
+    assert dev["patient"]["reference"] == f"Patient/{anon('pat-1')}"
+    assert dev["serialNumber"] == "SN-001"
+
+
 def test_init_creates_empty_tables_with_schema(spark, tmp_path):
     out = str(tmp_path / "out")
     created = run_init(spark, out, tasks=["patient", "condition"])
