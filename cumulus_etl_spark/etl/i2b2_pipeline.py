@@ -58,5 +58,9 @@ def run_etl_i2b2(
         table = ManagedTable(spark, output_dir, table_name)
         table.merge(scrubbed, MergePolicy())
         rows = table.read().count()
-        summary["tables"][table_name] = {"rows": rows, "source": filename}
+        # Two CSVs can feed one table (lab_views + vitals → observation);
+        # accumulate sources instead of letting the last file overwrite.
+        entry = summary["tables"].setdefault(table_name, {"rows": 0, "sources": []})
+        entry["rows"] = rows  # table total after this merge
+        entry["sources"].append(filename)
     return summary

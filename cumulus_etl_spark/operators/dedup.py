@@ -239,9 +239,12 @@ def ngram_jaccard_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    losers = j.select(F.col("id_b").alias(id_col)).distinct()
-    out = df.join(losers, id_col, "left_anti")
-    return out
+    # Materialize the (tiny: ids only) loser set eagerly so the shingle
+    # cache can be released here instead of leaking for the session's
+    # lifetime — the returned frame then depends only on the checkpoint.
+    losers = j.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
+    sh.unpersist()
+    return df.join(losers, id_col, "left_anti")
 
 
 def simhash64(text_col: Column | str, ngram: int = 2) -> Column:

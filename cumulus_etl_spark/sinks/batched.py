@@ -13,8 +13,36 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _group_batched(df: DataFrame, group_field: str, batch_size: int) -> DataFrame:
+    """Assign every group to one batch partition, batches ≈ batch_size rows.
+
+    maxRecordsPerFile splits a partition's output purely by row count, so
+    a group could straddle two files. Instead: count rows per group (one
+    shuffle, one row per group), running-sum the sizes into batch numbers,
+    broadcast the (group → batch) map back onto the data, and range-
+    partition by batch so the writer emits whole batches. A group never
+    splits; a single group larger than batch_size yields one oversized
+    batch (the reference's semantics — batching.py:60-73 keeps groups
+    atomic at any size). The unpartitioned running-sum window runs over
+    group-level rows only — the same driver-scale class as the
+    ``collect_set`` in the .meta sidecar.
+    """
+    sizes = df.groupBy(group_field).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(group_field).rowsBetween(Window.unboundedPreceding, 0)
+    assign = (
+        sizes.withColumn("_cum", F.sum("_n").over(w))
+        .withColumn("_batch", F.floor((F.col("_cum") - 1) / F.lit(batch_size)))
+        .select(group_field, "_batch")
+    )
+    n_batches = assign.agg(F.max("_batch")).first()[0]
+    if n_batches is None:  # empty input
+        return df
+    out = df.join(F.broadcast(assign), group_field)
+    return out.repartitionByRange(int(n_batches) + 1, "_batch").drop("_batch")
 
 
 def write_ndjson_batches(
@@ -27,14 +55,17 @@ def write_ndjson_batches(
     """K4: NDJSON batches, ≤batch_size rows per file, nulls dropped.
 
     Group atomicity (batching.py:60-73 — a group never splits across
-    batch files): repartition by the group field so each group lands in
-    exactly one task's output files.
+    batch files): groups are assigned to whole batch partitions up front
+    (``_group_batched``), so a batch-at-a-time consumer with group-
+    replacement merge semantics never sees a half-group.
     """
+    writer = df.write
     if group_field is not None:
-        df = df.repartition(F.col(group_field))
+        writer = _group_batched(df, group_field, batch_size).write
+    else:
+        writer = writer.option("maxRecordsPerFile", batch_size)
     (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", batch_size)
+        writer.mode("overwrite")
         .option("ignoreNullFields", "true")
         .json(out_dir)
     )
@@ -48,11 +79,13 @@ def write_parquet_batches(
     group_field: str | None = None,
 ) -> None:
     """K5: snappy parquet batches (the NLP output format)."""
+    writer = df.write
     if group_field is not None:
-        df = df.repartition(F.col(group_field))
+        writer = _group_batched(df, group_field, batch_size).write
+    else:
+        writer = writer.option("maxRecordsPerFile", batch_size)
     (
-        df.write.mode("overwrite")
-        .option("maxRecordsPerFile", batch_size)
+        writer.mode("overwrite")
         .option("compression", "snappy")
         .parquet(out_dir)
     )

@@ -248,3 +248,24 @@ def test_write_ndjson_batches_sidecar_and_nulls(spark, tmp_path):
     by_id = {d["id"]: d for d in lines}
     assert "maybe" not in by_id["a"]  # sparse rows: nulls dropped
     assert by_id["b"]["maybe"] == "x"
+
+
+def test_write_ndjson_batches_group_atomic_across_files(spark, tmp_path):
+    """A group never straddles two batch files, even when batch_size
+    would slice mid-group (ref batching.py:60-73 semantics)."""
+    rows = [(f"r{g}-{i}", f"g{g}") for g in range(6) for i in range(5)]
+    df = spark.createDataFrame(rows, "id string, grp string")
+    out = str(tmp_path / "out")
+    # batch_size=7 is deliberately not a multiple of the group size (5)
+    write_ndjson_batches(df, out, batch_size=7, group_field="grp")
+    group_to_files: dict[str, set[str]] = {}
+    total = 0
+    for f in glob.glob(os.path.join(out, "*.json")):
+        with open(f) as fh:
+            for line in fh:
+                if line.strip():
+                    total += 1
+                    group_to_files.setdefault(json.loads(line)["grp"], set()).add(f)
+    assert total == 30
+    for grp, files in group_to_files.items():
+        assert len(files) == 1, f"group {grp} split across {files}"
