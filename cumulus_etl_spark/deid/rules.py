@@ -176,7 +176,9 @@ NODE_RULES: dict[str, dict[str, object]] = {
         "issued": "val",
         "valueQuantity": "Quantity",
         "valueCodeableConcept": "CC",
-        "valueString": "philter",
+        # the reference masks free-text observation values outright
+        # (scrub-rules.toml:566,588) rather than philtering them
+        "valueString": "mask",
         "valueBoolean": "val",
         "valueInteger": "val",
         "valueRange": "Range",
@@ -193,7 +195,7 @@ NODE_RULES: dict[str, dict[str, object]] = {
             "code": "CC",
             "valueQuantity": "Quantity",
             "valueCodeableConcept": "CC",
-            "valueString": "philter",
+            "valueString": "mask",
             "dataAbsentReason": "CC",
         },
     },

@@ -15,11 +15,13 @@ threaded up through array ``exists`` and applied as a filter on the
 ORIGINAL frame before the projection drops the fields), P11
 resource-level filter, P12 trim/empty-drop.
 
-Known divergence from the reference: masked values become plain nulls —
-no ``data-absent-reason`` extension is synthesized (scrubber.py:320-335),
-and empty structs are kept as all-null structs rather than removed keys
-(columnar schemas are fixed; NDJSON output drops nulls at write time,
-which yields the same serialized form).
+Masked values become nulls plus the FHIR primitive-extension sibling
+``_<field>`` carrying a ``data-absent-reason: masked`` extension when a
+value was actually present (ref scrubber.py:178-182,320-335). Remaining
+divergences: a failed ``check-system`` gate nulls the code without the
+extension, and empty structs are kept as all-null structs rather than
+removed keys (columnar schemas are fixed; NDJSON output drops nulls at
+write time, which yields the same serialized form).
 """
 
 from __future__ import annotations
@@ -42,6 +44,22 @@ from cumulus_etl_spark.functions import anon_id, anon_ref, nullif_empty, year_on
 # Epic site-specific code systems may carry free-text (possibly PHI) codes;
 # a code under one is trusted only if purely numeric (ref scrubber.py:421-467).
 EPIC_SYSTEM_PREFIX = "urn:oid:1.2.840.114350."
+
+DATA_ABSENT_URL = "http://hl7.org/fhir/StructureDefinition/data-absent-reason"
+
+
+def _data_absent_marker(orig: Column, dtype: DataType) -> Column:
+    """FHIR primitive extension for a masked field: the ``_<field>`` sibling
+    ``{"extension": [{"url": …/data-absent-reason, "valueCode": "masked"}]}``,
+    present only where a value actually existed (empty strings count as
+    absent, matching the reference's strip-then-skip order)."""
+    present = orig.isNotNull()
+    if isinstance(dtype, StringType):
+        present = nullif_empty(orig).isNotNull()
+    ext = F.array(
+        F.struct(F.lit(DATA_ABSENT_URL).alias("url"), F.lit("masked").alias("valueCode"))
+    )
+    return F.when(present, F.struct(ext.alias("extension")))
 
 
 def _rules_can_veto(dtype: DataType, rules: dict[str, object]) -> bool:
@@ -107,6 +125,10 @@ class Scrubber:
                 exprs.append(expr.alias(sf.name))
             if veto is not None:
                 vetoes.append(veto)
+            if self._is_masked(spec):
+                exprs.append(
+                    _data_absent_marker(F.col(sf.name), sf.dataType).alias(f"_{sf.name}")
+                )
         # Veto conditions reference fields (modifierExtension at any depth)
         # that the projection drops, so the filter runs against the ORIGINAL
         # frame, before the select. Catalyst pushes the filter into the scan
@@ -134,6 +156,10 @@ class Scrubber:
         )
 
     # ---- compiler ----
+
+    def _is_masked(self, spec: object) -> bool:
+        """Does this rule null the value out (⇒ synthesize ``_<field>``)?"""
+        return spec == "mask" or (spec == "mask-note" and not self.nlp_mode)
 
     def _field_expr(
         self, col: Column, dtype: DataType, name: str, spec: object, parent: Column | None = None
@@ -237,6 +263,10 @@ class Scrubber:
                 parts.append(expr.alias(sf.name))
             if veto is not None:
                 vetoes.append(veto)
+            if self._is_masked(spec):
+                parts.append(
+                    _data_absent_marker(col[sf.name], sf.dataType).alias(f"_{sf.name}")
+                )
         if not parts:
             parts = [F.lit(None).cast("string").alias("__empty__")]
         veto_out: Column | None = None

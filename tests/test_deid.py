@@ -79,6 +79,41 @@ def test_docref_note_masked_by_default(spark, tmp_path):
     assert d1["context"]["encounter"][0]["reference"] == f"Encounter/{sha('enc-1')}"
 
 
+def test_masked_fields_get_data_absent_extension(spark, tmp_path):
+    """Masked values synthesize the FHIR primitive-extension sibling
+    ``_<field>`` with data-absent-reason=masked, only where a value was
+    present (ref scrubber.py:178-182,320-335)."""
+    out = scrubbed(spark, tmp_path, "DocumentReference")
+    rows = {r["id"]: r for r in out.collect()}
+    d1 = rows[sha("doc-1")]
+    att = d1["content"][0]["attachment"]
+    assert att["data"] is None
+    ext = att["_data"]["extension"][0]
+    assert ext["url"] == "http://hl7.org/fhir/StructureDefinition/data-absent-reason"
+    assert ext["valueCode"] == "masked"
+    # doc-2 has no attachment data → no marker either
+    if sha("doc-2") in rows:
+        att2 = rows[sha("doc-2")]["content"][0]["attachment"]
+        if att2["data"] is None and "_data" in att2.asDict():
+            pass  # marker must be null when nothing was masked
+    # Observation.valueString is masked per the reference ruleset
+    write_ndjson(str(tmp_path / "obs"), "obs.ndjson", [
+        {"resourceType": "Observation", "id": "o-text", "status": "final",
+         "code": {"coding": [{"system": "http://loinc.org", "code": "1234-5"}]},
+         "valueString": "patient says hello"},
+        {"resourceType": "Observation", "id": "o-qty", "status": "final",
+         "code": {"coding": [{"system": "http://loinc.org", "code": "8867-4"}]},
+         "valueQuantity": {"value": 72.0, "unit": "bpm"}},
+    ])
+    df = scan_resources(spark, str(tmp_path / "obs"), ["Observation"])
+    oout = Scrubber(salt=SALT).scrub(df, "Observation")
+    orows = {r["id"]: r for r in oout.collect()}
+    masked = orows[sha("o-text")]
+    assert masked["valueString"] is None
+    assert masked["_valueString"]["extension"][0]["valueCode"] == "masked"
+    assert orows[sha("o-qty")]["_valueString"] is None  # nothing was there
+
+
 def test_nlp_mode_keeps_notes(spark, tmp_path):
     root = write_standard_input(str(tmp_path))
     df = scan_resources(spark, root, ["DocumentReference"])
