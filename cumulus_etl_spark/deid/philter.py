@@ -1,10 +1,17 @@
 """Philter-lite: regex-based PHI masking for free-text fields (P8).
 
 The reference wraps the ``philter-lite`` package (cumulus_etl/deid/
-philter.py:13-43): detect PHI spans in text, replace each span with
-asterisks of equal length. That package isn't available here, so this is
-a clearly-scoped regex subset covering the structured-PHI classes
-(emails, phone numbers, SSNs, URLs, MRN-like digit runs).
+philter.py:13-43) with a 269-rule config (philter-config.toml: 134
+exclude rules + safe-word includes + NLTK POS name-finding). That package
+isn't available here, so this is a regex port of the exclude-rule
+CATEGORIES: contact (email/phone/pager/URL), government IDs (SSN),
+medical record numbers (labeled and bare digit runs — the config's "six
+or more digits"), street addresses and city/state/zip, ages, salutation
+/ signature name patterns, and the letter-digit ID shapes (CCDDDD etc.).
+Dates are deliberately NOT masked — the reference keeps dates (config
+header lines 5-8: Cumulus finds accurate dates useful). POS-tagger name
+detection and the first/last-name blacklists are out of scope
+(documented recall gap vs philter-lite).
 
 Two implementations, same patterns:
 
@@ -27,25 +34,60 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-# (python regex, java regex) pairs — kept in sync; java flavor used JVM-side.
+_STREET_SUFFIX = (
+    r"(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|"
+    r"Court|Ct|Place|Pl|Terrace|Ter|Highway|Hwy|Parkway|Pkwy|Circle|Cir|Way)"
+)
+
+# (class name, regex) — the same pattern string is valid in both Python's
+# `re` and Java's `j.u.regex` (word boundaries, lookarounds, counted
+# repetition all overlap); compiled/applied case-insensitively in both.
+# Order matters: labeled IDs run before bare digit runs so the label is
+# masked with its value.
 _PATTERNS: list[tuple[str, str]] = [
     # RFC 5322 atext local part (hypothesis-found: '*@a.com' is a valid email)
-    (r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",) * 2,  # email
-    (r"\b\d{3}[-.]\d{2}[-.]\d{4}\b",) * 2,  # SSN
-    (r"(?<!\w)(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b",) * 2,  # phone
-    (r"\bhttps?://\S+",) * 2,  # URL
-    (r"\b\d{7,10}\b",) * 2,  # MRN-like bare digit run
+    ("email", r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"\bhttps?://\S+"),
+    ("ssn", r"\b\d{3}[-. ]\d{2}[-. ]\d{4}\b"),
+    ("phone", r"(?<!\w)(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}\b"),
+    ("pager", r"\b(?:pager|beeper)\s*#?\s*\d{4,6}\b"),
+    # "patient mrn" / "account #" / "accession #" / "id verbose" rules
+    (
+        "labeled_id",
+        r"\b(?:MRN|medical record(?: number)?|acct|account|accession|order number|"
+        r"specimen(?: number)?|activation code)\s*[#:]?\s*[A-Za-z0-9-]{4,}\b",
+    ),
+    # addresses.num_streetname(_extension/_suite/...) family
+    (
+        "street_address",
+        r"\b\d{1,6}\s+(?:[A-Za-z][A-Za-z'-]+\s+){1,3}" + _STREET_SUFFIX
+        + r"\b\.?(?:,?\s*(?:Apt|Apartment|Suite|Ste|Unit|Floor|Fl|Rm|Room|#)\.?\s*\w+)?",
+    ),
+    # addresses.city_state_zip / city_zip
+    ("city_state_zip", r"\b[A-Za-z][A-Za-z'-]+(?:\s[A-Za-z][A-Za-z'-]+)?,\s*[A-Za-z]{2},?\s+\d{5}(?:-\d{4})?\b"),
+    # "x year old" / "x yo" / "age x" family
+    ("age", r"\b\d{1,3}[- ](?:year|yr)s?[- ]old\b|\b\d{1,3}\s*y[./]?o\b|\bage[: ]+\d{1,3}\b"),
+    # salutations + Find Names (regex subset; POS-tagger names out of scope)
+    (
+        "salutation_name",
+        r"\b(?:Mr|Mrs|Ms|Miss|Dr|Prof)\.?\s+[A-Za-z][A-Za-z'-]+(?:\s+[A-Za-z][A-Za-z'-]+)?",
+    ),
+    ("signature", r"\b(?:sincerely|best regards|regards|warm regards),?\s*\n\s*[A-Za-z][A-Za-z .'-]+"),
+    # letter-digit ID shapes (CCDDDD+ with a long digit run)
+    ("mixed_id", r"\b[A-Za-z]{1,3}\d{5,}\b"),
+    # "six or more digits" exclude rule
+    ("digit_run", r"\b\d{6,}\b"),
 ]
 
-_PHI_PATTERNS: list[re.Pattern] = [re.compile(py, re.IGNORECASE) for py, _ in _PATTERNS]
+_PHI_PATTERNS: list[re.Pattern] = [re.compile(p, re.IGNORECASE) for _, p in _PATTERNS]
 
 REDACTION = "***"
 
 
 def philter_mask(col: Column) -> Column:
     """JVM-side PHI masking: each detected span becomes ``***``."""
-    for _, java_pat in _PATTERNS:
-        col = F.regexp_replace(col, "(?i)" + java_pat, REDACTION)
+    for _, pat in _PATTERNS:
+        col = F.regexp_replace(col, "(?i)" + pat, REDACTION)
     return col
 
 

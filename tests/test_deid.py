@@ -205,7 +205,8 @@ def test_scrub_text_patterns():
     assert scrub_text("mail me jane@example.com now") == "mail me **************** now"
     assert scrub_text("ssn 123-45-6789.") == "ssn ***********."
     assert scrub_text("call (617) 555-1234 today") == "call ************** today"
-    assert scrub_text("mrn 12345678") == "mrn ********"
+    # labeled-ID rule masks the label WITH its value (philter "patient mrn")
+    assert scrub_text("mrn 12345678") == "************"
     assert scrub_text(None) is None
 
 

@@ -86,6 +86,63 @@ def test_canaries_never_survive_scrub(spark, tmp_path):
         assert payload  # sanity: rows actually survived
 
 
+PHI_SAMPLES = {
+    # class → snippets that MUST be (at least partially) redacted
+    "phone": ["call (617) 555-1234 now", "cell 617-555-1234", "tel 617.555.1234",
+              "+1 617 555 1234 after 5"],
+    "ssn": ["SSN 123-45-6789 on file", "ss# 123 45 6789"],
+    "email": ["contact jdoe@example.com", "sent to nurse.jane+x@hospital.org"],
+    "url": ["see https://portal.example.com/visit/9 for results"],
+    "mrn": ["MRN: 12345678", "mrn 4419872", "Account #: 99887766",
+            "accession # S12-4455667", "medical record number 445566"],
+    "digit_run": ["id 123456 assigned", "confirmation 987654321"],
+    "mixed_id": ["specimen AB123456 processed", "unit XY99887 stored"],
+    "address": ["lives at 123 Main Street", "45 Oak Ave Apt 3B",
+                "sent to 9 Winding Hollow Drive, Suite 200"],
+    "city_state_zip": ["resides in Boston, MA 02115", "moved to San Jose, CA 95110-1234"],
+    "age": ["patient is 87 years old", "a 92 yo male", "age 95 presents"],
+    "name": ["seen by Dr. Gregory House", "per Mrs Smith", "Mr. O'Brien reports"],
+    "pager": ["page me, pager 54321", "beeper # 4312"],
+}
+
+SAFE_SAMPLES = [
+    # clinical content philter must NOT destroy (dates are kept by design)
+    "BP 120/80 mmHg",
+    "temperature 98.6 F",
+    "metoprolol 25 mg twice daily",
+    "follow-up on 2021-03-05",
+    "heart rate 72 regular",
+    "A1c 7.2 improving",
+    "ICD E11.9 type 2 diabetes",
+]
+
+
+def test_philter_recall_by_class(spark):
+    """Every philter-lite exclude-rule category we port must actually
+    redact its samples (ref deid/philter-config.toml exclude rules), on
+    BOTH implementations (Catalyst regexp chain + pandas length-
+    preserving), and safe clinical text survives untouched."""
+    from cumulus_etl_spark.deid.philter import philter_mask, scrub_text
+
+    rows = [(f"{cls}:{i}", s) for cls, snips in PHI_SAMPLES.items()
+            for i, s in enumerate(snips)]
+    df = spark.createDataFrame(rows, "k string, text string")
+    masked = {r["k"]: r["m"] for r in
+              df.select("k", philter_mask(F.col("text")).alias("m")).collect()}
+    for cls, snips in PHI_SAMPLES.items():
+        for i, s in enumerate(snips):
+            jvm = masked[f"{cls}:{i}"]
+            assert jvm != s and "***" in jvm, f"[jvm/{cls}] leaked: {s!r} -> {jvm!r}"
+            py = scrub_text(s)
+            assert py != s and "*" in py, f"[py/{cls}] leaked: {s!r} -> {py!r}"
+            assert len(py) == len(s), f"[py/{cls}] not length-preserving: {s!r}"
+
+    safe_df = spark.createDataFrame([(s,) for s in SAFE_SAMPLES], "text string")
+    kept = [r["m"] for r in safe_df.select(philter_mask(F.col("text")).alias("m")).collect()]
+    assert kept == SAFE_SAMPLES
+    assert [scrub_text(s) for s in SAFE_SAMPLES] == SAFE_SAMPLES
+
+
 def test_canary_in_modifier_extension_vetoes_row(spark, tmp_path):
     write_ndjson(str(tmp_path), "veto.ndjson", [
         {"resourceType": "Patient", "id": "x",
