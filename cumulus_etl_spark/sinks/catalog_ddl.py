@@ -13,6 +13,20 @@ bucket column: ``SELECT ... FROM <db>.<table>`` with full pushdown.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
 
 from cumulus_etl_spark.sinks.merge import BUCKET_COL, ManagedTable
 
@@ -51,3 +65,95 @@ def register_all(spark: SparkSession, output_dir: str, names: list[str], db: str
     return [
         register_table(spark, ManagedTable(spark, output_dir, n), db=db) for n in names
     ]
+
+
+# ---- Athena external-table DDL emission (K6 proper) ----
+#
+# For lakes that Athena queries directly, emit the same CREATE EXTERNAL
+# TABLE the reference generates from its pyarrow schemas
+# (formats/nlp.py:86-134), from our StructType instead. Executing the DDL
+# needs an Athena connection (not available here), so emission and
+# execution are split: ``athena_create_table_ddl`` returns the SQL;
+# ``register_athena_table`` runs it through any DB-API cursor.
+
+_ATHENA_FORMATS = {
+    # pre-LOCATION and post-LOCATION clauses (ref ndjson.py:43-44, parquet.py:24-25)
+    "ndjson": ("ROW FORMAT SERDE 'org.openx.data.jsonserde.JsonSerDe'", ""),
+    "parquet": ("STORED AS PARQUET", 'TBLPROPERTIES ("parquet.compression"="SNAPPY")'),
+}
+
+
+def athena_type(dtype: DataType) -> str:
+    """Spark type → Athena DDL type (ref _pyarrow_schema_to_athena_cols,
+    formats/nlp.py:95-134: every integer width maps to INT, every float
+    to DOUBLE; anything else unsupported is a hard error, not a guess)."""
+    if isinstance(dtype, StringType):
+        return "STRING"
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return "INT"
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return "DOUBLE"
+    if isinstance(dtype, BooleanType):
+        return "BOOLEAN"
+    if isinstance(dtype, TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dtype, ArrayType):
+        return f"ARRAY<{athena_type(dtype.elementType)}>"
+    if isinstance(dtype, StructType):
+        inner = ", ".join(f"{f.name}: {athena_type(f.dataType)}" for f in dtype.fields)
+        return f"STRUCT<{inner}>"
+    raise ValueError(f"Unsupported Spark type for Athena DDL: {dtype.simpleString()}")
+
+
+def athena_cols(schema: StructType) -> str:
+    return ", ".join(f"{f.name} {athena_type(f.dataType)}" for f in schema.fields)
+
+
+def versioned_location(root: str, dbname: str, version: int) -> tuple[str, str]:
+    """The reference's results-bucket layout (formats/nlp.py:28-44):
+    ``{study}__{table}`` registers at ``{root}/{study}/{table}_v{version}/``.
+    A dbname without ``__`` keeps a flat ``{root}/{dbname}_v{version}/``.
+    Returns (table folder, versioned dir name)."""
+    if "__" in dbname:
+        study, table = dbname.split("__", 1)
+        return f"{root.rstrip('/')}/{study}", f"{table}_v{version}"
+    return root.rstrip("/"), f"{dbname}_v{version}"
+
+
+def athena_create_table_ddl(
+    dbname: str,
+    schema: StructType,
+    root: str,
+    version: int = 1,
+    fmt: str = "parquet",
+) -> str:
+    """CREATE EXTERNAL TABLE DDL string for one managed table version."""
+    pre_params, post_params = _ATHENA_FORMATS[fmt]
+    folder, vdir = versioned_location(root, dbname, version)
+    parts = [
+        f"CREATE EXTERNAL TABLE {dbname} (",
+        f"    {athena_cols(schema)}",
+        ")",
+    ]
+    if pre_params:
+        parts.append(pre_params)
+    parts.append(f"LOCATION '{folder}/{vdir}/'")
+    if post_params:
+        parts.append(post_params)
+    return "\n".join(parts)
+
+
+def register_athena_table(
+    cursor,
+    dbname: str,
+    schema: StructType,
+    root: str,
+    version: int = 1,
+    fmt: str = "parquet",
+) -> str:
+    """DROP + CREATE through a DB-API cursor (PyAthena or compatible),
+    mirroring ref formats/nlp.py:67-93. Returns the executed DDL."""
+    cursor.execute(f"DROP TABLE IF EXISTS {dbname}")
+    ddl = athena_create_table_ddl(dbname, schema, root, version=version, fmt=fmt)
+    cursor.execute(ddl)
+    return ddl

@@ -56,6 +56,66 @@ def test_register_table_in_catalog(spark, tmp_path):
     assert spark.sql("SELECT sum(v) s FROM testdb.reg_demo").collect()[0]["s"] == 3
 
 
+def test_athena_ddl_for_nested_nlp_schema():
+    """Emitted Athena DDL for a nested NLP result schema matches the
+    reference's translator output shape (formats/nlp.py:86-134):
+    STRUCT<name: TYPE>, ARRAY<...>, integer widths collapsed to INT."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, LongType, StringType,
+        StructField, StructType, TimestampType,
+    )
+
+    from cumulus_etl_spark.sinks.catalog_ddl import (
+        athena_create_table_ddl, register_athena_table,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),
+        StructField("note_ref", StringType()),
+        StructField("generated_on", TimestampType()),
+        StructField("task_version", LongType()),
+        StructField("match", StructType([
+            StructField("code", StringType()),
+            StructField("begin", LongType()),
+            StructField("negated", BooleanType()),
+            StructField("score", DoubleType()),
+            StructField("spans", ArrayType(StructType([
+                StructField("begin", LongType()),
+                StructField("end", LongType()),
+            ]))),
+        ])),
+    ])
+    ddl = athena_create_table_ddl(
+        "covid_symptom__nlp_results", schema, "s3://results", version=2
+    )
+    assert ddl == (
+        "CREATE EXTERNAL TABLE covid_symptom__nlp_results (\n"
+        "    id STRING, note_ref STRING, generated_on TIMESTAMP, task_version INT, "
+        "match STRUCT<code: STRING, begin: INT, negated: BOOLEAN, score: DOUBLE, "
+        "spans: ARRAY<STRUCT<begin: INT, end: INT>>>\n"
+        ")\n"
+        "STORED AS PARQUET\n"
+        "LOCATION 's3://results/covid_symptom/nlp_results_v2/'\n"
+        'TBLPROPERTIES ("parquet.compression"="SNAPPY")'
+    )
+    # NDJSON flavor swaps the format clauses (ref ndjson.py:43-44)
+    nd = athena_create_table_ddl("study__tbl", schema, "s3://r", fmt="ndjson")
+    assert "ROW FORMAT SERDE 'org.openx.data.jsonserde.JsonSerDe'" in nd
+    assert "TBLPROPERTIES" not in nd
+
+    class FakeCursor:
+        def __init__(self):
+            self.sql = []
+
+        def execute(self, q):
+            self.sql.append(q)
+
+    cur = FakeCursor()
+    register_athena_table(cur, "covid_symptom__nlp_results", schema, "s3://results", version=2)
+    assert cur.sql[0] == "DROP TABLE IF EXISTS covid_symptom__nlp_results"
+    assert cur.sql[1] == ddl
+
+
 def test_cli_init_and_etl(spark, tmp_path, capsys):
     from tests.fhir_fixtures import write_standard_input
 
