@@ -1,0 +1,221 @@
+"""Real HTTP NLP providers (U1/U2/U4): executor-side fan-out over stdlib.
+
+The reference talks to cTAKES / cNLP-transformers / LLM endpoints with
+async httpx clients from one process (nlp/extract.py:16-66,
+nlp/models.py:95-664, ctakesclient). Neither httpx nor aiohttp ship in
+this environment, so the clients here use ``urllib.request`` plus a
+thread pool — threads are ideal for I/O fan-out, and each Spark task
+runs its own pool, so cluster-wide concurrency is
+``tasks × concurrency`` without any shared state.
+
+Providers implement two call shapes:
+
+- ``__call__(text) -> list[match]`` — one note (the stub-model
+  interface, so everything downstream is provider-agnostic);
+- ``map_batch(texts) -> list[list[match]]`` — a whole Arrow batch,
+  fanned out concurrently; ``run_model`` prefers this when present.
+
+Transient failures (429/5xx, connection errors) retry with exponential
+backoff inside the task; a note that still fails raises, failing only
+that Spark task (the scheduler retries it), matching the reference's
+per-request retry loop (nlp/utils.py + models.py error handling).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+@dataclass
+class HttpClient:
+    """Minimal JSON-over-HTTP client with retry/backoff.
+
+    Stateless between calls, so one instance is safe to share across the
+    threads of a task's pool (urllib opens a fresh connection per
+    request; keep-alive is a future optimization, not a semantic)."""
+
+    timeout: float = 300.0  # cTAKES can take ~20s/note; be generous (ref extract.py:12)
+    max_retries: int = 3
+    backoff: float = 0.5
+    headers: dict = field(default_factory=dict)
+
+    def post_json(self, url: str, payload: dict | str) -> dict:
+        body = payload if isinstance(payload, str) else json.dumps(payload)
+        return self._request(url, data=body.encode("utf-8"), method="POST")
+
+    def get_json(self, url: str) -> dict:
+        return self._request(url, data=None, method="GET")
+
+    def _request(self, url: str, data: bytes | None, method: str) -> dict:
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=data,
+                    method=method,
+                    headers={"Content-Type": "application/json", **self.headers},
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as err:
+                if err.code not in RETRYABLE_STATUSES:
+                    raise
+                last_err = err
+            except (urllib.error.URLError, TimeoutError, ConnectionError) as err:
+                last_err = err
+            if attempt < self.max_retries:
+                time.sleep(self.backoff * (2**attempt))
+        raise RuntimeError(f"{method} {url} failed after {self.max_retries + 1} tries") from last_err
+
+
+def _fan_out(fn, items, concurrency: int) -> list:
+    """Order-preserving concurrent map over one task's batch."""
+    if concurrency <= 1 or len(items) <= 1:
+        return [fn(x) for x in items]
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        return list(pool.map(fn, items))
+
+
+@dataclass
+class CtakesHttpModel:
+    """U1/U2: cTAKES symptom extraction + optional cNLP negation check.
+
+    POSTs raw note text to the cTAKES REST endpoint and normalizes the
+    response into the MATCH_SCHEMA shape (text/code/polarity/begin/end).
+    With ``cnlp_url`` set, match spans get a second opinion from a
+    cnlp-transformers negation endpoint (``{"doc_text":…, "entities":
+    [[begin,end],…]} → {"statuses": [-1|1,…]}``), mirroring the
+    reference's two-stage extract (covid_ctakes.py:86-118,
+    nlp/extract.py:38-66).
+    """
+
+    url: str
+    cnlp_url: str | None = None
+    concurrency: int = 8
+    client: HttpClient = field(default_factory=HttpClient)
+
+    def __call__(self, text: str | None) -> list[dict]:
+        if not text:
+            return []
+        raw = self.client.post_json(self.url, text)
+        matches = [
+            {
+                "text": m.get("text"),
+                "code": (m.get("conceptAttributes") or [{}])[0].get("cui", m.get("code")),
+                "polarity": m.get("polarity", "positive"),
+                "begin": m.get("begin"),
+                "end": m.get("end"),
+            }
+            for m in raw.get("matches", raw if isinstance(raw, list) else [])
+        ]
+        if self.cnlp_url and matches:
+            spans = [[m["begin"], m["end"]] for m in matches]
+            verdict = self.client.post_json(
+                self.cnlp_url, {"doc_text": text, "entities": spans}
+            )
+            for m, status in zip(matches, verdict.get("statuses", [])):
+                m["polarity"] = "negated" if status == -1 else "positive"
+        matches.sort(key=lambda m: (m["code"] or "", m["begin"] or 0))
+        return matches
+
+    def map_batch(self, texts: list[str | None]) -> list[list[dict]]:
+        return _fan_out(self, texts, self.concurrency)
+
+
+@dataclass
+class LlmHttpModel:
+    """U4 (sync path): chat-completions-style structured extraction.
+
+    POSTs ``{model, messages, response_format}`` and expects the standard
+    completion envelope; the message content must be a JSON match list
+    (the response-schema compile in nlp/response_schema.py builds the
+    format object). Token usage comes from the response ``usage`` block
+    (ref nlp/models.py:283-311).
+    """
+
+    url: str
+    model_name: str
+    system_prompt: str = "Extract symptom matches as a JSON list."
+    response_format: dict | None = None
+    concurrency: int = 4
+    client: HttpClient = field(default_factory=HttpClient)
+    _last_usage: dict = field(default_factory=dict)
+
+    def _prompt(self, text: str) -> dict:
+        payload = {
+            "model": self.model_name,
+            "messages": [
+                {"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": text},
+            ],
+        }
+        if self.response_format:
+            payload["response_format"] = self.response_format
+        return self.client.post_json(self.url, payload)
+
+    def __call__(self, text: str | None) -> list[dict]:
+        if not text:
+            return []
+        resp = self._prompt(text)
+        self._last_usage[text] = resp.get("usage") or {}
+        content = resp["choices"][0]["message"]["content"]
+        matches = json.loads(content)
+        return matches if isinstance(matches, list) else []
+
+    def usage(self, text: str | None) -> tuple[int, int]:
+        u = self._last_usage.get(text) or {}
+        return u.get("prompt_tokens", 0), u.get("completion_tokens", 0)
+
+    def map_batch(self, texts: list[str | None]) -> list[list[dict]]:
+        return _fan_out(self, texts, self.concurrency)
+
+
+class HttpBatchProvider:
+    """U4 (batch path): a real batch-API client for nlp/batch_api.BatchRun.
+
+    submit() uploads one chunk file's prompts as JSONL to ``POST
+    {base}/batches`` (→ ``{"id": …}``); poll() GETs
+    ``{base}/batches/{id}`` until ``status == "completed"``, then
+    fetches ``{base}/batches/{id}/results`` (``{"results": [{checksum,
+    result}, …]}``) and lands them as the results parquet. Mirrors the
+    reference's OpenAI-batch lifecycle (nlp/models.py:313-450): upload →
+    poll → download, with resume handled by BatchRun's metadata.
+
+    Chunk files are ≤50k requests by construction (batch_api.py), so the
+    driver-side JSONL staging is bounded the same way the reference's
+    file uploads are.
+    """
+
+    def __init__(self, base_url: str, client: HttpClient | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.client = client or HttpClient()
+
+    def submit(self, prompts_path: str) -> str:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = spark.read.parquet(prompts_path).collect()
+        lines = "\n".join(
+            json.dumps({"checksum": r["checksum"], "note_text": r["note_text"]}) for r in rows
+        )
+        resp = self.client.post_json(f"{self.base_url}/batches", lines)
+        return resp["id"]
+
+    def poll(self, spark, batch_id: str, prompts_path: str, results_path: str) -> bool:
+        status = self.client.get_json(f"{self.base_url}/batches/{batch_id}")
+        if status.get("status") != "completed":
+            return False
+        delivered = self.client.get_json(f"{self.base_url}/batches/{batch_id}/results")
+        rows = [(r["checksum"], r["result"]) for r in delivered["results"]]
+        spark.createDataFrame(rows, "checksum string, result string").write.mode(
+            "overwrite"
+        ).parquet(results_path)
+        return True

@@ -8,12 +8,10 @@ Arrow batches and fans requests out concurrently, so throughput scales
 with executors × per-task concurrency, and a provider hiccup fails only
 one task (retried by the scheduler), not the run.
 
-No HTTP service exists in this container, so the real providers are
-represented by :class:`StubSymptomModel` — a deterministic fake with the
-same interface and result schema as a cTAKES-style symptom extractor.
-A real provider drops in by implementing ``__call__`` with an async
-HTTP fan-out; the Spark plumbing (batching, schema, cache, envelope)
-is identical and is what these modules test.
+Real HTTP clients live in :mod:`cumulus_etl_spark.nlp.http_provider`
+(cTAKES, cNLP negation, LLM chat, batch API) and are tested against a
+local fake server. :class:`StubSymptomModel` remains as the offline
+deterministic fixture with the same interface and result schema.
 """
 
 from __future__ import annotations
@@ -116,11 +114,17 @@ def run_model(
     out_schema = StructType(out_fields)
 
     def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # One model instance per task; a real provider opens its HTTP
-        # session here and fans out concurrently within each batch.
+        # One model instance per task. Providers exposing map_batch (the
+        # HTTP clients in nlp/http_provider.py) fan the whole Arrow batch
+        # out concurrently; plain callables run sequentially.
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[result_col] = [json.dumps(model(t)) for t in pdf[text_col]]
+            texts = list(pdf[text_col])
+            if hasattr(model, "map_batch"):
+                results = model.map_batch(texts)
+            else:
+                results = [model(t) for t in texts]
+            pdf[result_col] = [json.dumps(r) for r in results]
             if track_usage:
                 pdf["usage"] = [
                     dict(zip(("input_tokens", "output_tokens"), model.usage(t)))

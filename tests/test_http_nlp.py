@@ -1,0 +1,213 @@
+"""HTTP NLP providers against a local fake server (U1/U2/U4).
+
+The reference tests its cTAKES/LLM clients against mocked HTTP
+(tests/ctakesmock.py, respx); same strategy here with a real local
+``http.server`` so retries, concurrency, and the batch lifecycle are
+exercised over actual sockets — including from Spark worker processes.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from cumulus_etl_spark.nlp.http_provider import (
+    CtakesHttpModel,
+    HttpBatchProvider,
+    HttpClient,
+    LlmHttpModel,
+)
+from cumulus_etl_spark.nlp.provider import run_model
+
+TERMS = ("cough", "fever")
+
+
+def _keyword_matches(text: str) -> list[dict]:
+    out = []
+    lower = (text or "").lower()
+    for term in TERMS:
+        idx = lower.find(term)
+        if idx != -1:
+            out.append(
+                {
+                    "text": term,
+                    "conceptAttributes": [{"cui": f"C-{term}"}],
+                    "begin": idx,
+                    "end": idx + len(term),
+                }
+            )
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # keep test output quiet
+        pass
+
+    def _json(self, obj, code=200):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        state = self.server.state
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0))).decode()
+        state["calls"].append(self.path)
+        if state["fail_next"] > 0:
+            state["fail_next"] -= 1
+            self.send_error(503)
+            return
+        if self.path == "/ctakes":
+            # cTAKES takes the raw note text in the body
+            self._json({"matches": _keyword_matches(body)})
+        elif self.path == "/negation":
+            req = json.loads(body)
+            text = req["doc_text"].lower()
+            statuses = [
+                -1 if text[: span[0]].rstrip().endswith(("no", "denies", "without")) else 1
+                for span in req["entities"]
+            ]
+            self._json({"statuses": statuses})
+        elif self.path == "/chat":
+            req = json.loads(body)
+            text = req["messages"][-1]["content"]
+            matches = [
+                {"text": m["text"], "code": m["conceptAttributes"][0]["cui"],
+                 "polarity": "positive", "begin": m["begin"], "end": m["end"]}
+                for m in _keyword_matches(text)
+            ]
+            self._json({
+                "choices": [{"message": {"content": json.dumps(matches)}}],
+                "usage": {"prompt_tokens": len(text.split()), "completion_tokens": 7},
+            })
+        elif self.path == "/batches":
+            bid = f"b{len(state['batches'])}"
+            prompts = [json.loads(line) for line in body.splitlines() if line.strip()]
+            state["batches"][bid] = {"prompts": prompts, "polls": 0}
+            self._json({"id": bid})
+        else:
+            self.send_error(404)
+
+    def do_GET(self):
+        state = self.server.state
+        state["calls"].append(self.path)
+        parts = self.path.strip("/").split("/")
+        if len(parts) == 2 and parts[0] == "batches":
+            b = state["batches"][parts[1]]
+            b["polls"] += 1
+            # first poll: still running (exercises the re-poll loop)
+            self._json({"id": parts[1],
+                        "status": "completed" if b["polls"] >= 2 else "in_progress"})
+        elif len(parts) == 3 and parts[0] == "batches" and parts[2] == "results":
+            b = state["batches"][parts[1]]
+            results = [
+                {"checksum": p["checksum"],
+                 "result": json.dumps(_keyword_matches(p["note_text"]))}
+                for p in b["prompts"]
+            ]
+            self._json({"results": results})
+        else:
+            self.send_error(404)
+
+
+@pytest.fixture()
+def fake_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.state = {"calls": [], "fail_next": 0, "batches": {}}
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+
+
+def test_http_client_retries_transient_errors(fake_server):
+    srv, base = fake_server
+    srv.state["fail_next"] = 2
+    client = HttpClient(max_retries=3, backoff=0.01)
+    out = client.post_json(f"{base}/ctakes", "mild fever today")
+    assert out["matches"][0]["text"] == "fever"
+    assert len(srv.state["calls"]) == 3  # 2 failures + 1 success
+
+
+def test_http_client_gives_up_after_retries(fake_server):
+    srv, base = fake_server
+    srv.state["fail_next"] = 99
+    client = HttpClient(max_retries=1, backoff=0.01)
+    with pytest.raises(RuntimeError, match="failed after 2 tries"):
+        client.post_json(f"{base}/ctakes", "x")
+    assert len(srv.state["calls"]) == 2
+
+
+def test_http_client_non_retryable_raises_immediately(fake_server):
+    import urllib.error
+
+    srv, base = fake_server
+    client = HttpClient(max_retries=3, backoff=0.01)
+    with pytest.raises(urllib.error.HTTPError):
+        client.post_json(f"{base}/nope", "x")
+    assert len(srv.state["calls"]) == 1
+
+
+def test_ctakes_model_with_negation_via_run_model(spark, fake_server):
+    _, base = fake_server
+    model = CtakesHttpModel(
+        url=f"{base}/ctakes", cnlp_url=f"{base}/negation", concurrency=4,
+        client=HttpClient(backoff=0.01),
+    )
+    notes = spark.createDataFrame(
+        [("n1", "patient has a cough and fever"),
+         ("n2", "denies fever"),
+         ("n3", "all clear")],
+        "id string, note_text string",
+    )
+    rows = {r["id"]: json.loads(r["result"]) for r in run_model(notes, model).collect()}
+    assert {m["text"] for m in rows["n1"]} == {"cough", "fever"}
+    assert all(m["polarity"] == "positive" for m in rows["n1"])
+    assert rows["n2"] == [
+        {"text": "fever", "code": "C-fever", "polarity": "negated", "begin": 7, "end": 12}
+    ]
+    assert rows["n3"] == []
+
+
+def test_llm_model_reports_usage(spark, fake_server):
+    _, base = fake_server
+    model = LlmHttpModel(url=f"{base}/chat", model_name="test-model",
+                         client=HttpClient(backoff=0.01))
+    notes = spark.createDataFrame(
+        [("n1", "fever of 101 reported")], "id string, note_text string"
+    )
+    out = run_model(notes, model).collect()[0]
+    assert json.loads(out["result"])[0]["code"] == "C-fever"
+    assert out["usage"]["input_tokens"] == 4
+    assert out["usage"]["output_tokens"] == 7
+
+
+def test_http_batch_provider_full_lifecycle(spark, fake_server, tmp_path):
+    from cumulus_etl_spark.nlp.batch_api import BatchRun
+
+    srv, base = fake_server
+    provider = HttpBatchProvider(base, client=HttpClient(backoff=0.01))
+    misses = spark.createDataFrame(
+        [("c1", "bad cough"), ("c2", "no fever"), ("c3", "fine")],
+        "checksum string, note_text string",
+    )
+    run = BatchRun(spark, str(tmp_path / "batch"))
+    meta = run.submit(misses, provider)
+    assert len(meta["batches"]) == 1 and meta["total_requests"] == 3
+    assert not run.poll(provider)  # first poll: in_progress
+    assert run.poll(provider)  # second poll: completed + results landed
+    results = {r["checksum"]: json.loads(r["result"]) for r in run.results().collect()}
+    assert results["c1"][0]["text"] == "cough"
+    assert results["c3"] == []
+    # resume: a fresh BatchRun over the same dir must NOT resubmit
+    calls_before = len([c for c in srv.state["calls"] if c == "/batches"])
+    meta2 = BatchRun(spark, str(tmp_path / "batch")).submit(misses, provider)
+    assert meta2["batches"][0]["batch_id"] == meta["batches"][0]["batch_id"]
+    assert len([c for c in srv.state["calls"] if c == "/batches"]) == calls_before
