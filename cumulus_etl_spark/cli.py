@@ -6,6 +6,8 @@ Verbs:
   convert ORIGINAL TARGET  re-load batched NDJSON output into a lake
   sample INPUT N         uniform random sample of clinical notes
   etl-i2b2 INPUT OUTPUT PHI  i2b2 CSV dump → de-identified lake
+  nlp INPUT OUTPUT PHI   run NLP study tasks over clinical notes
+  upload-notes INPUT LS_URL PHI  push charts to Label Studio for review
 """
 
 from __future__ import annotations
@@ -61,6 +63,43 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--seed", type=int, default=42)
     p_sample.add_argument("--out", default=None, help="write NDJSON here instead of stdout count")
 
+    # nlp verb (ref etl/nlp/cli.py:219-294)
+    p_nlp = sub.add_parser("nlp", help="run NLP study tasks over clinical notes")
+    p_nlp.add_argument("input_dir")
+    p_nlp.add_argument("output_dir")
+    p_nlp.add_argument("phi_dir")
+    p_nlp.add_argument("--task", action="append", dest="tasks",
+                       help="study task name(s) to run (default: all registered)")
+    p_nlp.add_argument("--task-config", default=None,
+                       help="tasks.toml defining dynamic study tasks")
+    p_nlp.add_argument("--select-by-word", action="append", dest="select_words")
+    p_nlp.add_argument("--select-by-regex", dest="select_regex", default=None)
+    p_nlp.add_argument("--ctakes-url", default=None,
+                       help="use a cTAKES HTTP endpoint instead of the stub model")
+    p_nlp.add_argument("--cnlp-url", default=None, help="cNLP negation endpoint")
+    p_nlp.add_argument("--llm-url", default=None,
+                       help="use a chat-completions HTTP endpoint instead of the stub model")
+    p_nlp.add_argument("--llm-model", default="gpt-like", help="model name for --llm-url")
+    p_nlp.add_argument("--batch-url", default=None,
+                       help="batch-API base URL (submit/poll instead of synchronous calls)")
+
+    # upload-notes verb (ref upload_notes/cli.py:294-412)
+    p_up = sub.add_parser("upload-notes", help="push charts to Label Studio")
+    p_up.add_argument("input_dir")
+    p_up.add_argument("label_studio_url")
+    p_up.add_argument("phi_dir")
+    p_up.add_argument("--ls-token", required=True, help="token file for Label Studio access")
+    p_up.add_argument("--ls-project", required=True, type=int)
+    p_up.add_argument("--philter", choices=("disable", "redact", "label"), default="redact")
+    p_up.add_argument("--grouping", choices=("encounter", "none"), default="encounter")
+    p_up.add_argument("--count", type=int, default=None)
+    p_up.add_argument("--seed", type=int, default=42)
+    p_up.add_argument("--highlight-by-word", action="append", dest="highlight_words")
+    p_up.add_argument("--highlight-by-regex", action="append", dest="highlight_regexes")
+    p_up.add_argument("--select-by-word", action="append", dest="select_words")
+    p_up.add_argument("--select-by-regex", dest="select_regex", default=None)
+    p_up.add_argument("--overwrite", action="store_true")
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -110,7 +149,93 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(json.dumps({"sampled": sampled.count()}))
         return 0
+    if args.verb == "nlp":
+        summary = _run_nlp_verb(spark, args)
+        print(json.dumps(summary, indent=2))
+        return 0
+    if args.verb == "upload-notes":
+        from cumulus_etl_spark.etl.labelstudio import LabelStudioClient
+        from cumulus_etl_spark.etl.upload_notes import run_upload_notes
+
+        with open(args.ls_token) as fh:
+            token = fh.read().strip()
+        client = LabelStudioClient(args.label_studio_url, token, args.ls_project)
+        summary = run_upload_notes(
+            spark,
+            args.input_dir,
+            args.phi_dir,
+            client,
+            select_words=args.select_words,
+            select_regex=args.select_regex,
+            highlight_words=args.highlight_words,
+            highlight_regexes=args.highlight_regexes,
+            philter_mode=args.philter,
+            grouping=args.grouping,
+            count=args.count,
+            seed=args.seed,
+            overwrite=args.overwrite,
+        )
+        print(json.dumps(summary, indent=2))
+        return 0
     return 2
+
+
+def _run_nlp_verb(spark, args) -> dict:
+    """The nlp sub-command: resolve tasks, optional model override from
+    HTTP endpoint args, optional note pre-selection, run each task."""
+    import dataclasses
+    from datetime import datetime, timezone
+
+    from cumulus_etl_spark.nlp import extract_note_text
+    from cumulus_etl_spark.nlp.selection import filter_by_regex, filter_by_words
+    from cumulus_etl_spark.nlp.studies import COVID_SYMPTOM_TASK, load_study_tasks
+    from cumulus_etl_spark.sources import scan_resources
+
+    tasks = (
+        load_study_tasks(args.task_config) if args.task_config else [COVID_SYMPTOM_TASK]
+    )
+    if args.tasks:
+        wanted = set(args.tasks)
+        tasks = [t for t in tasks if t.name in wanted]
+        missing = wanted - {t.name for t in tasks}
+        if missing:
+            raise SystemExit(f"unknown nlp task(s): {sorted(missing)}")
+
+    model = None
+    if args.ctakes_url:
+        from cumulus_etl_spark.nlp.http_provider import CtakesHttpModel
+
+        model = CtakesHttpModel(url=args.ctakes_url, cnlp_url=args.cnlp_url)
+    elif args.llm_url:
+        from cumulus_etl_spark.nlp.http_provider import LlmHttpModel
+
+        model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
+    batch_provider = None
+    if args.batch_url:
+        from cumulus_etl_spark.nlp.http_provider import HttpBatchProvider
+
+        batch_provider = HttpBatchProvider(args.batch_url)
+
+    docrefs = scan_resources(spark, args.input_dir, ["DocumentReference"])
+    if args.select_words or args.select_regex:
+        notes = extract_note_text(docrefs)
+        if args.select_words:
+            words = [w.strip() for a in args.select_words for w in a.split(",") if w.strip()]
+            notes = filter_by_words(notes, words)
+        if args.select_regex:
+            notes = filter_by_regex(notes, args.select_regex)
+        docrefs = notes.drop("note_text")
+
+    generated_on = datetime.now(timezone.utc).isoformat()
+    summary: dict = {}
+    for task in tasks:
+        if model is not None:
+            task = dataclasses.replace(task, name=task.name, model=model)
+        summary[task.name] = task.run(
+            spark, docrefs, args.output_dir, args.phi_dir, generated_on,
+            batch_provider=batch_provider,
+        )
+    return summary
 
 
 if __name__ == "__main__":

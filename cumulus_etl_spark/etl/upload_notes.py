@@ -129,3 +129,115 @@ def order_charts(charts: DataFrame) -> DataFrame:
     """O4: stable chart ordering — by earliest note date (nulls last),
     then chart id for total order."""
     return charts.orderBy(F.col("chart_date").asc_nulls_last(), F.col("chart_id"))
+
+
+def run_upload_notes(
+    spark,
+    input_dir: str,
+    phi_dir: str,
+    ls_client,
+    *,
+    select_words: list[str] | None = None,
+    select_regex: str | None = None,
+    highlight_words: list[str] | None = None,
+    highlight_regexes: list[str] | None = None,
+    philter_mode: str = "redact",  # disable | redact | label
+    grouping: str = "encounter",  # encounter | none
+    count: int | None = None,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> dict:
+    """The upload-notes verb end-to-end (ref upload_notes/cli.py:415-470):
+    select notes → philter → group into charts → sample → push to Label
+    Studio. Selection/philter/grouping run in Spark; payload conversion is
+    a bounded driver-side pass over the final (sampled) chart list."""
+    import hashlib
+
+    from cumulus_etl_spark.deid import Codebook
+    from cumulus_etl_spark.deid.philter import philter_udf, scrub_text
+    from cumulus_etl_spark.etl.labelstudio import LabelStudioNote, find_highlights
+    from cumulus_etl_spark.nlp import extract_note_text
+    from cumulus_etl_spark.nlp.selection import filter_by_regex, filter_by_words
+    from cumulus_etl_spark.sources import scan_resources
+
+    docrefs = scan_resources(spark, input_dir, ["DocumentReference"])
+    notes = extract_note_text(docrefs).filter(F.col("note_text").isNotNull())
+    if select_words:
+        # ref: words may repeat the flag or come comma-separated
+        words = [w.strip() for arg in select_words for w in arg.split(",") if w.strip()]
+        notes = filter_by_words(notes, words)
+    if select_regex:
+        notes = filter_by_regex(notes, select_regex)
+    if philter_mode == "redact":
+        # length-preserving so doc spans/highlights stay aligned
+        notes = notes.withColumn("note_text", philter_udf(F.col("note_text")))
+
+    if "subject" in notes.columns:
+        notes = notes.withColumn("__patient_ref", F.col("subject")["reference"])
+    else:
+        notes = notes.withColumn("__patient_ref", F.lit(None).cast("string"))
+    if grouping == "none":
+        # each note is its own chart: blank the encounter context so the
+        # grouping key falls back to the note's own reference
+        notes = notes.withColumn("context", F.lit(None).cast(notes.schema["context"].dataType))
+    patients = notes.select(
+        F.coalesce(
+            F.element_at(F.col("context.encounter"), 1)["reference"],
+            F.concat(F.lit("DocumentReference/"), F.col("id")),
+        ).alias("chart_id"),
+        F.col("__patient_ref"),
+    ).groupBy("chart_id").agg(F.first("__patient_ref", ignorenulls=True).alias("patient_ref"))
+
+    charts = group_notes_by_encounter(notes.drop("__patient_ref"))
+    charts = charts.join(patients, "chart_id", "left")
+    if count is not None:
+        charts = charts.orderBy(F.xxhash64(F.col("chart_id"), F.lit(seed))).limit(count)
+    rows = order_charts(charts).collect()
+
+    salt = Codebook(phi_dir).salt
+
+    def anon(ref: str | None) -> str | None:
+        if not ref:
+            return None
+        rid = ref.split("/")[-1]
+        return hashlib.sha256((salt + rid).encode()).hexdigest()
+
+    ls_notes = []
+    for r in rows:
+        text = r["chart_text"]
+        highlights = find_highlights(text, highlight_words, highlight_regexes)
+        if philter_mode == "label":
+            # tag PHI spans instead of redacting (ref labelstudio.py:317-338)
+            masked = scrub_text(text)
+            i = 0
+            while i < len(masked):
+                if masked[i] == "*" and text[i] != "*":
+                    j = i
+                    while j < len(masked) and masked[j] == "*" and text[j] != "*":
+                        j += 1
+                    highlights.append(("PHI", i, j))
+                    i = j
+                else:
+                    i += 1
+            highlights.sort(key=lambda h: (h[1], h[2]))
+        enc_id = r["chart_id"].split("/")[-1] if r["chart_id"].startswith("Encounter/") else None
+        pat_id = (r["patient_ref"] or "").split("/")[-1] or None
+        ls_notes.append(
+            LabelStudioNote(
+                unique_id=r["chart_id"],
+                patient_id=pat_id,
+                anon_patient_id=anon(r["patient_ref"]),
+                encounter_id=enc_id,
+                anon_encounter_id=anon(enc_id and f"Encounter/{enc_id}"),
+                text=text,
+                date=str(r["chart_date"]) if r["chart_date"] is not None else None,
+                doc_mappings={n["note_id"]: anon(n["note_id"]) for n in r["notes"]},
+                doc_spans={
+                    n["note_id"]: (n["offset_start"], n["offset_end"]) for n in r["notes"]
+                },
+                highlights=highlights,
+            )
+        )
+    summary = ls_client.push_tasks(ls_notes, overwrite=overwrite)
+    summary["charts"] = len(ls_notes)
+    return summary

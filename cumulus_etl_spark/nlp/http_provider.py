@@ -53,6 +53,9 @@ class HttpClient:
     def get_json(self, url: str) -> dict:
         return self._request(url, data=None, method="GET")
 
+    def delete(self, url: str) -> dict:
+        return self._request(url, data=None, method="DELETE")
+
     def _request(self, url: str, data: bytes | None, method: str) -> dict:
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
@@ -64,7 +67,8 @@ class HttpClient:
                     headers={"Content-Type": "application/json", **self.headers},
                 )
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                    return json.loads(resp.read().decode("utf-8"))
+                    body = resp.read().decode("utf-8")
+                    return json.loads(body) if body.strip() else {}
             except urllib.error.HTTPError as err:
                 if err.code not in RETRYABLE_STATUSES:
                     raise

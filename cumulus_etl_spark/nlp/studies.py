@@ -35,6 +35,7 @@ class StudyTask:
         output_dir: str,
         phi_dir: str,
         generated_on: str,
+        batch_provider=None,
     ) -> dict:
         notes = docrefs
         if self.note_codings:
@@ -48,6 +49,7 @@ class StudyTask:
             output_dir,
             phi_dir,
             generated_on,
+            batch_provider=batch_provider,
         )
 
 

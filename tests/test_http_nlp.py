@@ -90,6 +90,23 @@ class _Handler(BaseHTTPRequestHandler):
             prompts = [json.loads(line) for line in body.splitlines() if line.strip()]
             state["batches"][bid] = {"prompts": prompts, "polls": 0}
             self._json({"id": bid})
+        elif self.path.startswith("/api/projects/") and self.path.endswith("/import"):
+            tasks = json.loads(body)
+            for t in tasks:
+                tid = state["next_task_id"]
+                state["next_task_id"] += 1
+                state["ls_tasks"][tid] = t
+            self._json({"task_count": len(tasks)})
+        else:
+            self.send_error(404)
+
+    def do_DELETE(self):
+        state = self.server.state
+        state["calls"].append(("DELETE", self.path))
+        parts = self.path.strip("/").split("/")
+        if len(parts) == 3 and parts[:2] == ["api", "tasks"]:
+            state["ls_tasks"].pop(int(parts[2]), None)
+            self._json({})
         else:
             self.send_error(404)
 
@@ -97,6 +114,15 @@ class _Handler(BaseHTTPRequestHandler):
         state = self.server.state
         state["calls"].append(self.path)
         parts = self.path.strip("/").split("/")
+        if len(parts) >= 3 and parts[:2] == ["api", "projects"]:
+            if len(parts) == 4 and parts[3] == "tasks":
+                self._json([
+                    {"id": tid, "data": t["data"]}
+                    for tid, t in state["ls_tasks"].items()
+                ])
+            else:
+                self._json({"id": int(parts[2]), "title": "fake project"})
+            return
         if len(parts) == 2 and parts[0] == "batches":
             b = state["batches"][parts[1]]
             b["polls"] += 1
@@ -118,7 +144,8 @@ class _Handler(BaseHTTPRequestHandler):
 @pytest.fixture()
 def fake_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
-    srv.state = {"calls": [], "fail_next": 0, "batches": {}}
+    srv.state = {"calls": [], "fail_next": 0, "batches": {},
+                 "ls_tasks": {}, "next_task_id": 1}
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
@@ -187,6 +214,92 @@ def test_llm_model_reports_usage(spark, fake_server):
     assert json.loads(out["result"])[0]["code"] == "C-fever"
     assert out["usage"]["input_tokens"] == 4
     assert out["usage"]["output_tokens"] == 7
+
+
+def test_upload_notes_cli_end_to_end(spark, fake_server, tmp_path):
+    """upload-notes verb: select → philter-redact → group by encounter →
+    push; charts land as Label Studio tasks with doc mappings, spans,
+    highlights; --overwrite replaces, default skips existing."""
+    import hashlib
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    srv, base = fake_server
+    in_dir = str(tmp_path / "in")
+    phi = str(tmp_path / "phi")
+    write_ndjson(in_dir, "docs.ndjson", [
+        docref("n1", text="cough, call 617-555-1234", enc="e1"),
+        docref("n2", text="fever too", enc="e1"),
+        docref("n3", text="nothing selected here", enc="e2"),
+    ])
+    token = tmp_path / "token.txt"
+    token.write_text("secret\n")
+
+    rc = cli_main([
+        "upload-notes", in_dir, base, phi,
+        "--ls-token", str(token), "--ls-project", "7",
+        "--select-by-word", "cough,fever",
+        "--highlight-by-word", "cough",
+    ])
+    assert rc == 0
+    tasks = list(srv.state["ls_tasks"].values())
+    assert len(tasks) == 1  # n1+n2 share e1; n3 filtered out by selection
+    data = tasks[0]["data"]
+    assert data["unique_id"] == "Encounter/e1"
+    assert "cough" in data["text"] and "fever" in data["text"]
+    assert "617-555-1234" not in data["text"]  # philter redacted
+    assert set(data["docref_mappings"]) == {"n1", "n2"}
+    with open(f"{phi}/codebook.json") as fh:
+        salt = json.load(fh)["salt"]
+    assert data["docref_mappings"]["n1"] == hashlib.sha256((salt + "n1").encode()).hexdigest()
+    assert data["docref_spans"]["n1"][0] == 0
+    spans = tasks[0]["predictions"][0]["result"]
+    assert any(s["value"]["labels"] == ["cough"] for s in spans)
+    assert data["anon_patient_id"] == hashlib.sha256((salt + "p1").encode()).hexdigest()
+
+    # re-push without --overwrite: chart skipped, not duplicated
+    rc = cli_main([
+        "upload-notes", in_dir, base, phi,
+        "--ls-token", str(token), "--ls-project", "7",
+        "--select-by-word", "cough,fever",
+    ])
+    assert rc == 0
+    assert len(srv.state["ls_tasks"]) == 1
+
+
+def test_nlp_cli_end_to_end(spark, fake_server, tmp_path, capsys):
+    """nlp verb over HTTP cTAKES+negation: output table written with
+    pseudonymized refs; funnel counters in the summary."""
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    _, base = fake_server
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    phi = str(tmp_path / "phi")
+    ed_type = {"coding": [{"system": "http://loinc.org", "code": "34111-5"}]}
+    docs = [docref("n1", text="bad cough today"), docref("n2", text="no fever")]
+    for d in docs:
+        d["type"] = ed_type
+    write_ndjson(in_dir, "docs.ndjson", docs)
+
+    rc = cli_main([
+        "nlp", in_dir, out, phi,
+        "--ctakes-url", f"{base}/ctakes", "--cnlp-url", f"{base}/negation",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["covid_symptom__nlp_results"]["seen"] == 2
+    assert summary["covid_symptom__nlp_results"]["model_called"] == 2
+    rows = ManagedTable(spark, out, "covid_symptom__nlp_results").read().collect()
+    by_match = {r["match"]["text"]: r for r in rows if r["match"] is not None}
+    assert by_match["cough"]["match"]["polarity"] == "positive"
+    assert by_match["fever"]["match"]["polarity"] == "negated"
+    assert not any("n1" in r["note_ref"] for r in rows)  # refs pseudonymized
 
 
 def test_http_batch_provider_full_lifecycle(spark, fake_server, tmp_path):
