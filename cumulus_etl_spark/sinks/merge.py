@@ -181,14 +181,19 @@ class ManagedTable:
         # file schemas in discovery order, which is not contractual)
         return df.select(*[F.col(f.name) for f in schema.fields])
 
+    def _is_delta(self) -> bool:
+        return HAVE_DELTA and DeltaTable.isDeltaTable(self.spark, self.path)
+
     def read(self) -> DataFrame | None:
+        if self._is_delta():
+            return DeltaTable.forPath(self.spark, self.path).toDF()
         ptr = self._pointer()
         if ptr is None:
             return None
         return self._read_version(ptr)
 
     def exists(self) -> bool:
-        return self.current_version() is not None
+        return self._is_delta() or self.current_version() is not None
 
     # ---- write side ----
 
@@ -276,12 +281,23 @@ class ManagedTable:
         Bucket-pruned when the table is bucketed by exactly ``id_col``;
         a group-bucketed or composite-keyed table rewrites all buckets
         (the ids alone can't locate the rows)."""
-        ptr = self._pointer()
-        if ptr is None:
-            return
         if isinstance(ids, list):
             ids = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
         ids = ids.select(F.col(ids.columns[0]).alias("__del_id")).distinct()
+        if self._is_delta():
+            # Delta MERGE delete: file-pruned on the id equi-condition
+            # (ref formats/deltalake.py:139-155 delete_records).
+            target = DeltaTable.forPath(self.spark, self.path)
+            (
+                target.alias("t")
+                .merge(ids.alias("u"), f"t.{id_col} = u.__del_id")
+                .whenMatchedDelete()
+                .execute()
+            )
+            return
+        ptr = self._pointer()
+        if ptr is None:
+            return
 
         bucket_cols = tuple(ptr.get("bucket_cols") or (id_col,))
         num_buckets = int(ptr.get("num_buckets") or 1)
@@ -313,16 +329,16 @@ class ManagedTable:
             if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) <= v - keep_versions:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
 
-    def _merge_delta(self, updates: DataFrame, policy: MergePolicy) -> None:  # pragma: no cover
+    def _merge_delta(self, updates: DataFrame, policy: MergePolicy) -> None:
         """Real Delta MERGE — same semantics, file-pruned and transactional.
-        Runs wherever delta-spark is installed (not this container)."""
+        Runs wherever delta-spark is installed; covered in CI by a fake
+        DeltaTable that executes the same builder spec
+        (tests/test_merge_sink.py::FakeDeltaTable)."""
+        # schema evolution on UpdateAll/InsertAll — parity with the
+        # reference's write_deltalake(schema_mode="merge") (deltalake.py:71)
+        self.spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
         if not DeltaTable.isDeltaTable(self.spark, self.path):
-            (
-                updates.write.format("delta")
-                .option("mergeSchema", "true")
-                .mode("overwrite")
-                .save(self.path)
-            )
+            self._delta_write_initial(updates)
             return
         target = DeltaTable.forPath(self.spark, self.path)
         cond = " AND ".join(f"t.{k} = u.{k}" for k in policy.keys)
@@ -348,6 +364,17 @@ class ManagedTable:
             if quoted:
                 m = m.whenNotMatchedBySourceDelete(f"t.{policy.group_field} IN ({quoted})")
         m.execute()
+
+    def _delta_write_initial(self, updates: DataFrame) -> None:  # pragma: no cover
+        """Bootstrap write through the delta datasource (tests substitute
+        a parquet-backed fake here; everything after the bootstrap runs
+        through the DeltaTable merge-builder API, which IS under test)."""
+        (
+            updates.write.format("delta")
+            .option("mergeSchema", "true")
+            .mode("overwrite")
+            .save(self.path)
+        )
 
     # ---- internals ----
 

@@ -1,17 +1,130 @@
 """Merge sink semantics tests — mirrors the reference's Delta behavior
-suite (tests/formats/test_deltalake.py layer, SURVEY §5.5) against the
-versioned-parquet fallback."""
+suite (tests/formats/test_deltalake.py layer, SURVEY §5.5).
+
+The semantic tests run against BOTH backends: the versioned-parquet
+fallback and the Delta branch. delta-spark isn't installed in this
+container, so the Delta branch is exercised through ``FakeDeltaTable``
+below — a DeltaTable stand-in that EXECUTES the merge-builder spec
+(conditions included) with real DataFrames over parquet. What's under
+test is everything our code builds: the match condition, the
+last-updated update gate, the group-scoped not-matched-by-source delete,
+the insert clause, and the delete-by-merge path."""
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
 
+import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
+import cumulus_etl_spark.sinks.merge as merge_mod
 from cumulus_etl_spark.sinks import ManagedTable, MergePolicy, dedupe_last_wins
 from cumulus_etl_spark.sinks.batched import read_meta, write_ndjson_batches
+
+_UNSET = object()
+
+
+class _FakeMergeBuilder:
+    """Executes a DeltaTable merge spec with DataFrames (semantics of
+    https://docs.delta.io/latest/api/python/spark/ DeltaMergeBuilder)."""
+
+    def __init__(self, table, source, cond):
+        self.table, self.source, self.cond = table, source, cond
+        self.update_cond = _UNSET
+        self.matched_delete = False
+        self.insert_all = False
+        self.nmbs_delete_cond = None
+
+    def whenMatchedUpdateAll(self, condition=None):
+        self.update_cond = condition
+        return self
+
+    def whenMatchedDelete(self):
+        self.matched_delete = True
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.insert_all = True
+        return self
+
+    def whenNotMatchedBySourceDelete(self, condition):
+        self.nmbs_delete_cond = condition
+        return self
+
+    def execute(self):
+        t = self.table.toDF().alias("t")
+        u = self.source  # caller aliased it "u"
+        cond = F.expr(self.cond)
+        joined = t.join(u, cond, "inner")
+        parts = []
+        if self.update_cond is not _UNSET:
+            c = F.expr(self.update_cond) if self.update_cond else F.lit(True)
+            parts.append(joined.filter(c).select("u.*"))
+            parts.append(joined.filter(~F.coalesce(c, F.lit(False))).select("t.*"))
+        elif self.matched_delete:
+            pass  # matched target rows drop
+        else:
+            parts.append(joined.select("t.*"))  # no matched clause: unchanged
+        t_only = t.join(u, cond, "left_anti")
+        if self.nmbs_delete_cond:
+            t_only = t_only.alias("t").filter(
+                ~F.coalesce(F.expr(self.nmbs_delete_cond), F.lit(False))
+            )
+        parts.append(t_only)
+        if self.insert_all:
+            parts.append(u.join(t, cond, "left_anti"))
+        out = functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        # materialize before overwriting the files the plan reads
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(self.table._data())
+
+
+class FakeDeltaTable:
+    def __init__(self, spark, path):
+        self.spark, self.path = spark, path
+
+    @staticmethod
+    def isDeltaTable(spark, path):
+        return os.path.isdir(os.path.join(path, "_delta_log"))
+
+    @classmethod
+    def forPath(cls, spark, path):
+        return cls(spark, path)
+
+    def _data(self):
+        return os.path.join(self.path, "_fake_delta_data")
+
+    def toDF(self):
+        return self.spark.read.parquet(self._data())
+
+    def alias(self, name):
+        assert name == "t"
+        return self
+
+    def merge(self, source, cond):
+        return _FakeMergeBuilder(self, source, cond)
+
+
+def _fake_delta_initial(self, updates):
+    updates.write.mode("overwrite").parquet(os.path.join(self.path, "_fake_delta_data"))
+    os.makedirs(os.path.join(self.path, "_delta_log"), exist_ok=True)
+
+
+@pytest.fixture(params=["parquet", "delta"])
+def backend(request, monkeypatch):
+    if request.param == "delta":
+        monkeypatch.setattr(merge_mod, "DeltaTable", FakeDeltaTable)
+        monkeypatch.setattr(merge_mod, "HAVE_DELTA", True)
+        monkeypatch.setattr(
+            merge_mod.ManagedTable, "_delta_write_initial", _fake_delta_initial
+        )
+    return request.param
 
 
 def make_df(spark, rows):
@@ -28,7 +141,7 @@ def rows_of(tbl):
     }
 
 
-def test_insert_then_upsert(spark, tmp_path):
+def test_insert_then_upsert(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "patient")
     pol = MergePolicy()
     tbl.merge(make_df(spark, [("a", "1", "2021-01-01T00:00:00Z"), ("b", "1", None)]), pol)
@@ -40,7 +153,7 @@ def test_insert_then_upsert(spark, tmp_path):
     assert got["c"][0] == "1"  # inserted
 
 
-def test_last_updated_guard(spark, tmp_path):
+def test_last_updated_guard(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     pol = MergePolicy()
     tbl.merge(make_df(spark, [("a", "new", "2021-06-01T00:00:00Z")]), pol)
@@ -55,7 +168,7 @@ def test_last_updated_guard(spark, tmp_path):
     assert rows_of(tbl)["a"][0] == "nullts"
 
 
-def test_update_existing_false_keeps_first(spark, tmp_path):
+def test_update_existing_false_keeps_first(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     pol = MergePolicy(update_existing=False)
     tbl.merge(make_df(spark, [("a", "first", None)]), pol)
@@ -65,7 +178,7 @@ def test_update_existing_false_keeps_first(spark, tmp_path):
     assert got["b"][0] == "new"
 
 
-def test_group_replacement(spark, tmp_path):
+def test_group_replacement(spark, tmp_path, backend):
     """NLP re-run: 2 rows where 3 existed in a group → stale row deleted."""
     tbl = ManagedTable(spark, str(tmp_path), "t")
     pol = MergePolicy(keys=("id",), group_field="grp", last_updated_field=None)
@@ -82,7 +195,7 @@ def test_group_replacement(spark, tmp_path):
     assert got == {"a": "y", "b": "y", "d": "x"}  # c deleted, g2 untouched
 
 
-def test_in_batch_duplicate_keys_freshest_wins(spark, tmp_path):
+def test_in_batch_duplicate_keys_freshest_wins(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     tbl.merge(
         make_df(
@@ -94,7 +207,7 @@ def test_in_batch_duplicate_keys_freshest_wins(spark, tmp_path):
     assert rows_of(tbl)["a"][0] == "fresh"
 
 
-def test_schema_evolution_adds_column(spark, tmp_path):
+def test_schema_evolution_adds_column(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     pol = MergePolicy(last_updated_field=None)
     tbl.merge(spark.createDataFrame([("a", "1")], "id string, val string"), pol)
@@ -106,7 +219,7 @@ def test_schema_evolution_adds_column(spark, tmp_path):
     assert got["b"]["added"] == "extra"
 
 
-def test_delete_ids(spark, tmp_path):
+def test_delete_ids(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     tbl.merge(make_df(spark, [("a", "1", None), ("b", "1", None), ("c", "1", None)]), MergePolicy())
     tbl.delete_ids(["a", "c"])
