@@ -73,6 +73,48 @@ def get_spark(
             .config("spark.databricks.delta.schema.autoMerge.enabled", "true")
         )
         builder = configure_spark_with_delta_pip(builder)
+    for k, v in s3a_conf().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def s3a_conf(
+    kms_key: str | None = None, region: str | None = None
+) -> dict[str, str]:
+    """S3A filesystem options, parity with the reference's S3 session
+    tuning (cumulus_etl/formats/deltalake.py:234-250): default-chain
+    credentials (so ~/.aws/credentials works, not just env vars), SSE-KMS
+    at rest, explicit region/key when provided. Args fall back to the
+    CUMULUS_S3_KMS_KEY / AWS_REGION environment variables; everything is
+    inert unless an s3a:// path is actually used."""
+    kms_key = kms_key or os.environ.get("CUMULUS_S3_KMS_KEY")
+    region = region or os.environ.get("AWS_REGION") or os.environ.get("AWS_DEFAULT_REGION")
+    conf = {
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider"
+        ),
+        "spark.hadoop.fs.s3a.sse.enabled": "true",
+        "spark.hadoop.fs.s3a.server-side-encryption-algorithm": "SSE-KMS",
+    }
+    if os.environ.get("CUMULUS_S3_MAGIC_COMMITTER") == "1":
+        # scale hygiene for object-store writes: the S3A magic committer
+        # avoids rename-based commits. Opt-in because it needs the
+        # spark-hadoop-cloud jars on the classpath.
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    if kms_key:
+        conf["spark.hadoop.fs.s3a.server-side-encryption.key"] = kms_key
+    if region:
+        conf["spark.hadoop.fs.s3a.endpoint.region"] = region
+    return conf

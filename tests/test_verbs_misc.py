@@ -56,6 +56,29 @@ def test_register_table_in_catalog(spark, tmp_path):
     assert spark.sql("SELECT sum(v) s FROM testdb.reg_demo").collect()[0]["s"] == 3
 
 
+def test_s3a_conf_parity(monkeypatch):
+    """S3A options mirror the reference's session tuning
+    (deltalake.py:234-250): default credential chain, SSE-KMS, key and
+    region threaded from env; magic committer strictly opt-in."""
+    from cumulus_etl_spark.session import s3a_conf
+
+    monkeypatch.delenv("CUMULUS_S3_MAGIC_COMMITTER", raising=False)
+    monkeypatch.setenv("CUMULUS_S3_KMS_KEY", "arn:aws:kms:us-east-1:1:key/k")
+    monkeypatch.setenv("AWS_REGION", "us-east-1")
+    conf = s3a_conf()
+    assert conf["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "DefaultCredentialsProvider"
+    )
+    assert conf["spark.hadoop.fs.s3a.server-side-encryption-algorithm"] == "SSE-KMS"
+    assert conf["spark.hadoop.fs.s3a.server-side-encryption.key"].startswith("arn:")
+    assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "us-east-1"
+    assert "spark.sql.sources.commitProtocolClass" not in conf
+    monkeypatch.setenv("CUMULUS_S3_MAGIC_COMMITTER", "1")
+    assert "spark.sql.sources.commitProtocolClass" in s3a_conf()
+    # explicit args beat env
+    assert s3a_conf(region="eu-west-1")["spark.hadoop.fs.s3a.endpoint.region"] == "eu-west-1"
+
+
 def test_athena_ddl_for_nested_nlp_schema():
     """Emitted Athena DDL for a nested NLP result schema matches the
     reference's translator output shape (formats/nlp.py:86-134):
