@@ -90,6 +90,34 @@ def _backbone(**fields) -> StructType:
     return _struct(**base)
 
 
+# Shared datatypes (http://hl7.org/fhir/R4/datatypes.html)
+SAMPLED_DATA = _struct(
+    origin=QUANTITY, period=D, factor=D, lowerLimit=D, upperLimit=D, dimensions=L, data=S
+)
+TIMING = _backbone(
+    event=_arr(S),
+    repeat=_struct(
+        boundsDuration=QUANTITY,
+        boundsRange=RANGE,
+        boundsPeriod=PERIOD,
+        count=L,
+        countMax=L,
+        duration=D,
+        durationMax=D,
+        durationUnit=S,
+        frequency=L,
+        frequencyMax=L,
+        period=D,
+        periodMax=D,
+        periodUnit=S,
+        dayOfWeek=_arr(S),
+        timeOfDay=_arr(S),
+        when=_arr(S),
+        offset=L,
+    ),
+    code=CODEABLE_CONCEPT,
+)
+
 # Dosage is a BackboneElement shared by MedicationRequest and
 # MedicationDispense (http://hl7.org/fhir/R4/dosage.html subset).
 DOSAGE = _backbone(
@@ -188,10 +216,13 @@ _RESOURCES: dict[str, StructType] = {
         status=S,
         category=_arr(CODEABLE_CONCEPT),
         code=CODEABLE_CONCEPT,
+        focus=_arr(REFERENCE),
         subject=REFERENCE,
         encounter=REFERENCE,
         effectiveDateTime=S,
         effectivePeriod=PERIOD,
+        effectiveTiming=TIMING,
+        effectiveInstant=S,
         issued=S,
         performer=_arr(REFERENCE),
         valueQuantity=QUANTITY,
@@ -201,11 +232,16 @@ _RESOURCES: dict[str, StructType] = {
         valueInteger=L,
         valueRange=RANGE,
         valueRatio=RATIO,
+        valueSampledData=SAMPLED_DATA,
+        valueTime=S,
         valueDateTime=S,
+        valuePeriod=PERIOD,
         dataAbsentReason=CODEABLE_CONCEPT,
         interpretation=_arr(CODEABLE_CONCEPT),
         bodySite=CODEABLE_CONCEPT,
         method=CODEABLE_CONCEPT,
+        specimen=REFERENCE,
+        device=REFERENCE,
         referenceRange=_arr(_backbone(low=QUANTITY, high=QUANTITY, type=CODEABLE_CONCEPT, text=S)),
         hasMember=_arr(REFERENCE),
         derivedFrom=_arr(REFERENCE),
@@ -215,7 +251,16 @@ _RESOURCES: dict[str, StructType] = {
                 valueQuantity=QUANTITY,
                 valueCodeableConcept=CODEABLE_CONCEPT,
                 valueString=S,
+                valueBoolean=B,
+                valueInteger=L,
+                valueRange=RANGE,
+                valueRatio=RATIO,
+                valueSampledData=SAMPLED_DATA,
+                valueTime=S,
+                valueDateTime=S,
+                valuePeriod=PERIOD,
                 dataAbsentReason=CODEABLE_CONCEPT,
+                interpretation=_arr(CODEABLE_CONCEPT),
             )
         ),
     ),
@@ -349,20 +394,36 @@ _RESOURCES: dict[str, StructType] = {
     ),
     "ServiceRequest": _resource(
         identifier=_arr(IDENTIFIER),
+        instantiatesCanonical=_arr(S),
+        instantiatesUri=_arr(S),
+        basedOn=_arr(REFERENCE),
+        replaces=_arr(REFERENCE),
         status=S,
         intent=S,
         category=_arr(CODEABLE_CONCEPT),
         priority=S,
+        doNotPerform=B,
         code=CODEABLE_CONCEPT,
+        orderDetail=_arr(CODEABLE_CONCEPT),
+        quantityQuantity=QUANTITY,
+        quantityRatio=RATIO,
+        quantityRange=RANGE,
         subject=REFERENCE,
         encounter=REFERENCE,
         occurrenceDateTime=S,
         occurrencePeriod=PERIOD,
+        occurrenceTiming=TIMING,
+        asNeededBoolean=B,
+        asNeededCodeableConcept=CODEABLE_CONCEPT,
         authoredOn=S,
         requester=REFERENCE,
+        performerType=CODEABLE_CONCEPT,
         performer=_arr(REFERENCE),
+        locationCode=_arr(CODEABLE_CONCEPT),
+        locationReference=_arr(REFERENCE),
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
+        note=_arr(ANNOTATION),
     ),
     "Practitioner": _resource(
         identifier=_arr(IDENTIFIER),
