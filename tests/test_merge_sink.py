@@ -219,6 +219,51 @@ def test_schema_evolution_adds_column(spark, tmp_path, backend):
     assert got["b"]["added"] == "extra"
 
 
+def test_schema_evolution_missing_column(spark, tmp_path, backend):
+    """An update batch MISSING a column the table has keeps the old
+    column (nulls on new rows) — ref test_deltalake.py::test_missing_field."""
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None)
+    tbl.merge(spark.createDataFrame([("a", "1", "x")], "id string, val string, extra string"), pol)
+    tbl.merge(spark.createDataFrame([("b", "2")], "id string, val string"), pol)
+    got = {r["id"]: r for r in tbl.read().collect()}
+    assert got["a"]["extra"] == "x"
+    assert got["b"]["extra"] is None
+
+
+def test_schema_evolution_nested_field(spark, tmp_path, backend):
+    """A NEW NESTED field inside an existing struct merges in (ref
+    deltalake autoMerge semantics; unionByName resolves nested)."""
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None)
+    tbl.merge(
+        spark.createDataFrame([("a", {"x": "1"})], "id string, obj struct<x:string>"), pol
+    )
+    tbl.merge(
+        spark.createDataFrame(
+            [("b", {"x": "2", "y": "new"})], "id string, obj struct<x:string,y:string>"
+        ),
+        pol,
+    )
+    got = {r["id"]: r["obj"].asDict() for r in tbl.read().collect()}
+    assert got["a"] == {"x": "1", "y": None}
+    assert got["b"] == {"x": "2", "y": "new"}
+
+
+def test_altered_column_type_rejected_lake_intact(spark, tmp_path):
+    """A batch that changes a column's TYPE errors out without damaging
+    the lake — ref test_deltalake.py::test_altered_field."""
+    import pytest as _pytest
+
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(last_updated_field=None)
+    tbl.merge(spark.createDataFrame([("a", 1)], "id string, v int"), pol)
+    with _pytest.raises(Exception):
+        tbl.merge(spark.createDataFrame([("b", "str")], "id string, v string"), pol)
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got == {"a": 1}  # lake untouched by the failed merge
+
+
 def test_delete_ids(spark, tmp_path, backend):
     tbl = ManagedTable(spark, str(tmp_path), "t")
     tbl.merge(make_df(spark, [("a", "1", None), ("b", "1", None), ("c", "1", None)]), MergePolicy())
