@@ -203,12 +203,18 @@ def _run_nlp_verb(spark, args) -> dict:
 
     model = None
     if args.ctakes_url:
-        from cumulus_etl_spark.nlp.http_provider import CtakesHttpModel
+        from cumulus_etl_spark.nlp.http_provider import CtakesHttpModel, wait_for_service
 
+        # fail fast before any Spark work if the service isn't up
+        # (ref nlp/watcher.py pre-flight checks)
+        wait_for_service(args.ctakes_url)
+        if args.cnlp_url:
+            wait_for_service(args.cnlp_url)
         model = CtakesHttpModel(url=args.ctakes_url, cnlp_url=args.cnlp_url)
     elif args.llm_url:
-        from cumulus_etl_spark.nlp.http_provider import LlmHttpModel
+        from cumulus_etl_spark.nlp.http_provider import LlmHttpModel, wait_for_service
 
+        wait_for_service(args.llm_url)
         model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
     batch_provider = None
     if args.batch_url:

@@ -33,6 +33,39 @@ from dataclasses import dataclass, field
 RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 
 
+def is_service_available(url: str, timeout: float = 2.0) -> bool:
+    """Socket-level reachability probe, parity with the reference's
+    pre-flight service watcher (nlp/watcher.py:18-43 +
+    cli_utils.is_url_available): is something listening at the URL's
+    host:port? A server that accepts the connection but is still
+    warming up counts as available — it will block replies, not refuse
+    them, exactly the reference's stance."""
+    import socket
+    import urllib.parse
+
+    parsed = urllib.parse.urlparse(url)
+    port = parsed.port or (443 if parsed.scheme == "https" else 80)
+    try:
+        with socket.create_connection((parsed.hostname, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def wait_for_service(url: str, attempts: int = 5, delay: float = 1.0) -> None:
+    """Block until the service is reachable, or raise with the
+    reference's remediation hint (watcher.py:28-32)."""
+    for i in range(attempts):
+        if is_service_available(url):
+            return
+        if i < attempts - 1:
+            time.sleep(delay)
+    raise ConnectionError(
+        f"No running NLP service was found at {url}. "
+        "Check the URL or start the support services."
+    )
+
+
 @dataclass
 class HttpClient:
     """Minimal JSON-over-HTTP client with retry/backoff.

@@ -154,6 +154,18 @@ def fake_server():
         srv.shutdown()
 
 
+def test_service_availability_probe(fake_server):
+    from cumulus_etl_spark.nlp.http_provider import is_service_available, wait_for_service
+
+    _, base = fake_server
+    assert is_service_available(f"{base}/ctakes")
+    wait_for_service(f"{base}/ctakes")  # no raise
+    dead = "http://127.0.0.1:1"  # port 1: nothing listens
+    assert not is_service_available(dead, timeout=0.2)
+    with pytest.raises(ConnectionError, match="No running NLP service"):
+        wait_for_service(dead, attempts=2, delay=0.05)
+
+
 def test_http_client_retries_transient_errors(fake_server):
     srv, base = fake_server
     srv.state["fail_next"] = 2
