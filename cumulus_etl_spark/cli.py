@@ -192,7 +192,9 @@ def _run_nlp_verb(spark, args) -> dict:
     from cumulus_etl_spark.sources import scan_resources
 
     tasks = (
-        load_study_tasks(args.task_config) if args.task_config else [COVID_SYMPTOM_TASK]
+        load_study_tasks(args.task_config, llm_url=args.llm_url)
+        if args.task_config
+        else [COVID_SYMPTOM_TASK]
     )
     if args.tasks:
         wanted = set(args.tasks)
@@ -215,7 +217,8 @@ def _run_nlp_verb(spark, args) -> dict:
         from cumulus_etl_spark.nlp.http_provider import LlmHttpModel, wait_for_service
 
         wait_for_service(args.llm_url)
-        model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
+        if not args.task_config:  # toml tasks already carry their LLM models
+            model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
     batch_provider = None
     if args.batch_url:
         from cumulus_etl_spark.nlp.http_provider import HttpBatchProvider

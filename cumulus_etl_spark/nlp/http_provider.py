@@ -181,17 +181,25 @@ class LlmHttpModel:
     url: str
     model_name: str
     system_prompt: str = "Extract symptom matches as a JSON list."
+    # reference prompt template: %CLINICAL-NOTE% marks where the note goes
+    # (etl/tasks/nlp_task.py user-prompt handling); None → raw note text
+    user_prompt_template: str | None = None
     response_format: dict | None = None
     concurrency: int = 4
     client: HttpClient = field(default_factory=HttpClient)
     _last_usage: dict = field(default_factory=dict)
 
     def _prompt(self, text: str) -> dict:
+        user = (
+            self.user_prompt_template.replace("%CLINICAL-NOTE%", text)
+            if self.user_prompt_template
+            else text
+        )
         payload = {
             "model": self.model_name,
             "messages": [
                 {"role": "system", "content": self.system_prompt},
-                {"role": "user", "content": text},
+                {"role": "user", "content": user},
             ],
         }
         if self.response_format:

@@ -72,26 +72,87 @@ COVID_SYMPTOM_TASK = StudyTask(
 )
 
 
-def load_study_tasks(toml_path: str, models: dict | None = None) -> list[StudyTask]:
-    """Dynamic task loading from a tasks.toml (ref nlp_task.py:485-561 +
-    etl/studies/*/tasks.toml): each ``[tasks.<name>]`` block gives the
-    version, model name, and optional note-coding filter.
+def load_study_tasks(
+    toml_path: str,
+    models: dict | None = None,
+    llm_url: str | None = None,
+    prefix: str | None = None,
+) -> list[StudyTask]:
+    """Dynamic task loading from a study tasks.toml.
 
-    ::
+    Two formats are accepted:
 
-        [tasks.my_study__symptoms]
-        version = 2
-        model = "stub-symptoms"          # key into the models registry
-        terms = ["cough", "fever"]       # stub model dictionary override
-        [tasks.my_study__symptoms.note_codings]
-        "http://loinc.org" = ["34111-5"]
+    1. The REFERENCE format (ref nlp_task.py:485-561,
+       etl/studies/{irae,example}/tasks.toml): a ``[shared]`` block with
+       fallback ``system-prompt`` / ``user-prompt`` / ``models``, and
+       ``[[task]]`` entries carrying ``name`` / ``version`` /
+       ``response-schema`` (a JSON-schema file next to the toml; its
+       serialized form replaces ``%JSON-SCHEMA%`` in the system prompt).
+       One StudyTask is emitted per (task × model) as
+       ``{prefix}__nlp[_{name}]_{model_id}`` — prefix defaults to the
+       toml's directory name (the study). With ``llm_url`` set each task
+       gets a chat-completions model carrying its prompts and response
+       format; without it, a deterministic stub stands in (offline runs,
+       CI).
+    2. The compact legacy form: ``[tasks.<name>]`` blocks with
+       ``version`` / ``model`` / ``terms`` / ``note_codings``.
     """
+    import json
+    import os
     import tomllib
 
     with open(toml_path, "rb") as fh:
         doc = tomllib.load(fh)
     registry = {"stub-symptoms": StubSymptomModel}
     registry.update(models or {})
+
+    if "task" in doc or "shared" in doc:
+        from cumulus_etl_spark.nlp.http_provider import LlmHttpModel
+
+        shared = doc.get("shared", {})
+        prefix = prefix or os.path.basename(os.path.dirname(os.path.abspath(toml_path)))
+        out = []
+        for spec in doc.get("task", []):
+            name = spec.get("name")
+            suffix = f"_{name}" if name else ""
+            version = int(spec.get("version", 0))
+            schema_file = spec.get("response-schema")
+            if not schema_file:
+                raise ValueError("The 'response-schema' key is required for each task")
+            if "/" in schema_file:
+                raise ValueError("response-schema must be a simple filename, no path elements")
+            system_prompt = (spec.get("system-prompt") or shared.get("system-prompt", "")).strip()
+            if not system_prompt:
+                raise ValueError("The 'system-prompt' key is required for each task")
+            user_prompt = spec.get("user-prompt") or shared.get("user-prompt")
+            model_ids = spec.get("models") or shared.get("models", [])
+            if not model_ids:
+                raise ValueError("The 'models' key is required for each task")
+            with open(os.path.join(os.path.dirname(os.path.abspath(toml_path)), schema_file)) as f:
+                response_schema = json.load(f)
+            system_prompt = system_prompt.replace(
+                "%JSON-SCHEMA%", json.dumps(response_schema, indent=2)
+            )
+            for model_id in model_ids:
+                task_name = f"{prefix}__nlp{suffix}_{model_id.replace('-', '_')}"
+                if model_id in registry:
+                    model = registry[model_id]()
+                elif llm_url:
+                    model = LlmHttpModel(
+                        url=llm_url,
+                        model_name=model_id,
+                        system_prompt=system_prompt,
+                        user_prompt_template=user_prompt and user_prompt.strip(),
+                        response_format={
+                            "type": "json_schema",
+                            "json_schema": {"name": name or "task", "schema": response_schema},
+                        },
+                    )
+                else:
+                    model = StubSymptomModel()  # offline fallback, deterministic
+                out.append(StudyTask(name=task_name, task_version=version, model=model))
+        return out
+
     out = []
     for name, spec in doc.get("tasks", {}).items():
         model_cls = registry[spec.get("model", "stub-symptoms")]

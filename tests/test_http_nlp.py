@@ -314,6 +314,71 @@ def test_nlp_cli_end_to_end(spark, fake_server, tmp_path, capsys):
     assert not any("n1" in r["note_ref"] for r in rows)  # refs pseudonymized
 
 
+def test_reference_format_tasks_toml(spark, fake_server, tmp_path, capsys):
+    """Reference-format tasks.toml ([shared] + [[task]] with prompt
+    templates, %JSON-SCHEMA%/%CLINICAL-NOTE% placeholders, response
+    schemas, per-model fan-out; ref nlp_task.py:485-561) loads and runs
+    end-to-end through the nlp verb against the chat endpoint."""
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    _, base = fake_server
+    study = tmp_path / "my_study"
+    study.mkdir()
+    (study / "age.json").write_text(json.dumps(
+        {"type": "object", "properties": {"age": {"type": "integer"}}}
+    ))
+    (study / "tasks.toml").write_text("""
+[shared]
+system-prompt = \"\"\"Extract facts.\nSchema:\n%JSON-SCHEMA%\"\"\"
+user-prompt = \"\"\"Document:\n%CLINICAL-NOTE%\"\"\"
+models = ["gpt-like", "other-model"]
+
+[[task]]
+name = "age"
+version = 3
+response-schema = "age.json"
+
+[[task]]
+version = 1
+response-schema = "age.json"
+models = ["gpt-like"]
+""")
+    tasks = load_study_tasks(str(study / "tasks.toml"), llm_url=f"{base}/chat")
+    names = [t.name for t in tasks]
+    assert names == [
+        "my_study__nlp_age_gpt_like",
+        "my_study__nlp_age_other_model",
+        "my_study__nlp_gpt_like",  # unnamed task: no suffix
+    ]
+    assert tasks[0].task_version == 3
+    m = tasks[0].model
+    assert '"age"' in m.system_prompt  # %JSON-SCHEMA% substituted
+    assert m.user_prompt_template.startswith("Document:")
+    assert m.response_format["json_schema"]["schema"]["properties"]["age"]
+
+    # missing required keys are hard errors (ref parse_nlp_config)
+    (study / "bad.toml").write_text('[[task]]\nversion = 1\n')
+    with pytest.raises(ValueError, match="response-schema"):
+        load_study_tasks(str(study / "bad.toml"))
+
+    # e2e through the CLI: one task, real chat endpoint
+    in_dir = str(tmp_path / "in")
+    write_ndjson(in_dir, "docs.ndjson", [docref("n1", text="fever noted")])
+    rc = cli_main([
+        "nlp", in_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "--task-config", str(study / "tasks.toml"),
+        "--task", "my_study__nlp_age_gpt_like",
+        "--llm-url", f"{base}/chat",
+    ])
+    assert rc == 0
+    rows = ManagedTable(spark, str(tmp_path / "out"), "my_study__nlp_age_gpt_like").read().collect()
+    assert len(rows) == 1 and rows[0]["task_version"] == 3
+
+
 def test_http_batch_provider_full_lifecycle(spark, fake_server, tmp_path):
     from cumulus_etl_spark.nlp.batch_api import BatchRun
 
