@@ -1,0 +1,332 @@
+"""Fourth tranche: the remaining classic TPC-H shapes (Q9/Q11/Q12/Q13/
+Q16/Q17/Q20 analogs), completing all 22 query patterns, adapted to the
+harness schema (no partsupp — lineitem×part stand in; no shipmode —
+l_returnflag stands in).
+
+Each is written as the decorrelated, shuffle-minimal Spark plan you'd
+want at 100 TB:
+
+- Q9  (profit rollup): dims (part/supplier/nation) broadcast into ONE
+  pass over the fact join lineitem⋈orders; profit stays exact DECIMAL
+  until the final cast.
+- Q11 (HAVING vs global total): scalar subquery over an aggregate →
+  1-row broadcast, not a recomputation per group.
+- Q12 (conditional counts): CASE-based pivot inside one hash agg —
+  one shuffle on the group key, no per-branch scans.
+- Q13 (distribution of counts): LEFT OUTER + two-stage agg; the join
+  key (c_custkey) and the first groupBy key coincide, so Catalyst
+  reuses the exchange — the second agg is over tiny data.
+- Q16 (distinct suppliers per part class): NOT IN on a non-null key →
+  left_anti broadcast join; countDistinct shuffles once.
+- Q17 (correlated avg threshold): avg-per-part decorrelated into a
+  groupBy + equi-join back (never a per-row subquery).
+- Q20 (nested IN chain): two semi-join reductions over pre-aggregated
+  per-(part,supplier) quantities.
+
+Reference context: these are downstream-SQL shapes the reference
+delegates to Athena (SURVEY.md §2.11; cumulus_etl hands study SQL to
+Athena per docs/deid.md). The engine must answer them natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.plans.catalog import dec, register
+from cumulus_etl_spark.sources import table
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(8,6)))
+                      - CAST(p.p_retailprice AS DECIMAL(18,4))
+                        * CAST(l.l_quantity AS DECIMAL(12,2))
+                        * CAST(0.5 AS DECIMAL(2,1))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE 'red %'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+"""
+
+
+@register("q9_profit_by_nation_year", _Q9_ORACLE, tags=("join", "agg", "tpch"))
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-way star join + computed profit measure,
+    grouped by nation×year. part/supplier/nation broadcast; the only
+    shuffles are lineitem⋈orders on orderkey and the final hash agg.
+    Profit = revenue − 0.5·retailprice·qty (supplycost proxy), exact
+    decimal end-to-end."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        dec("l_extendedprice", 24, 4) * (F.lit(1) - dec("l_discount", 8, 6))
+        - dec("p_retailprice", 18, 4) * dec("l_quantity", 12, 2) * dec(F.lit(0.5), 2, 1)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
+_Q11_ORACLE = """
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(part_value AS DOUBLE) >
+      (SELECT CAST(SUM(part_value) AS DOUBLE) * CAST(0.001 AS DOUBLE) FROM val)
+"""
+
+
+@register("q11_important_parts", _Q11_ORACLE, tags=("agg", "subquery", "tpch"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a fraction of
+    the GLOBAL total (scalar subquery over the same aggregate). The
+    total is a 1-row broadcast crossJoin — the per-part aggregate is
+    computed once and reused for both sides, not recomputed per row.
+    Sums stay exact decimal; the threshold comparison happens in double
+    space with identical operands on both engines (a pure-decimal
+    multiply would exceed precision 38 and round engine-dependently)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice", 24, 4)).alias("part_value"))
+    )
+    total = val.agg(
+        (F.sum("part_value").cast("double") * F.lit(0.001).cast("double")).alias("threshold")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q12_priority_by_returnflag", _Q12_ORACLE, tags=("join", "agg", "tpch"))
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts (CASE inside SUM) split one
+    scan into high/low-priority tallies — a 2-way pivot in a single
+    hash aggregation. The shipdate filter pushes into the lineitem
+    parquet scan before the join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE, tags=("join", "agg", "tpch"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution-of-counts. LEFT OUTER join keeps
+    order-less customers (c_count=0 bucket); the join predicate filters
+    the RIGHT side only, so it stays in the join condition, not a WHERE
+    (a WHERE would turn the outer join inner). First agg groups on the
+    join key — the exchange is reused — and the second agg input is
+    |customers| rows, trivially small."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_cnt_by_part_class", _Q16_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q16_supplier_cnt_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery + COUNT(DISTINCT) per part
+    class. The NOT IN is over a non-null key, so it lowers to a
+    broadcast left_anti join (null-safe NOT IN semantics would need
+    null checks; s_suppkey is a PK). countDistinct expands to a
+    two-phase agg — one shuffle on (brand,type,size,suppkey), then the
+    final count."""
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_sup = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_sup), li["l_suppkey"] == bad_sup["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(24,4))), 2) AS DOUBLE)
+       / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG threshold, decorrelated into
+    avg-per-part + equi-join back (one shuffle on l_partkey, reused by
+    both the aggregate and the join). l_quantity is integral-valued, so
+    SUM is exact in double and AVG = sum/count is bit-identical across
+    engines; the 0.2 factor is applied as the same double on both
+    sides. Final division by 7.0 happens after the exact-decimal
+    revenue sum is rounded, so no double-accumulation drift."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.2).cast("double") * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == avg_qty["ak"])
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.round(F.sum(dec("l_extendedprice", 24, 4)), 2).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+total AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM qty GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT q.l_suppkey
+  FROM qty q
+  JOIN total t ON t.l_partkey = q.l_partkey
+  JOIN part p ON p.p_partkey = q.l_partkey
+  WHERE p.p_name LIKE 'blue %' AND q.sq > 0.5 * t.tq
+)
+"""
+
+
+@register("q20_promotion_suppliers", _Q20_ORACLE, tags=("join", "subquery", "tpch"))
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chain (suppliers ∈ {dominant shippers
+    of blue parts this year}). Spark-first: pre-aggregate once per
+    (part,supplier), derive per-part totals from THAT aggregate (not a
+    second fact scan), semi-join the supplier dim with the qualifying
+    supplier keys. sq/tq are sums of integral doubles — exact, so the
+    0.5·tq comparison is engine-independent."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    total = qty.groupBy(F.col("l_partkey").alias("tk")).agg(F.sum("sq").alias("tq"))
+    blue = table(spark, sf_dir, "part").filter(F.col("p_name").like("blue %")).select("p_partkey")
+    dominant = (
+        qty.join(total, qty["l_partkey"] == total["tk"])
+        .join(F.broadcast(blue), qty["l_partkey"] == blue["p_partkey"], "left_semi")
+        .filter(F.col("sq") > F.lit(0.5) * F.col("tq"))
+        .select("l_suppkey")
+    )
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        sup.join(dominant, sup["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
