@@ -172,14 +172,27 @@ def _lsh_candidates_from_shingles(
         ]
     )
     banded = sigs.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
-    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
-    capped = banded.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= max_bucket)
-    a = capped.select("band_idx", "band_hash", F.col("id").alias("id_a"))
-    b = capped.select("band_idx", "band_hash", F.col("id").alias("id_b"))
+    # Pair generation: ONE shuffle on the bucket key — collect each
+    # bucket's ids (sorted, capped at max_bucket) and emit the pairs as
+    # an array expression. This replaces the window-cap + bucket
+    # self-join formulation (two extra stages and a second scan of the
+    # banded rows); per-bucket work is O(cap²) ≤ 40k structs, bounded.
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, max_bucket),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
