@@ -1,0 +1,175 @@
+"""Analytics tranche: statistical aggregates, rank-distribution windows,
+retention cohorts, and document-frequency ranking — the shapes a study
+author writes right after the TPC-H basics (SURVEY §2.11 downstream-SQL
+surface; the reference delegates all of these to Athena).
+
+Determinism: moments (stddev/covar/corr) are NEVER computed with the
+engines' native aggregate functions — their double accumulation order
+differs between Spark partial aggregation and DuckDB. Instead both sides
+compute exact DECIMAL power sums (the data is 2dp-clean) and apply the
+identical closed-form double formula to identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.plans.catalog import dec, register
+from cumulus_etl_spark.sources import table
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                  * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+FROM s
+"""
+
+
+@register("agg_stats_moments", _MOMENTS_ORACLE, tags=("agg", "stats"))
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev / covariance / correlation per return flag, via
+    exact decimal power sums + closed-form double math. One hash agg
+    (all five sums partial-aggregate in the same pass); the moment
+    formulas run on the tiny grouped result."""
+    li = table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity", 8, 2), dec("l_extendedprice", 18, 2)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(price * price).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        ((sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)))
+        .alias("corr_qty_price"),
+    )
+
+
+_RANKDIST_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_rank_distribution", _RANKDIST_ORACLE, tags=("window",))
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over a unique total order
+    (acctbal, custkey) — the tiebreak makes every rank, and therefore
+    every derived double, engine-independent."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firstw AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+),
+acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.aw) / 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM firstw f
+JOIN acts a ON a.user_id = f.user_id
+GROUP BY f.cohort, date_diff('day', f.cohort, a.aw) / 7
+"""
+
+
+@register("events_retention_cohort", _RETENTION_ORACLE, tags=("agg", "events"))
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen ISO week,
+    counted per weeks-since-cohort. Both aggregations key on user_id
+    first, so the cohort join co-partitions with the distinct-activity
+    frame — one logical shuffle on user_id, then a small final agg.
+    Offsets are exact integer day arithmetic on week-truncated DATEs
+    (both engines start weeks on Monday)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    firstw = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    acts = ev.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("aw")).distinct()
+    offset = (F.datediff("aw", "cohort") / 7).cast("int")
+    return (
+        firstw.join(acts, "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+_DOCFREQ_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS token
+  FROM documents
+),
+df AS (
+  SELECT lang, token, COUNT(*) AS doc_freq FROM tok GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, doc_freq,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, token) AS rn
+  FROM df
+)
+SELECT lang, token, CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 10
+"""
+
+
+@register("text_doc_freq_topk", _DOCFREQ_ORACLE, tags=("text", "agg", "window"))
+def text_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens by document frequency per language — the IDF
+    building block of TF-IDF. explode(distinct tokens) → count per
+    (lang, token) → per-lang top-k window with a total tiebreak
+    (freq desc, token asc). At scale the token agg partial-combines
+    map-side; the window input is |vocab|, not |corpus|."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias("token"),
+    )
+    df_counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("token"))
+    return (
+        df_counts.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "token", F.col("doc_freq").cast("bigint").alias("doc_freq"), "rn")
+    )
