@@ -1,3 +1,9 @@
 from cumulus_etl_spark.streaming.incremental import incremental_etl, windowed_event_counts
+from cumulus_etl_spark.streaming.joins import interval_join, streaming_dedup
 
-__all__ = ["incremental_etl", "windowed_event_counts"]
+__all__ = [
+    "incremental_etl",
+    "windowed_event_counts",
+    "interval_join",
+    "streaming_dedup",
+]

@@ -1,0 +1,76 @@
+"""Streaming dedup and stream-stream joins (SURVEY §2.10 depth).
+
+Two state-bounded streaming shapes the batch engine's operators map onto
+when sources become continuous:
+
+- ``streaming_dedup``: the reference's duplicate-input suppression (F5,
+  ref sample/cli.py:165-170) and in-batch dedup (F6) assume one batch in
+  memory. On a stream, `dropDuplicatesWithinWatermark` gives the same
+  guarantee with BOUNDED state: duplicates arriving within the lateness
+  budget are suppressed, and state for keys older than the watermark is
+  evicted — re-exported FHIR bundles landing twice in the same window
+  produce one merge, not two.
+
+- ``interval_join``: correlate two event streams on a key within a time
+  bound (impression→conversion, order→fulfillment). Both sides are
+  watermarked and the join condition carries the time range, so Spark
+  can evict state once the watermark passes the bound — without the
+  range condition a stream-stream join would buffer forever.
+
+Both functions also accept batch DataFrames (same plan, no watermark),
+so the oracle/test story is identical to the batch operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the lateness budget.
+
+    Streaming: `withWatermark` + `dropDuplicatesWithinWatermark` — state
+    holds only keys newer than the watermark (bounded by arrival rate ×
+    budget, not by total history). Batch: plain dropDuplicates on the
+    same columns, so batch backfills and the live stream share one code
+    path.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join right-events to left-events with the same ``key`` where
+    ``left_ts <= right_ts <= left_ts + max_delay``.
+
+    The equi-key hashes; the range rides along as a post-hash filter.
+    On streams the watermark + range bound let Spark GC both state
+    stores; on batch inputs the identical plan is a plain conditional
+    join (AQE picks broadcast/SMJ). Column names must be disjoint apart
+    from ``key``.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lk = left[key] == right[key]
+    in_range = (right[right_ts] >= left[left_ts]) & (
+        right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}")
+    )
+    return left.join(right, lk & in_range, how).drop(right[key])

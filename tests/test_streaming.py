@@ -117,3 +117,87 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert s["closed_by"] == "gap"
     assert str(s["session_start"]).startswith("2021-01-01 00:00:00")
     assert str(s["session_end"]).startswith("2021-01-01 00:10:00")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered rows inside the lateness budget collapse to one."""
+    from cumulus_etl_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dup-events")
+    ckpt = str(tmp_path / "dup-ckpt")
+    write_ndjson(src, "e.ndjson", [
+        {"ts": "2021-01-01T00:00:00Z", "rid": "a"},
+        {"ts": "2021-01-01T00:05:00Z", "rid": "a"},  # duplicate re-delivery
+        {"ts": "2021-01-01T00:10:00Z", "rid": "b"},
+    ])
+    stream = (
+        spark.readStream.schema("ts string, rid string")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "rid")
+    )
+    deduped = streaming_dedup(stream, ["rid"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["rid"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["a", "b"]
+
+    # Batch path: same call, same answer.
+    batch = spark.createDataFrame(
+        [("2021-01-01 00:00:00", "a"), ("2021-01-01 00:05:00", "a")],
+        "ts_s string, rid string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "rid")
+    assert streaming_dedup(batch, ["rid"]).count() == 1
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Conversions join their impression within the bound; outside → dropped."""
+    from cumulus_etl_spark.streaming import interval_join
+
+    imp_src = str(tmp_path / "impressions")
+    conv_src = str(tmp_path / "conversions")
+    ckpt = str(tmp_path / "ij-ckpt")
+    write_ndjson(imp_src, "i.ndjson", [
+        {"its": "2021-01-01T00:00:00Z", "uid": 1},
+        {"its": "2021-01-01T00:00:00Z", "uid": 2},
+    ])
+    write_ndjson(conv_src, "c.ndjson", [
+        {"cts": "2021-01-01T00:30:00Z", "uid": 1},   # within 1h → joins
+        {"cts": "2021-01-01T03:00:00Z", "uid": 2},   # 3h later → dropped
+    ])
+    imp = (
+        spark.readStream.schema("its string, uid long")
+        .option("pathGlobFilter", "*.ndjson").json(imp_src)
+        .select(F.to_timestamp("its").alias("its"), "uid")
+    )
+    conv = (
+        spark.readStream.schema("cts string, uid long")
+        .option("pathGlobFilter", "*.ndjson").json(conv_src)
+        .select(F.to_timestamp("cts").alias("cts"), "uid")
+    )
+    joined = interval_join(imp, conv, "uid", "its", "cts", max_delay="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from ij_out").collect()
+    assert len(rows) == 1 and rows[0]["uid"] == 1
+
+    # Batch parity: identical call on static frames.
+    bi = spark.createDataFrame([("2021-01-01 00:00:00", 1)], "s string, uid long") \
+        .select(F.col("s").cast("timestamp").alias("its"), "uid")
+    bc = spark.createDataFrame([("2021-01-01 00:30:00", 1)], "s string, uid long") \
+        .select(F.col("s").cast("timestamp").alias("cts"), "uid")
+    assert interval_join(bi, bc, "uid", "its", "cts").count() == 1
