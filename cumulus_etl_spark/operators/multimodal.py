@@ -168,6 +168,59 @@ def sample_video_frames(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+AUDIO_FEATURES = StructType(
+    [
+        StructField("duration_s", FloatType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("zero_crossing_rate", FloatType(), True),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", sample_rate: int = 16000
+) -> DataFrame:
+    """Audio feature-extraction stage: duration / RMS / peak / zero-
+    crossing rate per payload.
+
+    The CODEC is the stub (payload bytes are reinterpreted as int8 PCM
+    — a real implementation decodes mp3/wav here); the DSP after it is
+    real, vectorized numpy over the whole batch's samples, exactly how
+    a production feature pass would run inside mapInPandas.
+    """
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("audio_features", AUDIO_FEATURES, True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None or len(payload) == 0:
+                    feats.append(None)
+                    continue
+                wave = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float32) / 128.0
+                signs = np.signbit(wave)
+                feats.append(
+                    {
+                        "duration_s": float(wave.size / sample_rate),
+                        "rms": float(np.sqrt(np.mean(wave * wave))),
+                        "peak": float(np.max(np.abs(wave))),
+                        "zero_crossing_rate": float(np.mean(signs[1:] != signs[:-1]))
+                        if wave.size > 1
+                        else 0.0,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["audio_features"] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 EMBED_DIM = 16
 
 

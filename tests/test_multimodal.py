@@ -74,3 +74,29 @@ def test_repartition_for_payloads(spark):
     total = 8 * 4096
     out = repartition_for_payloads(df, total_bytes=total, target_bytes=8192)
     assert out.rdd.getNumPartitions() == total // 8192 + 1
+
+
+def test_extract_audio_features(spark):
+    from cumulus_etl_spark.operators.multimodal import extract_audio_features, pack_media
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, bytes([0, 127, 128, 255] * 4000)), (2, b""), (3, None)],
+        "id long, payload binary",
+    )
+    out = extract_audio_features(df, sample_rate=16000).collect()
+    byid = {r["id"]: r["audio_features"] for r in out}
+    f1 = byid[1]
+    assert abs(f1["duration_s"] - 1.0) < 1e-6  # 16000 samples @ 16kHz
+    assert 0.0 < f1["rms"] <= 1.0 and f1["peak"] <= 1.0
+    assert 0.0 < f1["zero_crossing_rate"] < 1.0
+    assert byid[2] is None and byid[3] is None
+
+
+def test_multimodal_catalog_entries_run(spark, sf_correct):
+    from cumulus_etl_spark.plans import CATALOG
+
+    for name in ("multimodal_image_stats", "multimodal_audio_features",
+                 "multimodal_frame_sample"):
+        df = CATALOG[name].build(spark, sf_correct)
+        assert df.count() > 0, name
