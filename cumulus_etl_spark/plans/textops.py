@@ -205,6 +205,54 @@ def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a
+  JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.tok, b.tok))
+        >= 0.5 * len(list_distinct(list_concat(a.tok, b.tok)))
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id,
+       CAST(MIN(dst) AS BIGINT) AS cluster_id,
+       src = MIN(dst) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
+@register("text_dedup_clusters", _CC_ORACLE, tags=("text", "dedup", "graph"))
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: near-dup pairs (same-source token
+    Jaccard ≥ 0.5) → distributed connected components (min-label
+    propagation + pointer jumping, operators/graph.py) → per-doc
+    cluster id + canonical flag. The oracle computes the same
+    components with a recursive CTE — transitive closure, so A~B~C
+    chains land in ONE cluster even when A≁C directly."""
+    from cumulus_etl_spark.operators.graph import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = text_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(d, pairs, "doc_id").select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 @register("text_simhash_pairs", None, tags=("text", "dedup"))
 def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, 4-block pigeonhole, Hamming ≤ 3)."""

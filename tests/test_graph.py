@@ -1,0 +1,33 @@
+"""Connected-components / dedup-cluster tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.graph import connected_components, dedup_clusters
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A long chain (worst case for propagation) + isolated vertices."""
+    verts = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # chain 0-1-2-...-7 ; pair 9-10 ; isolates 8, 11
+    chain = [(i, i + 1) for i in range(7)]
+    edges = spark.createDataFrame(chain + [(9, 10)], "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert all(got[i] == 0 for i in range(8))
+    assert got[9] == got[10] == 9
+    assert got[8] == 8 and got[11] == 11
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C but no A~C edge: all three must share one cluster —
+    the case pairwise drop-the-greater gets wrong."""
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z"), (4, "w")],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = dedup_clusters(df, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    assert rows[3] == (1, False)
+    assert rows[4] == (4, True)
