@@ -135,6 +135,55 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t1) AS BIGINT) AS step_signup,
+       CAST(COUNT(CASE WHEN t2 > t1 THEN 1 END) AS BIGINT) AS step_view,
+       CAST(COUNT(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 END) AS BIGINT) AS step_click,
+       CAST(COUNT(CASE WHEN t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 END) AS BIGINT)
+         AS step_purchase
+FROM s
+"""
+
+
+@register("events_conversion_funnel", _FUNNEL_ORACLE, tags=("agg", "events"))
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: first-
+    occurrence timestamps per step via ONE conditional-min hash agg per
+    user (no per-step scans, no self-joins — the classic funnel
+    anti-pattern is N-1 self-joins on the event log), then a global
+    fold to step counts. Two shuffles total, the second over |users|
+    rows."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    s = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("view").alias("t2"),
+        first_ts("click").alias("t3"),
+        first_ts("purchase").alias("t4"),
+    )
+    t1, t2, t3, t4 = F.col("t1"), F.col("t2"), F.col("t3"), F.col("t4")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(t1).alias("step_signup"),
+        F.count(F.when(t2 > t1, 1)).alias("step_view"),
+        F.count(F.when((t2 > t1) & (t3 > t2), 1)).alias("step_click"),
+        F.count(F.when((t2 > t1) & (t3 > t2) & (t4 > t3), 1)).alias("step_purchase"),
+    )
+
+
 _DOCFREQ_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id, lang,
@@ -172,4 +221,55 @@ def text_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_counts.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 10)
         .select("lang", "token", F.col("doc_freq").cast("bigint").alias("doc_freq"), "rn")
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+ranked AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.token) AS rn
+  FROM tf t JOIN df d ON d.token = t.token
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("text_tfidf_topk", _TFIDF_ORACLE, tags=("text", "agg", "window"))
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document, TF-IDF-style: term
+    frequency per (doc, token), document frequency per token, ranked by
+    (tf desc, df asc) with a token tiebreak. Ranking keys stay exact
+    integers — a float idf=ln(N/df) score would rank identically but
+    hash differently across engines' libm. The tf agg partial-combines
+    map-side; the df agg and join run over |vocab|-sized data; the
+    per-doc window re-shuffles on doc_id (same key as tf, so the
+    exchange is reusable)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
+    return (
+        tf.join(dfc, "token")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.col("tf").cast("bigint").alias("tf"),
+                F.col("df").cast("bigint").alias("df"), "rn")
     )
