@@ -135,6 +135,45 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HISTOGRAM_ORACLE = """
+SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19)
+"""
+
+
+@register("agg_histogram_totalprice", _HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (20 buckets of 25k, last open-ended)
+    — one hash agg; bucketing is floor-division on identical doubles so
+    both engines bin identically. MIN/MAX per bucket are exact (no
+    accumulation)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register("sample_stratified", None, tags=("sample",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling: per-segment Bernoulli fractions via
+    sampleBy — the scale-safe way to build per-stratum training
+    subsets (no shuffle; the sample rides the scan). Rows-only check
+    (the engine-specific hash stream isn't SQL-reproducible), but the
+    seed makes it run-to-run deterministic, pytest-asserted."""
+    cust = table(spark, sf_dir, "customer")
+    fractions = {"AUTOMOBILE": 0.5, "BUILDING": 0.25, "FURNITURE": 0.1}
+    return cust.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH s AS (
   SELECT user_id,

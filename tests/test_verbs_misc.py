@@ -150,3 +150,14 @@ def test_cli_init_and_etl(spark, tmp_path, capsys):
     assert out["tables"]["patient"]["rows"] == 2
     rc = cli_main(["init", str(tmp_path / "out2")])
     assert rc == 0
+
+
+def test_sample_stratified_deterministic(spark, sf_correct):
+    from cumulus_etl_spark.plans import CATALOG
+
+    q = CATALOG["sample_stratified"]
+    a = sorted(r["c_custkey"] for r in q.build(spark, sf_correct).collect())
+    b = sorted(r["c_custkey"] for r in q.build(spark, sf_correct).collect())
+    assert a == b and len(a) > 0
+    segs = {r["c_mktsegment"] for r in q.build(spark, sf_correct).collect()}
+    assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE"}
