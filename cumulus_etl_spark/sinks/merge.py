@@ -184,13 +184,48 @@ class ManagedTable:
     def _is_delta(self) -> bool:
         return HAVE_DELTA and DeltaTable.isDeltaTable(self.spark, self.path)
 
-    def read(self) -> DataFrame | None:
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current table state, or — time travel — a past ``version``
+        that finalize() has not GC'd yet (Delta branch: ``versionAsOf``).
+        Past versions read with their own file schemas, which may
+        predate later schema evolution."""
         if self._is_delta():
+            if version is not None:
+                return (
+                    self.spark.read.format("delta")
+                    .option("versionAsOf", version)
+                    .load(self.path)
+                )
             return DeltaTable.forPath(self.spark, self.path).toDF()
         ptr = self._pointer()
         if ptr is None:
             return None
+        if version is not None and version != int(ptr["version"]):
+            if version not in self.versions():
+                raise ValueError(
+                    f"version {version} not on disk (have {self.versions()}); "
+                    "finalize() garbage-collects old versions"
+                )
+            vdir = self._vdir(version)
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", vdir)
+                .parquet(vdir)
+                .drop(BUCKET_COL)
+            )
         return self._read_version(ptr)
+
+    def versions(self) -> list[int]:
+        """Versions still on disk (oldest → newest)."""
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for e in os.listdir(self.path):
+            if e.startswith("v") and e[1:].isdigit() and os.path.isdir(
+                os.path.join(self.path, e)
+            ):
+                out.append(int(e[1:]))
+        return sorted(out)
 
     def exists(self) -> bool:
         return self._is_delta() or self.current_version() is not None

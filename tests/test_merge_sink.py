@@ -427,3 +427,25 @@ def test_write_ndjson_batches_group_atomic_across_files(spark, tmp_path):
     assert total == 30
     for grp, files in group_to_files.items():
         assert len(files) == 1, f"group {grp} split across {files}"
+
+
+def test_time_travel_read(spark, tmp_path):
+    """read(version=N) returns the pre-merge state until finalize GCs it."""
+    t = ManagedTable(spark, str(tmp_path), "tt")
+    policy = MergePolicy(keys=("id",))
+    t.merge(spark.createDataFrame([Row(id="a", val=1)]), policy)
+    t.merge(spark.createDataFrame([Row(id="a", val=2), Row(id="b", val=3)]), policy)
+
+    assert t.versions() == [1, 2]
+    v1 = {r["id"]: r["val"] for r in t.read(version=1).collect()}
+    now = {r["id"]: r["val"] for r in t.read().collect()}
+    assert v1 == {"a": 1}
+    assert now == {"a": 2, "b": 3}
+
+    with pytest.raises(ValueError, match="not on disk"):
+        t.read(version=99)
+
+    t.finalize(keep_versions=1)
+    assert t.versions() == [2]
+    with pytest.raises(ValueError, match="not on disk"):
+        t.read(version=1)
