@@ -31,3 +31,39 @@ def test_dedup_clusters_transitive(spark):
     assert rows[2] == (1, False)
     assert rows[3] == (1, False)
     assert rows[4] == (4, True)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graphs checked against a plain union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id label per component
+    expected = {}
+    for v in range(n):
+        root = find(v)
+        expected.setdefault(root, []).append(v)
+    want = {v: min(mem) for mem in expected.values() for v in mem}
+
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    from cumulus_etl_spark.operators.graph import connected_components
+
+    got = {r["id"]: r["component"] for r in connected_components(verts, edf).collect()}
+    assert got == want
