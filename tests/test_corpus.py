@@ -1,0 +1,55 @@
+"""Corpus-prep pipeline tests (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.corpus import (
+    pack_by_token_budget,
+    prepare_corpus,
+    token_budget_summary,
+)
+
+
+def test_pack_by_token_budget_matches_sequential(spark):
+    """Distributed prefix-sum sharding == plain sequential packing,
+    across many partitions."""
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1, 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int").repartition(16)
+    out = {r["doc_id"]: r["shard_id"] for r in pack_by_token_budget(df, budget=5000).collect()}
+
+    cum = 0
+    for i, tok in rows:  # doc_id order
+        assert out[i] == (cum // 5000), f"doc {i}"
+        cum += tok
+    # shards are contiguous 0..max
+    assert sorted(set(out.values())) == list(range(max(out.values()) + 1))
+
+
+def test_token_budget_summary_totals(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, n_tokens int"
+    )
+    sharded = pack_by_token_budget(df, budget=150)
+    got = {r["shard_id"]: (r["n_docs"], r["total_tokens"])
+           for r in token_budget_summary(sharded).collect()}
+    # doc1 fills 0..100, doc2 starts at 100 (<150 → shard 0), doc3 at 200 → shard 1
+    assert got == {0: (2, 200), 1: (1, 100)}
+
+
+def test_prepare_corpus_drops_short_and_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walk to the park in the morning light", "en", "a"),
+            (2, "the cat and the dog walk to the park in the morning light", "en", "a"),
+            (3, "short", "en", "a"),
+            (4, "a completely different long document about the sea and the sky "
+                "that is long enough to keep for training purposes", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    survivors = sorted(r["doc_id"] for r in prepare_corpus(docs).collect())
+    assert survivors == [1, 4]  # 2 = exact dup, 3 = too short
