@@ -8,6 +8,7 @@ Verbs:
   etl-i2b2 INPUT OUTPUT PHI  i2b2 CSV dump → de-identified lake
   nlp INPUT OUTPUT PHI   run NLP study tasks over clinical notes
   upload-notes INPUT LS_URL PHI  push charts to Label Studio for review
+  corpus INPUT OUTPUT    clean a document corpus and pack token-budget shards
 """
 
 from __future__ import annotations
@@ -100,6 +101,19 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--select-by-regex", dest="select_regex", default=None)
     p_up.add_argument("--overwrite", action="store_true")
 
+    p_corpus = sub.add_parser(
+        "corpus", help="clean a document corpus and pack token-budget shards"
+    )
+    p_corpus.add_argument("input_path", help="parquet path with doc_id/text columns")
+    p_corpus.add_argument("output_dir")
+    p_corpus.add_argument("--id-col", default="doc_id")
+    p_corpus.add_argument("--text-col", default="text")
+    p_corpus.add_argument("--lang", default="en", help="keep this language ('any' disables)")
+    p_corpus.add_argument("--min-tokens", type=int, default=10)
+    p_corpus.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p_corpus.add_argument("--shard-tokens", type=int, default=1_000_000,
+                          help="token budget per output shard")
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -176,6 +190,43 @@ def main(argv: list[str] | None = None) -> int:
             overwrite=args.overwrite,
         )
         print(json.dumps(summary, indent=2))
+        return 0
+    if args.verb == "corpus":
+        from cumulus_etl_spark.operators.corpus import (
+            pack_by_token_budget,
+            prepare_corpus,
+            token_budget_summary,
+        )
+
+        docs = spark.read.parquet(args.input_path)
+        survivors = prepare_corpus(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            lang=None if args.lang == "any" else args.lang,
+            min_tokens=args.min_tokens,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        sharded = pack_by_token_budget(
+            survivors, budget=args.shard_tokens, order_col=args.id_col
+        )
+        # one directory per shard; shard files hold full cleaned rows
+        sharded.write.mode("overwrite").partitionBy("shard_id").parquet(args.output_dir)
+        stats = token_budget_summary(sharded).orderBy("shard_id").collect()
+        print(
+            json.dumps(
+                {
+                    "input_docs": docs.count(),
+                    "surviving_docs": sum(r["n_docs"] for r in stats),
+                    "shards": [
+                        {"shard_id": r["shard_id"], "n_docs": r["n_docs"],
+                         "total_tokens": r["total_tokens"]}
+                        for r in stats
+                    ],
+                    "output": args.output_dir,
+                }
+            )
+        )
         return 0
     return 2
 

@@ -55,6 +55,12 @@ def get_spark(
         # Parquet pushdown + pruning: on by default but pinned here as contract.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime bloom-filter pruning on shuffle joins: builds a bloom
+        # filter from the small side and pushes it into the big side's
+        # scan — at 100TB this skips row groups a static plan can't.
+        # (semiJoinReduction deliberately NOT enabled: it planner-loops
+        # on broadcast-into-window shapes like the prefix-sum packer.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Bound single-file read parallelism at 100TB scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

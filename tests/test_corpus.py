@@ -53,3 +53,29 @@ def test_prepare_corpus_drops_short_and_dups(spark):
     )
     survivors = sorted(r["doc_id"] for r in prepare_corpus(docs).collect())
     assert survivors == [1, 4]  # 2 = exact dup, 3 = too short
+
+
+def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
+    """corpus verb: parquet in → cleaned, sharded parquet out."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "corpus-out")
+    rows = [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+                f"and walks to the market in the town of {i}", "en", "s")
+            for i in range(30)]
+    rows.append((99, "dup " * 3, "en", "s"))  # too short → dropped
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "200"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input_docs"] == 31
+    assert summary["surviving_docs"] == 30
+    assert len(summary["shards"]) >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == 30 and "shard_id" in back.columns

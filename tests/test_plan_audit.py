@@ -1,0 +1,35 @@
+"""Plan-shape regression gate: representative catalog queries must stay
+free of red flags (cartesian products, row-at-a-time Python eval) and
+keep their broadcast/pushdown shape. Full-catalog audit: plan_audit.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from cumulus_etl_spark.plans import CATALOG
+from plan_audit import ARROW_OK, audit_one
+
+REPRESENTATIVE = [
+    "q9_profit_by_nation_year",      # star join: all dims broadcast
+    "q18_large_orders",              # agg-before-join
+    "text_minhash_dedup",            # LSH pipeline
+    "text_dedup_clusters",           # iterative CC
+    "corpus_shard_by_budget",        # distributed prefix sum
+    "vector_knn_bruteforce",         # broadcast queries
+    "events_conversion_funnel",      # conditional-min funnel
+    "multimodal_audio_features",     # sanctioned Arrow stage
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_no_plan_red_flags(spark, sf_correct, name):
+    r = audit_one(name, CATALOG[name].build(spark, sf_correct))
+    assert r["cartesian"] == 0, f"{name}: cartesian product"
+    assert r["row_python"] == 0, f"{name}: row-at-a-time Python"
+    if name not in ARROW_OK:
+        assert r["arrow_py"] == 0, f"{name}: unexpected Python stage"
+
+
+def test_q9_broadcasts_all_dims(spark, sf_correct):
+    r = audit_one("q9", CATALOG["q9_profit_by_nation_year"].build(spark, sf_correct))
+    assert r["bhj"] >= 3  # part, supplier, nation (orders may SMJ at scale)
