@@ -30,7 +30,7 @@ Athena per docs/deid.md). The engine must answer them natively.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cumulus_etl_spark.plans.catalog import dec, register
@@ -276,6 +276,93 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 8000 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich_supp
+  FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_rich_cust, s.n_rich_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@register("join_full_outer_nation_wealth", _FULL_OUTER_ORACLE, tags=("join",))
+def join_full_outer_nation_wealth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered aggregates — nations rich in
+    customers, suppliers, or either; nulls mark one-sided nations.
+    Both inputs pre-aggregate to |nations| rows before the join, so
+    the outer join is over tiny data regardless of fact size."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return cust.join(sup, cust["c_nk"] == sup["s_nk"], "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"), "n_rich_cust", "n_rich_supp"
+    )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT event_id, user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("window_first_last_nth", _FIRST_LAST_ORACLE, tags=("window",))
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an explicit UNBOUNDED frame — the
+    default frame (up to CURRENT ROW) makes last_value useless, the
+    classic window gotcha. Total order (ts, event_id) pins ties."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@register("set_except_all_multiplicity", _EXCEPT_ALL_ORACLE, tags=("setop",))
+def set_except_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): a customer with 5 open orders and 2
+    low-priority ones keeps 3 rows — multiplicity arithmetic that the
+    DISTINCT variant erases. Compiles to one aggregation counting per
+    side + generate, not a join per duplicate."""
+    o = table(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return open_orders.exceptAll(low)
 
 
 _Q20_ORACLE = """
