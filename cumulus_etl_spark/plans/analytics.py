@@ -135,6 +135,93 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+SELECT l_returnflag, component,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+FROM (
+  SELECT l_returnflag, 'l_extendedprice' AS component, l_extendedprice AS val
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, component
+"""
+
+
+@register("agg_unpivot_components", _UNPIVOT_ORACLE, tags=("agg", "reshape"))
+def agg_unpivot_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape) + aggregate: three measure columns
+    melt into (component, val) rows in ONE scan — Spark's unpivot
+    generates rows without the 3× re-scan the UNION ALL oracle
+    implies. Decimal sums keep cross-engine equality."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="component",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.round(F.sum(dec("val", 18, 2)), 2).cast("double").alias("total")
+    )
+
+
+_GAPFILL_ORACLE = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, dy.d, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM days dy
+CROSS JOIN types t
+LEFT JOIN counts c ON c.d = dy.d AND c.event_type = t.event_type
+"""
+
+
+@register("events_daily_gapfill", _GAPFILL_ORACLE, tags=("agg", "events", "reshape"))
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the day spine with
+    sequence(), cross it with the (tiny, broadcast) type dimension, and
+    left-join real counts so missing days surface as explicit zeros —
+    time-series consumers need the zero rows, and a groupBy alone never
+    produces them. The spine is |days|×|types| rows, independent of
+    event volume."""
+    ev = table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("cd"),
+        F.col("event_type").alias("ct"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(
+            counts,
+            (F.col("d") == F.col("cd")) & (F.col("event_type") == F.col("ct")),
+            "left_outer",
+        )
+        .select(
+            "event_type", "d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events")
+        )
+    )
+
+
 _HISTOGRAM_ORACLE = """
 SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
