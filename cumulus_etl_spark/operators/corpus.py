@@ -105,6 +105,118 @@ def pack_by_token_budget(
     )
 
 
+def _word_ngrams(tok: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings; empty array
+    when the document has fewer than ``n`` tokens.
+
+    ``sequence`` must be guarded: Spark's ``sequence(1, 0)`` counts DOWN
+    (yields ``[1, 0]``), so short docs would fabricate grams.
+    """
+    starts = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(tok, i, n), " "))
+
+
+def _tokens(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(t)), r"\s+")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, count distinct word
+    ``ngram``-grams that also appear in the benchmark/eval set (the
+    standard train/test-overlap check for LLM training corpora).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites are thousands of docs), so it is ``broadcast`` — the
+    corpus side never shuffles its exploded grams; only the matching
+    (doc, gram) pairs (rare at 100 TB) reach the per-doc count shuffle.
+    Grams are deduped per doc BEFORE the explode so the join input is
+    minimal. Result is exact — hashing grams (xxhash64) is a further
+    bandwidth optimization at scale, skipped here so the oracle can
+    join on the same strings.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(_tokens(text_col), ngram)).alias("gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(_tokens(text_col), ngram))).alias(
+            "gram"
+        ),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Passage-level dedup (CCNet-style paragraph dedup, adapted to
+    fixed ``chunk_words``-word passages since the corpus has no line
+    structure): every repeated passage keeps only its first occurrence
+    — ordered by (doc id, position) — and each document is rebuilt from
+    its surviving passages.
+
+    One shuffle on the passage text (the global first-occurrence
+    window) + one on the doc id (the rebuild). At 100 TB you'd hash
+    the passage for the window key; strings are kept here so the
+    recursive-free SQL oracle matches byte-for-byte.
+    """
+    tok = _tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tok), F.lit(1)), F.lit(chunk_words))
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda i: F.array_join(F.slice(tok, i, chunk_words), " "))
+        ).alias("chunk_idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "clean_text",
+    )
+
+
 def token_budget_summary(sharded: DataFrame) -> DataFrame:
     """Per-shard doc count and token totals — the sanity view a data
     engineer checks before kicking off a training run."""

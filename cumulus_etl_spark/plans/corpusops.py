@@ -47,6 +47,151 @@ def corpus_shard_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM documents
+),
+grams AS (
+  SELECT t.doc_id, array_to_string(t.tok[i : i+7], ' ') AS gram
+  FROM toks t, UNNEST(generate_series(1, greatest(len(t.tok)-7, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 17 <> 0),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 17 <> 0
+"""
+
+
+@register("corpus_decontaminate", _DECONTAM_ORACLE, tags=("text", "corpus", "dedup"))
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap check: flag corpus docs sharing any 8-word
+    gram with the benchmark slice (here: every 17th doc stands in for
+    the eval suite). Benchmark gram set is broadcast — the corpus side
+    shuffles only matching grams (operators/corpus.py:decontaminate)."""
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    rest = d.filter(F.col("doc_id") % 17 != 0)
+    return C.decontaminate(rest, bench, "doc_id", "text", ngram=8)
+
+
+_PASSAGE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM documents
+),
+chunks AS (
+  SELECT t.doc_id,
+         CAST((i - 1) / 8 AS BIGINT) AS chunk_idx,
+         array_to_string(t.tok[i : i+7], ' ') AS passage
+  FROM toks t, UNNEST(generate_series(1, greatest(len(t.tok), 1), 8)) AS u(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY passage ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(passage, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1) AS clean_text,
+         COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+         COUNT(*) AS n_chunks
+  FROM ranked
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_kept AS BIGINT) AS n_kept, clean_text
+FROM rebuilt
+"""
+
+
+@register("corpus_passage_dedup", _PASSAGE_ORACLE, tags=("text", "corpus", "dedup"))
+def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style passage dedup: repeated 8-word passages keep only
+    their first (doc_id, position) occurrence; docs are rebuilt from
+    surviving passages (operators/corpus.py:passage_dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return C.passage_dedup(d, "doc_id", "text", chunk_words=8)
+
+
+# PII patterns: RE2- and Java-compatible (no lookaround/backrefs) so the
+# same literal works in Spark and the DuckDB oracle.
+_PII = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' ph 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-12-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+def _pii_redact_sql() -> str:
+    expr = "pii_text"
+    for name, pat in _PII:
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    return f"""
+WITH synth AS (
+  SELECT doc_id, {_PII_SYNTH_SQL} AS pii_text FROM documents
+)
+SELECT doc_id,
+""" + ",\n".join(
+        f"  CAST(len(regexp_extract_all(pii_text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat in _PII
+    ) + f",\n  {expr} AS clean_text\nFROM synth"
+
+
+@register("corpus_pii_scrub", _pii_redact_sql(), tags=("text", "corpus", "deid"))
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale PII redaction: email/phone/SSN/IP regex counts +
+    redacted text as one pure projection (JVM regexp, no shuffle, no
+    UDF). PII is synthesized deterministically from doc_id so the
+    redaction paths actually fire on the synthetic corpus; the same
+    patterns back the FHIR-side philter (deid/philter.py)."""
+    d = table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-12-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    synth = d.select("doc_id", pii_text.alias("pii_text"))
+    cols = [F.col("doc_id")]
+    for name, pat in _PII:
+        cols.append(
+            F.size(F.regexp_extract_all("pii_text", F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+    clean = F.col("pii_text")
+    for name, pat in _PII:
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    cols.append(clean.alias("clean_text"))
+    return synth.select(*cols)
+
+
 @register("corpus_prepare_pipeline", None, tags=("text", "corpus", "dedup"))
 def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-cleaning composition: quality band → language

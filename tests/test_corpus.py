@@ -55,6 +55,52 @@ def test_prepare_corpus_drops_short_and_dups(spark):
     assert survivors == [1, 4]  # 2 = exact dup, 3 = too short
 
 
+def test_decontaminate_flags_overlap(spark):
+    from cumulus_etl_spark.operators.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 8-gram "alpha beta ... theta" with the benchmark
+            (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+            # no 8-gram overlap
+            (2, "one two three four five six seven eight nine ten"),
+            # too short for any 8-gram
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+           for r in decontaminate(corpus, bench, ngram=8).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_passage_dedup_keeps_first_occurrence(spark):
+    from cumulus_etl_spark.operators.corpus import passage_dedup
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # one full 8-word passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),
+            (2, shared + " b1 b2 b3 b4 b5 b6 b7 b8"),  # first passage is a dup
+            (3, shared),  # entirely duplicated → nothing kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in passage_dedup(docs, chunk_words=8).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["clean_text"] == shared + " a1 a2 a3 a4 a5 a6 a7 a8"
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["clean_text"] == "b1 b2 b3 b4 b5 b6 b7 b8"
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["clean_text"] is None
+
+
 def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
     """corpus verb: parquet in → cleaned, sharded parquet out."""
     import json
