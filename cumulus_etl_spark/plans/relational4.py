@@ -417,3 +417,42 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY p_brand
+"""
+
+
+@register("join_bloom_pruned_revenue", _BLOOM_JOIN_ORACLE, tags=("join", "scale"))
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): the probe side
+    (lineitem) is shed row-by-row against a 64Kbit bloom of the build
+    side's keys (p_size=1 parts) BEFORE the join shuffle; the exact
+    join then removes bloom false positives, so the result is identical
+    to the plain join the oracle runs. The shape for build sides too
+    large to broadcast but whose bit-set fits anywhere."""
+    from cumulus_etl_spark.operators.bloom import bloom_pruned_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    build = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = bloom_pruned_join(li, build, "l_partkey")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+    )
