@@ -9,6 +9,7 @@ exercised over actual sockets — including from Spark worker processes.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -401,3 +402,48 @@ def test_http_batch_provider_full_lifecycle(spark, fake_server, tmp_path):
     meta2 = BatchRun(spark, str(tmp_path / "batch")).submit(misses, provider)
     assert meta2["batches"][0]["batch_id"] == meta["batches"][0]["batch_id"]
     assert len([c for c in srv.state["calls"] if c == "/batches"]) == calls_before
+
+
+REFERENCE_STUDIES = "/root/reference/cumulus_etl/etl/studies"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_STUDIES), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("study", ["example", "glioma", "ibd", "irae"])
+def test_loads_every_reference_study_toml(study):
+    """Parity proof: all four real studies shipped by the reference
+    (etl/studies/*/tasks.toml) load through our loader — task×model
+    fan-out matches the toml, prompts get the schema substituted, and
+    every response-schema JSON compiles to a Spark type."""
+    import tomllib
+
+    from cumulus_etl_spark.nlp.http_provider import LlmHttpModel
+    from cumulus_etl_spark.nlp.response_schema import compile_response_schema
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+
+    toml_path = os.path.join(REFERENCE_STUDIES, study, "tasks.toml")
+    with open(toml_path, "rb") as fh:
+        doc = tomllib.load(fh)
+    shared_models = doc.get("shared", {}).get("models", [])
+    expected = sum(len(t.get("models") or shared_models) for t in doc["task"])
+
+    tasks = load_study_tasks(toml_path, llm_url="http://fake/chat")
+    assert len(tasks) == expected
+    for t in tasks:
+        assert t.name.startswith(f"{study}__nlp")
+        assert isinstance(t.model, LlmHttpModel)
+        assert "%JSON-SCHEMA%" not in t.model.system_prompt
+        schema = t.model.response_format["json_schema"]["schema"]
+        compiled = compile_response_schema(schema)
+        assert compiled is not None
+
+    if study == "example":  # spot-check the compiled shape of age.json
+        from pyspark.sql.types import ArrayType, BooleanType, LongType
+
+        fields = {f.name: f.dataType for f in compiled.fields}
+        assert fields["has_mention"] == BooleanType()  # anyOf[bool, null]
+        assert fields["age"] == LongType()
+        # span rewrite: textual spans → index pairs (ref nlp_task.py:470-475)
+        assert isinstance(fields["spans"], ArrayType)
+        assert isinstance(fields["spans"].elementType, ArrayType)
