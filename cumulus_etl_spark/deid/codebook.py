@@ -6,7 +6,8 @@ caches Patient/Encounter real→fake mappings for reversibility
 write, etl/tasks/base.py:337-340).
 
 Spark-first, anonymization itself is a *stateless* expression —
-SHA-256(salt || id) — so the hot path needs no lookups and no shared
+HMAC-SHA256(salt, id), the reference's exact algorithm compiled to two
+sha2 calls (functions/scalars.py:anon_id) — the hot path needs no lookups and no shared
 state across 1000 executors; the salt broadcasts as a literal. The
 codebook becomes (a) salt persistence and (b) an audit side-output:
 ``distinct(id, anon_id)`` appended to a mapping table after data commits,
@@ -46,7 +47,7 @@ class Codebook:
             self.salt: str = doc["salt"]
         else:
             self.codebook_id = str(uuid.uuid4())
-            self.salt = secrets.token_hex(16)
+            self.salt = secrets.token_hex(32)  # 256-bit, ref codebook.py:132-140
             with open(path, "w") as fh:
                 json.dump({"version": 1, "id": self.codebook_id, "salt": self.salt}, fh)
 

@@ -73,8 +73,8 @@ def _rules_can_veto(dtype: DataType, rules: dict[str, object]) -> bool:
         spec = rules.get(sf.name)
         if spec is None:
             continue
-        if spec == "ModifierExtension":
-            return True
+        if spec in ("ModifierExtension", "Contained"):
+            return True  # contained elements can carry vetoing modifiers
         if isinstance(spec, dict):
             child = {**resolve_node("BackboneElement"), **spec}
             if _rules_can_veto(sf.dataType, child):
@@ -176,6 +176,8 @@ class Scrubber:
             return None, F.coalesce(unknown, F.lit(False))
         if spec == "Extension":
             return self._extension_expr(col, dtype), None
+        if spec == "Contained":
+            return self._contained_expr(col, dtype)
         if isinstance(spec, str) and spec[:1].islower():
             return self._leaf_expr(col, dtype, spec, parent=parent), None
         if isinstance(spec, str) and ";" in spec:
@@ -273,6 +275,78 @@ class Scrubber:
         for v in vetoes:
             veto_out = v if veto_out is None else (veto_out | v)
         return F.struct(*parts), veto_out
+
+    # Resource types whose full rules apply inside `contained` (matches
+    # the union CONTAINED schema, schemas/fhir.py). Any other contained
+    # type falls back to base Resource fields only — exactly the
+    # reference's behavior for types it has no config for
+    # (ref scrubber.py:124-127 "just use basic resource type then").
+    CONTAINED_TYPES = ("Medication", "Organization", "Patient")
+
+    def _contained_expr(
+        self, col: Column, dtype: DataType
+    ) -> tuple[Column | None, Column | None]:
+        """DomainResource.contained: heterogeneous array scrubbed with
+        per-resourceType gating over ONE shared struct shape (a CASE per
+        field, not per branch, so every branch yields the same type).
+
+        - base Resource fields (resourceType, anon'd id, meta, …) always
+          survive; contained ids hash VERBATIM (a '#careplan' id hashes
+          including the '#'), matching the reference's codebook calls
+        - a field kept by some branch is null'd unless the element's
+          resourceType is one of its keepers
+        - an unknown *modifier* extension on a contained element of an
+          understood type vetoes the whole outer resource (the
+          reference's SkipResource propagates out of contained scrubs);
+          unknown-type elements just lose their modifiers like every
+          other unlisted field
+        """
+        if not isinstance(dtype, ArrayType) or not isinstance(
+            dtype.elementType, StructType
+        ):
+            return None, None
+        elem = dtype.elementType
+        branches = {t: resolve_node(t) for t in self.CONTAINED_TYPES}
+        always = resolve_node("Resource")
+
+        plans: list[tuple[str, DataType, object, list[str] | None]] = []
+        for sf in elem.fields:
+            if sf.name in always:
+                plans.append((sf.name, sf.dataType, always[sf.name], None))
+                continue
+            if sf.name == "modifierExtension":
+                continue  # veto handling below; never emitted
+            keepers = sorted(t for t, r in branches.items() if sf.name in r)
+            if not keepers:
+                continue
+            plans.append((sf.name, sf.dataType, branches[keepers[0]][sf.name], keepers))
+
+        def build(x: Column) -> Column:
+            parts = []
+            for name, ftype, spec, keepers in plans:
+                expr, _ = self._field_expr(x[name], ftype, name, spec, parent=x)
+                if expr is None:
+                    continue
+                if keepers is not None:
+                    expr = F.when(x["resourceType"].isin(keepers), expr)
+                parts.append(expr.alias(name))
+            return F.struct(*parts)
+
+        rebuilt = F.when(col.isNotNull(), F.transform(col, build))
+
+        allowed = list(self.allowed_modifier_extensions)
+
+        def mod_veto(x: Column) -> Column:
+            mods = x["modifierExtension"]
+            if allowed:
+                unknown = F.exists(mods, lambda m: ~m["url"].isin(*allowed))
+            else:
+                unknown = F.size(mods) > 0
+            understood = x["resourceType"].isin(list(self.CONTAINED_TYPES))
+            return F.coalesce(understood & unknown, F.lit(False))
+
+        veto = F.coalesce(F.exists(col, mod_veto), F.lit(False))
+        return rebuilt, veto
 
     def _extension_expr(self, col: Column, dtype: DataType) -> Column:
         """P10: keep only allow-listed extension URLs, preserving payloads."""

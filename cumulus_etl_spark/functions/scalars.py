@@ -18,34 +18,76 @@ RESTRICTED_ZIP_PREFIXES = (
 )
 
 
-def anon_id(real_id: Column | str, salt: Column | str) -> Column:
-    """Deterministic pseudonym: SHA-256 over salt||id.
+def hmac_pads(salt_hex: str) -> tuple[bytes, bytes]:
+    """HMAC-SHA256 inner/outer key pads for a hex-encoded salt.
 
-    Ref: cumulus_etl/deid/codebook.py:204-217 uses HMAC-SHA256(salt, id);
-    we use salted SHA-256 which has the same determinism/irreversibility
-    contract and is a single JVM-side expression (no key-schedule UDF). The
-    salt is broadcast as a literal/column, so the whole de-id projection is
-    stateless and embarrassingly parallel — no codebook lookups on the hot
-    path (mappings become an audit side-output, see deid/codebook.py here).
+    The key schedule is a pure function of the (driver-known) salt, so
+    it's computed once here and shipped as two 64-byte binary literals —
+    the per-row work stays two sha2 calls inside codegen.
+
+    A hex salt is unhexlified to key bytes (the reference stores
+    ``secrets.token_hex`` and unhexlifies, codebook.py:213-217); a
+    non-hex salt string is keyed by its UTF-8 bytes."""
+    import binascii
+
+    try:
+        key = binascii.unhexlify(salt_hex)
+    except (binascii.Error, ValueError):
+        key = salt_hex.encode("utf-8")
+    if len(key) > 64:
+        import hashlib
+
+        key = hashlib.sha256(key).digest()
+    key = key.ljust(64, b"\0")
+    return (
+        bytes(b ^ 0x36 for b in key),
+        bytes(b ^ 0x5C for b in key),
+    )
+
+
+def anon_id(real_id: Column | str, salt: str) -> Column:
+    """Deterministic pseudonym: HMAC-SHA256(salt, id) — byte-for-byte the
+    reference's algorithm (cumulus_etl/deid/codebook.py:204-217 via
+    cumulus-fhir-support ``anon_id``, the Microsoft FHIR-anonymizer
+    scheme), verified against its golden fixtures in
+    ``tests/test_deid_golden.py``.
+
+    ``salt`` is the codebook's hex string (ref stores ``token_hex`` and
+    unhexlifies to key bytes). HMAC compiles to TWO JVM-side sha2 calls —
+    ``sha2(opad ‖ unhex(sha2(ipad ‖ id)))`` — with the key pads
+    precomputed driver-side, so the whole de-id projection remains
+    stateless, codegen-resident, and embarrassingly parallel: no UDF, no
+    codebook lookups on the hot path (mappings are an audit side-output,
+    see deid/codebook.py here).
     """
     rid = F.col(real_id) if isinstance(real_id, str) else real_id
-    s = F.lit(salt) if isinstance(salt, str) else salt
-    return F.sha2(F.concat(s, rid.cast("string")), 256)
+    ipad, opad = hmac_pads(salt)
+    inner = F.sha2(F.concat(F.lit(ipad), rid.cast("string").cast("binary")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
 
 
-def anon_ref(ref: Column | str, salt: Column | str) -> Column:
-    """Rewrite a FHIR-style ``Type/id`` reference to ``Type/anon_id``.
+def anon_ref(ref: Column | str, salt: str) -> Column:
+    """Rewrite a FHIR reference to ``Type/anon_id`` — the reference's
+    exact algorithm (deid/scrubber.py:377-389 + fhir/fhir_utils.py:38-72,
+    golden-verified):
 
-    Ref: cumulus_etl/deid/scrubber.py:377-389 + fhir/fhir_utils.py:26-72.
-    Contained refs (``#id``) pass through untouched; absolute URLs and
-    malformed refs are nulled (the reference drops them).
+    - contained (``#id``) → ``#`` + anon_id(id) (hash keeps the link to
+      the contained resource's anonymized ``id``)
+    - relative/conditional (``Type/id`` or ``Type?search``, split at the
+      FIRST ``/`` or ``?``) → ``Type/`` + anon_id(rest) — conditional
+      search refs hash the whole search expression as the "id"
+    - anything else (absolute URLs, malformed) → null. The reference
+      rejects the entire resource on these (ValueError path); we keep
+      the row and null the ref — the safer de-id outcome and a
+      documented divergence.
     """
     r = F.col(ref) if isinstance(ref, str) else ref
-    parts = F.split(r, "/")
-    is_relative = (F.size(parts) == 2) & ~r.startswith("http")
+    is_relative = r.rlike(r"^[A-Za-z]+[/?].+")
+    rtype = F.regexp_extract(r, r"^([A-Za-z]+)[/?]", 1)
+    rest = F.regexp_replace(r, r"^[A-Za-z]+[/?]", "")
     return (
-        F.when(r.startswith("#"), r)
-        .when(is_relative, F.concat(parts[0], F.lit("/"), anon_id(parts[1], salt)))
+        F.when(r.startswith("#"), F.concat(F.lit("#"), anon_id(F.substring(r, 2, 1_000_000), salt)))
+        .when(is_relative, F.concat(rtype, F.lit("/"), anon_id(rest, salt)))
         .otherwise(F.lit(None).cast("string"))
     )
 

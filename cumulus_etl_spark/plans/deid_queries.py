@@ -12,11 +12,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cumulus_etl_spark.functions import anon_id, anon_ref, year_only, zip_generalize
+from pyspark.sql import Column
+
+from cumulus_etl_spark.functions import year_only, zip_generalize
 from cumulus_etl_spark.plans.catalog import register
 from cumulus_etl_spark.sources import table
 
 _SALT = "0123456789abcdef"
+
+
+def _sha_anon(c: Column) -> Column:
+    """Salted-SHA256 pseudonym — the DuckDB-expressible stand-in for the
+    engine's real ``anon_id`` (true HMAC-SHA256, functions/scalars.py).
+    DuckDB's sha256() only accepts VARCHAR, so HMAC's outer hash over raw
+    digest bytes can't be written in the oracle dialect; HMAC parity is
+    instead proven byte-for-byte against the reference's golden deid
+    fixtures in tests/test_deid_golden.py."""
+    return F.sha2(F.concat(F.lit(_SALT), c.cast("string")), 256)
+
+
+def _sha_anon_ref(ref: Column) -> Column:
+    parts = F.split(ref, "/")
+    return F.concat(parts[0], F.lit("/"), _sha_anon(parts[1]))
 
 # The 14 restricted prefixes, inlined for the SQL oracle.
 _RESTRICTED_SQL = "('036','059','102','203','205','369','556','692','821','823','878','879','884','893')"
@@ -48,8 +65,8 @@ def deid_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_col = F.lpad(((F.col("c_custkey") * 37) % 100000).cast("string"), 5, "0")
     return cust.select(
         "c_custkey",
-        anon_id(F.col("c_custkey"), _SALT).alias("anon_id"),
-        anon_ref(F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string")), _SALT).alias("anon_ref"),
+        _sha_anon(F.col("c_custkey")).alias("anon_id"),
+        _sha_anon_ref(F.concat(F.lit("Customer/"), F.col("c_custkey").cast("string"))).alias("anon_ref"),
         zip_generalize(zip_col).alias("zip_generalized"),
         F.nullif(F.trim("c_name"), F.lit("")).alias("name_trimmed"),
     )

@@ -63,18 +63,48 @@ ANNOTATION = _struct(authorReference=REFERENCE, authorString=S, time=S, text=S)
 
 # Extensions are recursive in FHIR; we carry one level of common value[x]
 # members — the de-id allow-list drops unknown extensions anyway.
-EXTENSION = _struct(
+_EXTENSION_LEAF = _struct(
     url=S,
     valueString=S,
     valueCode=S,
     valueBoolean=B,
     valueInteger=L,
+    valuePositiveInt=L,
+    valueUnsignedInt=L,
     valueDecimal=D,
+    valueDate=S,
     valueDateTime=S,
+    valueInstant=S,
+    valueTime=S,
+    valueId=S,
+    valueUri=S,
+    valueUrl=S,
+    valueUuid=S,
+    valueOid=S,
+    valueCanonical=S,
+    valueBase64Binary=S,
     valueCoding=CODING,
     valueCodeableConcept=CODEABLE_CONCEPT,
     valueReference=REFERENCE,
     valueQuantity=QUANTITY,
+    valueAge=QUANTITY,
+    valueCount=QUANTITY,
+    valueDistance=QUANTITY,
+    valueDuration=QUANTITY,
+    valuePeriod=PERIOD,
+    valueRange=RANGE,
+    valueRatio=RATIO,
+    valueAddress=ADDRESS,
+    valueIdentifier=IDENTIFIER,
+    valueMoney=_struct(value=D, currency=S),
+)
+
+# Extensions are recursive in FHIR; carry ONE nested level (complex
+# extensions like us-core-race pack their parts a level down), leaves
+# below that — the de-id allow-list drops unknown URLs anyway.
+EXTENSION = StructType(
+    [StructField("extension", _arr(_EXTENSION_LEAF), nullable=True)]
+    + list(_EXTENSION_LEAF.fields)
 )
 
 META = _struct(versionId=S, lastUpdated=S, source=S, profile=_arr(S), security=_arr(CODING), tag=_arr(CODING))
@@ -123,13 +153,85 @@ TIMING = _backbone(
 DOSAGE = _backbone(
     sequence=L,
     text=S,
-    timing=_struct(code=CODEABLE_CONCEPT),
+    additionalInstruction=_arr(CODEABLE_CONCEPT),
+    patientInstruction=S,
+    timing=TIMING,
     asNeededBoolean=B,
+    asNeededCodeableConcept=CODEABLE_CONCEPT,
+    site=CODEABLE_CONCEPT,
     route=CODEABLE_CONCEPT,
     method=CODEABLE_CONCEPT,
     doseAndRate=_arr(
-        _struct(type=CODEABLE_CONCEPT, doseQuantity=QUANTITY, doseRange=RANGE)
+        _struct(
+            type=CODEABLE_CONCEPT,
+            doseQuantity=QUANTITY,
+            doseRange=RANGE,
+            rateRatio=RATIO,
+            rateRange=RANGE,
+            rateQuantity=QUANTITY,
+        )
     ),
+    maxDosePerPeriod=RATIO,
+    maxDosePerAdministration=QUANTITY,
+    maxDosePerLifetime=QUANTITY,
+)
+
+
+# Contained resources (DomainResource.contained) are heterogeneous by
+# design. We carry a UNION schema of the types that practically appear
+# contained (Patient, Medication, Organization — contained meds/orgs
+# from pharmacy feeds, contained patients from narrative-only bundles)
+# plus the base Resource envelope for anything else; the scrubber gates
+# every field by resourceType (deid/scrubber.py:_contained_expr).
+# Omitted on purpose: Patient.name/telecom (scrub-dropped for every
+# branch, and `name` would type-conflict with Organization.name) and
+# Organization.contact (type-conflicts with Patient.contact; both are
+# rare inside contained resources). Depth 1 only — contained-inside-
+# contained is dropped (ref recurses, a documented divergence).
+CONTAINED = _struct(
+    resourceType=S,
+    id=S,
+    meta=META,
+    implicitRules=S,
+    language=S,
+    extension=_arr(EXTENSION),
+    modifierExtension=_arr(EXTENSION),
+    # Patient branch
+    active=B,
+    gender=S,
+    birthDate=S,
+    deceasedBoolean=B,
+    deceasedDateTime=S,
+    address=_arr(ADDRESS),
+    maritalStatus=CODEABLE_CONCEPT,
+    multipleBirthBoolean=B,
+    multipleBirthInteger=L,
+    communication=_arr(_backbone(language=CODEABLE_CONCEPT, preferred=B)),
+    generalPractitioner=_arr(REFERENCE),
+    managingOrganization=REFERENCE,
+    link=_arr(_backbone(other=REFERENCE, type=S)),
+    # Medication branch
+    code=CODEABLE_CONCEPT,
+    status=S,
+    manufacturer=REFERENCE,
+    form=CODEABLE_CONCEPT,
+    amount=RATIO,
+    ingredient=_arr(
+        _backbone(
+            itemCodeableConcept=CODEABLE_CONCEPT,
+            itemReference=REFERENCE,
+            isActive=B,
+            strength=RATIO,
+        )
+    ),
+    batch=_backbone(lotNumber=S, expirationDate=S),
+    # Organization branch
+    identifier=_arr(IDENTIFIER),
+    type=_arr(CODEABLE_CONCEPT),
+    name=S,
+    alias=_arr(S),
+    partOf=REFERENCE,
+    endpoint=_arr(REFERENCE),
 )
 
 
@@ -143,6 +245,7 @@ def _resource(**fields) -> StructType:
         "language": S,
         "extension": _arr(EXTENSION),
         "modifierExtension": _arr(EXTENSION),
+        "contained": _arr(CONTAINED),
     }
     base.update(fields)
     return _struct(**base)
@@ -163,7 +266,20 @@ _RESOURCES: dict[str, StructType] = {
         address=_arr(ADDRESS),
         maritalStatus=CODEABLE_CONCEPT,
         multipleBirthBoolean=B,
+        multipleBirthInteger=L,
+        contact=_arr(
+            _backbone(
+                relationship=_arr(CODEABLE_CONCEPT),
+                name=HUMAN_NAME,
+                telecom=_arr(CONTACT_POINT),
+                address=ADDRESS,
+                gender=S,
+                organization=REFERENCE,
+                period=PERIOD,
+            )
+        ),
         communication=_arr(_backbone(language=CODEABLE_CONCEPT, preferred=B)),
+        link=_arr(_backbone(other=REFERENCE, type=S)),
         generalPractitioner=_arr(REFERENCE),
         managingOrganization=REFERENCE,
     ),
@@ -175,20 +291,39 @@ _RESOURCES: dict[str, StructType] = {
         serviceType=CODEABLE_CONCEPT,
         priority=CODEABLE_CONCEPT,
         subject=REFERENCE,
+        statusHistory=_arr(_backbone(status=S, period=PERIOD)),
+        classHistory=_arr(_backbone(**{"class": CODING}, period=PERIOD)),
+        episodeOfCare=_arr(REFERENCE),
+        basedOn=_arr(REFERENCE),
         participant=_arr(
             _backbone(type=_arr(CODEABLE_CONCEPT), period=PERIOD, individual=REFERENCE)
         ),
+        appointment=_arr(REFERENCE),
         period=PERIOD,
         length=_struct(value=D, unit=S, system=S, code=S),
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
         diagnosis=_arr(_backbone(condition=REFERENCE, use=CODEABLE_CONCEPT, rank=L)),
+        account=_arr(REFERENCE),
         hospitalization=_backbone(
+            preAdmissionIdentifier=IDENTIFIER,
+            origin=REFERENCE,
             admitSource=CODEABLE_CONCEPT,
             reAdmission=CODEABLE_CONCEPT,
+            dietPreference=_arr(CODEABLE_CONCEPT),
+            specialCourtesy=_arr(CODEABLE_CONCEPT),
+            specialArrangement=_arr(CODEABLE_CONCEPT),
+            destination=REFERENCE,
             dischargeDisposition=CODEABLE_CONCEPT,
         ),
-        location=_arr(_backbone(location=REFERENCE, status=S, period=PERIOD)),
+        location=_arr(
+            _backbone(
+                location=REFERENCE,
+                status=S,
+                physicalType=CODEABLE_CONCEPT,
+                period=PERIOD,
+            )
+        ),
         serviceProvider=REFERENCE,
         partOf=REFERENCE,
     ),
@@ -203,11 +338,26 @@ _RESOURCES: dict[str, StructType] = {
         subject=REFERENCE,
         encounter=REFERENCE,
         onsetDateTime=S,
+        onsetAge=QUANTITY,
         onsetPeriod=PERIOD,
+        onsetRange=RANGE,
         abatementDateTime=S,
+        abatementAge=QUANTITY,
+        abatementPeriod=PERIOD,
+        abatementRange=RANGE,
         recordedDate=S,
         recorder=REFERENCE,
         asserter=REFERENCE,
+        stage=_arr(
+            _backbone(
+                summary=CODEABLE_CONCEPT,
+                assessment=_arr(REFERENCE),
+                type=CODEABLE_CONCEPT,
+            )
+        ),
+        evidence=_arr(
+            _backbone(code=_arr(CODEABLE_CONCEPT), detail=_arr(REFERENCE))
+        ),
     ),
     "Observation": _resource(
         identifier=_arr(IDENTIFIER),
@@ -275,6 +425,8 @@ _RESOURCES: dict[str, StructType] = {
         author=_arr(REFERENCE),
         authenticator=REFERENCE,
         custodian=REFERENCE,
+        relatesTo=_arr(_backbone(code=S, target=REFERENCE)),
+        securityLabel=_arr(CODEABLE_CONCEPT),
         content=_arr(_backbone(attachment=ATTACHMENT, format=CODING)),
         context=_backbone(
             encounter=_arr(REFERENCE),
@@ -282,6 +434,8 @@ _RESOURCES: dict[str, StructType] = {
             period=PERIOD,
             facilityType=CODEABLE_CONCEPT,
             practiceSetting=CODEABLE_CONCEPT,
+            sourcePatientInfo=REFERENCE,
+            related=_arr(REFERENCE),
         ),
     ),
     "DiagnosticReport": _resource(
@@ -296,7 +450,13 @@ _RESOURCES: dict[str, StructType] = {
         effectivePeriod=PERIOD,
         issued=S,
         performer=_arr(REFERENCE),
+        resultsInterpreter=_arr(REFERENCE),
+        specimen=_arr(REFERENCE),
         result=_arr(REFERENCE),
+        imagingStudy=_arr(REFERENCE),
+        media=_arr(_backbone(comment=S, link=REFERENCE)),
+        conclusion=S,
+        conclusionCode=_arr(CODEABLE_CONCEPT),
         presentedForm=_arr(ATTACHMENT),
     ),
     "MedicationRequest": _resource(
@@ -306,23 +466,53 @@ _RESOURCES: dict[str, StructType] = {
         intent=S,
         category=_arr(CODEABLE_CONCEPT),
         priority=S,
+        doNotPerform=B,
         reportedBoolean=B,
+        reportedReference=REFERENCE,
         medicationCodeableConcept=CODEABLE_CONCEPT,
         medicationReference=REFERENCE,
         subject=REFERENCE,
         encounter=REFERENCE,
+        supportingInformation=_arr(REFERENCE),
         authoredOn=S,
         requester=REFERENCE,
+        performer=REFERENCE,
+        performerType=CODEABLE_CONCEPT,
+        recorder=REFERENCE,
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
+        instantiatesCanonical=_arr(S),
+        instantiatesUri=_arr(S),
+        basedOn=_arr(REFERENCE),
         courseOfTherapyType=CODEABLE_CONCEPT,
+        insurance=_arr(REFERENCE),
+        note=_arr(ANNOTATION),
         dosageInstruction=_arr(DOSAGE),
+        dispenseRequest=_backbone(
+            initialFill=_backbone(quantity=QUANTITY, duration=QUANTITY),
+            dispenseInterval=QUANTITY,
+            validityPeriod=PERIOD,
+            numberOfRepeatsAllowed=L,
+            quantity=QUANTITY,
+            expectedSupplyDuration=QUANTITY,
+            performer=REFERENCE,
+        ),
+        substitution=_backbone(
+            allowedBoolean=B,
+            allowedCodeableConcept=CODEABLE_CONCEPT,
+            reason=CODEABLE_CONCEPT,
+        ),
+        priorPrescription=REFERENCE,
+        detectedIssue=_arr(REFERENCE),
+        eventHistory=_arr(REFERENCE),
     ),
     "Medication": _resource(
         identifier=_arr(IDENTIFIER),
         code=CODEABLE_CONCEPT,
         status=S,
+        manufacturer=REFERENCE,
         form=CODEABLE_CONCEPT,
+        amount=RATIO,
         ingredient=_arr(
             _backbone(
                 itemCodeableConcept=CODEABLE_CONCEPT,
@@ -331,6 +521,7 @@ _RESOURCES: dict[str, StructType] = {
                 strength=RATIO,
             )
         ),
+        batch=_backbone(lotNumber=S, expirationDate=S),
     ),
     "AllergyIntolerance": _resource(
         identifier=_arr(IDENTIFIER),
@@ -343,6 +534,9 @@ _RESOURCES: dict[str, StructType] = {
         patient=REFERENCE,
         encounter=REFERENCE,
         onsetDateTime=S,
+        onsetAge=QUANTITY,
+        onsetPeriod=PERIOD,
+        onsetRange=RANGE,
         recordedDate=S,
         recorder=REFERENCE,
         asserter=REFERENCE,
@@ -366,13 +560,40 @@ _RESOURCES: dict[str, StructType] = {
         patient=REFERENCE,
         encounter=REFERENCE,
         occurrenceDateTime=S,
+        occurrenceString=S,
         recorded=S,
         primarySource=B,
+        reportOrigin=CODEABLE_CONCEPT,
+        location=REFERENCE,
+        manufacturer=REFERENCE,
         lotNumber=S,
         expirationDate=S,
         site=CODEABLE_CONCEPT,
         route=CODEABLE_CONCEPT,
         doseQuantity=QUANTITY,
+        performer=_arr(_backbone(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+        note=_arr(ANNOTATION),
+        reasonCode=_arr(CODEABLE_CONCEPT),
+        reasonReference=_arr(REFERENCE),
+        isSubpotent=B,
+        subpotentReason=_arr(CODEABLE_CONCEPT),
+        education=_arr(
+            _backbone(documentType=S, reference=S, publicationDate=S, presentationDate=S)
+        ),
+        programEligibility=_arr(CODEABLE_CONCEPT),
+        fundingSource=CODEABLE_CONCEPT,
+        reaction=_arr(_backbone(date=S, detail=REFERENCE, reported=B)),
+        protocolApplied=_arr(
+            _backbone(
+                series=S,
+                authority=REFERENCE,
+                targetDisease=_arr(CODEABLE_CONCEPT),
+                doseNumberPositiveInt=L,
+                doseNumberString=S,
+                seriesDosesPositiveInt=L,
+                seriesDosesString=S,
+            )
+        ),
     ),
     "Procedure": _resource(
         identifier=_arr(IDENTIFIER),
@@ -382,15 +603,31 @@ _RESOURCES: dict[str, StructType] = {
         code=CODEABLE_CONCEPT,
         subject=REFERENCE,
         encounter=REFERENCE,
+        instantiatesCanonical=_arr(S),
+        instantiatesUri=_arr(S),
+        basedOn=_arr(REFERENCE),
+        partOf=_arr(REFERENCE),
         performedDateTime=S,
         performedPeriod=PERIOD,
+        performedAge=QUANTITY,
+        performedRange=RANGE,
         recorder=REFERENCE,
         asserter=REFERENCE,
-        performer=_arr(_backbone(function=CODEABLE_CONCEPT, actor=REFERENCE)),
+        performer=_arr(
+            _backbone(function=CODEABLE_CONCEPT, actor=REFERENCE, onBehalfOf=REFERENCE)
+        ),
+        location=REFERENCE,
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
         bodySite=_arr(CODEABLE_CONCEPT),
         outcome=CODEABLE_CONCEPT,
+        report=_arr(REFERENCE),
+        complication=_arr(CODEABLE_CONCEPT),
+        complicationDetail=_arr(REFERENCE),
+        followUp=_arr(CODEABLE_CONCEPT),
+        focalDevice=_arr(_backbone(action=CODEABLE_CONCEPT, manipulated=REFERENCE)),
+        usedReference=_arr(REFERENCE),
+        usedCode=_arr(CODEABLE_CONCEPT),
     ),
     "ServiceRequest": _resource(
         identifier=_arr(IDENTIFIER),
@@ -423,7 +660,12 @@ _RESOURCES: dict[str, StructType] = {
         locationReference=_arr(REFERENCE),
         reasonCode=_arr(CODEABLE_CONCEPT),
         reasonReference=_arr(REFERENCE),
+        insurance=_arr(REFERENCE),
+        supportingInfo=_arr(REFERENCE),
+        specimen=_arr(REFERENCE),
+        bodySite=_arr(CODEABLE_CONCEPT),
         note=_arr(ANNOTATION),
+        relevantHistory=_arr(REFERENCE),
     ),
     "Practitioner": _resource(
         identifier=_arr(IDENTIFIER),
@@ -517,6 +759,8 @@ _RESOURCES: dict[str, StructType] = {
         location=REFERENCE,
         url=S,
         note=_arr(ANNOTATION),
+        safety=_arr(CODEABLE_CONCEPT),
+        parent=REFERENCE,
     ),
     "EpisodeOfCare": _resource(
         identifier=_arr(IDENTIFIER),

@@ -75,15 +75,27 @@ def scan_with_quarantine(
         .select(
             F.col("value").alias("raw_line"),
             F.input_file_name().alias("source_file"),
-            # PERMISSIVE: malformed lines parse to an all-null struct, which
-            # the resourceType null-check below routes to quarantine.
-            F.from_json(F.col("value"), schema).alias("parsed"),
+            # PERMISSIVE + corrupt column: fully-malformed lines parse to an
+            # all-null struct AND field-level type mismatches (e.g. a
+            # singleton object where FHIR requires an array) populate the
+            # corrupt column — both route to quarantine instead of flowing
+            # through with silently-nulled fields.
+            F.from_json(
+                F.col("value"),
+                _with_corrupt(schema),
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("parsed"),
         )
     )
-    ok = F.col("parsed").isNotNull() & F.col("parsed.resourceType").isNotNull()
+    ok = (
+        F.col("parsed").isNotNull()
+        & F.col("parsed.resourceType").isNotNull()
+        & F.col(f"parsed.{CORRUPT_COL}").isNull()
+    )
     good = (
         raw.filter(ok)
         .select("parsed.*")
+        .drop(CORRUPT_COL)
         .filter(F.col("resourceType").isin(list(resource_types)))
     )
     bad = raw.filter(~ok).select("raw_line", "source_file")

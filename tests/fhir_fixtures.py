@@ -254,3 +254,17 @@ def write_wide_input(root: str) -> str:
          "subject": {"reference": "Patient/pat-1"}},
     ])
     return root
+
+
+def expected_anon_id(salt: str, real_id: str) -> str:
+    """Python-side mirror of functions/scalars.py:anon_id — HMAC-SHA256
+    with the codebook's hex salt as key bytes (utf-8 for non-hex salts)."""
+    import binascii
+    import hashlib
+    import hmac
+
+    try:
+        key = binascii.unhexlify(salt)
+    except (binascii.Error, ValueError):
+        key = salt.encode("utf-8")
+    return hmac.new(key, real_id.encode(), hashlib.sha256).hexdigest()

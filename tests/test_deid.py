@@ -15,7 +15,9 @@ SALT = "0123456789abcdef"
 
 
 def sha(s: str) -> str:
-    return hashlib.sha256((SALT + s).encode()).hexdigest()
+    from tests.fhir_fixtures import expected_anon_id
+
+    return expected_anon_id(SALT, s)
 
 
 def scrubbed(spark, tmp_path, resource_type):
@@ -222,7 +224,8 @@ def test_codebook_persistence_and_mappings(spark, tmp_path):
     cb1.save_mappings(df, "Patient")  # idempotent append
     m = cb1.load_mappings(spark)
     got = {(r["real_id"], r["anon_id"]) for r in m.collect()}
-    expected_anon = hashlib.sha256((cb1.salt + "pat-1").encode()).hexdigest()
+    from tests.fhir_fixtures import expected_anon_id
+    expected_anon = expected_anon_id(cb1.salt, "pat-1")
     assert ("pat-1", expected_anon) in got
     assert len(got) == 2  # distinct() collapses the double append
 

@@ -14,7 +14,7 @@ from cumulus_etl_spark.etl import run_convert, run_etl, run_init
 from cumulus_etl_spark.etl.completion import COMPLETION_ENCOUNTERS_TABLE, COMPLETION_TABLE
 from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
 from cumulus_etl_spark.sinks.batched import write_ndjson_batches
-from tests.fhir_fixtures import write_ndjson, write_standard_input
+from tests.fhir_fixtures import write_ndjson, write_standard_input, expected_anon_id
 
 
 @pytest.fixture()
@@ -44,7 +44,7 @@ def test_etl_end_to_end(spark, dirs):
     # Codebook salt determines the pseudonyms
     with open(os.path.join(dirs["phi"], "codebook.json")) as fh:
         salt = json.load(fh)["salt"]
-    anon_pat1 = hashlib.sha256((salt + "pat-1").encode()).hexdigest()
+    anon_pat1 = expected_anon_id(salt, "pat-1")
     assert anon_pat1 in {r["id"] for r in pat.collect()}
 
     # Completion metadata written
@@ -90,7 +90,7 @@ def test_deleted_bundle_applied(spark, dirs):
     pat = ManagedTable(spark, dirs["output"], "patient").read()
     with open(os.path.join(dirs["phi"], "codebook.json")) as fh:
         salt = json.load(fh)["salt"]
-    assert hashlib.sha256((salt + "pat-2").encode()).hexdigest() not in {
+    assert expected_anon_id(salt, "pat-2") not in {
         r["id"] for r in pat.collect()
     }
     assert pat.count() == 1
@@ -158,7 +158,7 @@ def test_etl_all_twenty_task_types(spark, tmp_path):
         salt = _j.load(fh)["salt"]
 
     def anon(rid):
-        return _h.sha256((salt + rid).encode()).hexdigest()
+        return expected_anon_id(salt, rid)
 
     # conditional identifiers: NPI kept, site-internal dropped
     loc = ManagedTable(spark, out, "location").read().collect()[0]

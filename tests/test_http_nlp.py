@@ -266,11 +266,12 @@ def test_upload_notes_cli_end_to_end(spark, fake_server, tmp_path):
     assert set(data["docref_mappings"]) == {"n1", "n2"}
     with open(f"{phi}/codebook.json") as fh:
         salt = json.load(fh)["salt"]
-    assert data["docref_mappings"]["n1"] == hashlib.sha256((salt + "n1").encode()).hexdigest()
+    from tests.fhir_fixtures import expected_anon_id
+    assert data["docref_mappings"]["n1"] == expected_anon_id(salt, "n1")
     assert data["docref_spans"]["n1"][0] == 0
     spans = tasks[0]["predictions"][0]["result"]
     assert any(s["value"]["labels"] == ["cough"] for s in spans)
-    assert data["anon_patient_id"] == hashlib.sha256((salt + "p1").encode()).hexdigest()
+    assert data["anon_patient_id"] == expected_anon_id(salt, "p1")
 
     # re-push without --overwrite: chart skipped, not duplicated
     rc = cli_main([

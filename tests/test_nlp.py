@@ -95,10 +95,11 @@ def test_filters(spark, tmp_path):
 
 
 def _anon(phi_dir: str, real_id: str) -> str:
-    """Mirror of anon_id: sha256(salt || id) with the codebook's salt."""
+    """Mirror of anon_id: HMAC-SHA256 with the codebook's salt."""
     with open(os.path.join(phi_dir, "codebook.json")) as fh:
         salt = json.load(fh)["salt"]
-    return hashlib.sha256((salt + real_id).encode()).hexdigest()
+    from tests.fhir_fixtures import expected_anon_id
+    return expected_anon_id(salt, real_id)
 
 
 def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
