@@ -22,8 +22,18 @@ from tests.fhir_fixtures import write_ndjson
 CANARY = "PHI-CANARY-8f3a"
 
 # leaf actions that legitimately pass string content through (possibly
-# transformed); canaries planted ONLY where the rules say drop/mask
-_PASSTHROUGH_ACTIONS = {"val", "philter", "year", "zip", "anon-id", "anon-ref", "check-system;val"}
+# transformed); canaries planted ONLY where the rules say drop/mask.
+# "check-system;X" gates on the sibling system value but otherwise acts
+# like X, so it passes through iff X does.
+_PASSTHROUGH_ACTIONS = {"val", "philter", "year", "zip", "anon-id", "anon-ref"}
+
+
+def _passes_through(spec) -> bool:
+    if not isinstance(spec, str):
+        return False
+    if spec.startswith("check-system;"):
+        spec = spec.split(";", 1)[1]
+    return spec in _PASSTHROUGH_ACTIONS
 
 
 def _plant(dtype, rules: dict | None, rng: random.Random, depth=0):
@@ -42,7 +52,15 @@ def _plant(dtype, rules: dict | None, rng: random.Random, depth=0):
             spec = (rules or {}).get(sf.name)
             if isinstance(sf.dataType, (StructType, ArrayType)):
                 child_rules = None
-                if isinstance(spec, str) and spec[:1].isupper() and spec in set(NODE_RULES) | {"CC", "Ref"}:
+                if spec == "Contained":
+                    # contained elements keep the base-Resource surface
+                    # (resourceType/id/meta/…) regardless of element type;
+                    # branch-specific fields only survive when resourceType
+                    # matches a keeper, which the planted "ok-value" never
+                    # does — so Resource is the allow-through set to avoid
+                    # planting canaries on
+                    child_rules = resolve_node("Resource")
+                elif isinstance(spec, str) and spec[:1].isupper() and spec in set(NODE_RULES) | {"CC", "Ref"}:
                     child_rules = resolve_node(spec)
                 elif isinstance(spec, dict):
                     child_rules = {**resolve_node("BackboneElement"), **spec}
@@ -50,7 +68,7 @@ def _plant(dtype, rules: dict | None, rng: random.Random, depth=0):
                 if val is not None:
                     out[sf.name] = val
             elif isinstance(sf.dataType, StringType):
-                if spec in _PASSTHROUGH_ACTIONS:
+                if _passes_through(spec):
                     out[sf.name] = rng.choice(["ok-value", "2021-01-01", "12345"])
                 else:
                     # not allowed or masked → canary MUST never survive
