@@ -115,3 +115,60 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def words_array(text: Column | str) -> Column:
+    """Whitespace word array; empty array for blank text."""
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT)
+    )
+
+
+def repetition_features(words: Column) -> dict[str, Column]:
+    """Gopher-style repetition/quality features over a word array
+    (Rae et al. 2021 §A1.1 repetition-removal rules, re-expressed as pure
+    Catalyst expressions — row-local, no shuffle, scale-free):
+
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+    - ``dup_bigram_frac``: same for adjacent word bigrams
+    - ``top_word_frac``: occurrences of the most frequent word / n
+      (O(distinct × n) per row — bounded row-local compute, the
+      distributed analog of Gopher's most-common-word rule)
+    - ``mean_word_len``: average word length
+    - ``alpha_word_frac``: fraction of words containing a letter
+    """
+    n = F.size(words)
+    safe_n = F.greatest(n, F.lit(1))
+    nd = F.size(F.array_distinct(words))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, safe_n - 1),
+            F.slice(words, 2, safe_n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    safe_nb = F.greatest(nb, F.lit(1))
+    top = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda u: F.size(F.filter(words, lambda w: w == u)),
+            )
+        ),
+        F.lit(0),
+    )
+    sum_len = F.coalesce(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)), F.lit(0)
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    return {
+        "n_words": n,
+        "dup_word_frac": (n - nd) / safe_n,
+        "dup_bigram_frac": (nb - F.size(F.array_distinct(bigrams))) / safe_nb,
+        "top_word_frac": top / safe_n,
+        "mean_word_len": sum_len / safe_n,
+        "alpha_word_frac": alpha / safe_n,
+    }

@@ -204,3 +204,65 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+_MIXTURE_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM t
+)
+SELECT t.source, t.n_docs, t.n_tokens,
+       t.n_tokens / tot.total_tokens AS token_share,
+       1.0 / tot.n_sources AS target_share,
+       (1.0 / tot.n_sources) / (t.n_tokens / tot.total_tokens) AS sample_weight,
+       least((1.0 / tot.n_sources) / (t.n_tokens / tot.total_tokens), 1.0)
+         AS capped_weight,
+       CAST(FLOOR(t.n_tokens
+                  * least((1.0 / tot.n_sources)
+                          / (t.n_tokens / tot.total_tokens), 1.0))
+            AS BIGINT) AS expected_tokens
+FROM t, tot
+"""
+
+
+@register("corpus_domain_mixture", _MIXTURE_ORACLE, tags=("text", "corpus"))
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting for training-data prep: per-source token
+    counts → the per-source sampling weight that moves the corpus toward a
+    uniform target mixture (The Pile / DoReMi-style domain weighting,
+    with uniform as the declared target). One shuffle to aggregate per
+    source; the totals row is a broadcast scalar join — the per-source
+    table is bounded by the number of domains, never by corpus size."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    weight = target / share
+    capped = F.least(weight, F.lit(1.0))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        target.alias("target_share"),
+        weight.alias("sample_weight"),
+        capped.alias("capped_weight"),
+        F.floor(F.col("n_tokens") * capped).cast("bigint").alias("expected_tokens"),
+    )

@@ -258,3 +258,73 @@ def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, 4-block pigeonhole, Hamming ≤ 3)."""
     d = table(spark, sf_dir, "documents")
     return D.simhash_candidates(d, "doc_id", "text", blocks=4, max_hamming=3)
+
+
+_GOPHER_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, words,
+         len(words) AS n,
+         len(list_distinct(words)) AS nd,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(2, len(words) + 1),
+                                  i -> words[i - 1] || ' ' || words[i])
+              ELSE [] END AS bigrams
+  FROM w
+), g AS (
+  SELECT doc_id,
+         CAST(n AS INTEGER) AS n_words,
+         COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+           / greatest(n, 1) AS mean_word_len,
+         (n - nd) / greatest(n, 1) AS dup_word_frac,
+         (len(bigrams) - len(list_distinct(bigrams)))
+           / greatest(len(bigrams), 1) AS dup_bigram_frac,
+         COALESCE(list_max(list_transform(list_distinct(words),
+                    u -> len(list_filter(words, x -> x = u)))), 0)
+           / greatest(n, 1) AS top_word_frac,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           / greatest(n, 1) AS alpha_word_frac
+  FROM f
+)
+SELECT *,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2 AND mean_word_len <= 12
+        AND dup_bigram_frac < 0.05 AND top_word_frac < 0.12
+        AND alpha_word_frac > 0.8) AS keep
+FROM g
+"""
+
+
+@register("text_gopher_quality", _GOPHER_ORACLE, tags=("text", "quality"))
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule document filter (Rae et al. 2021 §A1.1):
+    duplicate-word/bigram fractions, most-common-word fraction, mean word
+    length, alphabetic-word fraction, and the keep/drop verdict — all
+    row-local Catalyst expressions (no shuffle; the filter rides the scan
+    at any corpus size)."""
+    d = table(spark, sf_dir, "documents")
+    withw = d.select("doc_id", T.words_array("text").alias("words"))
+    feats = T.repetition_features(F.col("words"))
+    g = withw.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["dup_word_frac"].alias("dup_word_frac"),
+        feats["dup_bigram_frac"].alias("dup_bigram_frac"),
+        feats["top_word_frac"].alias("top_word_frac"),
+        feats["alpha_word_frac"].alias("alpha_word_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= 20)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("dup_bigram_frac") < 0.05)
+        & (F.col("top_word_frac") < 0.12)
+        & (F.col("alpha_word_frac") > 0.8)
+    )
+    return g.select("*", keep.alias("keep"))
