@@ -533,7 +533,8 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count. The batch analogue of stateful streaming sessions."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = table(spark, sf_dir, "events")
-    epoch = F.unix_millis("ts")
+    # cast is a no-op on TIMESTAMP but rescues TIMESTAMP_NTZ parquet
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
     lag_epoch = F.lag(epoch).over(w)
     new_session = F.when(lag_epoch.isNull() | ((epoch - lag_epoch) > 1_800_000), 1).otherwise(0)
     return (

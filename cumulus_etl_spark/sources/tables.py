@@ -33,11 +33,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it narrows ns→us, so both engines see identical instants.
     """
     df = _read(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        # Integer DIV, not float division: ns-since-epoch exceeds 2^53.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if ts_type == "bigint":
+            # Integer DIV, not float division: ns-since-epoch exceeds 2^53.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # pandas writes timestamp[us] without a timezone -> Spark reads
+            # TIMESTAMP_NTZ, which unix_millis/unix_micros reject.  The
+            # session timezone is pinned UTC, so casting to TIMESTAMP keeps
+            # the instant identical to what DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
