@@ -14,6 +14,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cumulus_etl_spark.plans import CATALOG
 
+# The driver's CORRECTNESS gate reads the FIRST 50 dict entries, so the
+# dict is ordered by how much a fresh gate row is worth: entries that have
+# never had a driver row (rounds 1-2) first, then entries gated exactly
+# once, then the 44 with two green rounds behind them.  Registration order
+# inside the catalog stays grouped by module; this is presentation order
+# for the gate only.
+_GATE_PRIORITY = [
+    # -- never gated (38) --
+    "q12_priority_by_returnflag", "q13_customer_distribution",
+    "q16_supplier_cnt_by_part_class", "q17_small_quantity_revenue",
+    "join_full_outer_nation_wealth", "window_first_last_nth",
+    "set_except_all_multiplicity", "q20_promotion_suppliers",
+    "join_bloom_pruned_revenue", "agg_stats_moments",
+    "window_rank_distribution", "events_retention_cohort",
+    "agg_unpivot_components", "events_daily_gapfill",
+    "agg_histogram_totalprice", "sample_stratified",
+    "events_conversion_funnel", "text_doc_freq_topk", "text_tfidf_topk",
+    "multimodal_image_stats", "multimodal_audio_features",
+    "multimodal_frame_sample", "corpus_shard_by_budget",
+    "corpus_decontaminate", "corpus_passage_dedup", "corpus_pii_scrub",
+    "corpus_prepare_pipeline", "corpus_domain_mixture",
+    "text_ngram_jaccard_pairs", "text_minhash_dedup", "text_dedup_clusters",
+    "text_simhash_pairs", "text_gopher_quality", "vector_knn_bruteforce",
+    "vector_ann_lsh", "vector_ann_ivf", "vector_neardup_cosine",
+    "vector_norm_stats",
+    # -- gated once (12) --
+    "q2_min_cost_supplier", "q4_priority_exists", "q15_top_supplier",
+    "q21_waiting_supplier", "q9_profit_by_nation_year", "q11_important_parts",
+    "deid_anonymize_customers", "deid_year_generalize", "text_token_stats",
+    "text_quality_score", "text_lang_id", "text_fingerprint_dedup",
+]
+
+
+def _ordered() -> list[str]:
+    prioritized = [n for n in _GATE_PRIORITY if n in CATALOG]
+    rest = [n for n in CATALOG if n not in set(prioritized)]
+    return prioritized + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -21,8 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.build for name, q in CATALOG.items()}
+    return {name: CATALOG[name].build for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}
+    return {
+        name: CATALOG[name].oracle
+        for name in _ordered()
+        if CATALOG[name].oracle is not None
+    }

@@ -9,9 +9,16 @@ medical record numbers (labeled and bare digit runs — the config's "six
 or more digits"), street addresses and city/state/zip, ages, salutation
 / signature name patterns, and the letter-digit ID shapes (CCDDDD etc.).
 Dates are deliberately NOT masked — the reference keeps dates (config
-header lines 5-8: Cumulus finds accurate dates useful). POS-tagger name
-detection and the first/last-name blacklists are out of scope
-(documented recall gap vs philter-lite).
+header lines 5-8: Cumulus finds accurate dates useful).
+
+Person-name recall (the philter-lite POS-tagger + blacklist role) comes
+from three *case-sensitive* contextual rules over the embedded
+public-domain name lists (:mod:`.names`): name pairs where either token
+is a known first/last name, credentialed names ("Lee Chen, RN"), and
+capitalized tokens following clinical trigger words ("seen by …",
+"patient: …"). A bare single name with no context is deliberately NOT
+masked (precision); full POS tagging remains out of scope (documented,
+narrower, recall gap vs philter-lite).
 
 Two implementations, same patterns:
 
@@ -33,6 +40,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
+
+from .names import FIRST_NAMES, SURNAMES
 
 _STREET_SUFFIX = (
     r"(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr|"
@@ -77,17 +86,52 @@ _PATTERNS: list[tuple[str, str]] = [
     ("mixed_id", r"\b[A-Za-z]{1,3}\d{5,}\b"),
     # "six or more digits" exclude rule
     ("digit_run", r"\b\d{6,}\b"),
+    # -- person names (case-SENSITIVE: capitalization is the signal; see
+    #    _CASE_SENSITIVE below). Run after salutation/signature so those
+    #    broader spans are already collapsed. --
+    # Name pair: known first + Capitalized surname, or Capitalized
+    # given + known surname (one list hit is enough; both tokens must be
+    # capitalized). Optional capitalized middle name in the first form.
+    (
+        "name_pair",
+        r"\b(?:(?:" + "|".join(sorted(FIRST_NAMES))
+        + r")\s+(?:[A-Z][a-z'-]+\s+)?[A-Z][A-Za-z'-]+"
+        + r"|[A-Z][A-Za-z'-]+\s+(?:" + "|".join(sorted(SURNAMES)) + r"))\b",
+    ),
+    # Credentialed name: "Lee Chen, RN" / "Robert Johnson, M.D."
+    (
+        "name_credential",
+        r"\b[A-Z][a-z'-]+(?:\s+[A-Z][a-z'-]+){0,2}\s*,\s*"
+        r"(?:M\.?D\.?|D\.?O\.?|R\.?N\.?|N\.?P\.?|P\.?A\.?|PhD|DDS|CRNA|LICSW|LCSW)\b",
+    ),
+    # Trigger-word context: "(?i:...)" scopes case-insensitivity to the
+    # trigger alone; the name tokens stay capitalization-gated.
+    (
+        "name_context",
+        r"\b(?i:patient|pt\.?|name|seen by|signed by|evaluated by|examined by|"
+        r"referred (?:to|by)|attending|resident|nurse|provider|caregiver|spouse|"
+        r"wife|husband|mother|father|son|daughter|brother|sister)"
+        r"[:\s]\s*[A-Z][a-z'-]+(?:\s+[A-Z][a-z'-]+)?",
+    ),
 ]
 
-_PHI_PATTERNS: list[re.Pattern] = [re.compile(p, re.IGNORECASE) for _, p in _PATTERNS]
+# Classes whose capitalization carries signal — applied without the (?i)
+# prefix on the JVM path and without re.IGNORECASE on the Python path.
+_CASE_SENSITIVE = {"name_pair", "name_credential", "name_context"}
+
+_PHI_PATTERNS: list[re.Pattern] = [
+    re.compile(p, 0 if cls in _CASE_SENSITIVE else re.IGNORECASE)
+    for cls, p in _PATTERNS
+]
 
 REDACTION = "***"
 
 
 def philter_mask(col: Column) -> Column:
     """JVM-side PHI masking: each detected span becomes ``***``."""
-    for _, pat in _PATTERNS:
-        col = F.regexp_replace(col, "(?i)" + pat, REDACTION)
+    for cls, pat in _PATTERNS:
+        prefix = "" if cls in _CASE_SENSITIVE else "(?i)"
+        col = F.regexp_replace(col, prefix + pat, REDACTION)
     return col
 
 

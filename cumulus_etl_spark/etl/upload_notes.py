@@ -151,9 +151,8 @@ def run_upload_notes(
     select notes → philter → group into charts → sample → push to Label
     Studio. Selection/philter/grouping run in Spark; payload conversion is
     a bounded driver-side pass over the final (sampled) chart list."""
-    import hashlib
-
     from cumulus_etl_spark.deid import Codebook
+    from cumulus_etl_spark.functions.scalars import anon_id_py
     from cumulus_etl_spark.deid.philter import philter_udf, scrub_text
     from cumulus_etl_spark.etl.labelstudio import LabelStudioNote, find_highlights
     from cumulus_etl_spark.nlp import extract_note_text
@@ -197,10 +196,12 @@ def run_upload_notes(
     salt = Codebook(phi_dir).salt
 
     def anon(ref: str | None) -> str | None:
+        # Same HMAC pseudonyms as the de-id engine (functions/scalars.py
+        # anon_id) so chart doc-mappings line up with ETL'd table ids.
         if not ref:
             return None
         rid = ref.split("/")[-1]
-        return hashlib.sha256((salt + rid).encode()).hexdigest()
+        return anon_id_py(salt, rid)
 
     ls_notes = []
     for r in rows:

@@ -45,6 +45,22 @@ def hmac_pads(salt_hex: str) -> tuple[bytes, bytes]:
     )
 
 
+def anon_id_py(salt: str, real_id: str) -> str:
+    """Driver-side twin of :func:`anon_id` (HMAC-SHA256, hex salt as key
+    bytes) for the small, already-collected frames (Label Studio chart
+    payloads) where a Column expression has nowhere to run. Must stay
+    byte-identical to the Column form — test_deid_golden pins both."""
+    import binascii
+    import hashlib
+    import hmac as hmac_mod
+
+    try:
+        key = binascii.unhexlify(salt)
+    except (binascii.Error, ValueError):
+        key = salt.encode("utf-8")
+    return hmac_mod.new(key, real_id.encode(), hashlib.sha256).hexdigest()
+
+
 def anon_id(real_id: Column | str, salt: str) -> Column:
     """Deterministic pseudonym: HMAC-SHA256(salt, id) — byte-for-byte the
     reference's algorithm (cumulus_etl/deid/codebook.py:204-217 via

@@ -54,8 +54,24 @@ def run_nlp_task(
         F.count(F.lit(1)).alias("seen"), F.count("note_text").alias("with_text")
     ).first()
     seen, with_text = funnel["seen"], funnel["with_text"]
-    notes = all_notes.filter(F.col("note_text").isNotNull()).withColumn(
-        "checksum", note_checksum()
+    # Prune to exactly the columns the NLP stage needs BEFORE anything
+    # crosses the Arrow boundary.  DocumentReference's full struct is
+    # thousands of nested fields; shipping it through mapInPandas both
+    # segfaults Arrow's deep-struct conversion at sandbox scale and would
+    # serialize megabytes per row through Python at cluster scale.  The
+    # envelope only ever needs these five scalars.
+    notes = (
+        all_notes.filter(F.col("note_text").isNotNull())
+        .withColumn("checksum", note_checksum())
+        .select(
+            "id",
+            F.col("subject.reference").alias("subject_ref_src"),
+            F.element_at(F.col("context.encounter"), 1)["reference"].alias(
+                "encounter_ref_src"
+            ),
+            "note_text",
+            "checksum",
+        )
     )
     # cache() here: the hits/misses split and the later union both read
     # this frame; without it the scan + decode would run twice.
@@ -91,10 +107,8 @@ def run_nlp_task(
     salt = Codebook(phi_dir).salt
     result = scored.select(
         F.concat(F.lit("DocumentReference/"), anon_id(F.col("id"), salt)).alias("note_ref"),
-        anon_ref(
-            F.element_at(F.col("context.encounter"), 1)["reference"], salt
-        ).alias("encounter_ref"),
-        anon_ref(F.col("subject.reference"), salt).alias("subject_ref"),
+        anon_ref(F.col("encounter_ref_src"), salt).alias("encounter_ref"),
+        anon_ref(F.col("subject_ref_src"), salt).alias("subject_ref"),
         F.lit(generated_on).alias("generated_on"),
         F.lit(task_version).alias("task_version"),
         F.from_json(F.col("result"), MATCH_SCHEMA).alias("matches"),

@@ -118,8 +118,13 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def words_array(text: Column | str) -> Column:
-    """Whitespace word array; empty array for blank text."""
-    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    """Whitespace word array; empty array for blank OR NULL text.
+
+    The coalesce matters: with NULL text, size(split(NULL)) is -1 in Spark
+    (n_words=-1, keep=false) while the DuckDB oracles propagate NULL — a
+    latent parity break if documents.text ever becomes nullable.  Treating
+    NULL as blank keeps both engines identical."""
+    t = F.trim(F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit("")))
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, TOKEN_SPLIT)
     )

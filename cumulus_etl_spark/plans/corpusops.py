@@ -216,19 +216,24 @@ WITH t AS (
   FROM documents
   GROUP BY source
 ), tot AS (
-  SELECT SUM(n_tokens) AS total_tokens,
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          CAST(COUNT(*) AS BIGINT) AS n_sources
   FROM t
 )
 SELECT t.source, t.n_docs, t.n_tokens,
        t.n_tokens / tot.total_tokens AS token_share,
        1.0 / tot.n_sources AS target_share,
-       (1.0 / tot.n_sources) / (t.n_tokens / tot.total_tokens) AS sample_weight,
-       least((1.0 / tot.n_sources) / (t.n_tokens / tot.total_tokens), 1.0)
-         AS capped_weight,
+       (1.0 / tot.n_sources) / NULLIF(t.n_tokens / tot.total_tokens, 0)
+         AS sample_weight,
+       CASE WHEN t.n_tokens > 0
+            THEN least((1.0 / tot.n_sources)
+                       / (t.n_tokens / tot.total_tokens), 1.0)
+       END AS capped_weight,
        CAST(FLOOR(t.n_tokens
-                  * least((1.0 / tot.n_sources)
-                          / (t.n_tokens / tot.total_tokens), 1.0))
+                  * CASE WHEN t.n_tokens > 0
+                         THEN least((1.0 / tot.n_sources)
+                                    / (t.n_tokens / tot.total_tokens), 1.0)
+                    END)
             AS BIGINT) AS expected_tokens
 FROM t, tot
 """
@@ -254,8 +259,14 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per.crossJoin(F.broadcast(tot))
     share = F.col("n_tokens") / F.col("total_tokens")
     target = F.lit(1.0) / F.col("n_sources")
-    weight = target / share
-    capped = F.least(weight, F.lit(1.0))
+    # Guarded: an all-blank source has share 0, and Spark's `/` returns
+    # NULL on zero divisor while DuckDB yields Infinity — both engines now
+    # emit NULL (the oracle mirrors with NULLIF), and F.least would
+    # otherwise silently report capped_weight=1.0 for such a source.
+    weight = F.when(share > 0, target / share)
+    # least() skips NULLs on both engines, so guard it too — otherwise an
+    # empty source silently reports capped_weight=1.0.
+    capped = F.when(share > 0, F.least(weight, F.lit(1.0)))
     return j.select(
         "source",
         "n_docs",

@@ -901,14 +901,35 @@ def schema_for(resource_type: str) -> StructType:
 def wide_schema(resource_types: list[str] | tuple[str, ...]) -> StructType:
     """Union schema across several resource types (for mixed NDJSON dirs).
 
-    Field name collisions must agree on type — FHIR guarantees this for
-    the common envelope; resource-specific fields are disjoint or shared
-    element types.
+    FHIR does NOT guarantee same-named fields agree across resource types
+    (``Condition.category`` is ``CodeableConcept[]`` while
+    ``MedicationDispense.category`` is a scalar ``CodeableConcept``), so a
+    scalar-vs-array divergence on the same element type is resolved by
+    promoting to the array form; scans parse each type with its own exact
+    schema and conform scalars via ``F.array`` afterwards (sources/ndjson.py).
+    Any other divergence still raises — none exists in the catalog today.
     """
     fields: dict[str, StructField] = {}
     for rt in resource_types:
         for f in schema_for(rt).fields:
-            if f.name in fields and fields[f.name].dataType != f.dataType:
+            prev = fields.get(f.name)
+            if prev is None or prev.dataType == f.dataType:
+                fields.setdefault(f.name, f)
+            elif prev.dataType == ArrayType(f.dataType):
+                pass  # already promoted
+            elif ArrayType(prev.dataType) == f.dataType:
+                fields[f.name] = f
+            elif isinstance(f.dataType, ArrayType) or isinstance(prev.dataType, ArrayType):
+                # scalar vs array of the same element type → array wins
+                elem = (
+                    f.dataType.elementType
+                    if isinstance(f.dataType, ArrayType)
+                    else prev.dataType.elementType
+                )
+                other = prev.dataType if isinstance(f.dataType, ArrayType) else f.dataType
+                if elem != other:
+                    raise ValueError(f"conflicting types for field {f.name!r} in {rt}")
+                fields[f.name] = StructField(f.name, ArrayType(elem), True)
+            else:
                 raise ValueError(f"conflicting types for field {f.name!r} in {rt}")
-            fields.setdefault(f.name, f)
     return StructType(list(fields.values()))

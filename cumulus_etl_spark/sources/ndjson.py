@@ -29,6 +29,26 @@ def _with_corrupt(schema: StructType) -> StructType:
     return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)])
 
 
+def _conform(df: DataFrame, own: StructType, wide: StructType) -> DataFrame:
+    """Project a per-type parsed frame onto the wide schema: absent fields
+    become typed nulls; a scalar field whose wide form is an array (the
+    Condition.category vs MedicationDispense.category divergence) is
+    wrapped with ``F.array`` — parse stays exact per type, union stays
+    cheap."""
+    own_types = {f.name: f.dataType for f in own.fields}
+    cols = []
+    for f in wide.fields:
+        have = own_types.get(f.name)
+        if have is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have == f.dataType:
+            cols.append(F.col(f.name))
+        else:  # scalar → array promotion (wide_schema guarantees this shape)
+            c = F.col(f.name)
+            cols.append(F.when(c.isNotNull(), F.array(c)).alias(f.name))
+    return df.select(*cols)
+
+
 def scan_resources(
     spark: SparkSession,
     root: str,
@@ -37,21 +57,33 @@ def scan_resources(
     """S1: read every ``*.ndjson`` under ``root`` (recursively), keep rows of
     the requested resource types, under the contractual union schema.
 
-    The resourceType filter is a plain predicate — Catalyst pushes it into
-    the scan, and column pruning drops unread resource-specific fields.
+    Each type parses under its OWN exact schema (a resourceType dispatch,
+    like the reference's per-task scans — common.py:144-156); frames are
+    conformed to the wide schema and unioned by name. The resourceType
+    filter is a plain predicate Catalyst pushes into each scan. The common
+    single-type call is exactly one pass over the files.
     """
-    schema = wide_schema(list(resource_types))
-    df = (
-        spark.read.schema(_with_corrupt(schema))
-        .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.ndjson")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(root)
-    )
-    return df.filter(F.col(CORRUPT_COL).isNull() & F.col("resourceType").isin(list(resource_types))).drop(
-        CORRUPT_COL
-    )
+    types = list(resource_types)
+    wide = wide_schema(types)
+    frames = []
+    for rt in types:
+        own = schema_for(rt)
+        df = (
+            spark.read.schema(_with_corrupt(own))
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.ndjson")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(root)
+        )
+        df = df.filter(
+            F.col(CORRUPT_COL).isNull() & (F.col("resourceType") == rt)
+        ).drop(CORRUPT_COL)
+        frames.append(_conform(df, own, wide))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def scan_with_quarantine(
@@ -64,10 +96,14 @@ def scan_with_quarantine(
     The quarantine side carries the raw line plus its source file so a
     run can spill them to ``errors/`` (parity: etl/tasks/base.py:356-364).
     """
-    schema = wide_schema(list(resource_types))
+    types = list(resource_types)
+    wide = wide_schema(types)
     # Text-then-parse, not read.json: Spark disallows queries that touch
-    # only the corrupt-record column, and this keeps good/bad a single
-    # scan with the raw line available for the quarantine side.
+    # only the corrupt-record column, and this keeps the raw line available
+    # for the quarantine side.  Lines are dispatched on resourceType BEFORE
+    # any schema parse (ref common.py:144-156 filters before validating):
+    # a foreign-type line is simply skipped — it is someone else's input,
+    # not an error — and only same-type parse failures quarantine.
     raw = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.ndjson")
@@ -75,42 +111,46 @@ def scan_with_quarantine(
         .select(
             F.col("value").alias("raw_line"),
             F.input_file_name().alias("source_file"),
-            # PERMISSIVE + corrupt column: fully-malformed lines parse to an
-            # all-null struct AND field-level type mismatches (e.g. a
-            # singleton object where FHIR requires an array) populate the
-            # corrupt column — both route to quarantine instead of flowing
-            # through with silently-nulled fields.
-            F.from_json(
-                F.col("value"),
-                _with_corrupt(schema),
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("parsed"),
+            F.get_json_object(F.col("value"), "$.resourceType").alias("_rt"),
         )
     )
-    ok = (
-        F.col("parsed").isNotNull()
-        & F.col("parsed.resourceType").isNotNull()
-        & F.col(f"parsed.{CORRUPT_COL}").isNull()
-    )
-    good = (
-        raw.filter(ok)
-        .select("parsed.*")
-        .drop(CORRUPT_COL)
-        .filter(F.col("resourceType").isin(list(resource_types)))
-    )
-    bad = raw.filter(~ok).select("raw_line", "source_file")
+    goods = []
+    bads = [
+        # Unparseable JSON / missing resourceType: malformed for every type.
+        raw.filter(F.col("_rt").isNull()).select("raw_line", "source_file")
+    ]
+    for rt in types:
+        own = schema_for(rt)
+        mine = raw.filter(F.col("_rt") == rt).withColumn(
+            "parsed",
+            # PERMISSIVE + corrupt column: field-level type mismatches
+            # (e.g. a singleton object where FHIR requires an array)
+            # populate the corrupt column and route to quarantine instead
+            # of flowing through with silently-nulled fields.
+            F.from_json(
+                F.col("raw_line"),
+                _with_corrupt(own),
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ),
+        )
+        ok = F.col("parsed").isNotNull() & F.col(f"parsed.{CORRUPT_COL}").isNull()
+        goods.append(
+            _conform(mine.filter(ok).select("parsed.*").drop(CORRUPT_COL), own, wide)
+        )
+        bads.append(mine.filter(~ok).select("raw_line", "source_file"))
+    good = goods[0]
+    for g in goods[1:]:
+        good = good.unionByName(g)
+    bad = bads[0]
+    for b in bads[1:]:
+        bad = bad.unionByName(b)
     return good, bad
 
 
 def scan_one(spark: SparkSession, root: str, resource_type: str) -> DataFrame:
     """Single-resource-type scan under its exact contractual schema."""
-    return scan_resources(spark, root, [resource_type]).drop(
-        *[
-            f.name
-            for f in wide_schema([resource_type]).fields
-            if f.name not in {x.name for x in schema_for(resource_type).fields}
-        ]
-    )
+    # per-type parsing means a single-type scan IS the exact schema
+    return scan_resources(spark, root, [resource_type])
 
 
 def detect_resources(spark: SparkSession, root: str) -> set[str]:

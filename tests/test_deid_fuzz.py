@@ -121,6 +121,13 @@ PHI_SAMPLES = {
     "age": ["patient is 87 years old", "a 92 yo male", "age 95 presents"],
     "name": ["seen by Dr. Gregory House", "per Mrs Smith", "Mr. O'Brien reports"],
     "pager": ["page me, pager 54321", "beeper # 4312"],
+    # person names without salutation: pair / credential / trigger-context
+    "name_pair": ["spoke with John Smith today", "Maria Garcia denies pain",
+                  "followed by Jennifer Lopez", "Zyx Smith transferred"],
+    "name_credential": ["signed by Robert Johnson, MD", "Chen, RN at bedside",
+                        "per Lee Tran, N.P."],
+    "name_context": ["patient: Keyshawn Vex arrived", "daughter Emily at bedside",
+                     "seen by Attending Zorblatt"],
 }
 
 SAFE_SAMPLES = [
@@ -159,6 +166,36 @@ def test_philter_recall_by_class(spark):
     kept = [r["m"] for r in safe_df.select(philter_mask(F.col("text")).alias("m")).collect()]
     assert kept == SAFE_SAMPLES
     assert [scrub_text(s) for s in SAFE_SAMPLES] == SAFE_SAMPLES
+
+
+def test_contained_keeper_branch_canaries(spark, tmp_path):
+    """Plant canaries inside contained resources whose resourceType IS a
+    keeper (Medication/Organization/Patient), so the branch-specific
+    drop/mask rules apply — the main fuzz test's planter always yields a
+    non-keeper type, which only exercises the base-Resource surface."""
+    rng = random.Random(7)
+    host_rt = "Condition"
+    schema = schema_for(host_rt)
+    contained_f = next(f for f in schema.fields if f.name == "contained")
+    elem = contained_f.dataType.elementType
+    rows = []
+    for i, crt in enumerate(Scrubber.CONTAINED_TYPES):
+        branch_rules = {**resolve_node("Resource"), **resolve_node(crt)}
+        planted = _plant(elem, branch_rules, rng) or {}
+        planted["resourceType"] = crt
+        planted["id"] = f"c{i}"
+        planted.pop("modifierExtension", None)  # veto tested separately
+        rows.append(
+            {"resourceType": host_rt, "id": f"host{i}", "contained": [planted]}
+        )
+    write_ndjson(str(tmp_path), "contained.ndjson", rows)
+    df = scan_resources(spark, str(tmp_path), [host_rt])
+    out = Scrubber(salt="fz").scrub(df, host_rt)
+    payload = "\n".join(
+        r["j"] for r in out.select(F.to_json(F.struct("*")).alias("j")).collect()
+    )
+    assert CANARY not in payload, "canary leaked through a contained keeper branch"
+    assert payload  # sanity: rows actually survived
 
 
 def test_canary_in_modifier_extension_vetoes_row(spark, tmp_path):
