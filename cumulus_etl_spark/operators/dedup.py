@@ -241,14 +241,28 @@ def ngram_jaccard_dedup(
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
-    ).cache()
+    ).withColumn("sz", F.size("sh")).cache()
     cands = _lsh_candidates_from_shingles(sh, **lsh_kwargs)
+    # |A∪B| from sizes (one array op per pair, not two), with a cheap
+    # size-ratio pre-filter: J ≥ t needs min/max ≥ t, and the conjunct
+    # ordering short-circuits the intersect for pairs that can't qualify.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    size_ok = F.least("sz_a", "sz_b") >= threshold * F.greatest("sz_a", "sz_b")
     j = (
-        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(size_ok)
+        .withColumn("inter", inter)
+        # same double division as size(∩)/size(∪) — |∪| = sz_a+sz_b−|∩|
+        # exactly, so boundary pairs keep identical float behavior
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
     )

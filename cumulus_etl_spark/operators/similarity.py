@@ -91,6 +91,46 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _nested_array_sql(all_planes: list[list[list[float]]]) -> str:
+    """SQL literal for the full tables×planes×dim coefficient tensor.
+
+    One ``F.expr`` call instead of tables×planes×dim ``F.lit`` Column
+    constructions: the unrolled per-plane form costs thousands of py4j
+    round-trips at PLAN BUILD time (~5 s measured for 6×8×64) before a
+    single row moves. The JVM parses this string once."""
+
+    def arr(xs: list[str]) -> str:
+        return "array(" + ",".join(xs) + ")"
+
+    return arr(
+        [arr([arr([repr(float(x)) + "D" for x in plane]) for plane in tbl]) for tbl in all_planes]
+    )
+
+
+def lsh_signatures_all(vec: Column, all_planes: list[list[list[float]]]) -> Column:
+    """Array of per-table sign-bit bucket ids, as ONE expression.
+
+    Equivalent to ``array(lsh_signature(vec, t) for t in all_planes)``
+    but the coefficient tensor is a single literal and the loops are
+    higher-order functions, so the expression tree (and the Python-side
+    build cost) stays O(1) in tables×planes instead of O(t×p×dim)."""
+    n_planes = len(all_planes[0])
+    powers = F.expr("array(" + ",".join(str(1 << j) + "L" for j in range(n_planes)) + ")")
+    return F.transform(
+        F.expr(_nested_array_sql(all_planes)),
+        lambda tbl: F.aggregate(
+            F.transform(
+                tbl,
+                lambda plane, j: F.when(dot(vec, plane) >= 0, F.element_at(powers, j + 1)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
+    )
+
+
 def ann_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,12 +154,13 @@ def ann_lsh(
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         v = as_double_array(vec_col)
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            v.alias(vec_alias),
-            F.posexplode(
-                F.array(*[lsh_signature(v, pl) for pl in all_planes])
-            ).alias("table_idx", "bucket"),
+        base = df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
+        return base.select(
+            id_alias,
+            vec_alias,
+            F.posexplode(lsh_signatures_all(F.col(vec_alias), all_planes)).alias(
+                "table_idx", "bucket"
+            ),
         )
 
     cb = with_buckets(corpus, "neighbor_id", "cv")

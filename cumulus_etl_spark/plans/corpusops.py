@@ -192,7 +192,7 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.select(*cols)
 
 
-@register("corpus_prepare_pipeline", None, tags=("text", "corpus", "dedup"))
+@register("corpus_prepare_pipeline", None, tags=("text", "corpus", "dedup"), bench=True)
 def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-cleaning composition: quality band → language
     filter → exact-fingerprint dedup → MinHash-LSH fuzzy dedup →

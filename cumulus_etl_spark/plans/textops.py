@@ -181,16 +181,35 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).withColumn("sz", F.size("tok"))
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src"),
+        F.col("tok").alias("tok_a"), F.col("sz").alias("sz_a"),
     )
-    a = toks.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("tok").alias("tok_a"))
-    b = toks.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("tok").alias("tok_b"))
-    inter = F.size(F.array_intersect("tok_a", "tok_b"))
-    union = F.size(F.array_union("tok_a", "tok_b"))
-    return (
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src"),
+        F.col("tok").alias("tok_b"), F.col("sz").alias("sz_b"),
+    )
+    # |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two, and
+    # J ≥ 0.5 ⟹ min(|A|,|B|)/max(|A|,|B|) ≥ 0.5, so the cheap size-ratio
+    # conjunct runs FIRST and short-circuits the intersect for the bulk
+    # of candidate pairs. Same result set, same jaccard values.
+    size_ok = F.least("sz_a", "sz_b") * 2 >= F.greatest("sz_a", "sz_b")
+    pairs = (
         a.join(b, "src")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(inter >= 0.5 * union)
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .withColumn("inter", F.size(F.array_intersect("tok_a", "tok_b")))
+    )
+    # J ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B| (integer algebra — no float threshold)
+    return (
+        pairs.filter(3 * F.col("inter") >= F.col("sz_a") + F.col("sz_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -236,7 +255,7 @@ GROUP BY src
 """
 
 
-@register("text_dedup_clusters", _CC_ORACLE, tags=("text", "dedup", "graph"))
+@register("text_dedup_clusters", _CC_ORACLE, tags=("text", "dedup", "graph"), bench=True)
 def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: near-dup pairs (same-source token
     Jaccard ≥ 0.5) → distributed connected components (min-label

@@ -53,7 +53,7 @@ def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
-@register("vector_ann_lsh", None, tags=("vector",))
+@register("vector_ann_lsh", None, tags=("vector",), bench=True)
 def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH: bucket join +
     exact re-rank within buckets (the 100TB path — no cross product)."""

@@ -157,3 +157,49 @@ def register_athena_table(
     ddl = athena_create_table_ddl(dbname, schema, root, version=version, fmt=fmt)
     cursor.execute(ddl)
     return ddl
+
+
+class AthenaRegistrar:
+    """Registration-after-first-batch hook (ref formats/nlp.py:50-57:
+    "Register after dropping the first batch, as it's nice to be able to
+    show immediate progress in Athena ... As more batches come in, the
+    table will automatically expand").
+
+    Holds any DB-API connection (PyAthena-shaped: ``.cursor().execute``)
+    plus the table's identity; callers invoke :meth:`on_batch` after each
+    batch/micro-batch commit. The DDL executes exactly once, after the
+    FIRST committed batch — the external table points at the folder, so
+    later batches are visible without re-registration. A ``None``
+    connection makes the hook a no-op, keeping call sites unconditional.
+    """
+
+    def __init__(
+        self,
+        connection,
+        dbname: str,
+        schema: StructType,
+        root: str,
+        version: int = 1,
+        fmt: str = "parquet",
+    ) -> None:
+        self._connection = connection
+        self._dbname = dbname
+        self._schema = schema
+        self._root = root
+        self._version = version
+        self._fmt = fmt
+        self.registered_ddl: str | None = None
+
+    def on_batch(self, batch_id: int | None = None) -> bool:
+        """Returns True iff this call performed the registration."""
+        if self._connection is None or self.registered_ddl is not None:
+            return False
+        self.registered_ddl = register_athena_table(
+            self._connection.cursor(),
+            self._dbname,
+            self._schema,
+            self._root,
+            version=self._version,
+            fmt=self._fmt,
+        )
+        return True

@@ -37,11 +37,17 @@ def incremental_etl(
     checkpoint_dir: str,
     philter: bool = False,
     max_files_per_trigger: int | None = None,
+    athena=None,
 ) -> None:
     """Checkpointed scan→scrub→merge over an NDJSON landing directory.
 
     Each invocation processes exactly the files that arrived since the
     last run (file-source checkpoint), then stops.
+
+    ``athena``: optional :class:`~cumulus_etl_spark.sinks.catalog_ddl.
+    AthenaRegistrar` — fired after each committed micro-batch; registers
+    the external table once, after the FIRST batch, so progress is
+    queryable immediately (ref formats/nlp.py:50-57).
     """
     codebook = Codebook(phi_dir)
     scrubber = Scrubber(salt=codebook.salt, philter_enabled=philter)
@@ -61,6 +67,8 @@ def incremental_etl(
         good = batch_df.filter(F.col("resourceType") == resource_type)
         codebook.save_mappings(good, resource_type)
         table.merge(scrubber.scrub(good, resource_type), policy)
+        if athena is not None:
+            athena.on_batch(batch_id)
 
     (
         stream.writeStream.foreachBatch(process_batch)

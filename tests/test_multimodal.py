@@ -93,6 +93,36 @@ def test_extract_audio_features(spark):
     assert byid[2] is None and byid[3] is None
 
 
+def test_decode_images_real_codec_when_available():
+    """With PIL installed the decode stage must return TRUE dimensions
+    (feature-flag path); skipped in codec-less sandboxes where the
+    deterministic fake is already covered above."""
+    import pytest
+
+    from cumulus_etl_spark.operators.multimodal import HAVE_PIL, _decode_dims
+
+    if not HAVE_PIL:
+        pytest.skip("PIL not installed — fake-decode path is in force")
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (5, 7)).save(buf, format="PNG")
+    assert _decode_dims(buf.getvalue()) == (5, 7, 3)
+
+
+def test_decode_dims_falls_back_on_garbage_bytes():
+    """Undecodable payloads use the checksum fake on EVERY path, so a
+    mixed-quality corpus never crashes the decode stage."""
+    from cumulus_etl_spark.operators.multimodal import _decode_dims, _fake_dims
+    import hashlib
+
+    payload = b"not an image at all"
+    expected = _fake_dims(hashlib.sha256(payload).hexdigest())
+    assert _decode_dims(payload) == expected
+
+
 def test_multimodal_catalog_entries_run(spark, sf_correct):
     from cumulus_etl_spark.plans import CATALOG
 

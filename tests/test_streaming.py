@@ -38,6 +38,60 @@ def test_incremental_etl_checkpoint_resume(spark, tmp_path):
     assert tbl.read().count() == 3
 
 
+def test_incremental_etl_registers_athena_after_first_batch(spark, tmp_path):
+    """Registration-after-first-batch (ref formats/nlp.py:50-57): the DDL
+    runs through the connection exactly once, triggered by the FIRST
+    committed micro-batch; later batches expand the table without
+    re-registration."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from cumulus_etl_spark.sinks.catalog_ddl import AthenaRegistrar
+
+    class FakeCursor:
+        def __init__(self, log):
+            self._log = log
+
+        def execute(self, sql):
+            self._log.append(sql)
+
+    class FakeConnection:
+        def __init__(self):
+            self.executed = []
+
+        def cursor(self):
+            return FakeCursor(self.executed)
+
+    input_dir = str(tmp_path / "in")
+    conn = FakeConnection()
+    registrar = AthenaRegistrar(
+        conn,
+        "study__patient",
+        StructType([StructField("id", StringType())]),
+        "s3://results",
+    )
+    write_ndjson(input_dir, "b1.ndjson", [
+        {"resourceType": "Patient", "id": "a"},
+    ])
+    incremental_etl(
+        spark, input_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "Patient", str(tmp_path / "ckpt"), athena=registrar,
+    )
+    assert len(conn.executed) == 2  # DROP IF EXISTS + CREATE EXTERNAL TABLE
+    assert conn.executed[0].startswith("DROP TABLE IF EXISTS")
+    assert "CREATE EXTERNAL TABLE study__patient" in conn.executed[1]
+    assert "LOCATION 's3://results/study/patient_v1/'" in conn.executed[1]
+
+    # second batch: table already registered, no more DDL
+    write_ndjson(input_dir, "b2.ndjson", [
+        {"resourceType": "Patient", "id": "b"},
+    ])
+    incremental_etl(
+        spark, input_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "Patient", str(tmp_path / "ckpt"), athena=registrar,
+    )
+    assert len(conn.executed) == 2
+
+
 def test_windowed_event_counts_batch_parity(spark, tmp_path):
     df = spark.createDataFrame(
         [("2021-01-01 00:10:00", "a"), ("2021-01-01 00:50:00", "a"),
