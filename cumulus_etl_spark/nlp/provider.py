@@ -91,6 +91,20 @@ class StubSymptomModel:
         return out
 
 
+# Depth 3 allows (array of) struct-of-struct metadata columns while
+# rejecting real FHIR resource trees (DocumentReference.contained alone
+# nests 7 levels / ~2700 fields — the measured Arrow crash shape).
+_MAX_ARROW_DEPTH = 3
+
+
+def _struct_depth(dtype) -> int:
+    if isinstance(dtype, StructType):
+        return 1 + max((_struct_depth(f.dataType) for f in dtype.fields), default=0)
+    if isinstance(dtype, ArrayType):
+        return _struct_depth(dtype.elementType)
+    return 0
+
+
 def run_model(
     notes: DataFrame,
     model,
@@ -101,6 +115,23 @@ def run_model(
     ``result`` column (JSON at the boundary keeps the cache table schema
     stable across task versions; parsing to structs happens downstream
     with ``from_json`` against the task's declared schema)."""
+    # Guard the Arrow boundary: a full FHIR resource struct (thousands of
+    # nested fields) must never reach mapInPandas — deep-struct conversion
+    # crashes the Python worker outright, and even healthy it serializes
+    # megabytes per row. Callers prune to flat scalars first
+    # (nlp/task.py); failing fast here turns a worker segfault into a
+    # diagnosable driver error.
+    deep = [
+        f.name
+        for f in notes.schema.fields
+        if _struct_depth(f.dataType) > _MAX_ARROW_DEPTH
+    ]
+    if deep:
+        raise ValueError(
+            f"run_model input carries deeply nested columns {deep}; "
+            "select the needed scalars before crossing into Python "
+            "(see nlp/task.py run_nlp_task)"
+        )
     usage_schema = StructType(
         [
             StructField("input_tokens", LongType(), True),

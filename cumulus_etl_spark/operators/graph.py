@@ -47,20 +47,25 @@ def connected_components(
     labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min label over each vertex's neighbors
         nbr = (
             e.join(labels, e["a"] == labels["v"])
             .select(F.col("b").alias("v"), "label")
         )
-        # pointer jumping: the label of my label
-        hop = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.v"))
-            .select(F.col("x.v").alias("v"), F.col("y.label").alias("label"))
-        )
+        cand = labels.union(nbr)
+        if it > 0:
+            # pointer jumping: the label of my label. Skipped in round 1,
+            # where labels are still the identity map and the self-join
+            # would only re-derive label(v)=v at the cost of a shuffle.
+            hop = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.v"))
+                .select(F.col("x.v").alias("v"), F.col("y.label").alias("label"))
+            )
+            cand = cand.union(hop)
         new_labels = (
-            labels.union(nbr).union(hop).groupBy("v").agg(F.min("label").alias("label"))
+            cand.groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "v")

@@ -37,7 +37,15 @@ from cumulus_etl_spark.session import get_spark
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/cumulus-scale-sf1")
 
-# key columns to offset per table so replicas don't collide
+# key columns to offset per table so replicas don't collide.
+# documents.source is keyed too: a 10× corpus means MORE sources (new
+# domains/feeds), not 10× denser ones — per-source density is the blocked
+# all-pairs operators' documented contract (operators/corpus.py,
+# plans/textops.py), and holding it fixed mirrors how TPC-H grows fact
+# data against stable dimension semantics. Without this, replicating
+# docs into the same 20 sources inflates each quadratic ground-truth
+# block 10× and measures the replica artifact, not the plan (observed:
+# text_dedup_clusters 16.9× per 10× data from exactly this).
 _KEYED = {
     "customer": ["c_custkey"],
     "orders": ["o_orderkey", "o_custkey"],
@@ -45,7 +53,7 @@ _KEYED = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "events": ["event_id"],
-    "documents": ["doc_id"],
+    "documents": ["doc_id", "source"],
     "embeddings": ["vec_id"],
 }
 _DIMS = ("region", "nation")

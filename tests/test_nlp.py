@@ -102,6 +102,23 @@ def _anon(phi_dir: str, real_id: str) -> str:
     return expected_anon_id(salt, real_id)
 
 
+def test_run_model_rejects_deep_structs(spark, tmp_path):
+    """Arrow-boundary guard: shipping a full FHIR resource frame into
+    mapInPandas segfaulted the Python worker (deep-struct conversion) and
+    would serialize megabytes per row even when healthy — run_model must
+    fail fast on the driver instead, and the real NLP path (run_nlp_task)
+    must prune to flat scalars so it never trips the guard."""
+    import pytest
+
+    from cumulus_etl_spark.nlp.provider import _struct_depth, run_model
+
+    write_ndjson(str(tmp_path), "d.ndjson", [docref("n1", text="fever", enc="e1")])
+    full = scan_resources(spark, str(tmp_path), ["DocumentReference"])
+    assert any(_struct_depth(f.dataType) > 3 for f in full.schema.fields)
+    with pytest.raises(ValueError, match="deeply nested"):
+        run_model(full.withColumn("note_text", F.lit("x")), StubSymptomModel())
+
+
 def test_run_nlp_task_cache_and_replacement(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     phi_dir = str(tmp_path / "phi")
