@@ -60,6 +60,13 @@ def prepare_corpus(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "punct_ratio")
     )
+    # Pin the cleaned corpus before fuzzy dedup: the frame feeds both the
+    # shingle pipeline and the survivor anti-join, so without this the
+    # scan→quality→lang→window chain re-executes per consumer (measured
+    # 2.6× the wall time at sf0.1). At cluster scale this materialization
+    # IS the standard persisted "cleaned corpus" intermediate table that
+    # every downstream stage (dedup, sharding, mixture) reads.
+    exact = exact.localCheckpoint(eager=True)
     # fuzzy dedup: LSH candidates → Jaccard verify → min-id survivors
     return D.ngram_jaccard_dedup(
         exact, id_col, text_col, threshold=jaccard_threshold
