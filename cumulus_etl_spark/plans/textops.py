@@ -353,3 +353,78 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_word_frac") > 0.8)
     )
     return g.select("*", keep.alias("keep"))
+
+
+_REPETITION_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+  WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+  FROM words WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM words WHERE len(w) >= 3
+), per_gram AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS ngram_n,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       MAX(c) / CAST(SUM(c) AS DOUBLE) AS top_frac
+FROM per_gram GROUP BY doc_id, n
+"""
+
+
+@register("text_repetition_stats", _REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition signals, per document and n-gram size
+    (2- and 3-grams): total/distinct gram counts, duplicate-gram
+    fraction, and the most-frequent gram's share (Rae et al. 2021 drop
+    docs whose top n-gram exceeds a share threshold).
+
+    Explode→groupBy shape, not per-row array expressions: gram rows
+    parallelize across the cluster, so a single pathological document
+    (boilerplate flood, tag soup) spreads over many tasks instead of
+    producing one giant in-row array — the formulation that survives
+    documents of unbounded size. Two shuffles: (doc, n, gram) count,
+    then the per-(doc, n) rollup."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).filter(F.trim("text") != "")
+    grams2 = words.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.lit(2).alias("ngram_n"),
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("g"),
+    )
+    grams3 = words.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.lit(3).alias("ngram_n"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("g"),
+    )
+    per = (
+        grams2.unionByName(grams3)
+        .groupBy("doc_id", "ngram_n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("doc_id", "ngram_n").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_frac"),
+        F.max("c").cast("bigint").alias("max_count"),
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+    )
