@@ -51,6 +51,29 @@ def test_philter_kills_ssns(ssn):
     assert ssn not in scrub_text(f"ssn is {ssn}.")
 
 
+@given(
+    st.sampled_from(sorted(__import__("cumulus_etl_spark.deid.names", fromlist=["FIRST_NAMES"]).FIRST_NAMES)),
+    st.from_regex(r"[A-Z][a-z]{1,10}", fullmatch=True),
+)
+def test_philter_kills_known_first_plus_capitalized_last(first, last):
+    """Any known first name followed by any capitalized surname-shaped
+    token is a name pair — must vanish on the length-preserving path."""
+    text = f"discussed with {first} {last} today"
+    out = scrub_text(text)
+    assert f"{first} {last}" not in out
+    assert len(out) == len(text)
+
+
+@given(
+    st.from_regex(r"[A-Z][a-z]{1,10}", fullmatch=True),
+    st.sampled_from(sorted(__import__("cumulus_etl_spark.deid.names", fromlist=["SURNAMES"]).SURNAMES)),
+)
+def test_philter_kills_capitalized_first_plus_known_surname(first, last):
+    text = f"per {first} {last} at triage"
+    out = scrub_text(text)
+    assert f"{first} {last}" not in out
+
+
 # ---- span anchoring properties ----
 
 word = st.from_regex(r"[A-Za-z]{1,8}", fullmatch=True)
