@@ -38,9 +38,10 @@ _GATE_PRIORITY = [
     "text_ngram_jaccard_pairs", "text_minhash_dedup", "text_dedup_clusters",
     "text_simhash_pairs", "text_gopher_quality", "vector_knn_bruteforce",
     "vector_ann_lsh", "vector_ann_ivf", "vector_neardup_cosine",
-    "vector_norm_stats",
-    # -- gated once (12) --
-    "q2_min_cost_supplier", "q4_priority_exists", "q15_top_supplier",
+    "vector_norm_stats", "text_repetition_stats",
+    # -- ERR in round 2 (TIMESTAMP_NTZ regression, fixed): must re-prove --
+    "window_sessionize", "window_range_frame_rolling",
+    # -- gated once (9) --
     "q21_waiting_supplier", "q9_profit_by_nation_year", "q11_important_parts",
     "deid_anonymize_customers", "deid_year_generalize", "text_token_stats",
     "text_quality_score", "text_lang_id", "text_fingerprint_dedup",
