@@ -399,3 +399,55 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", F.col("tf").cast("bigint").alias("tf"),
                 F.col("df").cast("bigint").alias("df"), "rn")
     )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM events
+  GROUP BY user_id
+)
+SELECT e.event_id,
+       e.user_id,
+       e.value,
+       round((e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+FROM events e
+JOIN s ON e.user_id = s.user_id
+WHERE n > 1
+  AND abs((e.value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0
+"""
+
+
+@register("events_anomaly_zscore", _ZSCORE_ORACLE, tags=("agg", "events", "stats"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user statistical outliers: events whose value deviates >3
+    sample standard deviations from that user's mean (the data-quality
+    sweep a pipeline runs before trusting telemetry-derived features).
+
+    Same determinism discipline as agg_stats_moments: per-user exact
+    DECIMAL power sums (one map-side-combining hash agg, one shuffle on
+    user_id), then the identical closed-form double formula on both
+    engines — never native STDDEV, whose accumulation order diverges.
+    The per-user stats frame is tiny (|users| rows) and joins back on
+    the same user_id key, so at 100TB the stats side broadcasts and the
+    event scan stays single-pass."""
+    ev = table(spark, sf_dir, "events")
+    v = dec("value", 18, 6)
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = (F.col("value") - mean) / sd
+    return (
+        ev.join(F.broadcast(s), "user_id")
+        .filter((n > 1) & (F.abs(z) > 3.0))
+        .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )

@@ -85,17 +85,27 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = (),
+    slide: str | None = None,
 ) -> DataFrame:
     """Event-time windowed counts with late-data tolerance.
 
     Works on a streaming OR batch DataFrame (same plan); with a stream,
     the watermark bounds state: events later than ``watermark`` are
     dropped instead of growing the state store forever.
+
+    ``slide``: overlapping (sliding) windows — e.g. a 1-hour window
+    sliding every 15 minutes emits each event into 4 windows. State per
+    key grows by the overlap factor, still bounded by the watermark.
     """
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
-        events.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        events.groupBy(win.alias("w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("w.start").alias("window_start"),

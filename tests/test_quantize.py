@@ -1,0 +1,55 @@
+"""Int8 embedding quantization operator (operators/quantize.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.quantize import dim_scales, explode_dims, quantize_int8
+
+
+def _emb(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 0.5]),
+            (1, [0.5, 4.0, -0.25]),
+            (2, [-1.0, 0.0, 0.125]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_codes_bounded_and_extremes_saturate(spark):
+    q = quantize_int8(_emb(spark))
+    rows = {(r["vec_id"], r["dim"]): r for r in q.collect()}
+    codes = [r["code"] for r in rows.values()]
+    assert all(-127 <= c <= 127 for c in codes)
+    # the per-dim absolute max always quantizes to ±127
+    assert rows[(0, 0)]["code"] == 127     # x=1.0, amax=1.0
+    assert rows[(1, 1)]["code"] == 127     # x=4.0, amax=4.0
+    assert rows[(0, 1)]["code"] == -64     # -2/4*127 = -63.5 → half-away → -64
+    assert rows[(2, 2)]["code"] == 32      # 0.125/0.5*127 = 31.75 → 32
+
+
+def test_scales_are_per_dimension_abs_max(spark):
+    scales = {r["dim"]: r["amax"] for r in dim_scales(explode_dims(_emb(spark))).collect()}
+    assert scales == {0: 1.0, 1: 4.0, 2: 0.5}
+
+
+def test_reconstruction_error_bounded_by_half_step(spark):
+    """|x - code*amax/127| ≤ amax/254 + ulp for every element — the
+    defining property of symmetric round-to-nearest quantization."""
+    q = quantize_int8(_emb(spark)).withColumn(
+        "err", F.abs(F.col("x") - F.col("code") * F.col("amax") / F.lit(127.0))
+    )
+    bad = q.filter(F.col("err") > F.col("amax") / F.lit(254.0) + F.lit(1e-12)).count()
+    assert bad == 0
+
+
+def test_zero_vector_dimension_yields_null_codes(spark):
+    """amax=0 (an all-zero dimension) must not divide-by-zero crash;
+    codes come back NULL and the caller decides (drop or keep raw)."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, -1.0])], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_int8(emb).filter(F.col("dim") == 0).collect()
+    assert all(r["code"] is None for r in rows)

@@ -255,3 +255,54 @@ def test_interval_join_stream_stream(spark, tmp_path):
     bc = spark.createDataFrame([("2021-01-01 00:30:00", 1)], "s string, uid long") \
         .select(F.col("s").cast("timestamp").alias("cts"), "uid")
     assert interval_join(bi, bc, "uid", "its", "cts").count() == 1
+
+
+def test_windowed_event_counts_sliding(spark, tmp_path):
+    """Sliding windows: a 1h window sliding every 30min emits each event
+    into 2 overlapping windows; counts per window honor the overlap."""
+    df = spark.createDataFrame(
+        [("2021-01-01 00:10:00", "a"), ("2021-01-01 00:40:00", "a")],
+        "ts_str string, kind string",
+    ).select(F.col("ts_str").cast("timestamp").alias("ts"), "kind")
+    out = windowed_event_counts(
+        df, window_duration="1 hour", slide="30 minutes", group_cols=("kind",)
+    )
+    got = {str(r["window_start"]): r["n_events"] for r in out.collect()}
+    # event@00:10 → windows [23:30,00:30) and [00:00,01:00)
+    # event@00:40 → windows [00:00,01:00) and [00:30,01:30)
+    assert got["2020-12-31 23:30:00"] == 1
+    assert got["2021-01-01 00:00:00"] == 2
+    assert got["2021-01-01 00:30:00"] == 1
+
+
+def test_windowed_event_counts_sliding_streaming(spark, tmp_path):
+    src = str(tmp_path / "slide-events")
+    ckpt = str(tmp_path / "slide-ckpt")
+    write_ndjson(src, "e.ndjson", [
+        {"ts": "2021-01-01T00:10:00Z", "kind": "a"},
+        {"ts": "2021-01-01T00:40:00Z", "kind": "a"},
+    ])
+    stream = (
+        spark.readStream.schema("ts string, kind string")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "kind")
+    )
+    agg = windowed_event_counts(
+        stream, window_duration="1 hour", slide="30 minutes", group_cols=("kind",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slidecounts")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.sql("select * from slidecounts").collect()
+    }
+    assert got["2021-01-01 00:00:00"] == 2
+    assert len(got) == 3
