@@ -7,19 +7,28 @@ feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python row
 objects.
 
-DECODE IS FEATURE-FLAGGED: where the environment provides PIL /
-soundfile, real codecs run inside the same mapInPandas batch loops
-(``HAVE_PIL`` / ``HAVE_SOUNDFILE`` below); otherwise — and for payloads
-the real codec rejects — the deterministic fake (derived from the
-payload checksum) keeps identical schema and batch shape. The Spark-side
-plumbing — schemas, batch shapes, metadata propagation, partition
-sizing — is identical on both paths and tested either way.
+DECODE IS TIERED, best codec available wins, schema identical on every
+tier:
+
+1. PIL / soundfile when the environment provides them (``HAVE_PIL`` /
+   ``HAVE_SOUNDFILE`` below) — full decode of everything they support.
+2. Stdlib codecs, always available: image dimensions parsed straight
+   from PNG/GIF/BMP/JPEG container headers (``struct``), and WAV
+   payloads fully decoded to PCM via the stdlib ``wave`` module — so
+   the real-decode path runs even in dependency-less sandboxes.
+3. For payloads no codec recognizes, a deterministic fake (derived from
+   the payload checksum) keeps identical schema and batch shape.
+
+The Spark-side plumbing — schemas, batch shapes, metadata propagation,
+partition sizing — is identical on all tiers and tested on each.
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -101,15 +110,64 @@ def _fake_dims(checksum: str) -> tuple[int, int, int]:
     return 64 + h % 1920, 64 + (h >> 8) % 1080, 3
 
 
+# JPEG start-of-frame markers (SOF0..SOF15 minus DHT/DAC/JPG escapes).
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Real, dependency-free image decode of (width, height, channels)
+    straight from the container header — PNG IHDR, GIF logical screen
+    descriptor, BMP info header, JPEG SOF scan. Returns None when the
+    bytes are not a recognized image."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, _PNG_CHANNELS.get(payload[25], 3)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h, 3
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 26
+        # "BM" is plausible ASCII text; demand a real DIB header size so
+        # text-derived payloads don't false-positive as bitmaps.
+        and struct.unpack("<I", payload[14:18])[0] in (12, 40, 56, 108, 124)
+    ):
+        w, h = struct.unpack("<ii", payload[18:26])
+        if w > 0:
+            return w, abs(h), 3  # negative height = top-down DIB
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 9 < len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h, payload[i + 9]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone markers
+                i += 2
+                continue
+            i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    return None
+
+
 def _decode_dims(payload: bytes) -> tuple[int, int, int]:
-    """Real PIL decode when available and the bytes ARE an image; the
-    deterministic fake otherwise. Identical return shape either way."""
+    """Tiered decode: PIL when available, stdlib header parse otherwise;
+    the deterministic fake only for unrecognized bytes. Identical return
+    shape on every tier."""
     if HAVE_PIL:
         try:
             with _PILImage.open(io.BytesIO(payload)) as img:
                 return img.width, img.height, len(img.getbands())
         except Exception:
-            pass  # not an image (or truncated) → checksum fake below
+            pass  # not an image PIL knows → header parse below
+    try:
+        parsed = parse_image_header(payload)
+    except (struct.error, IndexError):  # truncated header
+        parsed = None
+    if parsed is not None:
+        return parsed
     return _fake_dims(hashlib.sha256(payload).hexdigest())
 
 
@@ -217,18 +275,37 @@ def extract_audio_features(
     """Audio feature-extraction stage: duration / RMS / peak / zero-
     crossing rate per payload.
 
-    With soundfile present, real wav/flac/ogg payloads decode through it
-    (true sample rate and all); otherwise — or when the bytes aren't a
-    recognized container — payload bytes are reinterpreted as int8 PCM at
-    the given ``sample_rate``. The DSP after either codec is the same
-    vectorized numpy over the whole batch's samples, exactly how a
-    production feature pass would run inside mapInPandas.
+    Tiered codec: soundfile when present (wav/flac/ogg, true sample
+    rate); else stdlib ``wave`` fully decodes WAV/PCM payloads (8/16-bit,
+    any channel count, downmixed to mono); only unrecognized bytes fall
+    back to the int8-PCM reinterpretation at the given ``sample_rate``.
+    The DSP after every codec is the same vectorized numpy over the
+    batch's samples, exactly how a production feature pass would run
+    inside mapInPandas.
     """
     import numpy as np
 
     out_schema = StructType(
         list(df.schema.fields) + [StructField("audio_features", AUDIO_FEATURES, True)]
     )
+
+    def _decode_wav_stdlib(payload: bytes) -> tuple | None:
+        """Real WAV decode with zero dependencies: stdlib wave + numpy."""
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                sr, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+                raw = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError):
+            return None
+        if sw == 2:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 1:  # 8-bit WAV is unsigned
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:  # 24/32-bit: leave to soundfile-capable environments
+            return None
+        if nch > 1:
+            data = data[: (data.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+        return data, sr
 
     def _decode_wave(payload: bytes) -> tuple:
         if HAVE_SOUNDFILE:
@@ -238,7 +315,10 @@ def extract_audio_features(
                     data = data.mean(axis=1)
                 return data, sr
             except Exception:
-                pass  # not a recognized audio container → PCM fake below
+                pass  # not a container soundfile knows → stdlib wave below
+        decoded = _decode_wav_stdlib(payload)
+        if decoded is not None:
+            return decoded
         return (
             np.frombuffer(payload, dtype=np.int8).astype(np.float32) / 128.0,
             sample_rate,

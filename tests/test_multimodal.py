@@ -130,3 +130,101 @@ def test_multimodal_catalog_entries_run(spark, sf_correct):
                  "multimodal_frame_sample"):
         df = CATALOG[name].build(spark, sf_correct)
         assert df.count() > 0, name
+
+
+def _png_bytes(w, h, color_type=6):
+    """Minimal real PNG: signature + IHDR + tiny IDAT + IEND."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return _struct.pack(">I", len(data)) + body + _struct.pack(">I", _zlib.crc32(body))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = b"".join(b"\x00" + b"\x7f" * (w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(samples, sr=8000):
+    """Real 16-bit mono WAV via the stdlib wave writer."""
+    import io as _io
+    import struct as _struct
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_parse_image_header_real_containers():
+    """The stdlib tier really decodes container headers — no PIL needed."""
+    import struct as _struct
+
+    from cumulus_etl_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(320, 200, color_type=6)) == (320, 200, 4)
+    assert parse_image_header(_png_bytes(64, 48, color_type=2)) == (64, 48, 3)
+
+    gif = b"GIF89a" + _struct.pack("<HH", 640, 480) + b"\x00" * 4
+    assert parse_image_header(gif) == (640, 480, 3)
+
+    bmp = (
+        b"BM" + _struct.pack("<IHHI", 126, 0, 0, 54)
+        + _struct.pack("<IiiHH", 40, 123, -77, 1, 24) + b"\x00" * 60
+    )
+    assert parse_image_header(bmp) == (123, 77, 3)  # top-down DIB → abs(h)
+
+    jpeg = (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+        + _struct.pack(">HH", 600, 800) + b"\x03" + b"\x00\x00"             # SOF0
+    )
+    assert parse_image_header(jpeg) == (800, 600, 3)
+
+    assert parse_image_header(b"BM plain text that is not a bitmap......") is None
+    assert parse_image_header(b"just words") is None
+
+
+def test_decode_images_uses_stdlib_header_parse(spark):
+    """decode_images returns REAL dimensions for real PNG payloads even
+    without PIL — the stdlib tier, exercised in this very sandbox."""
+    from cumulus_etl_spark.operators.multimodal import decode_images, pack_media
+
+    df = spark.createDataFrame(
+        [(1, _png_bytes(100, 40)), (2, b"not an image at all")],
+        "doc_id long, payload binary",
+    ).withColumn("ct", F.lit("image/png"))
+    out = {r["doc_id"]: r["image_info"] for r in decode_images(
+        pack_media(df, "payload", "ct")).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (100, 40, 4)
+    # unrecognized bytes take the checksum fake: deterministic, in-range
+    assert out[2]["width"] >= 64 and out[2]["height"] >= 64
+
+
+def test_extract_audio_features_decodes_real_wav(spark):
+    """A real 16-bit WAV decodes through stdlib wave: exact duration from
+    the true sample rate, peak at the written amplitude."""
+    import math
+
+    from cumulus_etl_spark.operators.multimodal import extract_audio_features
+
+    sr, n = 8000, 8000  # exactly 1 second
+    samples = [int(16384 * math.sin(2 * math.pi * 440 * t / sr)) for t in range(n)]
+    df = spark.createDataFrame([(1, _wav_bytes(samples, sr))], "doc_id long, payload binary")
+    feat = extract_audio_features(df).collect()[0]["audio_features"]
+    assert abs(feat["duration_s"] - 1.0) < 1e-6
+    assert 0.49 < feat["peak"] <= 0.51          # 16384/32768
+    assert 0.3 < feat["rms"] < 0.4              # sine rms = peak/sqrt(2)
+    assert 0.1 < feat["zero_crossing_rate"] < 0.12  # 440Hz → ~880 crossings/s
