@@ -59,3 +59,69 @@ def quantize_int8(
     scales = dim_scales(ex)
     q = ex.join(F.broadcast(scales), "dim")
     return q.withColumn("code", int8_code(F.col("x"), F.col("amax")))
+
+
+def int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k maximum-inner-product search over int8 codes.
+
+    The 4x-smaller search path quantize_int8 exists for: score each
+    (query, candidate) pair by the scaled integer dot product
+    ``sum(code_q[d] * code_c[d] * amax[d]^2 / 127^2)`` — the int8
+    approximation of the float inner product. Code arrays are int8-sized
+    and the query side broadcasts, so the corpus scan streams packed
+    codes instead of float32 vectors.
+
+    Output: (query_id, rank, neighbor_id, score), ties broken by
+    neighbor_id — total-ordered and engine-reproducible (integer code
+    products, sequential double fold identical to DuckDB's list_sum).
+    """
+    ex = explode_dims(emb, vec_col, id_col)
+    scales = dim_scales(ex)
+    coded = ex.join(F.broadcast(scales), "dim").withColumn(
+        "code", int8_code(F.col("x"), F.col("amax"))
+    )
+    codes = (
+        coded.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "code"))).alias("dc"))
+        .select(id_col, F.transform("dc", lambda s: s["code"]).alias("codes"))
+    )
+    s2 = (
+        scales.select(F.struct("dim", "amax").alias("da"))
+        .agg(F.array_sort(F.collect_list("da")).alias("da"))
+        .select(
+            F.transform(
+                "da", lambda s: s["amax"] * s["amax"] / F.lit(16129.0)
+            ).alias("s2")
+        )
+    )
+    qcodes = codes.join(
+        queries.select(F.col(id_col).alias("query_id")),
+        codes[id_col] == F.col("query_id"),
+    ).select("query_id", F.col("codes").alias("qcodes"))
+    pairs = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(qcodes))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(s2))
+    )
+    prod = F.zip_with(F.col("qcodes"), F.col("codes"), lambda a, b: a * b)
+    score = F.aggregate(
+        F.zip_with(prod, F.col("s2"), lambda p, s: p.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -53,3 +53,31 @@ def test_zero_vector_dimension_yields_null_codes(spark):
     )
     rows = quantize_int8(emb).filter(F.col("dim") == 0).collect()
     assert all(r["code"] is None for r in rows)
+
+
+def test_int8_topk_approximates_float_dot(spark):
+    """The int8 score must track the true float inner product within the
+    quantization error bound for every scored pair."""
+    import random
+
+    from cumulus_etl_spark.operators.quantize import int8_topk
+    from cumulus_etl_spark.operators.similarity import as_double_array, dot
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    approx = int8_topk(emb, queries, k=29)
+    a = emb.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv"))
+    exact = (
+        a.filter(F.col("query_id") < 3)
+        .join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("true_dot"))
+    )
+    joined = approx.join(exact, ["query_id", "neighbor_id"]).collect()
+    assert len(joined) == 3 * 29
+    # error bound: |err| <= sum_d amax_d/254 * (|q_d| + |c_d|) <= 16 * 2/254 * 4 ≈ 0.5
+    for r in joined:
+        assert abs(r["score"] - r["true_dot"]) < 0.6, r
