@@ -120,6 +120,11 @@ class MergePolicy:
     # hive-partition count for bucket-pruned merges; size so one bucket is
     # one comfortable task (64 locally, ~4096 at 100 TB)
     num_buckets: int = 64
+    # multi-column file clustering: interleave the bits of these numeric
+    # columns (Z-order / Morton, the strategy behind Delta OPTIMIZE
+    # ZORDER) so min/max footers prune on ALL of them, not just the
+    # leading sort key. None keeps plain lexicographic key clustering.
+    zorder_cols: tuple[str, ...] | None = None
 
     @property
     def bucket_cols(self) -> tuple[str, ...]:
@@ -427,6 +432,7 @@ class ManagedTable:
         self._write_raw(
             df, policy.bucket_cols, policy.num_buckets,
             sort_cols=sort_cols, touched=touched, prev=prev,
+            zorder_cols=policy.zorder_cols,
         )
 
     def _write_raw(
@@ -437,6 +443,7 @@ class ManagedTable:
         sort_cols: tuple[str, ...],
         touched: list[int] | None,
         prev: dict | None,
+        zorder_cols: tuple[str, ...] | None = None,
     ) -> None:
         """Write the next version: hive-partition by bucket; one shuffle
         routes rows to their bucket, rows sorted by ``sort_cols`` within
@@ -447,9 +454,15 @@ class ManagedTable:
         out = self._vdir(v)
         schema = df.schema
         bucketed = df.withColumn(BUCKET_COL, _bucket_expr(bucket_cols, num_buckets))
+        if zorder_cols:
+            from cumulus_etl_spark.operators.zorder import zorder_key
+
+            order: list = [BUCKET_COL, zorder_key(df, list(zorder_cols))]
+        else:
+            order = [BUCKET_COL, *sort_cols]
         (
             bucketed.repartition(F.col(BUCKET_COL))
-            .sortWithinPartitions(BUCKET_COL, *sort_cols)
+            .sortWithinPartitions(*order)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out)

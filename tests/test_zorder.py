@@ -1,0 +1,64 @@
+"""Z-order clustering expressions (operators/zorder.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.zorder import interleave_bits, zorder_key
+
+
+def test_interleave_known_bits(spark):
+    """bit i of column j lands at position i*n + j."""
+    df = spark.createDataFrame([(0b1010, 0b0101)], "x long, y long")
+    out = df.select(
+        interleave_bits([F.col("x"), F.col("y")]).alias("z")
+    ).collect()[0]["z"]
+    # x bits {1,3} → positions {2,6}; y bits {0,2} → positions {1,5}
+    assert out == (1 << 2) | (1 << 6) | (1 << 1) | (1 << 5)
+
+
+def test_interleave_single_column_is_identity(spark):
+    df = spark.createDataFrame([(12345,)], "x long")
+    assert df.select(interleave_bits([F.col("x")]).alias("z")).collect()[0]["z"] == 12345
+
+
+def test_zorder_key_orders_like_morton_curve(spark):
+    """Quadrant test: all four corners of a 2D grid must sort in Morton
+    order (low-low, high-low, low-high, high-high)."""
+    rows = [(0, 0, "ll"), (100, 0, "hl"), (0, 100, "lh"), (100, 100, "hh")]
+    df = spark.createDataFrame(rows, "a long, b long, tag string")
+    z = zorder_key(df, ["a", "b"])
+    ordered = [r["tag"] for r in df.select("tag", z.alias("z")).orderBy("z").collect()]
+    assert ordered == ["ll", "hl", "lh", "hh"]
+
+
+def test_zorder_constant_column_degrades_gracefully(spark):
+    """max == min must not divide by zero; the constant column simply
+    contributes zero bits."""
+    df = spark.createDataFrame([(i, 7) for i in range(8)], "a long, b long")
+    z = df.select(zorder_key(df, ["a", "b"]).alias("z")).collect()
+    assert len({r["z"] for r in z}) == 8  # still fully ordered by a
+
+
+def test_zorder_bounds_extents_on_both_columns(spark):
+    """The point of Z-order: chunking the sorted data into files bounds
+    the min/max extent of EVERY clustered column, where a lexicographic
+    sort bounds only the leading one."""
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+
+    def avg_b_extent(ordered_rows, files=16):
+        per_file = len(ordered_rows) // files
+        extents = []
+        for i in range(files):
+            chunk = ordered_rows[i * per_file : (i + 1) * per_file]
+            bs = [r["b"] for r in chunk]
+            extents.append(max(bs) - min(bs))
+        return sum(extents) / files
+
+    z_sorted = df.select("a", "b", zorder_key(df, ["a", "b"]).alias("z")).orderBy("z").collect()
+    a_sorted = df.orderBy("a", "b").collect()
+    # lexicographic by a: every file spans the full b range (31)
+    assert avg_b_extent(a_sorted) > 25
+    # z-order: files cover compact tiles — b extent collapses
+    assert avg_b_extent(z_sorted) < 12
