@@ -81,34 +81,34 @@ def int8_topk(
     neighbor_id — total-ordered and engine-reproducible (integer code
     products, sequential double fold identical to DuckDB's list_sum).
     """
+    # The scale table is the ONLY aggregation over the corpus (D groups,
+    # map-side combined); it collapses to a single broadcast row of
+    # dim-ordered arrays. Codes are then a row-local zip_with — the
+    # corpus is never re-shuffled or re-grouped to build code arrays.
     ex = explode_dims(emb, vec_col, id_col)
-    scales = dim_scales(ex)
-    coded = ex.join(F.broadcast(scales), "dim").withColumn(
-        "code", int8_code(F.col("x"), F.col("amax"))
-    )
-    codes = (
-        coded.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "code"))).alias("dc"))
-        .select(id_col, F.transform("dc", lambda s: s["code"]).alias("codes"))
-    )
-    s2 = (
-        scales.select(F.struct("dim", "amax").alias("da"))
+    scale_row = (
+        dim_scales(ex)
+        .select(F.struct("dim", "amax").alias("da"))
         .agg(F.array_sort(F.collect_list("da")).alias("da"))
         .select(
-            F.transform(
-                "da", lambda s: s["amax"] * s["amax"] / F.lit(16129.0)
-            ).alias("s2")
+            F.transform("da", lambda s: s["amax"]).alias("amax_arr"),
+            F.transform("da", lambda s: s["amax"] * s["amax"] / F.lit(16129.0)).alias("s2"),
         )
     )
+    codes_expr = F.zip_with(
+        as_double_array(vec_col), F.col("amax_arr"), lambda x, a: int8_code(x, a)
+    )
+    codes = emb.crossJoin(F.broadcast(scale_row)).select(
+        F.col(id_col), codes_expr.alias("codes"), "s2"
+    )
     qcodes = codes.join(
-        queries.select(F.col(id_col).alias("query_id")),
+        F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
         codes[id_col] == F.col("query_id"),
     ).select("query_id", F.col("codes").alias("qcodes"))
     pairs = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(qcodes))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .crossJoin(F.broadcast(s2))
     )
     prod = F.zip_with(F.col("qcodes"), F.col("codes"), lambda a, b: a * b)
     score = F.aggregate(
