@@ -67,6 +67,12 @@ def connected_components(
         new_labels = (
             cand.groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
+        if it == 0:
+            # round 1 always changes something when any edge exists; the
+            # convergence count would be a whole extra job for a known
+            # answer. Start checking from round 2.
+            labels = new_labels
+            continue
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "v")
             .filter(F.col("label") != F.col("old"))
