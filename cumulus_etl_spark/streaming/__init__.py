@@ -1,9 +1,10 @@
 from cumulus_etl_spark.streaming.incremental import incremental_etl, windowed_event_counts
-from cumulus_etl_spark.streaming.joins import interval_join, streaming_dedup
+from cumulus_etl_spark.streaming.joins import interval_join, stream_static_enrich, streaming_dedup
 
 __all__ = [
     "incremental_etl",
     "windowed_event_counts",
     "interval_join",
     "streaming_dedup",
+    "stream_static_enrich",
 ]

@@ -74,3 +74,25 @@ def interval_join(
         right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}")
     )
     return left.join(right, lk & in_range, how).drop(right[key])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension table (stream-static join).
+
+    The streaming counterpart of the batch broadcast-dimension joins
+    (practitioner enrichment J3, cohort semi-join J4): the dimension is
+    broadcast to every micro-batch, the stream side never buffers state
+    (stream-static joins are stateless — only stream-stream joins hold
+    store state), and the dimension is re-read per micro-batch, so a
+    dimension table backed by a ManagedTable/Delta path picks up updates
+    between batches without restarting the query.
+
+    Works identically on batch frames — backfill and live share the plan.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)

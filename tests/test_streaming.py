@@ -306,3 +306,37 @@ def test_windowed_event_counts_sliding_streaming(spark, tmp_path):
     }
     assert got["2021-01-01 00:00:00"] == 2
     assert len(got) == 3
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension; left rows with no match keep NULL enrichment."""
+    from cumulus_etl_spark.streaming.joins import stream_static_enrich
+
+    src = str(tmp_path / "enrich-events")
+    ckpt = str(tmp_path / "enrich-ckpt")
+    write_ndjson(src, "e.ndjson", [
+        {"user_id": 1, "kind": "click"},
+        {"user_id": 2, "kind": "view"},
+        {"user_id": 9, "kind": "click"},
+    ])
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "user_id long, cohort string"
+    )
+    stream = (
+        spark.readStream.schema("user_id long, kind string")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+    )
+    out = stream_static_enrich(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["cohort"] for r in spark.sql("select * from enriched").collect()}
+    assert got == {1: "alpha", 2: "beta", 9: None}
