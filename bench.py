@@ -51,6 +51,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The 14-query set benched in rounds 1-2, for round-over-round
+    # comparability: round 3 added three multi-stage training-data
+    # pipelines (corpus_prepare_pipeline, text_dedup_clusters,
+    # vector_ann_lsh) to the headline set, which grows `value` without
+    # any regression in the original queries.
+    legacy = {
+        "dedup_last_wins", "deid_anonymize_customers", "events_hourly_rollup",
+        "join_asof_last_purchase", "q18_large_orders", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+        "text_fingerprint_dedup", "text_minhash_dedup", "text_token_stats",
+        "vector_knn_bruteforce", "window_topk_per_customer",
+    }
+    core14 = round(sum(t for n, t in timings.items() if n in legacy), 3)
     print(
         json.dumps(
             {
@@ -58,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core14_r1r2_comparable_seconds": core14,
                 "sf": sf,
             }
         )
