@@ -428,3 +428,50 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("max_count"),
         (F.max("c") / F.sum("c")).alias("top_frac"),
     )
+
+
+_BPE_ORACLE = r"""
+WITH words AS (
+  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+  WHERE trim(text) <> ''
+), pairs AS (
+  SELECT UNNEST(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+  FROM words
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@register("text_bpe_merge_candidates", _BPE_ORACLE, tags=("text", "tokenizer"))
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: corpus-wide frequency
+    of adjacent character pairs inside words, top-20 (count desc, pair
+    tiebreak). Each occurrence counts — the ranking that picks the next
+    BPE merge.
+
+    Shape: explode words → explode per-word adjacent pairs (a transform
+    over a sequence, all expressions) → one hash agg on pair (map-side
+    partial absorbs the explosion: the distinct-pair space is tiny) →
+    TakeOrdered(20). At 100TB the only shuffle is |distinct pairs|."""
+    d = table(spark, sf_dir, "documents")
+    w = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    words = d.filter(F.trim("text") != "").select(w).filter(F.length("w") >= 2)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        words.select(pair)
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
