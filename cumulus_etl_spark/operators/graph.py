@@ -94,12 +94,28 @@ def dedup_clusters(
     """Cluster near-dup pairs and elect the min-id canonical per
     cluster. Returns df's rows + `cluster_id` + `is_canonical` —
     filtering on is_canonical gives the transitively-closed survivor
-    set (what pairwise drop-the-greater only approximates)."""
-    comp = connected_components(
-        df.select(id_col), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+    set (what pairwise drop-the-greater only approximates).
+
+    The label-propagation rounds run only over vertices incident to at
+    least one pair — on a production corpus the dup graph is orders of
+    magnitude smaller than the corpus, so the iterative part never
+    touches the full table; isolated docs get their own id as the
+    cluster label in a single left join at the end."""
+    # pairs is typically an expensive frame (LSH + verify); it feeds both
+    # the touched-vertex set and the edge list, so pin it once.
+    pairs = pairs.localCheckpoint(eager=True)
+    touched = (
+        pairs.select(F.col(pair_a).alias(id_col))
+        .union(pairs.select(F.col(pair_b).alias(id_col)))
+        .distinct()
     )
-    return df.join(comp, id_col).select(
+    comp = connected_components(
+        touched, pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+    )
+    return df.join(comp, id_col, "left").select(
         df["*"],
-        F.col("component").alias("cluster_id"),
-        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        (
+            F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+        ).alias("is_canonical"),
     )
