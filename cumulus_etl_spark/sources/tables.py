@@ -54,6 +54,11 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
         # Runtime-settable; works on any session incl. the driver's vanilla
         # one (setting it up front avoids a noisy failed first scan).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The TIMESTAMP_NTZ→TIMESTAMP rescue cast above interprets the
+        # wall-clock in the SESSION zone; every oracle treats the data as
+        # UTC, so pin it (no-op on our own session, insurance on a vanilla
+        # driver session running in a non-UTC environment).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     return spark.read.parquet(path)
