@@ -1,0 +1,34 @@
+"""Catalog-as-SQL-views surface (plans/sql_surface.py)."""
+
+from __future__ import annotations
+
+from cumulus_etl_spark.plans.sql_surface import register_sql_surface
+
+
+def test_views_compose_in_sql(spark, sf_correct):
+    names = register_sql_surface(
+        spark, sf_correct, names=["q1_pricing_summary", "text_token_stats"]
+    )
+    assert set(names) == {"q1_pricing_summary", "text_token_stats"}
+    # filter + projection over a view, pure SQL
+    rows = spark.sql(
+        "SELECT l_returnflag, sum_qty FROM q1_pricing_summary WHERE l_returnflag = 'R'"
+    ).collect()
+    assert len(rows) >= 1 and all(r["l_returnflag"] == "R" for r in rows)
+    # views join base tables registered by the same call
+    joined = spark.sql(
+        """SELECT count(*) AS n
+           FROM text_token_stats t JOIN documents d ON t.doc_id = d.doc_id"""
+    ).collect()[0]["n"]
+    assert joined == spark.table("documents").count()
+
+
+def test_view_predicates_push_into_scan(spark, sf_correct):
+    """A filter written OVER the view must reach the parquet scan —
+    the view is a plan fragment, not a materialization."""
+    register_sql_surface(spark, sf_correct, names=["text_token_stats"])
+    plan = (
+        spark.sql("SELECT * FROM text_token_stats WHERE doc_id = 7")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "doc_id" in plan
