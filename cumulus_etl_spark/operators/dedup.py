@@ -127,13 +127,13 @@ def minhash_lsh_candidates(
     )
 
 
-def _lsh_candidates_from_shingles(
+def banded_signatures(
     sh: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
-    max_bucket: int = 200,
 ) -> DataFrame:
-    """Candidate pairs from an (id, sh: array<long>) hashed-shingle frame.
+    """(id, band_idx, band_hash) rows from an (id, sh: array<long>)
+    hashed-shingle frame — the LSH index rows two docs collide on.
 
     Explode→aggregate formulation, NOT nested array expressions: building
     the signature as array-transforms inlines the whole shingle pipeline
@@ -171,7 +171,18 @@ def _lsh_candidates_from_shingles(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    return sigs.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate pairs from an (id, sh: array<long>) hashed-shingle frame
+    (see banded_signatures for the signature-build shape)."""
+    banded = banded_signatures(sh, num_hashes=num_hashes, bands=bands)
     # Pair generation: ONE shuffle on the bucket key — collect each
     # bucket's ids (sorted, capped at max_bucket) and emit the pairs as
     # an array expression. This replaces the window-cap + bucket

@@ -340,3 +340,41 @@ def test_stream_static_enrich(spark, tmp_path):
     q.awaitTermination()
     got = {r["user_id"]: r["cohort"] for r in spark.sql("select * from enriched").collect()}
     assert got == {1: "alpha", 2: "beta", 9: None}
+
+
+def test_incremental_dedup_index(spark, tmp_path):
+    """Dedup-at-ingestion: batch 2 docs that near-duplicate batch 1 docs
+    are flagged WITHOUT re-scanning batch 1 text; checkpoint makes
+    re-runs no-ops; the index grows incrementally."""
+    from cumulus_etl_spark.streaming.dedup_index import incremental_dedup_ingest
+
+    src = str(tmp_path / "landing")
+    idx_root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "dedup-ckpt")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun sets slowly behind hills"
+    )
+    write_ndjson(src, "batch1.ndjson", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different content about spark "
+                              "query engines and distributed columnar execution plans"},
+    ])
+    idx = incremental_dedup_ingest(spark, src, idx_root, ckpt)
+    assert idx.known_dups() is None or idx.known_dups().count() == 0
+
+    # batch 2: one near-dup of doc 1 (tail word changed), one fresh doc
+    write_ndjson(src, "batch2.ndjson", [
+        {"doc_id": 3, "text": base.replace("hills", "mountains")},
+        {"doc_id": 4, "text": "unrelated text on birds migrating south "
+                              "for the long cold winter season every year"},
+    ])
+    idx = incremental_dedup_ingest(spark, src, idx_root, ckpt)
+    dups = {(r["id"], r["dup_of"]): r["jaccard"] for r in idx.known_dups().collect()}
+    assert list(dups) == [(3, 1)]
+    assert dups[(3, 1)] > 0.7
+
+    # no new files → checkpoint no-op, dup set unchanged
+    idx = incremental_dedup_ingest(spark, src, idx_root, ckpt)
+    assert idx.known_dups().count() == 1
