@@ -114,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--shard-tokens", type=int, default=1_000_000,
                           help="token budget per output shard")
 
+    p_dedup = sub.add_parser(
+        "dedup-index",
+        help="incrementally LSH-index an NDJSON landing dir; flag near-dups at ingest",
+    )
+    p_dedup.add_argument("input_dir", help="landing directory of *.ndjson doc files")
+    p_dedup.add_argument("index_dir", help="where the LSH index tables live")
+    p_dedup.add_argument("--checkpoint", default=None,
+                         help="stream checkpoint dir (default: <index_dir>/_checkpoint)")
+    p_dedup.add_argument("--schema", default="doc_id long, text string")
+    p_dedup.add_argument("--jaccard-threshold", type=float, default=0.7)
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -227,6 +238,30 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+    if args.verb == "dedup-index":
+        import os as _os
+
+        from cumulus_etl_spark.streaming.dedup_index import incremental_dedup_ingest
+
+        idx = incremental_dedup_ingest(
+            spark,
+            args.input_dir,
+            args.index_dir,
+            args.checkpoint or _os.path.join(args.index_dir, "_checkpoint"),
+            schema=args.schema,
+            threshold=args.jaccard_threshold,
+        )
+        dups = idx.known_dups()
+        found = (
+            []
+            if dups is None
+            else [
+                {"id": r["id"], "dup_of": r["dup_of"], "jaccard": r["jaccard"]}
+                for r in dups.orderBy("id", "dup_of").collect()
+            ]
+        )
+        print(json.dumps({"near_dups": found, "index": args.index_dir}))
         return 0
     return 2
 

@@ -378,3 +378,26 @@ def test_incremental_dedup_index(spark, tmp_path):
     # no new files → checkpoint no-op, dup set unchanged
     idx = incremental_dedup_ingest(spark, src, idx_root, ckpt)
     assert idx.known_dups().count() == 1
+
+
+def test_dedup_index_cli_verb(spark, tmp_path, capsys):
+    """`dedup-index` verb: end-to-end over a landing dir, JSON report."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+
+    src = str(tmp_path / "cli-landing")
+    idx_root = str(tmp_path / "cli-index")
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    )
+    write_ndjson(src, "a.ndjson", [
+        {"doc_id": 10, "text": base + " omega"},
+        {"doc_id": 11, "text": base + " OMEGA"},
+    ])
+    rc = cli_main(["dedup-index", src, idx_root])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["near_dups"] and out["near_dups"][0]["id"] == 11
+    assert out["near_dups"][0]["dup_of"] == 10
