@@ -125,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     p_dedup.add_argument("--schema", default="doc_id long, text string")
     p_dedup.add_argument("--jaccard-threshold", type=float, default=0.7)
 
+    p_opt = sub.add_parser(
+        "optimize",
+        help="drop superseded table versions (the finalize/vacuum analog; "
+        "ref --no-table-optimization opt-out inverted)",
+    )
+    p_opt.add_argument("output_dir")
+    p_opt.add_argument("--tables", nargs="*", default=None,
+                       help="table names (default: every table in output_dir)")
+    p_opt.add_argument("--keep-versions", type=int, default=1)
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -262,6 +272,26 @@ def main(argv: list[str] | None = None) -> int:
             ]
         )
         print(json.dumps({"near_dups": found, "index": args.index_dir}))
+        return 0
+    if args.verb == "optimize":
+        import os as _os
+
+        from cumulus_etl_spark.sinks import ManagedTable
+        from cumulus_etl_spark.sinks.merge import CURRENT_POINTER
+
+        names = args.tables or sorted(
+            d
+            for d in _os.listdir(args.output_dir)
+            if _os.path.isfile(_os.path.join(args.output_dir, d, CURRENT_POINTER))
+        )
+        report = {}
+        for name in names:
+            tbl = ManagedTable(spark, args.output_dir, name)
+            before = tbl.versions()
+            tbl.finalize(keep_versions=args.keep_versions)
+            report[name] = {"dropped": len(before) - len(tbl.versions()),
+                            "kept": len(tbl.versions())}
+        print(json.dumps({"optimized": report}))
         return 0
     return 2
 

@@ -161,3 +161,26 @@ def test_sample_stratified_deterministic(spark, sf_correct):
     assert a == b and len(a) > 0
     segs = {r["c_mktsegment"] for r in q.build(spark, sf_correct).collect()}
     assert segs <= {"AUTOMOBILE", "BUILDING", "FURNITURE"}
+
+
+def test_cli_optimize_verb(spark, tmp_path, capsys):
+    """`optimize` drops superseded table versions, keeping the newest."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    root = str(tmp_path / "lake")
+    tbl = ManagedTable(spark, root, "patient")
+    pol = MergePolicy(last_updated_field=None, num_buckets=2)
+    for i in range(3):  # three merges → three versions
+        tbl.merge(
+            spark.createDataFrame([(f"id{i}", i)], "id string, v int"), pol
+        )
+    assert len(tbl.versions()) == 3
+
+    rc = cli_main(["optimize", root])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized"]["patient"] == {"dropped": 2, "kept": 1}
+    assert tbl.read().count() == 3  # data intact (hardlinked buckets survive)
