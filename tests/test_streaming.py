@@ -401,3 +401,59 @@ def test_dedup_index_cli_verb(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["near_dups"] and out["near_dups"][0]["id"] == 11
     assert out["near_dups"][0]["dup_of"] == 10
+
+
+def test_anomaly_scores_stream(spark, tmp_path):
+    """EWMA anomaly stream: a stable baseline learns quietly, a spike is
+    flagged the moment it arrives, and state survives across batches."""
+    import json as _json
+
+    from cumulus_etl_spark.streaming.anomaly import anomaly_scores_stream
+
+    src = str(tmp_path / "anomaly-events")
+    ckpt = str(tmp_path / "anomaly-ckpt")
+
+    def rows(ids, vals, t0=0):
+        return [
+            {"event_id": i, "user_id": 1,
+             "ts": f"2021-01-01T00:{(t0 + k):02d}:00Z", "value": v}
+            for k, (i, v) in enumerate(zip(ids, vals))
+        ]
+
+    # batch 1: 12 calm events around 10.0 — trains the baseline
+    write_ndjson(src, "b1.ndjson", rows(range(12), [10.0 + 0.1 * (i % 3) for i in range(12)]))
+
+    sink = str(tmp_path / "anomaly-out")
+
+    def run():
+        import glob as _glob
+
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts string, value double")
+            .option("pathGlobFilter", "*.ndjson")
+            .json(src)
+            .selectExpr("event_id", "user_id", "to_timestamp(ts) AS ts", "value")
+        )
+        out = anomaly_scores_stream(stream, alpha=0.2, threshold=3.0, min_events=10)
+        (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        if not _glob.glob(sink + "/*.parquet"):
+            return []
+        return spark.read.parquet(sink).collect()
+
+    assert run() == []  # calm traffic: nothing flagged
+
+    # batch 2 (separate run → state restored from checkpoint): a spike
+    # among calm events
+    write_ndjson(src, "b2.ndjson", rows([100, 101, 102], [10.1, 50.0, 10.0], t0=20))
+    flagged = run()
+    assert [r["event_id"] for r in flagged] == [101]
+    assert flagged[0]["score"] > 3.0
