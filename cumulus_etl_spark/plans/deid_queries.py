@@ -90,3 +90,61 @@ def deid_year_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(year_only(date_str).alias("order_year_only")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register("deid_scrub_throughput", None, tags=("deid", "bench"), bench=True)
+def deid_scrub_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE workload as a bench entry: the full compiled
+    de-id scrub (allow-list projection, HMAC pseudonyms, year/zip
+    generalization, extension filtering) over synthetic Patient rows
+    generated scale-proportionally (500k rows/sf — ~50k at the bench's
+    sf0.1, where the reference's row-loop pipeline does ~thousands/s on
+    comparable hardware, docs/performance.md). Rows are built by pure
+    expressions from spark.range, so the measurement is scrub cost, not
+    parse cost; the result aggregates so only a summary row returns.
+
+    Rows-only (the scrub is nested-struct surgery DuckDB can't express;
+    byte-level parity is proven against reference golden fixtures in
+    tests/test_deid_golden.py)."""
+    from cumulus_etl_spark.deid import Scrubber
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01
+    n = max(1000, int(500_000 * sf))
+    i = F.col("id")
+    patients = spark.range(n).select(
+        F.lit("Patient").alias("resourceType"),
+        F.concat(F.lit("pat-"), i).alias("id"),
+        F.format_string("19%02d-03-15", (i % 80) + 10).alias("birthDate"),
+        F.element_at(
+            F.array(F.lit("male"), F.lit("female"), F.lit("other")), (i % 3 + 1).cast("int")
+        ).alias("gender"),
+        F.array(
+            F.struct(
+                F.lit("official").alias("use"),
+                F.concat(F.lit("Family"), i % 1000).alias("family"),
+                F.array(F.concat(F.lit("Given"), i % 500)).alias("given"),
+            )
+        ).alias("name"),
+        F.array(
+            F.struct(
+                F.format_string("%05d", (i * 37) % 100000).alias("postalCode"),
+                F.concat(F.lit("City"), i % 100).alias("city"),
+                F.array(F.concat(F.lit(".."), i, F.lit(" Main St"))).alias("line"),
+            )
+        ).alias("address"),
+        F.struct(
+            F.date_format(
+                F.timestamp_seconds(1_600_000_000 + i % 86_400), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("lastUpdated")
+        ).alias("meta"),
+    )
+    scrubbed = Scrubber(salt="benchsalt00").scrub(patients, "Patient")
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_scrubbed"),
+        F.count_distinct("id").alias("n_distinct_anon_ids"),
+        F.sum(F.when(F.col("birthDate").rlike("^[0-9]{4}$"), 1).otherwise(0)).alias(
+            "n_year_only_birthdates"
+        ),
+        F.sum(F.when(F.col("address")[0]["postalCode"].rlike("^[0-9]{3}0{2}$|^0{5}$"), 1)
+              .otherwise(0)).alias("n_generalized_zips"),
+    )
