@@ -41,12 +41,12 @@ _GATE_PRIORITY = [
     "vector_norm_stats", "text_repetition_stats",
     # -- new this round, never gated --
     "events_anomaly_zscore", "vector_int8_quantize", "vector_int8_topk",
-    "text_bpe_merge_candidates",
+    "text_bpe_merge_candidates", "deid_scrub_throughput",
     # -- ERR in round 2 (TIMESTAMP_NTZ regression, fixed): must re-prove --
     "window_sessionize", "window_range_frame_rolling",
-    # -- gated once (5) --
+    # -- gated once (4) --
     "deid_anonymize_customers", "deid_year_generalize", "text_token_stats",
-    "text_quality_score", "text_lang_id",
+    "text_quality_score",
 ]
 
 
