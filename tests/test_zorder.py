@@ -62,3 +62,32 @@ def test_zorder_bounds_extents_on_both_columns(spark):
     assert avg_b_extent(a_sorted) > 25
     # z-order: files cover compact tiles — b extent collapses
     assert avg_b_extent(z_sorted) < 12
+
+
+def test_interleave_monotonic_per_axis(spark):
+    """With the other coordinates fixed, a larger cell value must give a
+    strictly larger Morton key — the invariant that makes file min/max
+    ranges meaningful per clustered column."""
+    import random
+
+    from cumulus_etl_spark.operators.zorder import interleave_bits
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        b = rng.randrange(0, 1 << 16)
+        a1 = rng.randrange(0, (1 << 16) - 1)
+        a2 = rng.randrange(a1 + 1, 1 << 16)
+        rows.append((a1, a2, b))
+    df = spark.createDataFrame(rows, "a1 long, a2 long, b long")
+    bad = df.select(
+        (
+            interleave_bits([F.col("a1"), F.col("b")])
+            < interleave_bits([F.col("a2"), F.col("b")])
+        ).alias("mono_first"),
+        (
+            interleave_bits([F.col("b"), F.col("a1")])
+            < interleave_bits([F.col("b"), F.col("a2")])
+        ).alias("mono_second"),
+    ).filter(~F.col("mono_first") | ~F.col("mono_second")).count()
+    assert bad == 0
