@@ -135,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
                        help="table names (default: every table in output_dir)")
     p_opt.add_argument("--keep-versions", type=int, default=1)
 
+    p_stats = sub.add_parser(
+        "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
+    )
+    p_stats.add_argument("output_dir")
+    p_stats.add_argument("--tables", nargs="*", default=None)
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -292,6 +298,36 @@ def main(argv: list[str] | None = None) -> int:
             report[name] = {"dropped": len(before) - len(tbl.versions()),
                             "kept": len(tbl.versions())}
         print(json.dumps({"optimized": report}))
+        return 0
+    if args.verb == "stats":
+        import os as _os
+
+        from cumulus_etl_spark.sinks import ManagedTable
+        from cumulus_etl_spark.sinks.merge import CURRENT_POINTER
+
+        names = args.tables or sorted(
+            d
+            for d in _os.listdir(args.output_dir)
+            if _os.path.isfile(_os.path.join(args.output_dir, d, CURRENT_POINTER))
+        )
+        report = {}
+        for name in names:
+            tbl = ManagedTable(spark, args.output_dir, name)
+            df = tbl.read()
+            tdir = _os.path.join(args.output_dir, name)
+            nbytes = sum(
+                _os.path.getsize(_os.path.join(r, f))
+                for r, _, fs in _os.walk(tdir)
+                for f in fs
+            )
+            report[name] = {
+                "rows": df.count() if df is not None else 0,
+                "columns": len(df.schema.fields) if df is not None else 0,
+                "current_version": tbl.current_version(),
+                "versions": len(tbl.versions()),
+                "bytes_on_disk": nbytes,
+            }
+        print(json.dumps({"tables": report}))
         return 0
     return 2
 

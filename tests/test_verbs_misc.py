@@ -184,3 +184,23 @@ def test_cli_optimize_verb(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["optimized"]["patient"] == {"dropped": 2, "kept": 1}
     assert tbl.read().count() == 3  # data intact (hardlinked buckets survive)
+
+
+def test_cli_stats_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    root = str(tmp_path / "lake")
+    tbl = ManagedTable(spark, root, "patient")
+    tbl.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "id string, v int"),
+        MergePolicy(last_updated_field=None, num_buckets=2),
+    )
+    rc = cli_main(["stats", root])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pt = out["tables"]["patient"]
+    assert pt["rows"] == 2 and pt["columns"] == 2
+    assert pt["current_version"] == 1 and pt["bytes_on_disk"] > 0
