@@ -251,3 +251,16 @@ def vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         "neighbor_id", F.round("score", 6).alias("score"),
     )
+
+
+@register("vector_ann_ivf_int8", None, tags=("vector", "quantize"))
+def vector_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 search (faiss IVFx,SQ8 design): coarse inverted lists +
+    int8 scalar-quantized scoring — candidates cut ~n_probe/n_centroids,
+    bytes per candidate cut 4x. Exactness and recall properties are
+    pytest-pinned (full-probe == int8 full scan)."""
+    from cumulus_etl_spark.operators.quantize import ann_ivf_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ann_ivf_int8(emb, queries, k=_K, n_centroids=8, n_probe=3)

@@ -81,3 +81,47 @@ def test_int8_topk_approximates_float_dot(spark):
     # error bound: |err| <= sum_d amax_d/254 * (|q_d| + |c_d|) <= 16 * 2/254 * 4 ≈ 0.5
     for r in joined:
         assert abs(r["score"] - r["true_dot"]) < 0.6, r
+
+
+def _random_emb(spark, n=40, dim=12, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_int8_full_probe_equals_quantized_scan(spark):
+    """n_probe == n_centroids must reproduce the exact quantized full
+    scan: IVF only sheds candidates, never changes scores."""
+    from cumulus_etl_spark.operators.quantize import ann_ivf_int8, int8_topk
+
+    emb = _random_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    full = int8_topk(emb, queries, k=5)
+    ivf = ann_ivf_int8(emb, queries, k=5, n_centroids=4, n_probe=4)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], round(r["score"], 9))
+    assert sorted(map(key, full.collect())) == sorted(map(key, ivf.collect()))
+
+
+def test_ivf_int8_partial_probe_recall(spark):
+    """Probing half the lists on clustered data keeps most of the top-k."""
+    import random
+
+    from cumulus_etl_spark.operators.quantize import ann_ivf_int8, int8_topk
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(60):  # 4 equal-norm directional clusters (dot ≈ cosine)
+        center = [0.0] * 8
+        center[i % 4] = 10.0
+        rows.append((i, [c + rng.uniform(-0.5, 0.5) for c in center]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = {(r["query_id"], r["neighbor_id"]) for r in int8_topk(emb, queries, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_int8(emb, queries, k=5, n_centroids=4, n_probe=2).collect()
+    }
+    recall = len(full & ivf) / len(full)
+    assert recall >= 0.8, recall
