@@ -1,3 +1,27 @@
-from cumulus_etl_spark.operators import dedup, sampling, similarity, textstats
+from cumulus_etl_spark.operators import (
+    bloom,
+    corpus,
+    dedup,
+    graph,
+    multimodal,
+    quantize,
+    sampling,
+    similarity,
+    skew,
+    textstats,
+    zorder,
+)
 
-__all__ = ["dedup", "sampling", "similarity", "textstats"]
+__all__ = [
+    "bloom",
+    "corpus",
+    "dedup",
+    "graph",
+    "multimodal",
+    "quantize",
+    "sampling",
+    "similarity",
+    "skew",
+    "textstats",
+    "zorder",
+]
