@@ -826,3 +826,34 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "lang", "source")
     )
+
+
+_VARIANT_ORACLE = """
+SELECT k % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k FROM events
+)
+GROUP BY k % 10
+"""
+
+
+@register("scalar_variant_semistructured", _VARIANT_ORACLE, tags=("scalar", "events"))
+def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the VARIANT type (Spark 4):
+    ``parse_json`` decodes each props object ONCE into the binary
+    variant encoding, and typed extraction (`try_variant_get`) replaces
+    per-access string re-parsing — at 100TB the difference between one
+    parse per row and one parse per field reference. The oracle uses
+    DuckDB's native JSON extraction over the same objects."""
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
