@@ -42,11 +42,11 @@ _GATE_PRIORITY = [
     # -- new this round, never gated --
     "events_anomaly_zscore", "vector_int8_quantize", "vector_int8_topk",
     "text_bpe_merge_candidates", "deid_scrub_throughput",
-    "vector_ann_ivf_int8",
+    "vector_ann_ivf_int8", "scalar_variant_semistructured",
     # -- ERR in round 2 (TIMESTAMP_NTZ regression, fixed): must re-prove --
     "window_sessionize", "window_range_frame_rolling",
-    # -- gated once (3) --
-    "deid_anonymize_customers", "deid_year_generalize", "text_token_stats",
+    # -- gated once (2) --
+    "deid_anonymize_customers", "deid_year_generalize",
 ]
 
 
