@@ -61,6 +61,15 @@ def get_spark(
         # (semiJoinReduction deliberately NOT enabled: it planner-loops
         # on broadcast-into-window shapes like the prefix-sum packer.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Streaming state on RocksDB: the default HDFS-backed provider
+        # keeps every key in executor heap — at 100TB stream state
+        # (dedup watermarks, sessions, EWMA baselines) that's an OOM,
+        # not a design. RocksDB spills to local disk with changelog
+        # checkpointing semantics unchanged.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         # Bound single-file read parallelism at 100TB scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
