@@ -73,22 +73,23 @@ def prepare_corpus(
     )
 
 
-def pack_by_token_budget(
-    df: DataFrame,
-    budget: int,
-    token_col: str = "n_tokens",
-    order_col: str = "doc_id",
+def global_running_sum(
+    df: DataFrame, value_col: str, order_col: str, out_col: str = "__cum"
 ) -> DataFrame:
-    """Assign rows to contiguous shards of ≈``budget`` tokens in
-    ``order_col`` order (a doc straddling a boundary belongs to the
-    shard where it starts). Adds ``shard_id``; deterministic and
-    independent of partitioning."""
+    """Distributed prefix sum: adds ``out_col`` = running total of
+    ``value_col`` in global ``order_col`` order (inclusive of the row).
+
+    Range-partition on the order key, local window per partition, then a
+    driver fold over ONE row per partition → broadcast offsets. This is
+    the scale-shape a global ``Window.orderBy`` can't have (that plan
+    funnels everything through one task); the driver only ever sees
+    #partitions scalars."""
     spark = df.sparkSession
     ranged = df.repartitionByRange(F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(order_col)
-    local = ranged.withColumn("__cum_local", F.sum(token_col).over(w))
+    local = ranged.withColumn("__cum_local", F.sum(value_col).over(w))
 
     # one row per partition → driver prefix fold → broadcast offsets.
     # __pid ordering matches order_col ordering because ranges are sorted.
@@ -102,14 +103,28 @@ def pack_by_token_budget(
     offset_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "__pid int, __offset bigint"
     )
-    cum = F.col("__cum_local") + F.col("__offset")
     return (
         local.join(F.broadcast(offset_df), "__pid")
-        .withColumn(
-            "shard_id", F.floor((cum - F.col(token_col)) / F.lit(budget)).cast("int")
-        )
+        .withColumn(out_col, F.col("__cum_local") + F.col("__offset"))
         .drop("__pid", "__cum_local", "__offset")
     )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign rows to contiguous shards of ≈``budget`` tokens in
+    ``order_col`` order (a doc straddling a boundary belongs to the
+    shard where it starts). Adds ``shard_id``; deterministic and
+    independent of partitioning."""
+    cum = global_running_sum(df, token_col, order_col)
+    return cum.withColumn(
+        "shard_id",
+        F.floor((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("int"),
+    ).drop("__cum")
 
 
 def _word_ngrams(tok: Column, n: int) -> Column:
@@ -230,4 +245,65 @@ def token_budget_summary(sharded: DataFrame) -> DataFrame:
     return sharded.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level sequence packing — the canonical LLM pretraining prep:
+    concatenate all documents in ``id_col`` order and cut the token
+    stream into fixed-length sequences of ``seq_len`` tokens (documents
+    straddle boundaries; the final sequence may be short).
+
+    Returns (seq_id, n_tokens, text). Shape: tokenize (projection) →
+    distributed prefix sum for each doc's global token offset → explode
+    one row per (doc, sequence-it-overlaps) — ≈ n_docs + n_crossings
+    rows — → one hash agg on seq_id reassembling fragments in offset
+    order. No global window, no driver data; a doc appears in
+    ceil(n/seq_len)+1 fragments at most, so skew is bounded by doc
+    length, which upstream quality filters already cap.
+    """
+    L = F.lit(seq_len)
+    tok = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(text_col)), r"\s+").alias("t"),
+    ).filter(F.trim(text_col) != "")
+    tok = tok.withColumn("n", F.size("t").cast("bigint"))
+    cum = global_running_sum(tok, "n", id_col)
+    pos = cum.withColumn("start", F.col("__cum") - F.col("n")).drop("__cum")
+    spanned = pos.select(
+        id_col,
+        "t",
+        "n",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / L),
+                F.floor((F.col("start") + F.col("n") - 1) / L),
+            )
+        ).alias("seq_id"),
+    )
+    a = F.greatest(F.col("seq_id") * L, F.col("start"))
+    b = F.least((F.col("seq_id") + 1) * L, F.col("start") + F.col("n"))
+    frag = F.slice("t", (a - F.col("start") + 1).cast("int"), (b - a).cast("int"))
+    frags = spanned.select("seq_id", "start", frag.alias("frag"))
+    ordered = F.array_sort(F.collect_list(F.struct("start", "frag")))
+    return (
+        frags.groupBy("seq_id")
+        .agg(ordered.alias("parts"))
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.aggregate(
+                F.transform("parts", lambda p: F.size(p["frag"]).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n_tokens"),
+            F.array_join(
+                F.flatten(F.transform("parts", lambda p: p["frag"])), " "
+            ).alias("text"),
+        )
     )

@@ -277,3 +277,43 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.alias("capped_weight"),
         F.floor(F.col("n_tokens") * capped).cast("bigint").alias("expected_tokens"),
     )
+
+
+_SEQPACK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE trim(text) <> ''
+), docs AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+), pos AS (
+  SELECT doc_id, t, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start
+  FROM docs
+), frag AS (
+  SELECT CAST(u.s AS BIGINT) AS seq_id, start,
+         list_slice(t, CAST(GREATEST(u.s * 256, start) - start + 1 AS BIGINT),
+                       CAST(LEAST((u.s + 1) * 256, start + n) - start AS BIGINT)) AS f
+  FROM pos, UNNEST(range(start // 256, (start + n - 1) // 256 + 1)) AS u(s)
+)
+SELECT seq_id,
+       CAST(SUM(len(f)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(f, ' '), ' ' ORDER BY start) AS text
+FROM frag
+GROUP BY seq_id
+"""
+
+
+@register("corpus_pack_sequences", _SEQPACK_ORACLE, tags=("text", "corpus"))
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level sequence packing (seq_len=256): the canonical LLM
+    pretraining prep — concatenate docs in id order, cut the token
+    stream into fixed-length sequences, documents straddling boundaries.
+    Distributed prefix sum for offsets (driver sees one row per
+    partition), explode per overlapped sequence, one hash agg on seq_id.
+    The oracle computes the identical packing with a global window
+    cumsum — exactly the single-task plan the operator avoids."""
+    from cumulus_etl_spark.operators.corpus import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=256)

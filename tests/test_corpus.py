@@ -125,3 +125,29 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
     assert len(summary["shards"]) >= 2
     back = spark.read.parquet(out)
     assert back.count() == 30 and "shard_id" in back.columns
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence holds exactly seq_len tokens except the last, and
+    concatenating sequences in order reproduces the full token stream."""
+    from cumulus_etl_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "f g"),
+            (3, "h i j k l m n"),
+            (4, ""),          # empty doc vanishes
+            (5, "o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        ((r["seq_id"], r["n_tokens"], r["text"]) for r in pack_sequences(docs, seq_len=4).collect())
+    )
+    stream = "a b c d e f g h i j k l m n o".split()
+    assert [t for _, t, _ in out[:-1]] == [4] * (len(out) - 1)
+    assert sum(t for _, t, _ in out) == len(stream)
+    assert " ".join(txt for _, _, txt in out).split() == stream
+    # boundary check: doc 1 straddles sequences 0 and 1
+    assert out[0][2] == "a b c d" and out[1][2].startswith("e f g")
