@@ -43,10 +43,11 @@ _GATE_PRIORITY = [
     "events_anomaly_zscore", "vector_int8_quantize", "vector_int8_topk",
     "text_bpe_merge_candidates", "deid_scrub_throughput",
     "vector_ann_ivf_int8", "scalar_variant_semistructured",
+    "corpus_pack_sequences",
     # -- ERR in round 2 (TIMESTAMP_NTZ regression, fixed): must re-prove --
     "window_sessionize", "window_range_frame_rolling",
-    # -- gated once (2) --
-    "deid_anonymize_customers", "deid_year_generalize",
+    # -- gated once (1) --
+    "deid_anonymize_customers",
 ]
 
 
