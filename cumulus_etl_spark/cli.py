@@ -113,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--jaccard-threshold", type=float, default=0.7)
     p_corpus.add_argument("--shard-tokens", type=int, default=1_000_000,
                           help="token budget per output shard")
+    p_corpus.add_argument("--seq-len", type=int, default=None,
+                          help="also emit fixed-length packed training sequences "
+                               "of this many tokens under <output>/sequences")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -239,21 +242,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         # one directory per shard; shard files hold full cleaned rows
         sharded.write.mode("overwrite").partitionBy("shard_id").parquet(args.output_dir)
-        stats = token_budget_summary(sharded).orderBy("shard_id").collect()
-        print(
-            json.dumps(
-                {
-                    "input_docs": docs.count(),
-                    "surviving_docs": sum(r["n_docs"] for r in stats),
-                    "shards": [
-                        {"shard_id": r["shard_id"], "n_docs": r["n_docs"],
-                         "total_tokens": r["total_tokens"]}
-                        for r in stats
-                    ],
-                    "output": args.output_dir,
-                }
+        report = {}
+        if args.seq_len:
+            import os as _os
+
+            from cumulus_etl_spark.operators.corpus import pack_sequences
+
+            seqs = pack_sequences(
+                sharded, seq_len=args.seq_len, id_col=args.id_col, text_col=args.text_col
             )
+            seq_dir = _os.path.join(args.output_dir, "sequences")
+            seqs.write.mode("overwrite").parquet(seq_dir)
+            report["sequences"] = {
+                "seq_len": args.seq_len,
+                "n_sequences": spark.read.parquet(seq_dir).count(),
+                "output": seq_dir,
+            }
+        stats = token_budget_summary(sharded).orderBy("shard_id").collect()
+        report.update(
+            {
+                "input_docs": docs.count(),
+                "surviving_docs": sum(r["n_docs"] for r in stats),
+                "shards": [
+                    {"shard_id": r["shard_id"], "n_docs": r["n_docs"],
+                     "total_tokens": r["total_tokens"]}
+                    for r in stats
+                ],
+                "output": args.output_dir,
+            }
         )
+        print(json.dumps(report))
         return 0
     if args.verb == "dedup-index":
         import os as _os

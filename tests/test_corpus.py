@@ -151,3 +151,35 @@ def test_pack_sequences_invariants(spark):
     assert " ".join(txt for _, _, txt in out).split() == stream
     # boundary check: doc 1 straddles sequences 0 and 1
     assert out[0][2] == "a b c d" and out[1][2].startswith("e f g")
+
+
+def test_corpus_cli_with_sequence_packing(spark, tmp_path, capsys):
+    """corpus --seq-len also emits fixed-length packed sequences."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs2.parquet")
+    out = str(tmp_path / "corpus-out2")
+    para = (
+        "the quiet morning train carries many people over the old stone "
+        "bridge and into the busy station near the river while the city "
+        "slowly wakes to another working day and the market sellers open "
+        "their stalls along the narrow streets calling out prices for "
+        "bread fruit and fresh fish as children walk to school past the "
+        "tall clock tower that has watched over the square for a hundred "
+        "years and more"
+    )  # 74 tokens → sequences of 32, 32, 10 after dedup to one survivor
+    rows = [(i, f"{para} copy {i}", "en", "s") for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500", "--seq-len", "32"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["sequences"]["seq_len"] == 32
+    seqs = spark.read.parquet(summary["sequences"]["output"])
+    assert seqs.count() == summary["sequences"]["n_sequences"] > 0
+    lengths = [r["n_tokens"] for r in seqs.orderBy("seq_id").collect()]
+    assert all(n == 32 for n in lengths[:-1]) and 0 < lengths[-1] <= 32
