@@ -307,3 +307,104 @@ def pack_sequences(
             ).alias("text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split, sliding-window chunking, DSIR importance scores
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant (TAOCP vol 3 §6.4)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 98,
+    val_pct: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by multiplicative hashing of
+    the id — pure per-row arithmetic, no shuffle, stable across reruns and
+    engines (the DuckDB oracle reproduces it bit-for-bit, which xxhash64
+    could not). In production the id would be a content fingerprint so the
+    split survives re-ingestion with different surrogate ids; the
+    arithmetic is unchanged. int64 ids above ~3.5e9 would overflow the
+    multiply — at that scale swap in pmod(xxhash64(id), 100) (engine-local
+    but same plan shape).
+    """
+    bucket = (F.col(id_col).cast("bigint") * F.lit(_KNUTH)) % F.lit(2**32) % F.lit(100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking with overlap (RAG passages / pretraining
+    context windows): split once, explode the window starts, slice per
+    window — pure array expressions inside whole-stage codegen, no Python,
+    no shuffle; parallelism is the input partitioning times the explode.
+
+    Output: (id, chunk_idx, n_words, first_word, last_word) per window;
+    the final window may be shorter than ``size``.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    e = df.select(F.col(id_col), words.alias("w"), F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, F.lit(size))
+    return e.select(
+        id_col,
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_words"),
+        F.element_at(chunk, 1).alias("first_word"),
+        F.element_at(chunk, -1).alias("last_word"),
+    )
+
+
+def dsir_logratio_scores(
+    corpus: DataFrame,
+    target_source: str = "src0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169):
+    score(doc) = Σ_w c_w(doc) · ln((t_w + 1) / (r_w + 1)), where t_w / r_w
+    are word frequencies in the target domain vs the rest of the raw pool
+    (the paper uses hashed n-gram features; whole-word unigrams here).
+    Docs scoring high look like the target domain and are upsampled.
+
+    Two shuffles total: the (doc, word) count and the word-stats join —
+    the vocabulary table is tiny relative to the corpus (Heaps' law), so
+    at 100 TB the stats side broadcasts. The exact-integer rational
+    variant (``corpus_importance_rank`` in the catalog) ranks identically
+    for oracle hashing; this is the paper-faithful log-linear form.
+    """
+    toks = corpus.select(
+        F.col(id_col), F.col(source_col), F.explode(_tokens(text_col)).alias("word")
+    )
+    dc = toks.groupBy(id_col, source_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    stats = toks.groupBy("word").agg(
+        F.sum(F.when(F.col(source_col) == target_source, 1).otherwise(0)).alias("t_w"),
+        F.sum(F.when(F.col(source_col) != target_source, 1).otherwise(0)).alias("r_w"),
+    )
+    return (
+        dc.filter(F.col(source_col) != target_source)
+        .join(stats, "word")
+        .groupBy(id_col, source_col)
+        .agg(
+            F.sum(
+                F.col("c") * (F.log((F.col("t_w") + 1).cast("double")) - F.log((F.col("r_w") + 1).cast("double")))
+            ).alias("score")
+        )
+    )

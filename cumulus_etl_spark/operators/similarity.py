@@ -285,3 +285,146 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Sequential-fold squared Euclidean distance (deterministic order —
+    matches DuckDB's list_sum over list_zip fold bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def first_k_centroids(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroid init: the k lowest-id vectors. The collect is
+    k rows (KBs) — bounded regardless of corpus size."""
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(as_double_array(vec_col).alias("v"))
+        .collect()
+    )
+    return [r["v"] for r in rows]
+
+
+def nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
+    """struct(cluster, sq_dist) of the nearest centroid by squared L2
+    (ties break to the lowest cluster id). Centroids are plan literals —
+    shipped once with the task closure, KBs even at k=1024; assignment is
+    a pure whole-stage-codegen expression scan, no join, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                sq_l2(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return F.struct(best["c"].alias("cluster"), best["d"].alias("sq_dist"))
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame, list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Per iteration: assignment is an expression-only scan against literal
+    centroids (no shuffle); the centroid update is posexplode →
+    groupBy(cluster, dim) avg — one shuffle whose reduce side is k×dim
+    rows with map-side partial aggregation, so at 1000 executors the
+    shuffle read is trivially small. Only k×dim doubles and one inertia
+    scalar cross the driver boundary per iteration; the corpus never does.
+
+    Returns (centroids, assigned_df(id, cluster), inertia_per_iter).
+    Deterministic: lowest-id init, sequential-fold distances, fixed
+    iteration count (no data-dependent stopping).
+    """
+    cents = first_k_centroids(corpus, k, id_col=id_col, vec_col=vec_col)
+    dim = len(cents[0])
+    base = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+    inertias: list[float] = []
+    for _ in range(iters):
+        best = nearest_centroid_l2(F.col("v"), cents)
+        assigned = base.select(
+            "id", "v", best["cluster"].alias("cluster"), best["sq_dist"].alias("sq_dist")
+        )
+        # One pass computes both the update and the inertia.
+        upd = (
+            assigned.select("cluster", "sq_dist", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"), F.sum(F.when(F.col("dim") == 0, F.col("sq_dist"))).alias("i"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        inertia = 0.0
+        for r in upd:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            if r["i"] is not None:
+                inertia += r["i"]
+        inertias.append(inertia)
+        cents = [
+            [by_c[c][d] for d in range(dim)] if c in by_c else cents[c]
+            for c in range(len(cents))
+        ]
+    best = nearest_centroid_l2(F.col("v"), cents)
+    assigned = base.select("id", best["cluster"].alias("cluster"))
+    return cents, assigned, inertias
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 8,
+    threshold: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then within each cluster drop every vector that has a
+    lower-id member at cosine ≥ threshold (keep-lowest-id policy — the
+    paper keeps one representative per semantic-duplicate group).
+
+    Scale shape: the pairwise comparison is blocked per cluster —
+    corpus²/k expected work, never a global cross product; at 100 TB k
+    grows with the corpus so cluster populations stay bounded, and the
+    join shuffles once on the cluster id.
+
+    Output: one row per vector — (id, cluster, keep).
+    """
+    if centroids is None:
+        centroids = first_k_centroids(corpus, k, id_col=id_col, vec_col=vec_col)
+    v = as_double_array(vec_col)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        nearest_centroid_l2(v, centroids)["cluster"].alias("cluster"),
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster")
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("cluster").alias("cluster_b")
+    )
+    dropped = (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id", "cluster", F.col("is_dup").isNull().alias("keep")
+    )

@@ -317,3 +317,129 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=256)
+
+
+_SPLIT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM t
+GROUP BY split
+"""
+
+
+@register("corpus_train_val_split", _SPLIT_ORACLE, tags=("text", "corpus"))
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split by multiplicative id
+    hashing (operators.corpus.hash_split) — per-row arithmetic, no
+    shuffle until the 3-row summary; the split is stable under reruns,
+    repartitioning, and engine choice (the oracle reproduces the same
+    buckets bit-for-bit, unlike engine-local hashes)."""
+    d = C.hash_split(table(spark, sf_dir, "documents"))
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+
+
+_CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w, UNNEST(generate_series(0, len(w) - 1, 48)) AS start
+  FROM t WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(start // 48 AS INT) AS chunk_idx,
+       CAST(len(w[start + 1 : least(start + 64, len(w))]) AS INT) AS n_words,
+       w[start + 1] AS first_word,
+       w[least(start + 64, len(w))] AS last_word
+FROM s
+"""
+
+
+@register("corpus_chunk_overlap", _CHUNK_ORACLE, tags=("text", "corpus"))
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-word windows, stride 48 → 16-word
+    overlap) for RAG passages / pretraining context windows. Pure array
+    expressions inside codegen — the only row multiplication is the
+    explode, which stays partition-local."""
+    return C.chunk_overlap(
+        table(spark, sf_dir, "documents"), size=64, stride=48
+    ).select("doc_id", "chunk_idx", "n_words", "first_word", "last_word")
+
+
+_DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+dc AS (
+  SELECT doc_id, source, word, COUNT(*) AS c FROM toks GROUP BY doc_id, source, word
+),
+stats AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS t_w,
+         CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS r_w
+  FROM toks GROUP BY word
+),
+per_doc AS (
+  SELECT dc.doc_id, dc.source,
+         CAST(SUM(dc.c * (stats.t_w + 1)) AS BIGINT) AS target_mass,
+         CAST(SUM(dc.c * (stats.r_w + 1)) AS BIGINT) AS raw_mass
+  FROM dc JOIN stats USING (word)
+  WHERE dc.source <> 'src0'
+  GROUP BY dc.doc_id, dc.source
+)
+SELECT doc_id, source, target_mass, raw_mass,
+       round(CAST(target_mass AS DOUBLE) / raw_mass, 6) AS score
+FROM per_doc
+ORDER BY CAST(target_mass AS DOUBLE) / raw_mass DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("corpus_importance_rank", _DSIR_ORACLE, tags=("text", "corpus"))
+def corpus_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance ranking of the raw pool against a target
+    domain (source 'src0'): per-doc Σ c_w·(t_w+1) over Σ c_w·(r_w+1) as
+    exact integers, ranked by their correctly-rounded double quotient —
+    order-identical to the paper's log-linear form for unigram features
+    (both are monotone in the target-vs-raw likelihood ratio) but
+    hash-exact across engines, per the catalog's no-libm-log rule. The
+    log-form operator is ``operators.corpus.dsir_logratio_scores``
+    (pytest-verified against numpy). Two shuffles: (doc,word) counts and
+    the vocab join — the vocab side broadcasts at scale (Heaps' law)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(C._tokens("text")).alias("word"))
+    dc = toks.groupBy("doc_id", "source", "word").agg(F.count(F.lit(1)).alias("c"))
+    stats = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("t_w"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("r_w"),
+    )
+    per_doc = (
+        dc.filter(F.col("source") != "src0")
+        .join(stats, "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * (F.col("t_w") + 1)).cast("bigint").alias("target_mass"),
+            F.sum(F.col("c") * (F.col("r_w") + 1)).cast("bigint").alias("raw_mass"),
+        )
+    )
+    score = F.col("target_mass").cast("double") / F.col("raw_mass")
+    return (
+        per_doc.orderBy(score.desc(), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "source", "target_mass", "raw_mass",
+                F.round(score, 6).alias("score"))
+    )

@@ -264,3 +264,106 @@ def vector_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ann_ivf_int8(emb, queries, k=_K, n_centroids=8, n_probe=3)
+
+
+_KMEANS_ASSIGN_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM vecs WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT vecs.vec_id, cents.cid,
+         list_sum(list_transform(list_zip(vecs.v, cents.cv),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM vecs CROSS JOIN cents
+),
+best AS (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM scored
+)
+SELECT CAST(cid AS INT) AS cluster,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(d, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_sq_dist
+FROM best
+WHERE rn = 1
+GROUP BY cid
+"""
+
+
+@register("vector_kmeans_assign", _KMEANS_ASSIGN_ORACLE, tags=("vector",))
+def vector_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step against deterministic (lowest-8-id)
+    centroids: expression-only argmin over literal centroids — no join, no
+    shuffle until the k-row summary agg. The full iterative operator is
+    ``operators.similarity.kmeans_lloyd`` (pytest-verified: monotone
+    inertia); the oracle hash-checks the assignment+summary step, which is
+    the per-iteration distributed workload."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.first_k_centroids(emb, 8)
+    v = S.as_double_array("embedding")
+    best = S.nearest_centroid_l2(v, cents)
+    assigned = emb.select(
+        best["cluster"].alias("cluster"), best["sq_dist"].alias("d")
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(F.round(F.col("d"), 6).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_sq_dist"),
+    )
+
+
+_SEMDEDUP_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM vecs WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT 8)
+),
+scored AS (
+  SELECT vecs.vec_id, vecs.v, cents.cid,
+         list_sum(list_transform(list_zip(vecs.v, cents.cv),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM vecs CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cluster
+  FROM (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM scored)
+  WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.93
+)
+SELECT CAST(assigned.cluster AS INT) AS cluster,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM assigned LEFT JOIN dropped ON assigned.vec_id = dropped.vec_id
+GROUP BY assigned.cluster
+"""
+
+
+@register("vector_semdedup", _SEMDEDUP_ORACLE, tags=("vector", "dedup"))
+def vector_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    drop any vector with a lower-id cluster-mate at cosine ≥ 0.93, report
+    per-cluster keep/drop counts. The pairwise stage is blocked per
+    cluster (one shuffle on cluster id), never a global cross product —
+    the embedding-space analogue of LSH bucketing."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.first_k_centroids(emb, 8)
+    flags = S.semdedup(emb, centroids=cents, threshold=0.93)
+    return flags.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+    )

@@ -183,3 +183,76 @@ def test_corpus_cli_with_sequence_packing(spark, tmp_path, capsys):
     assert seqs.count() == summary["sequences"]["n_sequences"] > 0
     lengths = [r["n_tokens"] for r in seqs.orderBy("seq_id").collect()]
     assert all(n == 32 for n in lengths[:-1]) and 0 < lengths[-1] <= 32
+
+
+def test_hash_split_partitions_completely_and_deterministically(spark, sf_correct):
+    from cumulus_etl_spark.operators.corpus import hash_split
+    from cumulus_etl_spark.sources import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_correct, "documents")
+    s1 = hash_split(d)
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == d.count()
+    # Re-evaluation (and a different partitioning) yields the same assignment.
+    s2 = hash_split(d.repartition(7))
+    a1 = sorted((r["doc_id"], r["split"]) for r in s1.select("doc_id", "split").collect())
+    a2 = sorted((r["doc_id"], r["split"]) for r in s2.select("doc_id", "split").collect())
+    assert a1 == a2
+    # Train dominates at the configured 98%.
+    assert counts.get("train", 0) >= 0.9 * sum(counts.values())
+
+
+def test_chunk_overlap_covers_every_word_with_correct_sizes(spark):
+    from cumulus_etl_spark.operators.corpus import chunk_overlap
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_overlap(df, size=64, stride=48).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0, 48, 96, 144 -> sizes 64, 64, 54, 6
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_words"] for r in d1] == [64, 64, 54, 6]
+    assert d1[0]["first_word"] == "w0" and d1[0]["last_word"] == "w63"
+    assert d1[1]["first_word"] == "w48"  # stride < size -> 16-word overlap
+    assert d1[-1]["last_word"] == "w149"  # final partial window reaches the end
+    # doc 2 fits in one window
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0]["n_words"] == 3 and d2[0]["last_word"] == "c"
+
+
+def test_dsir_logratio_matches_numpy_reference(spark, sf_smoke):
+    import math
+
+    from cumulus_etl_spark.operators.corpus import dsir_logratio_scores
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, sf_smoke, "documents")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_logratio_scores(d, target_source="src0").collect()
+    }
+
+    rows = d.select("doc_id", "source", "text").collect()
+    target_counts: dict[str, int] = {}
+    raw_counts: dict[str, int] = {}
+    for r in rows:
+        words = r["text"].strip().lower().split()
+        bucket = target_counts if r["source"] == "src0" else raw_counts
+        for w in words:
+            bucket[w] = bucket.get(w, 0) + 1
+    expected: dict[int, float] = {}
+    for r in rows:
+        if r["source"] == "src0":
+            continue
+        score = 0.0
+        for w in r["text"].strip().lower().split():
+            score += math.log(target_counts.get(w, 0) + 1) - math.log(raw_counts.get(w, 0) + 1)
+        expected[r["doc_id"]] = score
+    assert set(got) == set(expected)
+    for doc_id, s in expected.items():
+        assert abs(got[doc_id] - s) < 1e-9 * max(1.0, abs(s)), doc_id

@@ -28,3 +28,61 @@ def test_ivf_centroids_deterministic(spark, sf_smoke):
     c1 = train_ivf_centroids(emb, n_centroids=4, sample_rows=200)
     c2 = train_ivf_centroids(emb, n_centroids=4, sample_rows=200)
     assert c1 == c2
+
+
+def test_kmeans_lloyd_inertia_monotone_and_deterministic(spark, sf_smoke):
+    from cumulus_etl_spark.operators.similarity import kmeans_lloyd
+    from cumulus_etl_spark.sources import table
+
+    emb = table(spark, sf_smoke, "embeddings")
+    cents_a, assigned_a, inertias = kmeans_lloyd(emb, k=4, iters=3)
+    # Lloyd's never increases the objective (allow fp noise at the ulp level).
+    for prev, nxt in zip(inertias, inertias[1:]):
+        assert nxt <= prev * (1 + 1e-12), inertias
+    # Deterministic end to end: same init, same fold order, same result.
+    cents_b, assigned_b, _ = kmeans_lloyd(emb, k=4, iters=3)
+    assert cents_a == cents_b
+    rows_a = sorted((r["id"], r["cluster"]) for r in assigned_a.collect())
+    rows_b = sorted((r["id"], r["cluster"]) for r in assigned_b.collect())
+    assert rows_a == rows_b
+    assert len(rows_a) == emb.count()
+
+
+def test_semdedup_keeps_lowest_id_per_duplicate_group(spark, sf_smoke):
+    from cumulus_etl_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        first_k_centroids,
+        semdedup,
+    )
+    from cumulus_etl_spark.sources import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_smoke, "embeddings")
+    cents = first_k_centroids(emb, 4)
+    flags = semdedup(emb, centroids=cents, k=4, threshold=0.93)
+    rows = {r["id"]: (r["cluster"], r["keep"]) for r in flags.collect()}
+    assert len(rows) == emb.count()
+
+    # Reference check: a vector is dropped iff some lower-id vector in the
+    # SAME cluster sits at cosine >= threshold.
+    vecs = {
+        r["vec_id"]: r["v"]
+        for r in emb.select("vec_id", as_double_array("embedding").alias("v")).collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cl, _) in rows.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    for cl, members in by_cluster.items():
+        for vid in members:
+            expect_drop = any(
+                other < vid and cos(vecs[other], vecs[vid]) >= 0.93 - 1e-12
+                for other in members
+            )
+            assert rows[vid][1] == (not expect_drop), (vid, cl)
