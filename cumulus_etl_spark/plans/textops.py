@@ -8,7 +8,7 @@ pytest-verified against exact all-pairs instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cumulus_etl_spark.operators import dedup as D
@@ -474,4 +474,137 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
+    )
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+bg AS (
+  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2
+),
+bc AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur),
+uc AS (SELECT prev, COUNT(*) AS cu FROM bg GROUP BY prev),
+vocab AS (SELECT COUNT(DISTINCT word) AS v
+          FROM (SELECT UNNEST(w) AS word FROM toks)),
+terms AS (
+  SELECT bg.doc_id,
+         round(CAST(bc.cb + 1 AS DOUBLE) / (uc.cu + vocab.v), 6) AS p
+  FROM bg JOIN bc USING (prev, cur) JOIN uc USING (prev) CROSS JOIN vocab
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_p
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(mean_p, 6) AS mean_transition_prob
+FROM scored
+ORDER BY mean_p DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("text_bigram_lm_score", _BIGRAM_LM_ORACLE, tags=("text", "quality"))
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained Laplace-smoothed bigram LM fluency score: per doc,
+    the mean smoothed transition probability (cb+1)/(cu+V) over its
+    bigrams — a monotone fluency proxy for perplexity-style filtering
+    (CCNet trains a KenLM for the same decision; the true log-prob sum is
+    barred by the catalog's no-libm-log rule, and the per-term rounding +
+    decimal sum keeps the mean hash-exact across engines). Plan: one
+    (prev,cur) count shuffle, one prev count shuffle, then a join back to
+    the exploded bigrams — the model tables are vocabulary-sized, so at
+    100 TB both broadcast."""
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select("doc_id", T.words_array("text").alias("w")).filter(F.size("w") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cu"))
+    # Vocabulary over ALL tokens (not just bigram participants) — matches
+    # the oracle's UNNEST over every token array.
+    docs_all = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    v = (
+        docs_all.select(F.explode(T.words_array("text")).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    terms = (
+        bg.join(bc, ["prev", "cur"])
+        .join(uc, "prev")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")), 6).alias("p"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(F.col("p").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("mean_p"),
+    )
+    return (
+        scored.orderBy(F.desc("mean_p"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_bigrams", F.round("mean_p", 6).alias("mean_transition_prob"))
+    )
+
+
+_INVINDEX_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+),
+stats AS (
+  SELECT word,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         COUNT(*) AS tf,
+         (array_agg(DISTINCT doc_id ORDER BY doc_id))[1:8] AS postings
+  FROM toks GROUP BY word
+)
+SELECT word, df, tf, postings
+FROM stats
+ORDER BY df DESC, word
+LIMIT 30
+"""
+
+
+@register("text_inverted_index", _INVINDEX_ORACLE, tags=("text", "search"))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (the search-side counterpart of
+    TF-IDF): per word, document frequency, total term frequency, and a
+    CAPPED sorted posting list (first 8 doc ids). The cap is what makes
+    this scale-shaped: collect_set of raw postings would concentrate a
+    stop-word's entire doc list on one reducer, so membership is
+    deduplicated and row_number-capped BEFORE the list aggregation."""
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select("doc_id", F.explode(T.words_array(F.lower(F.col("text")))).alias("word"))
+    tf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    members = toks.select("word", "doc_id").distinct()
+    w = Window.partitionBy("word").orderBy("doc_id")
+    capped = (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn("df_full", F.count(F.lit(1)).over(Window.partitionBy("word")))
+        .filter(F.col("rn") <= 8)
+        .groupBy("word")
+        .agg(
+            F.max("df_full").cast("bigint").alias("df"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+    return (
+        capped.join(tf, "word")
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(30)
+        .select("word", "df", "tf", "postings")
     )
