@@ -119,3 +119,51 @@ def dedup_clusters(
             F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
         ).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Distributed PageRank by power iteration over an edge list.
+
+    Per iteration: join ranks to edges on src (contributions r/outdeg),
+    aggregate by dst, add the teleport mass — two shuffles on vertex id,
+    no driver-side data beyond the loop counter. Dangling vertices
+    (no out-edges) keep receiving teleport mass; their lost rank is NOT
+    redistributed (the common simplified formulation — callers needing
+    stochastic completeness can renormalize the output). Lineage is
+    truncated each round with localCheckpoint so the plan stays flat at
+    any iteration count, exactly like connected_components above.
+
+    Returns (id, rank).
+    """
+    verts = (
+        edges.select(F.col(src_col).alias("id"))
+        .union(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    n = verts.count()  # scalar; needed for the teleport term
+    out_deg = edges.groupBy(F.col(src_col).alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            ranks.join(out_deg, "id")
+            .join(edges, F.col("id") == F.col(src_col))
+            .select(F.col(dst_col).alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            verts.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+            .select(
+                "id",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -451,3 +451,86 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((n > 1) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+_PAGERANK_STEP_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+contrib AS (
+  SELECT e.dst AS id, round((1.0 / n.n) / o.outdeg, 12) AS c
+  FROM edges e JOIN outdeg o ON e.src = o.src CROSS JOIN n
+),
+agg AS (
+  SELECT id, CAST(SUM(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM contrib GROUP BY id
+),
+ranks AS (
+  SELECT v.id, 0.15 / n.n + 0.85 * COALESCE(a.s, 0.0) AS rank
+  FROM verts v LEFT JOIN agg a ON v.id = a.id CROSS JOIN n
+)
+SELECT id AS node_id,
+       CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       round(rank, 12) AS rank
+FROM ranks
+ORDER BY rank DESC, id
+LIMIT 20
+"""
+
+
+@register("graph_pagerank_step", _PAGERANK_STEP_ORACLE, tags=("graph",))
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration over the customer→supplier trade graph
+    (vertex ids disambiguated by parity: custkey*2, suppkey*2+1), from a
+    uniform start. Contributions are rounded then decimal-summed so the
+    dst aggregation is order-independent — every other step (teleport
+    division, damping multiply) is a single correctly-rounded fp op,
+    hash-exact across engines. The full iterative operator is
+    ``operators.graph.pagerank`` (pytest: rank mass conservation and
+    hub dominance); per iteration it shuffles |E| on vertex id and keeps
+    nothing driver-side, the same discipline as connected_components."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    n = verts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    outdeg = edges.groupBy(F.col("src")).agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("dst").alias("id"),
+            F.round((F.lit(1.0) / F.col("n")) / F.col("outdeg"), 12).alias("c"),
+        )
+    )
+    agg = contrib.groupBy("id").agg(F.sum(F.col("c").cast("decimal(28,12)")).cast("double").alias("s"))
+    ranks = (
+        verts.join(agg, "id", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+        )
+    )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+        .select(
+            F.col("id").alias("node_id"),
+            F.when(F.col("id") % 2 == 0, "customer").otherwise("supplier").alias("kind"),
+            F.round("rank", 12).alias("rank"),
+        )
+    )

@@ -67,3 +67,26 @@ def test_connected_components_random_vs_union_find(spark):
 
     got = {r["id"]: r["component"] for r in connected_components(verts, edf).collect()}
     assert got == want
+
+
+def test_pagerank_mass_and_hub_dominance(spark):
+    from cumulus_etl_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+
+    # Star graph: 1..5 all point at 0, plus a 5<->6 cycle edge pair.
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    ranks = pagerank(edges, damping=0.85, iters=12)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert set(got) == set(range(7))
+    # The hub receives contributions from five sources: it must dominate.
+    assert got[0] == max(got.values())
+    # Every rank at least the teleport floor.
+    assert all(v >= (1 - 0.85) / 7 - 1e-12 for v in got.values())
+    # Rank mass stays bounded by 1 (dangling loss only shrinks it).
+    assert sum(got.values()) <= 1.0 + 1e-9
+    # Deterministic across reruns.
+    got2 = {r["id"]: r["rank"] for r in pagerank(edges, damping=0.85, iters=12).collect()}
+    assert got == got2
