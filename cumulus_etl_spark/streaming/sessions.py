@@ -118,3 +118,43 @@ def _session_row(user, start_us, last_us, n, closed_by) -> pd.DataFrame:
             "closed_by": [closed_by],
         }
     )
+
+
+def sessionize_stream_native(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via the NATIVE ``session_window``
+    aggregation — the JVM-side scale path (no Python workers, state in
+    the state store with watermark-driven eviction, merge-capable
+    partial aggregation).
+
+    Prefer this over ``sessionize_stream`` whenever the per-session
+    output is expressible as an aggregation (count/min/max/sum);
+    ``applyInPandasWithState`` remains for genuinely imperative
+    per-session logic (e.g. the closed_by provenance column above).
+    Sessions emit when the watermark passes their close — append mode,
+    late events beyond the watermark are dropped, state is bounded by
+    open sessions per user.
+
+    Works identically on a batch DataFrame (session_window is a plain
+    grouping expression there), so batch backfill and the streaming
+    query share this one code path.
+    """
+    from pyspark.sql import functions as F
+
+    wm = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    sess = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        wm.groupBy(F.col(user_col), sess)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -457,3 +457,52 @@ def test_anomaly_scores_stream(spark, tmp_path):
     flagged = run()
     assert [r["event_id"] for r in flagged] == [101]
     assert flagged[0]["score"] > 3.0
+
+
+def test_sessionize_stream_native_session_window(spark, tmp_path):
+    """Native session_window sessionizer: same gap semantics JVM-side, and
+    the identical code path groups a batch frame."""
+    from cumulus_etl_spark.streaming.sessions import sessionize_stream_native
+
+    src = str(tmp_path / "nsess-events")
+    ckpt = str(tmp_path / "nsess-ckpt")
+    rows = [
+        {"ts": "2021-01-01T00:00:00Z", "user_id": 1},
+        {"ts": "2021-01-01T00:10:00Z", "user_id": 1},
+        {"ts": "2021-01-01T02:30:00Z", "user_id": 1},
+        {"ts": "2021-01-01T01:00:00Z", "user_id": 2},
+    ]
+    write_ndjson(src, "e.ndjson", rows)
+    stream = (
+        spark.readStream.schema("ts string, user_id long")
+        .option("pathGlobFilter", "*.ndjson")
+        .json(src)
+        .select(F.to_timestamp("ts").alias("ts"), "user_id")
+    )
+    q = (
+        sessionize_stream_native(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("nsessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["n_events"]) for r in spark.sql("select * from nsessions_out").collect()}
+    # Sessions emit once the watermark (max event time − 1h = 01:30)
+    # passes their close: user 1's first session (ends 00:40) and user 2's
+    # (ends 01:30) emit; user 1's last session (ends 03:00) stays in
+    # state for the next run — the same resume semantic as the stateful
+    # variant.
+    assert got == {(1, 2), (2, 1)}
+
+    # Batch path: same function, plain DataFrame in.
+    batch = spark.createDataFrame(
+        [("2021-01-01T00:00:00Z", 1), ("2021-01-01T00:10:00Z", 1),
+         ("2021-01-01T02:30:00Z", 1), ("2021-01-01T01:00:00Z", 2)],
+        "ts string, user_id long",
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id")
+    b = sessionize_stream_native(batch, gap_seconds=1800)
+    bs = {(r["user_id"], r["n_events"]) for r in b.collect()}
+    assert bs == {(1, 2), (1, 1), (2, 1)}
