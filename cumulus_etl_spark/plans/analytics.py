@@ -534,3 +534,113 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 12).alias("rank"),
         )
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n AS n,
+       round(CAST(c.n AS DOUBLE) / tot.t, 6) AS p
+FROM c JOIN tot USING (prev_type)
+"""
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE, tags=("events", "window"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences (LAG
+    per user, global (prev,next) counts, row-normalized probabilities).
+    The per-user window shuffles once on user_id; the |types|² count and
+    normalization tables are constant-sized, so everything after the
+    window is effectively free at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return c.join(tot, "prev_type").select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL
+FROM orders
+"""
+
+
+@register("profile_orders", _PROFILE_ORACLE, tags=("profile",))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile statistics (null count, exact distinct count,
+    numeric min/max) for the orders table in ONE scan: the per-column
+    aggregates run as a single multi-distinct aggregation (Catalyst
+    expands to a union of partial aggs), then unpivot to one row per
+    column. The ingestion-time data-quality report every pipeline wants;
+    at scale swap exact COUNT(DISTINCT) for approx_count_distinct."""
+    o = table(spark, sf_dir, "orders")
+    spec = [
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_totalprice", True),
+        ("o_orderpriority", False),
+    ]
+    aggs = []
+    for name, numeric in spec:
+        aggs.append(F.sum(F.col(name).isNull().cast("bigint")).cast("bigint").alias(f"{name}__nulls"))
+        aggs.append(F.countDistinct(name).cast("bigint").alias(f"{name}__distinct"))
+        if numeric:
+            aggs.append(F.min(F.col(name)).cast("double").alias(f"{name}__min"))
+            aggs.append(F.max(F.col(name)).cast("double").alias(f"{name}__max"))
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                (F.col(f"{name}__min") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{name}__max") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            )
+            for name, numeric in spec
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
