@@ -1,0 +1,139 @@
+"""Distributed ML-training primitives: sufficient statistics + trainers.
+
+The classic large-scale pattern: the cluster computes a one-pass,
+fixed-size sufficient statistic (Gram matrix / gradient vector) with
+map-side partial aggregation, and the driver does the O(d³) solve on a
+d×d matrix — the corpus never leaves the executors, the driver never
+holds more than d² scalars. Quality-classifier training for corpus
+filtering (e.g. the fastText/logreg filters used for pretraining-data
+selection) is exactly this shape.
+
+Reference scope: the reference ETL (cumulus-etl) has no trainer; this is
+part of the beyond-parity training-data surface, same tier as dedup/
+similarity (SURVEY §2.11+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _xcols(features: list[str]) -> list[Column]:
+    return [F.col(c).cast("double") for c in features]
+
+
+def gram_matrix(
+    df: DataFrame, features: list[str], target: str
+) -> tuple[list[list[float]], list[float], int]:
+    """X'X, X'y and n in ONE distributed pass (an intercept column of 1s
+    is appended automatically).
+
+    One aggregation with (d+1)(d+2)/2 + (d+1) sum expressions — partial
+    aggregation makes the shuffle a single row per partition; the driver
+    receives O(d²) scalars regardless of corpus size.
+    """
+    xs = _xcols(features) + [F.lit(1.0)]
+    y = F.col(target).cast("double")
+    d = len(xs)
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
+    for i in range(d):
+        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = df.agg(*aggs).collect()[0]
+    xtx = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            xtx[i][j] = xtx[j][i] = float(row[f"xx_{i}_{j}"])
+    xty = [float(row[f"xy_{i}"]) for i in range(d)]
+    return xtx, xty, int(row["n"])
+
+
+def linreg_fit(
+    df: DataFrame, features: list[str], target: str
+) -> tuple[list[float], float]:
+    """Exact least-squares fit via normal equations: the Gram pass above,
+    then a driver-side numpy solve (d×d, microseconds), then ONE more
+    distributed pass for R². Two corpus scans total, no iteration.
+
+    Returns (weights [features..., intercept], r_squared).
+    """
+    import numpy as np
+
+    xtx, xty, _ = gram_matrix(df, features, target)
+    # pinv, not solve: a degenerate feature (constant zero column, exact
+    # collinearity) makes X'X singular; pinv(X'X)·X'y is the minimum-norm
+    # least-squares solution, identical to np.linalg.lstsq on raw X.
+    w = np.linalg.pinv(np.array(xtx)) @ np.array(xty)
+    xs = _xcols(features) + [F.lit(1.0)]
+    y = F.col(target).cast("double")
+    pred = sum((float(w[i]) * xs[i] for i in range(len(xs))), F.lit(0.0))
+    stats = df.agg(
+        F.sum((y - pred) * (y - pred)).alias("ss_res"),
+        F.sum(y * y).alias("yy"),
+        F.sum(y).alias("ys"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    ss_tot = float(stats["yy"]) - float(stats["ys"]) ** 2 / stats["n"]
+    r2 = 1.0 - float(stats["ss_res"]) / ss_tot if ss_tot > 0 else float("nan")
+    return [float(v) for v in w], r2
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    features: list[str],
+    label: Column,
+    lr: float = 0.1,
+    iters: int = 20,
+    standardize: bool = True,
+) -> tuple[list[float], list[float]]:
+    """Full-batch logistic regression by gradient descent — the quality-
+    classifier trainer for corpus filtering.
+
+    Per iteration: weights broadcast as plan literals, ONE aggregation
+    computes the d+1 gradient sums and the log-loss (map-side combined;
+    the shuffle is one row per partition); only d+2 scalars reach the
+    driver per iteration. Feature standardization (recommended: raw count
+    features have wildly different scales) adds one up-front stats pass.
+
+    Returns (weights [features..., intercept], loss_per_iter).
+    """
+    import math
+
+    xs_raw = _xcols(features)
+    if standardize:
+        stats = df.agg(
+            *[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs_raw)],
+            *[F.stddev_pop(x).alias(f"s{i}") for i, x in enumerate(xs_raw)],
+        ).collect()[0]
+        xs = [
+            (x - float(stats[f"m{i}"])) / (float(stats[f"s{i}"]) or 1.0)
+            for i, x in enumerate(xs_raw)
+        ]
+    else:
+        xs = xs_raw
+    xs = xs + [F.lit(1.0)]
+    d = len(xs)
+    yv = label.cast("double")
+    w = [0.0] * d
+    losses: list[float] = []
+    n = df.count()
+    for _ in range(iters):
+        z = sum((float(w[i]) * xs[i] for i in range(d)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - yv
+        eps = F.lit(1e-12)
+        row = df.agg(
+            *[F.sum(err * xs[i]).alias(f"g{i}") for i in range(d)],
+            F.sum(
+                -(yv * F.log(p + eps) + (F.lit(1.0) - yv) * F.log(F.lit(1.0) - p + eps))
+            ).alias("loss"),
+        ).collect()[0]
+        losses.append(float(row["loss"]) / n)
+        w = [w[i] - lr * float(row[f"g{i}"]) / n for i in range(d)]
+    if math.isnan(losses[-1]):
+        raise ValueError("logreg_train_gd diverged; lower lr")
+    return w, losses

@@ -644,3 +644,58 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_GRAM_ORACLE = r"""
+WITH f AS (
+  SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS x0,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS x1,
+         CAST(1 AS BIGINT) AS x2,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+)
+SELECT 'xx_0_0' AS term, CAST(SUM(x0 * x0) AS BIGINT) AS value FROM f
+UNION ALL SELECT 'xx_0_1', CAST(SUM(x0 * x1) AS BIGINT) FROM f
+UNION ALL SELECT 'xx_0_2', CAST(SUM(x0 * x2) AS BIGINT) FROM f
+UNION ALL SELECT 'xx_1_1', CAST(SUM(x1 * x1) AS BIGINT) FROM f
+UNION ALL SELECT 'xx_1_2', CAST(SUM(x1 * x2) AS BIGINT) FROM f
+UNION ALL SELECT 'xx_2_2', CAST(SUM(x2 * x2) AS BIGINT) FROM f
+UNION ALL SELECT 'xy_0', CAST(SUM(x0 * y) AS BIGINT) FROM f
+UNION ALL SELECT 'xy_1', CAST(SUM(x1 * y) AS BIGINT) FROM f
+UNION ALL SELECT 'xy_2', CAST(SUM(x2 * y) AS BIGINT) FROM f
+"""
+
+
+@register("ml_gram_matrix", _GRAM_ORACLE, tags=("ml",))
+def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics for exact least squares (X'X and X'y over
+    [token count, punct count, intercept] → n_chars) in ONE corpus pass —
+    the distributed half of normal-equations regression
+    (operators/mlstats.py:linreg_fit does the d×d driver solve; the
+    trainer never moves the corpus). Integer features keep every sum
+    exact in BIGINT, so the entry is hash-checkable with no fp rules."""
+    from cumulus_etl_spark.operators import textstats as T2
+
+    d = table(spark, sf_dir, "documents")
+    xs = [
+        T2.token_count("text").cast("bigint"),
+        T2.punct_count("text").cast("bigint"),
+        F.lit(1).cast("bigint"),
+    ]
+    y = F.col("n_chars").cast("bigint")
+    aggs = []
+    for i in range(3):
+        for j in range(i, 3):
+            aggs.append(F.sum(xs[i] * xs[j]).cast("bigint").alias(f"xx_{i}_{j}"))
+    for i in range(3):
+        aggs.append(F.sum(xs[i] * y).cast("bigint").alias(f"xy_{i}"))
+    one = d.agg(*aggs)
+    terms = F.array(
+        *[
+            F.struct(F.lit(c).alias("term"), F.col(c).alias("value"))
+            for c in one.columns
+        ]
+    )
+    return one.select(F.explode(terms).alias("t")).select("t.*")
