@@ -699,3 +699,54 @@ def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(terms).alias("t")).select("t.*")
+
+
+_CDC_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+d AS (
+  SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS k,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'deleted'
+              WHEN new.o_orderstatus IS NOT DISTINCT FROM old.o_orderstatus
+                   AND new.o_totalprice IS NOT DISTINCT FROM old.o_totalprice
+                   THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM new FULL OUTER JOIN old ON new.o_orderkey = old.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS key_sum
+FROM d GROUP BY change_type
+"""
+
+
+@register("cdc_snapshot_diff", _CDC_ORACLE, tags=("cdc", "join"))
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff (operators/cdc.py): two keyed
+    snapshots full-outer-joined into added/deleted/changed/unchanged —
+    the producer side of the MERGE sink. One shuffle on the key; with
+    both snapshots bucketed on it (sinks/bucketed.py) the join is
+    exchange-free. Synthetic drift: keys %11 missing from old (adds),
+    %13 missing from new (deletes), %5 repriced (changes)."""
+    from cumulus_etl_spark.operators.cdc import snapshot_diff
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    d = snapshot_diff(old, new, keys=["o_orderkey"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
