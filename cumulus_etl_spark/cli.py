@@ -116,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--seq-len", type=int, default=None,
                           help="also emit fixed-length packed training sequences "
                                "of this many tokens under <output>/sequences")
+    p_corpus.add_argument("--split", default=None, metavar="TRAIN,VAL",
+                          help="deterministic train/val/test percentages, e.g. "
+                               "'98,1' (test gets the remainder); adds a split "
+                               "column and partitions the output by it")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -237,12 +241,33 @@ def main(argv: list[str] | None = None) -> int:
             min_tokens=args.min_tokens,
             jaccard_threshold=args.jaccard_threshold,
         )
+        report = {}
+        part_cols = ["shard_id"]
+        if args.split:
+            from cumulus_etl_spark.operators.corpus import hash_split
+
+            train_pct, val_pct = (int(x) for x in args.split.split(","))
+            survivors = hash_split(
+                survivors, id_col=args.id_col, train_pct=train_pct, val_pct=val_pct
+            )
+            part_cols = ["split", "shard_id"]
         sharded = pack_by_token_budget(
             survivors, budget=args.shard_tokens, order_col=args.id_col
         )
         # one directory per shard; shard files hold full cleaned rows
-        sharded.write.mode("overwrite").partitionBy("shard_id").parquet(args.output_dir)
-        report = {}
+        sharded.write.mode("overwrite").partitionBy(*part_cols).parquet(args.output_dir)
+        if args.split:
+            from pyspark.sql import functions as _F
+
+            report["splits"] = {
+                r["split"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
+                for r in sharded.groupBy("split")
+                .agg(
+                    _F.count(_F.lit(1)).alias("n_docs"),
+                    _F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                )
+                .collect()
+            }
         if args.seq_len:
             import os as _os
 

@@ -256,3 +256,38 @@ def test_dsir_logratio_matches_numpy_reference(spark, sf_smoke):
     assert set(got) == set(expected)
     for doc_id, s in expected.items():
         assert abs(got[doc_id] - s) < 1e-9 * max(1.0, abs(s)), doc_id
+
+
+def test_corpus_cli_with_split(spark, tmp_path, capsys):
+    """corpus verb --split: survivors carry a deterministic split column
+    and the output is partitioned by it."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "sdocs.parquet")
+    out = str(tmp_path / "scorpus-out")
+    rows = [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+                f"and walks to the market in the town of {i}", "en", "s")
+            for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500", "--split", "80,10"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["surviving_docs"] == 40
+    assert sum(v["n_docs"] for v in summary["splits"].values()) == 40
+    back = spark.read.parquet(out)
+    assert "split" in back.columns
+    got = {r["split"] for r in back.select("split").distinct().collect()}
+    assert got <= {"train", "val", "test"} and "train" in got
+    # deterministic: rerun produces identical assignment
+    rc = main(["corpus", src, str(tmp_path / "scorpus-out2"), "--shard-tokens", "500",
+               "--split", "80,10"])
+    assert rc == 0
+    again = spark.read.parquet(str(tmp_path / "scorpus-out2"))
+    a = sorted((r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect())
+    b = sorted((r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect())
+    assert a == b
