@@ -142,6 +142,19 @@ def main(argv: list[str] | None = None) -> int:
                        help="table names (default: every table in output_dir)")
     p_opt.add_argument("--keep-versions", type=int, default=1)
 
+    p_tf = sub.add_parser(
+        "train-filter",
+        help="train a quality classifier on text stats and score every doc",
+    )
+    p_tf.add_argument("input_path", help="parquet path with doc_id/text columns")
+    p_tf.add_argument("output_path", help="where the per-doc score parquet goes")
+    p_tf.add_argument("--id-col", default="doc_id")
+    p_tf.add_argument("--text-col", default="text")
+    p_tf.add_argument("--label-expr", required=True,
+                      help="SQL boolean marking the positive class, e.g. \"source = 'src0'\"")
+    p_tf.add_argument("--lr", type=float, default=0.5)
+    p_tf.add_argument("--iters", type=int, default=20)
+
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
     )
@@ -297,6 +310,44 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
         print(json.dumps(report))
+        return 0
+    if args.verb == "train-filter":
+        from pyspark.sql import functions as _F
+
+        from cumulus_etl_spark.operators import textstats as _T
+        from cumulus_etl_spark.operators.mlstats import (
+            auc_roc,
+            logreg_train_gd,
+            score_logreg,
+        )
+
+        docs = spark.read.parquet(args.input_path)
+        feat_names = ["n_tokens", "n_punct", "n_stopwords", "mean_word_len"]
+        words = _T.words_array(_F.col(args.text_col))
+        featurized = docs.select(
+            args.id_col,
+            _F.expr(args.label_expr).cast("double").alias("__label"),
+            _T.token_count(args.text_col).cast("double").alias("n_tokens"),
+            _T.punct_count(args.text_col).cast("double").alias("n_punct"),
+            _T.stopword_count(args.text_col).cast("double").alias("n_stopwords"),
+            _T.repetition_features(words)["mean_word_len"].alias("mean_word_len"),
+        ).localCheckpoint(eager=True)  # featurize once, not once per GD pass
+        w, losses, std_stats = logreg_train_gd(
+            featurized, feat_names, _F.col("__label"), lr=args.lr, iters=args.iters
+        )
+        score = score_logreg(featurized, feat_names, w, std_stats)
+        scored = featurized.select(
+            args.id_col, _F.col("__label").alias("label"), score.alias("score")
+        )
+        scored.write.mode("overwrite").parquet(args.output_path)
+        auc = auc_roc(spark.read.parquet(args.output_path))
+        print(json.dumps({
+            "n_docs": featurized.count(),
+            "weights": {n: w[i] for i, n in enumerate(feat_names)} | {"intercept": w[-1]},
+            "final_loss": losses[-1],
+            "auc": auc,
+            "output": args.output_path,
+        }))
         return 0
     if args.verb == "dedup-index":
         import os as _os

@@ -89,7 +89,7 @@ def logreg_train_gd(
     lr: float = 0.1,
     iters: int = 20,
     standardize: bool = True,
-) -> tuple[list[float], list[float]]:
+) -> tuple[list[float], list[float], list[tuple[float, float]] | None]:
     """Full-batch logistic regression by gradient descent — the quality-
     classifier trainer for corpus filtering.
 
@@ -99,19 +99,24 @@ def logreg_train_gd(
     driver per iteration. Feature standardization (recommended: raw count
     features have wildly different scales) adds one up-front stats pass.
 
-    Returns (weights [features..., intercept], loss_per_iter).
+    Returns (weights [features..., intercept], loss_per_iter,
+    standardize_stats) — pass the stats to ``score_logreg`` so inference
+    reproduces the training-time feature scaling.
     """
     import math
 
     xs_raw = _xcols(features)
+    std_stats: list[tuple[float, float]] | None = None
     if standardize:
         stats = df.agg(
             *[F.avg(x).alias(f"m{i}") for i, x in enumerate(xs_raw)],
             *[F.stddev_pop(x).alias(f"s{i}") for i, x in enumerate(xs_raw)],
         ).collect()[0]
+        std_stats = [
+            (float(stats[f"m{i}"]), float(stats[f"s{i}"])) for i in range(len(xs_raw))
+        ]
         xs = [
-            (x - float(stats[f"m{i}"])) / (float(stats[f"s{i}"]) or 1.0)
-            for i, x in enumerate(xs_raw)
+            (x - m) / (s or 1.0) for x, (m, s) in zip(xs_raw, std_stats)
         ]
     else:
         xs = xs_raw
@@ -136,4 +141,58 @@ def logreg_train_gd(
         w = [w[i] - lr * float(row[f"g{i}"]) / n for i in range(d)]
     if math.isnan(losses[-1]):
         raise ValueError("logreg_train_gd diverged; lower lr")
-    return w, losses
+    return w, losses, std_stats
+
+
+def score_logreg(
+    df: DataFrame, features: list[str], weights: list[float], standardize_stats=None
+) -> Column:
+    """Sigmoid score column for trained weights (weights[-1] = intercept).
+    ``standardize_stats`` is the [(mean, std), ...] used at train time."""
+    xs = _xcols(features)
+    if standardize_stats is not None:
+        xs = [
+            (x - m) / (s or 1.0) for x, (m, s) in zip(xs, standardize_stats)
+        ]
+    z = sum(
+        (float(weights[i]) * x for i, x in enumerate(xs)), F.lit(float(weights[-1]))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def auc_roc(scored: DataFrame, score_col: str = "score", label_col: str = "label") -> float:
+    """Exact ROC-AUC via the rank statistic (Mann-Whitney U).
+
+    Global ranks come from the distributed prefix sum
+    (operators/corpus.py:global_running_sum — range partition + local
+    window + broadcast offsets), NOT a global Window.orderBy, which would
+    funnel the whole frame through one task. Ties: the prefix sum's
+    default RANGE frame gives every row of a tied score group the same
+    cum = count of rows ≤ that score (the group's upper bound U), and the
+    tie-averaged rank is U − (g−1)/2 for group size g. One extra shuffle
+    on the score + a #partitions-sized driver fold."""
+    from cumulus_etl_spark.operators.corpus import global_running_sum
+
+    base = scored.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = global_running_sum(base, "__one", "__s", out_col="__rank")
+    per_score = ranked.groupBy("__s").agg(
+        (
+            F.max(F.col("__rank").cast("double"))
+            - (F.count(F.lit(1)).cast("double") - 1) / 2.0
+        ).alias("r"),
+        F.sum("__y").alias("npos_g"),
+    )
+    agg = per_score.agg(
+        F.sum(F.col("npos_g") * F.col("r")).alias("rpos"),
+        F.sum("npos_g").alias("npos"),
+    ).collect()[0]
+    n = scored.count()
+    npos = int(agg["npos"] or 0)
+    nneg = n - npos
+    if npos == 0 or nneg == 0:
+        return float("nan")
+    return (float(agg["rpos"]) - npos * (npos + 1) / 2.0) / (npos * nneg)

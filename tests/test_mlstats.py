@@ -47,8 +47,9 @@ def test_linreg_fit_matches_lstsq(spark, sf_smoke):
 def test_logreg_loss_decreases_and_matches_reference(spark, sf_smoke):
     f = _featurized(spark, sf_smoke)
     label = (F.col("source") == "src0").cast("double")
-    w, losses = logreg_train_gd(f, ["n_tokens", "n_punct"], label, lr=0.5, iters=8)
+    w, losses, std_stats = logreg_train_gd(f, ["n_tokens", "n_punct"], label, lr=0.5, iters=8)
     assert losses[-1] < losses[0]
+    assert len(std_stats) == 2
 
     # numpy reference with identical standardization + updates
     rows = f.select("n_tokens", "n_punct", label.alias("lab")).collect()
@@ -63,3 +64,68 @@ def test_logreg_loss_decreases_and_matches_reference(spark, sf_smoke):
         p = 1.0 / (1.0 + np.exp(-(Xs @ wr)))
         wr = wr - 0.5 * (Xs.T @ (p - Y)) / n
     assert np.allclose(w, wr, atol=1e-8)
+
+
+def test_score_logreg_and_auc_roc(spark, sf_smoke):
+    f = _featurized(spark, sf_smoke)
+    label = (F.col("source") == "src0").cast("double")
+    w, _, std_stats = logreg_train_gd(f, ["n_tokens", "n_punct"], label, lr=0.5, iters=8)
+
+    from cumulus_etl_spark.operators.mlstats import auc_roc, score_logreg
+
+    scored = f.select(
+        label.alias("label"),
+        score_logreg(f, ["n_tokens", "n_punct"], w, std_stats).alias("score"),
+    )
+    auc = auc_roc(scored)
+
+    # reference: tie-averaged Mann-Whitney AUC in numpy
+    rows = scored.collect()
+    scores = np.array([r["score"] for r in rows])
+    ys = np.array([r["label"] for r in rows])
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores))
+    sorted_scores = scores[order]
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and sorted_scores[j] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    npos = ys.sum()
+    ref = (ranks[ys == 1].sum() - npos * (npos + 1) / 2) / (npos * (len(ys) - npos))
+    assert abs(auc - ref) < 1e-9
+    assert 0.0 <= auc <= 1.0
+
+
+def test_auc_roc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int"
+    )
+    from cumulus_etl_spark.operators.mlstats import auc_roc
+
+    assert auc_roc(df) == 1.0
+
+
+def test_train_filter_cli_end_to_end(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    out = str(tmp_path / "scores.parquet")
+    rc = main([
+        "train-filter", f"{sf_smoke}/documents.parquet", out,
+        "--label-expr", "source = 'src0'", "--iters", "6",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(summary["weights"]) == {
+        "n_tokens", "n_punct", "n_stopwords", "mean_word_len", "intercept"
+    }
+    assert 0.0 <= summary["auc"] <= 1.0
+    back = spark.read.parquet(out)
+    assert back.count() == summary["n_docs"]
+    assert {"label", "score"} <= set(back.columns)
+    s = back.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
+    assert 0.0 <= s["lo"] and s["hi"] <= 1.0
