@@ -109,9 +109,10 @@ def scd2_apply(
             F.lit(True).alias("is_current"),
         )
     )
-    # Keys never seen before open their first version too.
+    # Keys with no OPEN version — never seen, or resurrected after all
+    # their versions were closed — open a (new) version too.
     brand_new = (
-        upd.join(history.select(F.col(key).alias("__hk")).distinct(),
+        upd.join(cur.select(F.col(key).alias("__hk")).distinct(),
                  F.col("__uk") == F.col("__hk"), "left_anti")
         .select(
             F.col("__uk").alias(key),

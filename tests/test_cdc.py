@@ -49,3 +49,16 @@ def test_scd2_apply_closes_changed_and_opens_new(spark):
     assert rows[(2, "z")]["is_current"] and rows[(2, "z")]["valid_to"] is None
     # never-seen key opens its first version
     assert rows[(3, "new")]["is_current"] and rows[(3, "new")]["valid_from"] == "2022-01-01"
+
+
+def test_scd2_apply_reopens_fully_closed_key(spark):
+    hist = spark.createDataFrame(
+        [(7, "old", "2019-01-01", "2020-01-01", False)],  # closed, no current row
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame([(7, "back")], "k long, attr string")
+    out = scd2_apply(hist, updates, "k", ["attr"], F.lit("2022-06-01"))
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 2
+    assert not rows[(7, "old")]["is_current"]
+    assert rows[(7, "back")]["is_current"] and rows[(7, "back")]["valid_from"] == "2022-06-01"
