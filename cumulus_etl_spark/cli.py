@@ -335,7 +335,7 @@ def main(argv: list[str] | None = None) -> int:
         w, losses, std_stats = logreg_train_gd(
             featurized, feat_names, _F.col("__label"), lr=args.lr, iters=args.iters
         )
-        score = score_logreg(featurized, feat_names, w, std_stats)
+        score = score_logreg(feat_names, w, std_stats)
         scored = featurized.select(
             args.id_col, _F.col("__label").alias("label"), score.alias("score")
         )

@@ -145,7 +145,7 @@ def logreg_train_gd(
 
 
 def score_logreg(
-    df: DataFrame, features: list[str], weights: list[float], standardize_stats=None
+    features: list[str], weights: list[float], standardize_stats=None
 ) -> Column:
     """Sigmoid score column for trained weights (weights[-1] = intercept).
     ``standardize_stats`` is the [(mean, std), ...] used at train time."""

@@ -75,7 +75,7 @@ def test_score_logreg_and_auc_roc(spark, sf_smoke):
 
     scored = f.select(
         label.alias("label"),
-        score_logreg(f, ["n_tokens", "n_punct"], w, std_stats).alias("score"),
+        score_logreg(["n_tokens", "n_punct"], w, std_stats).alias("score"),
     )
     auc = auc_roc(scored)
 
