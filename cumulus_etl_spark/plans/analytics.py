@@ -750,3 +750,40 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(CAST(l_quantity AS BIGINT)) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_salted_returnflag", _SALTED_ORACLE, tags=("agg", "skew"))
+def agg_salted_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py): grouping by
+    l_returnflag — 3 hot keys over the whole fact table, the canonical
+    straggler shape — first by (key, salt) so each hot key spreads over
+    16 tasks, then recombining tiny partials. The oracle is the plain
+    GROUP BY: salting must be a semantic no-op, and integer sums keep the
+    equality exact."""
+    from cumulus_etl_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {"n_items": ("count", "qty"), "sum_qty": ("sum", "qty"), "max_qty": ("max", "qty")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        F.col("max_qty").cast("bigint").alias("max_qty"),
+    )

@@ -64,6 +64,14 @@ def interval_join(
     stores; on batch inputs the identical plan is a plain conditional
     join (AQE picks broadcast/SMJ). Column names must be disjoint apart
     from ``key``.
+
+    ``how="left_outer"`` emits unmatched left rows with a NULL right
+    side — but only once the GLOBAL watermark (the min over both inputs)
+    passes the row's join window, and the emission lands in a LATER
+    micro-batch than the one that advanced the watermark. An
+    ``availableNow`` run therefore holds them in state for the next run
+    (tests/test_streaming.py::test_interval_join_left_outer_emits_unmatched
+    demonstrates the two-run emission).
     """
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)

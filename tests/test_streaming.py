@@ -506,3 +506,76 @@ def test_sessionize_stream_native_session_window(spark, tmp_path):
     b = sessionize_stream_native(batch, gap_seconds=1800)
     bs = {(r["user_id"], r["n_events"]) for r in b.collect()}
     assert bs == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer interval join: unmatched left rows emit with NULL right
+    side once the watermark passes their join window."""
+    from cumulus_etl_spark.streaming import interval_join
+
+    imp_src = str(tmp_path / "lo-impressions")
+    conv_src = str(tmp_path / "lo-conversions")
+    ckpt = str(tmp_path / "lo-ij-ckpt")
+    write_ndjson(imp_src, "i.ndjson", [
+        {"its": "2021-01-01T00:00:00Z", "uid": 1},   # converts
+        {"its": "2021-01-01T00:00:00Z", "uid": 2},   # never converts
+    ])
+    write_ndjson(conv_src, "c.ndjson", [
+        {"cts": "2021-01-01T00:30:00Z", "uid": 1},
+    ])
+
+    out_dir = str(tmp_path / "lo-ij-out")
+
+    def run_once(_name):
+        imp = (
+            spark.readStream.schema("its string, uid long")
+            .option("pathGlobFilter", "*.ndjson").json(imp_src)
+            .select(F.to_timestamp("its").alias("its"), "uid")
+        )
+        conv = (
+            spark.readStream.schema("cts string, uid long")
+            .option("pathGlobFilter", "*.ndjson").json(conv_src)
+            .select(F.to_timestamp("cts").alias("cts"), "uid")
+        )
+        joined = interval_join(
+            imp, conv, "uid", "its", "cts", max_delay="1 hour",
+            watermark="1 hour", how="left_outer",
+        )
+        # file sink, not memory: the memory sink cannot resume a
+        # checkpoint, and null-side emission REQUIRES a second run
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["uid"]: r["cts"] for r in spark.read.parquet(out_dir).collect()}
+
+    first = run_once("lo_ij_out1")
+    assert first.get(1) is not None  # matched within the hour
+    assert 2 not in first            # null-side rows wait for the watermark
+
+    # Later data on BOTH sides advances the global watermark (min of the
+    # two) past uid 2's window [00:00, 01:00]; the NEXT run emits the
+    # pending unmatched row.
+    write_ndjson(imp_src, "i2.ndjson", [
+        {"its": "2021-01-01T09:00:00Z", "uid": 98},
+    ])
+    write_ndjson(conv_src, "c2.ndjson", [
+        {"cts": "2021-01-01T09:00:00Z", "uid": 99},
+    ])
+    second = run_once("lo_ij_out2")
+    assert 2 in second and second[2] is None  # unmatched left row, NULL right side
+
+    # Batch parity: same call, plain left join semantics.
+    bi = spark.createDataFrame(
+        [("2021-01-01 00:00:00", 1), ("2021-01-01 00:00:00", 2)], "s string, uid long"
+    ).select(F.col("s").cast("timestamp").alias("its"), "uid")
+    bc = spark.createDataFrame([("2021-01-01 00:30:00", 1)], "s string, uid long") \
+        .select(F.col("s").cast("timestamp").alias("cts"), "uid")
+    got = {r["uid"]: r["cts"] for r in
+           interval_join(bi, bc, "uid", "its", "cts", how="left_outer").collect()}
+    assert got[1] is not None and got[2] is None
