@@ -541,3 +541,40 @@ def join_range_activity_after_signup(spark: SparkSession, sf_dir: str) -> DataFr
     return joined.groupBy("signup_id", F.col("s_user").alias("user_id")).agg(
         F.count("a_event_id").alias("events_within_hour")
     )
+
+
+_SESSION_NATIVE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+"""
+
+
+@register("window_session_native", _SESSION_NATIVE_ORACLE, tags=("window", "events", "streaming"))
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window grouping
+    (the same function streams through streaming/sessions.py:
+    sessionize_stream_native) — proven here against the gaps-and-islands
+    LAG oracle, so the batch window formulation (window_sessionize), the
+    native session_window operator, and the streaming path are all pinned
+    to one semantic. Two caveats folded in: the per-user grouping key
+    rides alongside the session_window expression, and the oracle's gap
+    test is >= (session windows are half-open [start, last+gap), so an
+    event at exactly last+gap opens a NEW session — unlike
+    window_sessionize's strictly-greater formulation)."""
+    from cumulus_etl_spark.streaming.sessions import sessionize_stream_native
+
+    ev = table(spark, sf_dir, "events")
+    sessions = sessionize_stream_native(ev, gap_seconds=1800)
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
