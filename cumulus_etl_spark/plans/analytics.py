@@ -668,7 +668,7 @@ UNION ALL SELECT 'xy_2', CAST(SUM(x2 * y) AS BIGINT) FROM f
 """
 
 
-@register("ml_gram_matrix", _GRAM_ORACLE, tags=("ml",))
+@register("ml_gram_matrix", _GRAM_ORACLE, tags=("ml",), bench=True)
 def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sufficient statistics for exact least squares (X'X and X'y over
     [token count, punct count, intercept] → n_chars) in ONE corpus pass —

@@ -352,7 +352,7 @@ GROUP BY assigned.cluster
 """
 
 
-@register("vector_semdedup", _SEMDEDUP_ORACLE, tags=("vector", "dedup"))
+@register("vector_semdedup", _SEMDEDUP_ORACLE, tags=("vector", "dedup"), bench=True)
 def vector_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
     drop any vector with a lower-id cluster-mate at cosine ≥ 0.93, report
