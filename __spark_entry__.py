@@ -50,6 +50,14 @@ _GATE_PRIORITY = [
     "deid_anonymize_customers",
 ]
 
+# Round-3 session additions (never gated; the window is full this round —
+# rotate these INTO the first 50 in round 4, displacing entries that will
+# then hold fresh green rows): vector_kmeans_assign, vector_semdedup,
+# corpus_train_val_split, corpus_chunk_overlap, corpus_importance_rank,
+# text_bigram_lm_score, text_inverted_index, graph_pagerank_step,
+# events_markov_transitions, profile_orders, ml_gram_matrix,
+# cdc_snapshot_diff, agg_salted_returnflag, window_session_native.
+
 
 def _ordered() -> list[str]:
     prioritized = [n for n in _GATE_PRIORITY if n in CATALOG]

