@@ -787,3 +787,22 @@ def agg_salted_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("bigint").alias("sum_qty"),
         F.col("max_qty").cast("bigint").alias("max_qty"),
     )
+
+
+@register("agg_hll_sketch_rollup", None, tags=("agg", "sketch"))
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators/sketch.py): per-day HLL sketches
+    of active users, unioned to per-event-type totals WITHOUT rescanning
+    events — the pre-aggregated-sketch pattern that answers distinct-count
+    rollups at 100 TB from KB-sized artifacts. Rows-only (DataSketches
+    HLL has no DuckDB twin); the estimate's accuracy and the
+    union-equals-single-pass property are pytest-pinned
+    (tests/test_sketch.py)."""
+    from cumulus_etl_spark.operators.sketch import sketch_distinct, sketch_union
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch_distinct(ev, ["event_type", "day"], "user_id", lgk=12)
+    rolled = sketch_union(daily, ["event_type"])
+    return rolled.select(
+        "event_type", F.col("estimate").cast("bigint").alias("approx_distinct_users")
+    )
