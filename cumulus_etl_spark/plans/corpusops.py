@@ -443,3 +443,73 @@ def corpus_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "target_mass", "raw_mass",
                 F.round(score, 6).alias("score"))
     )
+
+
+_LEAKAGE_ORACLE = r"""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 = 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, split, regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM split
+),
+grams AS (
+  SELECT t.doc_id, t.split, array_to_string(t.tok[i : i+7], ' ') AS gram
+  FROM toks t, UNNEST(generate_series(1, greatest(len(t.tok)-7, 0))) AS u(i)
+),
+train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+held AS (SELECT DISTINCT doc_id, split, gram FROM grams WHERE split <> 'train'),
+hits AS (
+  SELECT h.split, h.doc_id, COUNT(*) AS n_shared
+  FROM held h JOIN train_grams t USING (gram)
+  GROUP BY h.split, h.doc_id
+),
+held_docs AS (SELECT doc_id, split FROM split WHERE split <> 'train')
+SELECT d.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hits.n_shared IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_leaked,
+       CAST(SUM(COALESCE(hits.n_shared, 0)) AS BIGINT) AS total_shared_grams
+FROM held_docs d LEFT JOIN hits ON d.doc_id = hits.doc_id
+GROUP BY d.split
+"""
+
+
+@register("corpus_split_leakage", _LEAKAGE_ORACLE, tags=("text", "corpus"))
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage check a hash split must pass before training: for each
+    held-out split (val/test), how many docs share an 8-word gram with
+    the TRAIN split, and how many grams leak in total. Composition of
+    hash_split + the decontamination gram machinery; the train gram set
+    broadcasts exactly like the benchmark set in corpus_decontaminate.
+    Docs too short to produce an 8-gram cannot leak but still count in
+    n_docs."""
+    d = C.hash_split(table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "split", C._tokens("text").alias("tok")
+    )
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(C._word_ngrams(F.col("tok"), 8)).alias("gram"),
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    held = grams.filter(F.col("split") != "train").select("doc_id", "split", "gram").distinct()
+    hits = (
+        held.join(F.broadcast(train_grams), "gram")
+        .groupBy("split", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    held_docs = d.filter(F.col("split") != "train").select("doc_id", "split")
+    return (
+        held_docs.join(hits, ["doc_id", "split"], "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_shared").isNull(), 0).otherwise(1)).cast("bigint").alias("n_leaked"),
+            F.sum(F.coalesce(F.col("n_shared"), F.lit(0))).cast("bigint").alias("total_shared_grams"),
+        )
+    )

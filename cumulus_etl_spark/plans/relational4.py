@@ -456,3 +456,45 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
     )
+
+
+_ARRAY_FN_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words,
+       CAST(len(list_filter(w, x -> length(x) >= 5)) AS INT) AS n_long_words,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_chars,
+       list_contains(w, 'spark') AS has_spark,
+       array_to_string(list_sort(list_distinct(list_transform(w[1:3], x -> upper(x)))), ',')
+         AS first3_upper_sorted,
+       w[-1] AS last_word
+FROM t
+"""
+
+
+@register("scalar_array_functions", _ARRAY_FN_ORACLE, tags=("scalar", "array"))
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function suite (SURVEY §2.11 projection row):
+    transform / filter / aggregate / exists / slice / distinct / sort —
+    all Catalyst lambda expressions mirrored by DuckDB list functions.
+    Row-local, rides the scan, no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: F.length(x) >= 5)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_contains(w, "spark").alias("has_spark"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(F.slice(w, 1, 3), F.upper))), ","
+        ).alias("first3_upper_sorted"),
+        F.element_at(w, -1).alias("last_word"),
+    )
