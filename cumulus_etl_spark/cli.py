@@ -120,6 +120,9 @@ def main(argv: list[str] | None = None) -> int:
                           help="deterministic train/val/test percentages, e.g. "
                                "'98,1' (test gets the remainder); adds a split "
                                "column and partitions the output by it")
+    p_corpus.add_argument("--check-leakage", action="store_true",
+                          help="with --split: report how many held-out docs "
+                               "share an 8-word gram with the train split")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -281,6 +284,26 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 .collect()
             }
+            if args.check_leakage:
+                from cumulus_etl_spark.operators.corpus import _tokens, _word_ngrams
+
+                grams = sharded.select(
+                    args.id_col, "split",
+                    _F.explode(_word_ngrams(_tokens(args.text_col), 8)).alias("gram"),
+                )
+                train_grams = (
+                    grams.filter(_F.col("split") == "train").select("gram").distinct()
+                )
+                leaked = (
+                    grams.filter(_F.col("split") != "train")
+                    .select(args.id_col, "split", "gram").distinct()
+                    .join(_F.broadcast(train_grams), "gram")
+                    .groupBy("split")
+                    .agg(_F.countDistinct(args.id_col).alias("n_leaked"))
+                )
+                report["leakage"] = {
+                    r["split"]: r["n_leaked"] for r in leaked.collect()
+                }
         if args.seq_len:
             import os as _os
 

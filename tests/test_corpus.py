@@ -291,3 +291,30 @@ def test_corpus_cli_with_split(spark, tmp_path, capsys):
     a = sorted((r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect())
     b = sorted((r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect())
     assert a == b
+
+
+def test_corpus_cli_split_leakage_report(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "ldocs.parquet")
+    out = str(tmp_path / "lcorpus-out")
+    # identical long texts -> any cross-split pair leaks its 8-grams
+    body = "the quick brown fox jumps over the lazy dog and walks to town"
+    rows = [(i, body, "en", "s") for i in range(40)]
+    spark.createDataFrame(
+        rows[:1] + [(i, body + f" suffix {i}", "en", "s") for i in range(1, 40)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500",
+               "--split", "80,10", "--check-leakage",
+               "--jaccard-threshold", "1.01"])  # keep all docs (no fuzzy dedup)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "leakage" in summary
+    held = {k: v["n_docs"] for k, v in summary["splits"].items() if k != "train"}
+    # every held-out doc shares the body 8-grams with train
+    for split, n in summary["leakage"].items():
+        assert 0 < n <= held[split]
