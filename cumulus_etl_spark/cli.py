@@ -301,9 +301,11 @@ def main(argv: list[str] | None = None) -> int:
                     .groupBy("split")
                     .agg(_F.countDistinct(args.id_col).alias("n_leaked"))
                 )
-                report["leakage"] = {
-                    r["split"]: r["n_leaked"] for r in leaked.collect()
-                }
+                held_splits = [
+                    k for k in report["splits"] if k != "train"
+                ]
+                found = {r["split"]: r["n_leaked"] for r in leaked.collect()}
+                report["leakage"] = {k: found.get(k, 0) for k in held_splits}
         if args.seq_len:
             import os as _os
 
