@@ -125,6 +125,11 @@ class MergePolicy:
     # ZORDER) so min/max footers prune on ALL of them, not just the
     # leading sort key. None keeps plain lexicographic key clustering.
     zorder_cols: tuple[str, ...] | None = None
+    # emit a change feed (insert / update pre+post images / delete rows)
+    # per merge version under <table>/changes/vN — the fallback analog of
+    # Delta change data feed (delta.enableChangeDataFeed); read it back
+    # with ManagedTable.read_changes()
+    change_feed: bool = False
 
     @property
     def bucket_cols(self) -> tuple[str, ...]:
@@ -245,7 +250,9 @@ class ManagedTable:
             return
         ptr = self._pointer()
         if ptr is None:
-            self._write_version(updates, policy, touched=None, prev=None)
+            v = self._write_version(updates, policy, touched=None, prev=None)
+            if policy.change_feed:
+                self._write_changes(v, updates.withColumn("_change_type", F.lit("insert")))
             return
         relayout = tuple(ptr.get("bucket_cols") or ()) != policy.bucket_cols or int(
             ptr.get("num_buckets") or 0
@@ -298,6 +305,31 @@ class ManagedTable:
 
         merged = allr.filter(keep)
 
+        change_parts: list[DataFrame] = []
+        if policy.change_feed:
+            # Classification reuses the window flags already computed for
+            # the merge itself — no extra shuffle, one extra write.
+            helper = ["__src", "__have_upd", "__have_ex"]
+            if policy.update_existing:
+                helper.append("__take_upd")
+                change_parts.append(
+                    allr.filter((F.col("__src") == 1) & ~F.col("__have_ex"))
+                    .drop(*helper).withColumn("_change_type", F.lit("insert"))
+                )
+                change_parts.append(
+                    allr.filter((F.col("__src") == 1) & F.col("__have_ex") & F.col("__take_upd"))
+                    .drop(*helper).withColumn("_change_type", F.lit("update_postimage"))
+                )
+                change_parts.append(
+                    allr.filter((F.col("__src") == 0) & F.col("__take_upd"))
+                    .drop(*helper).withColumn("_change_type", F.lit("update_preimage"))
+                )
+            else:
+                change_parts.append(
+                    allr.filter((F.col("__src") == 1) & ~F.col("__have_ex"))
+                    .drop(*helper).withColumn("_change_type", F.lit("insert"))
+                )
+
         if policy.group_field is not None:
             # J2: existing-only rows in groups touched by this batch are
             # stale → delete. Broadcast the (small) batch group set.
@@ -308,12 +340,27 @@ class ManagedTable:
                 "left",
             )
             stale = (F.col("__src") == 0) & ~F.col("__have_upd") & F.col("__g").isNotNull()
+            if policy.change_feed:
+                helper2 = ["__src", "__have_upd", "__have_ex", "__g"] + (
+                    ["__take_upd"] if policy.update_existing else []
+                )
+                change_parts.append(
+                    merged.filter(stale).drop(*helper2)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
             merged = merged.filter(~stale).drop("__g")
 
         out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
-        self._write_version(out, policy, touched=touched, prev=ptr)
+        v = self._write_version(out, policy, touched=touched, prev=ptr)
+        if policy.change_feed and change_parts:
+            changes = change_parts[0]
+            for p in change_parts[1:]:
+                changes = changes.unionByName(p, allowMissingColumns=True)
+            self._write_changes(v, changes)
 
-    def delete_ids(self, ids: DataFrame | list[str], id_col: str = "id") -> None:
+    def delete_ids(
+        self, ids: DataFrame | list[str], id_col: str = "id", change_feed: bool = False
+    ) -> None:
         """K2: delete rows by id. DataFrame-source anti-join — no 50k
         chunking needed (the reference chunks to protect a 6 GB driver;
         an anti-join never materializes the id list on the driver).
@@ -355,10 +402,17 @@ class ManagedTable:
         remaining = existing.join(
             F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_anti"
         )
-        self._write_raw(
+        v = self._write_raw(
             remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
             touched=touched, prev=ptr,
         )
+        if change_feed:
+            deleted = existing.join(
+                F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_semi"
+            )
+            self._write_changes(
+                v, deleted.withColumn("_change_type", F.lit("delete"))
+            )
 
     def finalize(self, keep_versions: int = 1) -> None:
         """K3: compaction analog — drop superseded version directories."""
@@ -427,9 +481,9 @@ class ManagedTable:
         policy: MergePolicy,
         touched: list[int] | None,
         prev: dict | None,
-    ) -> None:
+    ) -> int:
         sort_cols = policy.keys if policy.cluster_on_keys else policy.bucket_cols
-        self._write_raw(
+        return self._write_raw(
             df, policy.bucket_cols, policy.num_buckets,
             sort_cols=sort_cols, touched=touched, prev=prev,
             zorder_cols=policy.zorder_cols,
@@ -444,7 +498,7 @@ class ManagedTable:
         touched: list[int] | None,
         prev: dict | None,
         zorder_cols: tuple[str, ...] | None = None,
-    ) -> None:
+    ) -> int:
         """Write the next version: hive-partition by bucket; one shuffle
         routes rows to their bucket, rows sorted by ``sort_cols`` within
         each file so parquet min/max footers prune later key lookups (the
@@ -486,6 +540,57 @@ class ManagedTable:
                 fh,
             )
         os.replace(tmp, ptr)  # atomic flip
+        return v
+
+    # ---- change data feed (fallback analog of Delta CDF) ----
+
+    def _changes_dir(self, v: int) -> str:
+        return os.path.join(self.path, "changes", f"v{v}")
+
+    def _write_changes(self, version: int, changes: DataFrame) -> None:
+        changes.write.mode("overwrite").parquet(self._changes_dir(version))
+
+    def change_versions(self) -> list[int]:
+        root = os.path.join(self.path, "changes")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(e[1:]) for e in os.listdir(root)
+            if e.startswith("v") and e[1:].isdigit()
+        )
+
+    def read_changes(
+        self, from_version: int = 1, to_version: int | None = None
+    ) -> DataFrame | None:
+        """Change data feed: every insert / update pre+post image / delete
+        the merges in [from_version, to_version] produced, with a
+        ``_commit_version`` column — incremental consumers re-derive
+        downstream state from KB-sized deltas instead of diffing full
+        snapshots. Requires merges to have run with
+        ``MergePolicy(change_feed=True)`` (Delta branch: the native
+        readChangeFeed with delta.enableChangeDataFeed)."""
+        if self._is_delta():
+            reader = (
+                self.spark.read.format("delta")
+                .option("readChangeFeed", "true")
+                .option("startingVersion", from_version)
+            )
+            if to_version is not None:
+                reader = reader.option("endingVersion", to_version)
+            return reader.load(self.path)
+        versions = [
+            v for v in self.change_versions()
+            if v >= from_version and (to_version is None or v <= to_version)
+        ]
+        if not versions:
+            return None
+        out = None
+        for v in versions:
+            part = self.spark.read.parquet(self._changes_dir(v)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out
 
 
 def dedupe_last_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:

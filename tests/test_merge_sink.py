@@ -469,3 +469,43 @@ def test_zorder_clustered_write_roundtrip(spark, tmp_path):
     tbl.merge(upd, pol)
     got = {r["id"]: (r["x"], r["y"]) for r in tbl.read().collect()}
     assert len(got) == 100 and got["5"] == (99, 99)
+
+
+def test_change_data_feed_classifies_and_accumulates(spark, tmp_path):
+    """Fallback CDF: inserts, update pre/post images, group deletes and
+    id deletes all land in the per-version change feed."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), group_field="grp",
+                      last_updated_field=None, num_buckets=4, change_feed=True)
+
+    # v1: initial load -> all inserts
+    t.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g1", 2), ("c", "g2", 3)], "id string, grp string, val int"
+    ), pol)
+    ch1 = t.read_changes(1, 1)
+    assert {r["_change_type"] for r in ch1.collect()} == {"insert"}
+    assert ch1.count() == 3
+
+    # v2: update a (pre+post), insert d into g1, omit b from g1 -> b stale-deleted
+    t.merge(spark.createDataFrame(
+        [("a", "g1", 10), ("d", "g1", 4)], "id string, grp string, val int"
+    ), pol)
+    ch2 = {(r["id"], r["_change_type"]): r["val"] for r in t.read_changes(2, 2).collect()}
+    assert ch2[("a", "update_preimage")] == 1
+    assert ch2[("a", "update_postimage")] == 10
+    assert ch2[("d", "insert")] == 4
+    assert ("b", "delete") in {k for k in ch2}
+    assert ("c", "delete") not in {k for k in ch2}  # g2 untouched
+
+    # v3: delete by id with feed
+    t.delete_ids(["c"], change_feed=True)
+    ch3 = t.read_changes(3, 3).collect()
+    assert len(ch3) == 1 and ch3[0]["id"] == "c" and ch3[0]["_change_type"] == "delete"
+
+    # full-range read carries commit versions; table state is correct
+    allch = t.read_changes()
+    assert {r["_commit_version"] for r in allch.collect()} == {1, 2, 3}
+    state = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert state == {("a", 10), ("d", 4)}
