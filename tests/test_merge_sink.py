@@ -509,3 +509,48 @@ def test_change_data_feed_classifies_and_accumulates(spark, tmp_path):
     assert {r["_commit_version"] for r in allch.collect()} == {1, 2, 3}
     state = {(r["id"], r["val"]) for r in t.read().collect()}
     assert state == {("a", 10), ("d", 4)}
+
+
+def test_incremental_rollup_tracks_recompute(spark, tmp_path):
+    """The CDF-maintained rollup equals a from-scratch groupBy at every
+    version — inserts, updates, group deletes, and id deletes included."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    src = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), group_field="grp",
+                      last_updated_field=None, num_buckets=4, change_feed=True)
+    roll = IncrementalRollup(
+        spark, src, str(tmp_path / "views"), "by_grp", ["grp"], "val"
+    )
+
+    def check():
+        applied = roll.refresh()
+        got = {
+            (r["grp"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()
+        }
+        want = {
+            (r["grp"], r["n"], r["s"])
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum(F.col("val").cast("double")).alias("s"))
+            .collect()
+        }
+        assert got == want, (got, want)
+        return applied
+
+    src.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g1", 2), ("c", "g2", 3)], "id string, grp string, val int"
+    ), pol)
+    assert check() == 1
+
+    # update + insert + stale group delete, all in one commit
+    src.merge(spark.createDataFrame(
+        [("a", "g1", 10), ("d", "g1", 4)], "id string, grp string, val int"
+    ), pol)
+    # plus an id delete as its own commit
+    src.delete_ids(["c"], change_feed=True)
+    assert check() == 2  # both unapplied commits picked up in one refresh
+
+    # no new commits -> no-op
+    assert check() == 0
