@@ -275,9 +275,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.split:
             from pyspark.sql import functions as _F
 
+            # read BACK the parquet just written: the report and leakage
+            # jobs scan the materialized output instead of re-executing
+            # the clean+LSH-dedup+pack lineage for each extra action
+            written = spark.read.parquet(args.output_dir)
             report["splits"] = {
                 r["split"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
-                for r in sharded.groupBy("split")
+                for r in written.groupBy("split")
                 .agg(
                     _F.count(_F.lit(1)).alias("n_docs"),
                     _F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -285,19 +289,10 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()
             }
             if args.check_leakage:
-                from cumulus_etl_spark.operators.corpus import _tokens, _word_ngrams
+                from cumulus_etl_spark.operators.corpus import gram_leakage_hits
 
-                grams = sharded.select(
-                    args.id_col, "split",
-                    _F.explode(_word_ngrams(_tokens(args.text_col), 8)).alias("gram"),
-                )
-                train_grams = (
-                    grams.filter(_F.col("split") == "train").select("gram").distinct()
-                )
                 leaked = (
-                    grams.filter(_F.col("split") != "train")
-                    .select(args.id_col, "split", "gram").distinct()
-                    .join(_F.broadcast(train_grams), "gram")
+                    gram_leakage_hits(written, args.id_col, args.text_col, "split")
                     .groupBy("split")
                     .agg(_F.countDistinct(args.id_col).alias("n_leaked"))
                 )

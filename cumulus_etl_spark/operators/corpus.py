@@ -413,3 +413,40 @@ def dsir_logratio_scores(
             ).alias("score")
         )
     )
+
+
+def gram_leakage_hits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    ngram: int = 8,
+) -> DataFrame:
+    """Per held-out doc, how many distinct word ``ngram``-grams it shares
+    with the TRAIN split — the leakage audit behind both the
+    ``corpus_split_leakage`` catalog entry and the corpus verb's
+    ``--check-leakage``.
+
+    Scale shape: unlike benchmark decontamination (tiny eval side →
+    broadcast), the train gram set here is ~98% of the corpus — it must
+    NOT be broadcast. This is a plain shuffle join on the gram; AQE picks
+    the physical strategy, and at 100 TB the right follow-up is hashing
+    grams to int64 before the join to shrink the shuffle.
+
+    Output: (split, id, n_shared) — one row per held-out doc that leaks.
+    """
+    grams = df.select(
+        F.col(id_col), F.col(split_col),
+        F.explode(_word_ngrams(_tokens(text_col), ngram)).alias("gram"),
+    )
+    train_grams = grams.filter(F.col(split_col) == "train").select("gram").distinct()
+    held = (
+        grams.filter(F.col(split_col) != "train")
+        .select(id_col, split_col, "gram")
+        .distinct()
+    )
+    return (
+        held.join(train_grams, "gram")
+        .groupBy(split_col, id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -483,26 +483,12 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The leakage check a hash split must pass before training: for each
     held-out split (val/test), how many docs share an 8-word gram with
     the TRAIN split, and how many grams leak in total. Composition of
-    hash_split + the decontamination gram machinery; the train gram set
-    broadcasts exactly like the benchmark set in corpus_decontaminate.
-    Docs too short to produce an 8-gram cannot leak but still count in
-    n_docs."""
+    hash_split + operators.corpus.gram_leakage_hits — note the train
+    gram side is ~98% of the corpus, so unlike decontamination (tiny
+    eval side) it is a SHUFFLE join, never a broadcast. Docs too short
+    to produce an 8-gram cannot leak but still count in n_docs."""
     d = C.hash_split(table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "split", C._tokens("text").alias("tok")
-    )
-    grams = toks.select(
-        "doc_id",
-        "split",
-        F.explode(C._word_ngrams(F.col("tok"), 8)).alias("gram"),
-    )
-    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
-    held = grams.filter(F.col("split") != "train").select("doc_id", "split", "gram").distinct()
-    hits = (
-        held.join(F.broadcast(train_grams), "gram")
-        .groupBy("split", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    hits = C.gram_leakage_hits(d, "doc_id", "text", "split", ngram=8)
     held_docs = d.filter(F.col("split") != "train").select("doc_id", "split")
     return (
         held_docs.join(hits, ["doc_id", "split"], "left")

@@ -53,15 +53,30 @@ class IncrementalRollup:
         )
         self._state_path = os.path.join(root, f"{name}.{_APPLIED_STATE}")
 
-    def applied_version(self) -> int:
+    def _state(self) -> dict:
         if not os.path.exists(self._state_path):
-            return 0
+            return {"version": 0, "prev_version": 0, "pending_rollup_version": None}
         with open(self._state_path) as fh:
-            return int(json.load(fh)["version"])
+            return json.load(fh)
+
+    def applied_version(self) -> int:
+        """Source change version the rollup actually reflects.
+
+        Crash-safe handshake: the state file is written BEFORE the rollup
+        merge, carrying the rollup version that merge is about to commit.
+        If that rollup version never materialized, the previous refresh
+        died mid-flight and the state rolls back to ``prev_version`` —
+        the deltas are re-applied instead of double-counted or dropped."""
+        st = self._state()
+        pending = st.get("pending_rollup_version")
+        if pending is not None and (self.table.current_version() or 0) < pending:
+            return int(st.get("prev_version", 0))
+        return int(st["version"])
 
     def refresh(self) -> int:
         """Apply all unapplied commits; returns how many were applied."""
-        start = self.applied_version() + 1
+        applied = self.applied_version()
+        start = applied + 1
         available = self.source.change_versions()
         todo = [v for v in available if v >= start]
         if not todo:
@@ -84,24 +99,37 @@ class IncrementalRollup:
                 F.col("__dv").alias("sum_value"),
             )
         else:
+            # LEFT join from the deltas: only TOUCHED groups are read,
+            # recombined and upserted — untouched groups survive through
+            # the merge sink untouched, so refresh cost is proportional
+            # to the change set, and the merge's bucket pruning keeps
+            # working (a full-outer join would rewrite every group).
             merged = (
-                old.join(deltas, self.group_cols, "full_outer")
+                deltas.join(old, self.group_cols, "left")
                 .select(
                     *self.group_cols,
-                    (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0)))
+                    (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn"))
                     .cast("bigint")
                     .alias("n_rows"),
                     (
-                        F.coalesce(F.col("sum_value"), F.lit(0.0))
-                        + F.coalesce(F.col("__dv"), F.lit(0.0))
+                        F.coalesce(F.col("sum_value"), F.lit(0.0)) + F.col("__dv")
                     ).alias("sum_value"),
                 )
             )
-        self.table.merge(merged, self.policy)
+        # state-first handshake (see applied_version)
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
         tmp = self._state_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": todo[-1]}, fh)
+            json.dump(
+                {
+                    "version": todo[-1],
+                    "prev_version": applied,
+                    "pending_rollup_version": (self.table.current_version() or 0) + 1,
+                },
+                fh,
+            )
         os.replace(tmp, self._state_path)
+        self.table.merge(merged, self.policy)
         return len(todo)
 
     def read(self) -> DataFrame | None:

@@ -250,9 +250,13 @@ class ManagedTable:
             return
         ptr = self._pointer()
         if ptr is None:
-            v = self._write_version(updates, policy, touched=None, prev=None)
             if policy.change_feed:
-                self._write_changes(v, updates.withColumn("_change_type", F.lit("insert")))
+                # Changes land BEFORE the pointer flip (the commit point);
+                # change_versions() caps at the committed version, so an
+                # orphan changes dir from a crashed merge is invisible and
+                # gets overwritten when its version number is reused.
+                self._write_changes(1, updates.withColumn("_change_type", F.lit("insert")))
+            self._write_version(updates, policy, touched=None, prev=None)
             return
         relayout = tuple(ptr.get("bucket_cols") or ()) != policy.bucket_cols or int(
             ptr.get("num_buckets") or 0
@@ -351,15 +355,19 @@ class ManagedTable:
             merged = merged.filter(~stale).drop("__g")
 
         out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
-        v = self._write_version(out, policy, touched=touched, prev=ptr)
         if policy.change_feed and change_parts:
             changes = change_parts[0]
             for p in change_parts[1:]:
                 changes = changes.unionByName(p, allowMissingColumns=True)
-            self._write_changes(v, changes)
+            # Pre-flip write: the pointer flip below is the commit point,
+            # so a crash here leaves only an invisible orphan changes dir
+            # (change_versions caps at the committed version).
+            self._write_changes((self.current_version() or 0) + 1, changes)
+        self._write_version(out, policy, touched=touched, prev=ptr)
 
     def delete_ids(
-        self, ids: DataFrame | list[str], id_col: str = "id", change_feed: bool = False
+        self, ids: DataFrame | list[str], id_col: str = "id",
+        change_feed: bool | None = None,
     ) -> None:
         """K2: delete rows by id. DataFrame-source anti-join — no 50k
         chunking needed (the reference chunks to protect a 6 GB driver;
@@ -398,21 +406,26 @@ class ManagedTable:
                 .distinct()
                 .collect()
             )
+        if change_feed is None:
+            # Inherit from the table: a feed-maintained table must never
+            # commit a silent hole that CDF consumers would skip forever.
+            change_feed = bool(ptr.get("change_feed", False))
         existing = self._read_version(ptr, buckets=touched)
         remaining = existing.join(
             F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_anti"
-        )
-        v = self._write_raw(
-            remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
-            touched=touched, prev=ptr,
         )
         if change_feed:
             deleted = existing.join(
                 F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_semi"
             )
             self._write_changes(
-                v, deleted.withColumn("_change_type", F.lit("delete"))
+                (self.current_version() or 0) + 1,
+                deleted.withColumn("_change_type", F.lit("delete")),
             )
+        self._write_raw(
+            remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
+            touched=touched, prev=ptr, change_feed=change_feed,
+        )
 
     def finalize(self, keep_versions: int = 1) -> None:
         """K3: compaction analog — drop superseded version directories."""
@@ -431,6 +444,14 @@ class ManagedTable:
         # schema evolution on UpdateAll/InsertAll — parity with the
         # reference's write_deltalake(schema_mode="merge") (deltalake.py:71)
         self.spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+        if policy.change_feed:
+            # Native CDF: default the property so the bootstrap write (and
+            # any re-created table) carries delta.enableChangeDataFeed;
+            # read side is ManagedTable.read_changes → readChangeFeed.
+            self.spark.conf.set(
+                "spark.databricks.delta.properties.defaults.enableChangeDataFeed",
+                "true",
+            )
         if not DeltaTable.isDeltaTable(self.spark, self.path):
             self._delta_write_initial(updates)
             return
@@ -486,7 +507,7 @@ class ManagedTable:
         return self._write_raw(
             df, policy.bucket_cols, policy.num_buckets,
             sort_cols=sort_cols, touched=touched, prev=prev,
-            zorder_cols=policy.zorder_cols,
+            zorder_cols=policy.zorder_cols, change_feed=policy.change_feed,
         )
 
     def _write_raw(
@@ -498,6 +519,7 @@ class ManagedTable:
         touched: list[int] | None,
         prev: dict | None,
         zorder_cols: tuple[str, ...] | None = None,
+        change_feed: bool = False,
     ) -> int:
         """Write the next version: hive-partition by bucket; one shuffle
         routes rows to their bucket, rows sorted by ``sort_cols`` within
@@ -536,6 +558,7 @@ class ManagedTable:
                     "schema": schema.json(),
                     "bucket_cols": list(bucket_cols),
                     "num_buckets": num_buckets,
+                    "change_feed": change_feed,
                 },
                 fh,
             )
@@ -551,12 +574,16 @@ class ManagedTable:
         changes.write.mode("overwrite").parquet(self._changes_dir(version))
 
     def change_versions(self) -> list[int]:
+        """Committed change versions only: a changes dir beyond the
+        current table version is an orphan from a crashed merge (changes
+        write before the pointer flip) and must stay invisible."""
         root = os.path.join(self.path, "changes")
         if not os.path.isdir(root):
             return []
+        cur = self.current_version() or 0
         return sorted(
             int(e[1:]) for e in os.listdir(root)
-            if e.startswith("v") and e[1:].isdigit()
+            if e.startswith("v") and e[1:].isdigit() and int(e[1:]) <= cur
         )
 
     def read_changes(
@@ -570,10 +597,12 @@ class ManagedTable:
         ``MergePolicy(change_feed=True)`` (Delta branch: the native
         readChangeFeed with delta.enableChangeDataFeed)."""
         if self._is_delta():
+            # Delta commit numbering starts at 0 (the bootstrap write);
+            # the fallback starts at v1 — map the default accordingly.
             reader = (
                 self.spark.read.format("delta")
                 .option("readChangeFeed", "true")
-                .option("startingVersion", from_version)
+                .option("startingVersion", max(0, from_version - 1))
             )
             if to_version is not None:
                 reader = reader.option("endingVersion", to_version)

@@ -554,3 +554,40 @@ def test_incremental_rollup_tracks_recompute(spark, tmp_path):
 
     # no new commits -> no-op
     assert check() == 0
+
+
+def test_incremental_rollup_crash_between_state_and_merge_reapplies(spark, tmp_path):
+    """If a refresh dies after writing its state file but before the
+    rollup merge commits, the next refresh re-applies the same deltas
+    (no double-count, no silent drop)."""
+    import json
+    import os
+
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    src = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), group_field=None,
+                      last_updated_field=None, num_buckets=4, change_feed=True)
+    src.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g2", 2)], "id string, grp string, val int"
+    ), pol)
+    roll = IncrementalRollup(
+        spark, src, str(tmp_path / "views"), "by_grp", ["grp"], "val"
+    )
+    assert roll.refresh() == 1
+
+    src.merge(spark.createDataFrame([("c", "g1", 5)], "id string, grp string, val int"), pol)
+    # Simulate the crash: state written for version 2 with a pending
+    # rollup version that never committed.
+    state_path = roll._state_path
+    with open(state_path, "w") as fh:
+        json.dump({"version": 2, "prev_version": 1,
+                   "pending_rollup_version": (roll.table.current_version() or 0) + 1}, fh)
+    assert roll.applied_version() == 1  # rolled back to prev
+
+    assert roll.refresh() == 1  # re-applies version 2 exactly once
+    got = {(r["grp"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()}
+    assert got == {("g1", 2, 6.0), ("g2", 1, 2.0)}
+    # a third refresh is a no-op
+    assert roll.refresh() == 0
