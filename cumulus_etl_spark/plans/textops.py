@@ -608,3 +608,45 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("word", "df", "tf", "postings")
     )
+
+
+_QUALITY_CUT_ORACLE = r"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS pr
+  FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN pr >= 0.5 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("corpus_quality_percentile_cut", _QUALITY_CUT_ORACLE, tags=("text", "corpus", "quality"))
+def corpus_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-percentile filtering — keep each source's top
+    half by score (token count here stands in for a trained classifier
+    score; see the train-filter verb) using PERCENT_RANK per source.
+    This is the relative-threshold companion to absolute-score filters:
+    at 100 TB the window shuffles once on source, and the per-source
+    state is a sort within its partition — no global ordering anywhere.
+    Ties break on doc_id so the cut is deterministic on both engines."""
+    d = table(spark, sf_dir, "documents")
+    feats = d.select("doc_id", "source", T.token_count("text").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = feats.withColumn("pr", F.percent_rank().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pr") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("pr") >= 0.5, F.col("n_tokens")).otherwise(0)).cast("bigint").alias("kept_tokens"),
+    )
