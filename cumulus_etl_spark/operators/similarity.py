@@ -444,3 +444,71 @@ def semdedup(
     return assigned.join(dropped, "id", "left").select(
         "id", "cluster", F.col("is_dup").isNull().alias("keep")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    lam: float = 0.7,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "score",
+    vec_col: str = "cvec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick candidates maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_picked`` — the
+    diversity pass retrieval stacks run after ANN.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY but
+    embarrassingly parallel ACROSS queries, and each group is only the
+    candidate list (tens of rows), so ``applyInPandas`` is the sanctioned
+    tool — one shuffle on query_id, numpy inside, never the corpus.
+
+    Input: one row per (query, candidate) with the candidate vector
+    (knn_bruteforce/ann_lsh output joined back to vectors).
+    Output: (query_id, rank, neighbor_id, score, mmr_score).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, rank int, {id_col} long, "
+        f"{score_col} double, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([score_col, id_col], ascending=[False, True])
+        vecs = np.array([list(v) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        qid = pdf[query_col].iloc[0]
+        picked: list[int] = []
+        mmr_scores: list[float] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(picked) < k:
+            if picked:
+                sim_to_picked = (vn[remaining] @ vn[picked].T).max(axis=1)
+            else:
+                sim_to_picked = np.zeros(len(remaining))
+            mmr = lam * rel[remaining] - (1 - lam) * sim_to_picked
+            # deterministic: ties break toward the lower candidate index,
+            # which is the (score desc, id asc) presort order
+            best = int(np.argmax(mmr))
+            picked.append(remaining.pop(best))
+            mmr_scores.append(float(mmr[best]))
+        return pd.DataFrame(
+            {
+                query_col: [qid] * len(picked),
+                "rank": list(range(1, len(picked) + 1)),
+                id_col: ids[picked],
+                score_col: rel[picked],
+                "mmr_score": mmr_scores,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)

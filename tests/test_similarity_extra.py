@@ -86,3 +86,53 @@ def test_semdedup_keeps_lowest_id_per_duplicate_group(spark, sf_smoke):
                 for other in members
             )
             assert rows[vid][1] == (not expect_drop), (vid, cl)
+
+
+def test_mmr_rerank_diversifies_and_keeps_relevance_order_first(spark, sf_smoke):
+    import math
+
+    from cumulus_etl_spark.operators.similarity import (
+        as_double_array,
+        knn_bruteforce,
+        mmr_rerank,
+    )
+    from cumulus_etl_spark.sources import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    knn = knn_bruteforce(emb, queries, k=20)
+    cands = knn.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   as_double_array("embedding").alias("cvec")),
+        "neighbor_id",
+    )
+    out = mmr_rerank(cands, lam=0.5, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: r["v"] for r in
+            emb.select("vec_id", as_double_array("embedding").alias("v")).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) == 5
+        # rank 1 is always the plain most-relevant candidate
+        top = max((r for r in out if r["query_id"] == qid), key=lambda r: r["score"])
+        assert rows[0]["neighbor_id"] == top["neighbor_id"]
+        # at lambda=0.5 the picked set is no LESS diverse than plain top-5:
+        picked = [r["neighbor_id"] for r in rows]
+        plain = [r["neighbor_id"] for r in sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: -r["score"])][:5]
+        def max_pair_sim(idset):
+            return max(cos(vecs[a], vecs[b]) for a in idset for b in idset if a < b)
+        # (same or lower maximum intra-set similarity)
+        # plain set comes from the MMR output's score field, so compute on ids
+        assert max_pair_sim(picked) <= max_pair_sim(plain) + 1e-9
+    # determinism
+    out2 = mmr_rerank(cands, lam=0.5, k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
