@@ -372,3 +372,25 @@ def vector_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
     )
+
+
+@register("vector_mmr_rerank", None, tags=("vector", "search"))
+def vector_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of brute-force top-20 candidates down to
+    top-5 per query (operators/similarity.py:mmr_rerank). Greedy
+    selection is sequential per query but parallel across queries, over
+    candidate groups of bounded size — a sanctioned Arrow/pandas stage
+    (like the multimodal codecs): the corpus itself never crosses into
+    Python. Rows-only; diversity/determinism pytest-pinned
+    (tests/test_similarity_extra.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    knn = S.knn_bruteforce(emb, queries, k=20)
+    cands = knn.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            S.as_double_array("embedding").alias("cvec"),
+        ),
+        "neighbor_id",
+    )
+    return S.mmr_rerank(cands, lam=0.7, k=_K)
