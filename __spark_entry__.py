@@ -56,7 +56,9 @@ _GATE_PRIORITY = [
 # corpus_train_val_split, corpus_chunk_overlap, corpus_importance_rank,
 # text_bigram_lm_score, text_inverted_index, graph_pagerank_step,
 # events_markov_transitions, profile_orders, ml_gram_matrix,
-# cdc_snapshot_diff, agg_salted_returnflag, window_session_native.
+# cdc_snapshot_diff, agg_salted_returnflag, window_session_native,
+# agg_hll_sketch_rollup, corpus_split_leakage, scalar_array_functions,
+# corpus_quality_percentile_cut, vector_mmr_rerank.
 
 
 def _ordered() -> list[str]:
