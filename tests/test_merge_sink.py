@@ -591,3 +591,25 @@ def test_incremental_rollup_crash_between_state_and_merge_reapplies(spark, tmp_p
     assert got == {("g1", 2, 6.0), ("g2", 1, 2.0)}
     # a third refresh is a no-op
     assert roll.refresh() == 0
+
+
+def test_delete_ids_inherits_change_feed_from_table(spark, tmp_path):
+    """A feed-maintained table never commits a silent CDF hole: delete_ids
+    without an explicit flag emits delete changes because the pointer
+    records change_feed=True; an explicit False still opts out."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=4, change_feed=True)
+    t.merge(spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, val int"
+    ), pol)
+
+    t.delete_ids(["b"])  # no flag -> inherited from the table pointer
+    ch = t.read_changes(2, 2).collect()
+    assert len(ch) == 1 and ch[0]["id"] == "b" and ch[0]["_change_type"] == "delete"
+
+    t.delete_ids(["c"], change_feed=False)  # explicit opt-out respected
+    assert 3 not in t.change_versions()
+    assert {r["id"] for r in t.read().collect()} == {"a"}
