@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     p_tf.add_argument("--lr", type=float, default=0.5)
     p_tf.add_argument("--iters", type=int, default=20)
 
+    p_prof = sub.add_parser(
+        "profile", help="single-pass column profile (nulls/distinct/min-max) of a parquet path"
+    )
+    p_prof.add_argument("input_path")
+    p_prof.add_argument("--approx", action="store_true",
+                        help="HLL-approximate distinct counts (single-pass at any width)")
+
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
     )
@@ -412,6 +419,24 @@ def main(argv: list[str] | None = None) -> int:
             report[name] = {"dropped": len(before) - len(tbl.versions()),
                             "kept": len(tbl.versions())}
         print(json.dumps({"optimized": report}))
+        return 0
+    if args.verb == "profile":
+        from cumulus_etl_spark.operators.profile import profile_columns
+
+        prof = profile_columns(spark.read.parquet(args.input_path), approx=args.approx)
+        rows = prof.collect()
+        print(json.dumps({
+            "n_rows": rows[0]["n_rows"] if rows else 0,
+            "columns": {
+                r["column_name"]: {
+                    "dtype": r["dtype"], "n_nulls": r["n_nulls"],
+                    "n_distinct": r["n_distinct"],
+                    "min": r["min_num"], "max": r["max_num"],
+                }
+                for r in rows
+            },
+            "approx_distinct": bool(args.approx),
+        }))
         return 0
     if args.verb == "stats":
         import os as _os

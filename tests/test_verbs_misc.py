@@ -204,3 +204,28 @@ def test_cli_stats_verb(spark, tmp_path, capsys):
     pt = out["tables"]["patient"]
     assert pt["rows"] == 2 and pt["columns"] == 2
     assert pt["current_version"] == 1 and pt["bytes_on_disk"] > 0
+
+
+def test_profile_verb_single_pass_column_stats(spark, sf_smoke, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    rc = main(["profile", f"{sf_smoke}/orders.parquet"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cols = out["columns"]
+    assert out["n_rows"] > 0 and not out["approx_distinct"]
+    assert cols["o_orderkey"]["n_nulls"] == 0
+    assert cols["o_orderkey"]["n_distinct"] == out["n_rows"]  # primary key
+    assert cols["o_orderkey"]["min"] is not None
+    assert cols["o_orderstatus"]["min"] is None  # non-numeric -> no min/max
+    assert cols["o_orderdate"]["min"] is not None  # timestamp -> epoch seconds
+
+    # approximate mode: same shape, distincts within HLL tolerance
+    rc = main(["profile", f"{sf_smoke}/orders.parquet", "--approx"])
+    assert rc == 0
+    approx = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exact_d = cols["o_custkey"]["n_distinct"]
+    got_d = approx["columns"]["o_custkey"]["n_distinct"]
+    assert abs(got_d - exact_d) <= max(2, 0.1 * exact_d)
