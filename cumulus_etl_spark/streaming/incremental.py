@@ -114,3 +114,44 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_changes(spark: SparkSession, table) -> DataFrame:
+    """Streaming CDC source over a ManagedTable's change feed: a file
+    stream tailing ``<table>/changes`` — each new commit's change files
+    are one micro-batch input, so downstream consumers (stateful aggs,
+    stream-stream joins, foreachBatch appliers) ride the standard
+    Structured Streaming machinery with checkpoint/resume for free.
+
+    ``_commit_version`` is parsed from the file path; the schema is the
+    table's contractual schema (from the pointer) plus ``_change_type``,
+    so the stream starts cleanly even before the first commit. Orphan
+    change dirs from a crashed merge are overwritten when their version
+    commits, so at worst a consumer sees that version's rows once —
+    idempotent appliers (keyed upserts) are unaffected.
+
+    Delta deployments stream the native feed instead:
+    ``spark.readStream.format("delta").option("readChangeFeed", "true")``.
+    """
+    import os as _os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    base_schema = table.schema()
+    if base_schema is None:
+        raise ValueError(f"table {table.name!r} has no schema yet (never written)")
+    schema = StructType(
+        list(base_schema.fields) + [StructField("_change_type", StringType())]
+    )
+    changes_root = _os.path.join(table.path, "changes")
+    _os.makedirs(changes_root, exist_ok=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(changes_root)
+    )
+    return stream.withColumn(
+        "_commit_version",
+        F.regexp_extract(F.input_file_name(), r"changes/v(\d+)/", 1).cast("int"),
+    )

@@ -579,3 +579,44 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     got = {r["uid"]: r["cts"] for r in
            interval_join(bi, bc, "uid", "its", "cts", how="left_outer").collect()}
     assert got[1] is not None and got[2] is None
+
+
+def test_stream_changes_tails_the_change_feed(spark, tmp_path):
+    """The change feed is a streaming CDC source: each run picks up only
+    new commits; checkpoint resume works like any file stream."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.streaming import stream_changes
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=2, change_feed=True)
+    t.merge(spark.createDataFrame([("a", 1), ("b", 2)], "id string, val int"), pol)
+
+    ckpt = str(tmp_path / "cdc-ckpt")
+    out_dir = str(tmp_path / "cdc-out")
+
+    def run_once():
+        q = (
+            stream_changes(spark, t)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    first = run_once()
+    assert {(r["id"], r["_change_type"], r["_commit_version"]) for r in first} == {
+        ("a", "insert", 1), ("b", "insert", 1),
+    }
+
+    # a second commit: only ITS rows arrive in the next run
+    t.merge(spark.createDataFrame([("a", 10)], "id string, val int"), pol)
+    second = run_once()
+    new_rows = {(r["id"], r["_change_type"], r["_commit_version"]) for r in second} - {
+        (r["id"], r["_change_type"], r["_commit_version"]) for r in first
+    }
+    assert new_rows == {("a", "update_preimage", 2), ("a", "update_postimage", 2)}
