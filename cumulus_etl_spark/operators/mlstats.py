@@ -106,6 +106,13 @@ def logreg_train_gd(
     import math
 
     xs_raw = _xcols(features)
+    # A NULL feature/label would be skipped by F.sum but still counted in
+    # n, silently diluting the gradient and loss — drop those rows first
+    # so n and the sums see the same population.
+    notnull = label.isNotNull()
+    for x in xs_raw:
+        notnull = notnull & x.isNotNull()
+    df = df.filter(notnull)
     std_stats: list[tuple[float, float]] | None = None
     if standardize:
         stats = df.agg(

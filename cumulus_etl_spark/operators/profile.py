@@ -54,15 +54,15 @@ def profile_columns(df: DataFrame, approx: bool = False) -> DataFrame:
             F.struct(
                 F.lit(f.name).alias("column_name"),
                 F.lit(f.dataType.simpleString()).alias("dtype"),
-                F.col(f"{f.name}__nulls").alias("n_nulls"),
-                F.col(f"{f.name}__distinct").alias("n_distinct"),
+                F.col(f"`{f.name}__nulls`").alias("n_nulls"),
+                F.col(f"`{f.name}__distinct`").alias("n_distinct"),
                 (
-                    F.col(f"{f.name}__min")
+                    F.col(f"`{f.name}__min`")
                     if isinstance(f.dataType, _NUMERICISH)
                     else F.lit(None).cast("double")
                 ).alias("min_num"),
                 (
-                    F.col(f"{f.name}__max")
+                    F.col(f"`{f.name}__max`")
                     if isinstance(f.dataType, _NUMERICISH)
                     else F.lit(None).cast("double")
                 ).alias("max_num"),

@@ -520,7 +520,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded bigrams — the model tables are vocabulary-sized, so at
     100 TB both broadcast."""
     d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = d.select("doc_id", T.words_array("text").alias("w")).filter(F.size("w") >= 2)
+    toks = d.select(
+        "doc_id", T.words_array(F.lower(F.col("text"))).alias("w")
+    ).filter(F.size("w") >= 2)
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -537,7 +539,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's UNNEST over every token array.
     docs_all = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     v = (
-        docs_all.select(F.explode(T.words_array("text")).alias("word"))
+        docs_all.select(F.explode(T.words_array(F.lower(F.col("text")))).alias("word"))
         .agg(F.countDistinct("word").alias("v"))
     )
     terms = (

@@ -75,6 +75,20 @@ class IncrementalRollup:
 
     def refresh(self) -> int:
         """Apply all unapplied commits; returns how many were applied."""
+        if self.source._is_delta():
+            # The fallback handshake (state file + _CURRENT pointer +
+            # changes/ dir) does not exist on a Delta table, so this path
+            # would silently apply nothing and report 0 forever.  The
+            # Delta-native shape is a Structured Streaming job:
+            # spark.readStream.format("delta").option("readChangeFeed",
+            # "true") → foreachBatch(signed-delta merge) with the stream's
+            # checkpoint as the applied-version state.  Not implementable
+            # here (delta-spark unavailable; see sinks/merge.py HAVE_DELTA).
+            raise NotImplementedError(
+                "IncrementalRollup.refresh over a native Delta source: use "
+                "readChangeFeed streaming + foreachBatch merge; the fallback "
+                "state handshake does not apply to Delta commit numbering"
+            )
         applied = self.applied_version()
         start = applied + 1
         available = self.source.change_versions()

@@ -248,15 +248,16 @@ class ManagedTable:
         if HAVE_DELTA:
             self._merge_delta(updates, policy)
             return
+        self._publish_pending_changes()
         ptr = self._pointer()
         if ptr is None:
             if policy.change_feed:
-                # Changes land BEFORE the pointer flip (the commit point);
-                # change_versions() caps at the committed version, so an
-                # orphan changes dir from a crashed merge is invisible and
-                # gets overwritten when its version number is reused.
+                # Changes stage BEFORE the pointer flip (the commit point)
+                # and publish into changes/ only after it — see
+                # _write_changes for the streaming-visibility contract.
                 self._write_changes(1, updates.withColumn("_change_type", F.lit("insert")))
             self._write_version(updates, policy, touched=None, prev=None)
+            self._publish_changes(1)
             return
         relayout = tuple(ptr.get("bucket_cols") or ()) != policy.bucket_cols or int(
             ptr.get("num_buckets") or 0
@@ -355,15 +356,18 @@ class ManagedTable:
             merged = merged.filter(~stale).drop("__g")
 
         out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
+        next_v = (self.current_version() or 0) + 1
         if policy.change_feed and change_parts:
             changes = change_parts[0]
             for p in change_parts[1:]:
                 changes = changes.unionByName(p, allowMissingColumns=True)
-            # Pre-flip write: the pointer flip below is the commit point,
-            # so a crash here leaves only an invisible orphan changes dir
-            # (change_versions caps at the committed version).
-            self._write_changes((self.current_version() or 0) + 1, changes)
+            # Pre-flip stage: the pointer flip below is the commit point;
+            # the publish after it is what makes the version visible to
+            # feed consumers (crash between the two is completed lazily by
+            # _publish_pending_changes).
+            self._write_changes(next_v, changes)
         self._write_version(out, policy, touched=touched, prev=ptr)
+        self._publish_changes(next_v)
 
     def delete_ids(
         self, ids: DataFrame | list[str], id_col: str = "id",
@@ -390,6 +394,7 @@ class ManagedTable:
                 .execute()
             )
             return
+        self._publish_pending_changes()
         ptr = self._pointer()
         if ptr is None:
             return
@@ -414,18 +419,17 @@ class ManagedTable:
         remaining = existing.join(
             F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_anti"
         )
+        next_v = (self.current_version() or 0) + 1
         if change_feed:
             deleted = existing.join(
                 F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_semi"
             )
-            self._write_changes(
-                (self.current_version() or 0) + 1,
-                deleted.withColumn("_change_type", F.lit("delete")),
-            )
+            self._write_changes(next_v, deleted.withColumn("_change_type", F.lit("delete")))
         self._write_raw(
             remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
             touched=touched, prev=ptr, change_feed=change_feed,
         )
+        self._publish_changes(next_v)
 
     def finalize(self, keep_versions: int = 1) -> None:
         """K3: compaction analog — drop superseded version directories."""
@@ -570,13 +574,56 @@ class ManagedTable:
     def _changes_dir(self, v: int) -> str:
         return os.path.join(self.path, "changes", f"v{v}")
 
+    def _staging_dir(self, v: int) -> str:
+        # Dot-prefixed AND outside changes/ — invisible both to Spark file
+        # sources (hidden-path rule) and to the streaming tail of changes/.
+        return os.path.join(self.path, ".changes_staging", f"v{v}")
+
     def _write_changes(self, version: int, changes: DataFrame) -> None:
-        changes.write.mode("overwrite").parquet(self._changes_dir(version))
+        """Stage the change files; ``_publish_changes`` moves them into
+        ``changes/vN`` only AFTER the pointer flip. The published dir is
+        therefore append-only-by-commit: a path under changes/ implies its
+        version committed, and a version's files are never rewritten — so
+        the streaming tail (streaming/incremental.py:stream_changes) can
+        never deliver phantom (uncommitted) rows or re-deliver a version
+        whose number was reused after a crashed merge."""
+        changes.write.mode("overwrite").parquet(self._staging_dir(version))
+
+    def _publish_changes(self, version: int) -> None:
+        dst = self._changes_dir(version)
+        src = self._staging_dir(version)
+        if not os.path.isdir(src):
+            return
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(dst):  # pre-staging legacy layout only
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+
+    def _publish_pending_changes(self) -> None:
+        """Crash recovery, run lazily from every feed access / merge:
+        a staged dir at or below the committed version is a commit whose
+        publish step was interrupted — complete it; one above is an
+        orphan from a merge that died before its pointer flip — drop it
+        (its number will be reused)."""
+        root = os.path.join(self.path, ".changes_staging")
+        if not os.path.isdir(root):
+            return
+        cur = self.current_version() or 0
+        for e in os.listdir(root):
+            if not (e.startswith("v") and e[1:].isdigit()):
+                continue
+            v = int(e[1:])
+            if v <= cur:
+                self._publish_changes(v)
+            else:
+                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
 
     def change_versions(self) -> list[int]:
-        """Committed change versions only: a changes dir beyond the
-        current table version is an orphan from a crashed merge (changes
-        write before the pointer flip) and must stay invisible."""
+        """Committed change versions only. Published dirs are committed by
+        construction (see ``_write_changes``); the ≤-current cap is kept
+        for tables written by the pre-staging layout, and the pending
+        sweep completes any publish a crash interrupted."""
+        self._publish_pending_changes()
         root = os.path.join(self.path, "changes")
         if not os.path.isdir(root):
             return []

@@ -125,10 +125,16 @@ def stream_changes(spark: SparkSession, table) -> DataFrame:
 
     ``_commit_version`` is parsed from the file path; the schema is the
     table's contractual schema (from the pointer) plus ``_change_type``,
-    so the stream starts cleanly even before the first commit. Orphan
-    change dirs from a crashed merge are overwritten when their version
-    commits, so at worst a consumer sees that version's rows once —
-    idempotent appliers (keyed upserts) are unaffected.
+    so the stream starts cleanly even before the first commit.
+
+    Exactly-once delivery: merges STAGE change files in a hidden dir and
+    rename them into ``changes/vN`` only after the pointer flip (the
+    commit point) — see ``ManagedTable._write_changes``. Paths under
+    ``changes/`` therefore always belong to committed versions and are
+    never rewritten, so the file stream can neither deliver phantom rows
+    from a crashed merge nor re-deliver a version whose number was
+    reused. A crash between flip and publish only delays that version's
+    delivery until the next feed access completes the rename.
 
     Delta deployments stream the native feed instead:
     ``spark.readStream.format("delta").option("readChangeFeed", "true")``.
@@ -143,6 +149,7 @@ def stream_changes(spark: SparkSession, table) -> DataFrame:
     schema = StructType(
         list(base_schema.fields) + [StructField("_change_type", StringType())]
     )
+    table._publish_pending_changes()  # complete any crash-interrupted publish
     changes_root = _os.path.join(table.path, "changes")
     _os.makedirs(changes_root, exist_ok=True)
     stream = (

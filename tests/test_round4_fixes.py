@@ -1,0 +1,190 @@
+"""Regression pins for the round-4 ADVICE fixes.
+
+- staged change-feed publish (no phantom / duplicate stream delivery)
+- IncrementalRollup loud failure on a native Delta source
+- profile_columns with dotted column names
+- logreg_train_gd null handling
+- text_bigram_lm_score case-folding parity with its oracle
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+from cumulus_etl_spark.sinks import merge as merge_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk(spark, tmp_path, feed=True):
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=4, change_feed=feed)
+    t.merge(spark.createDataFrame(
+        [("a", 1), ("b", 2)], "id string, val int"
+    ), pol)
+    return t, pol
+
+
+def test_changes_dir_holds_only_committed_versions(spark, tmp_path):
+    """Staged-publish protocol: changes/ never contains an uncommitted
+    version, and staging is drained after every merge."""
+    t, pol = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)
+
+    changes_root = os.path.join(t.path, "changes")
+    published = sorted(os.listdir(changes_root))
+    assert published == ["v1", "v2"]
+    staging = os.path.join(t.path, ".changes_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_crashed_merge_stage_is_invisible_then_dropped(spark, tmp_path):
+    """A merge that died after staging but before the pointer flip leaves
+    nothing under changes/ (no phantom stream delivery); the next feed
+    access discards the orphan stage."""
+    t, pol = _mk(spark, tmp_path)
+    # Simulate the crash: stage version cur+1 and never flip the pointer.
+    orphan = spark.createDataFrame([("zzz", 99)], "id string, val int").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    t._write_changes((t.current_version() or 0) + 1, orphan)
+
+    assert sorted(os.listdir(os.path.join(t.path, "changes"))) == ["v1"]
+    assert t.change_versions() == [1]  # also sweeps the orphan stage
+    assert not os.path.isdir(t._staging_dir(2))
+
+    # The reused version number publishes the REAL commit's rows only.
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)
+    ch2 = t.read_changes(2, 2).collect()
+    assert {r["id"] for r in ch2} == {"c"}
+
+
+def test_crash_between_flip_and_publish_is_completed_lazily(spark, tmp_path):
+    """Commit happened but the publish rename didn't: the next feed access
+    completes it, delivering the version exactly once."""
+    t, pol = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)
+    # Simulate: un-publish v2 back into the staging dir.
+    os.makedirs(os.path.dirname(t._staging_dir(2)), exist_ok=True)
+    os.replace(t._changes_dir(2), t._staging_dir(2))
+    assert sorted(os.listdir(os.path.join(t.path, "changes"))) == ["v1"]
+
+    assert t.change_versions() == [1, 2]  # recovery ran
+    assert os.path.isdir(t._changes_dir(2))
+    assert not os.path.isdir(t._staging_dir(2))
+    assert {r["id"] for r in t.read_changes(2, 2).collect()} == {"c"}
+
+
+def test_stream_changes_never_sees_staged_rows(spark, tmp_path):
+    """The streaming tail of changes/ only ever receives committed rows,
+    even with an orphan stage present."""
+    from cumulus_etl_spark.streaming import stream_changes
+
+    t, pol = _mk(spark, tmp_path)
+    orphan = spark.createDataFrame([("phantom", 0)], "id string, val int").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    t._write_changes(99, orphan)
+
+    out_dir = str(tmp_path / "out")
+    (
+        stream_changes(spark, t)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    assert {r["id"] for r in got.collect()} == {"a", "b"}
+    assert {r["_commit_version"] for r in got.collect()} == {1}
+
+
+def test_incremental_rollup_raises_on_delta_source(spark, tmp_path, monkeypatch):
+    """ADVICE r3: the fallback state handshake doesn't exist on Delta —
+    refresh must fail loudly instead of silently applying nothing."""
+    from tests.test_merge_sink import FakeDeltaTable, _fake_delta_initial
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    monkeypatch.setattr(merge_mod, "DeltaTable", FakeDeltaTable)
+    monkeypatch.setattr(merge_mod, "HAVE_DELTA", True)
+    monkeypatch.setattr(merge_mod.ManagedTable, "_delta_write_initial", _fake_delta_initial)
+
+    src = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    src.merge(spark.createDataFrame([("a", "g1", 1)], "id string, grp string, val int"),
+              MergePolicy(keys=("id",), last_updated_field=None))
+    roll = IncrementalRollup(
+        spark, src, str(tmp_path / "views"), "by_grp", ["grp"], "val"
+    )
+    with pytest.raises(NotImplementedError, match="readChangeFeed"):
+        roll.refresh()
+
+
+def test_profile_handles_dotted_column_names(spark):
+    """ADVICE r3: derived aggregate references must be backtick-quoted or a
+    legal-in-parquet dotted column name parses as a struct path."""
+    from cumulus_etl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(**{"a": 1, "b": None}), Row(**{"a": 2, "b": 5})]
+    ).withColumnRenamed("a", "a.x").withColumnRenamed("b", "b.y")
+    got = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert got["a.x"]["n_nulls"] == 0 and got["a.x"]["n_distinct"] == 2
+    assert got["b.y"]["n_nulls"] == 1
+    assert got["a.x"]["min_num"] == 1.0 and got["a.x"]["max_num"] == 2.0
+
+
+def test_logreg_ignores_null_rows_consistently(spark):
+    """ADVICE r3: rows with NULL features/label must not dilute n — the
+    fit over data-with-nulls equals the fit over pre-dropped data."""
+    from cumulus_etl_spark.operators.mlstats import logreg_train_gd
+
+    rows = [(float(i % 7) / 3.0, float((i * 5) % 11) / 5.0, i % 2) for i in range(60)]
+    clean = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(None, 1.0, 1), (2.0, None, 0), (1.0, 1.0, None)],
+        "x1 double, x2 double, y int",
+    ))
+    w_clean, loss_clean, _ = logreg_train_gd(
+        clean, ["x1", "x2"], F.col("y"), iters=5)
+    w_dirty, loss_dirty, _ = logreg_train_gd(
+        dirty, ["x1", "x2"], F.col("y"), iters=5)
+    assert w_clean == pytest.approx(w_dirty, abs=1e-12)
+    assert loss_clean == pytest.approx(loss_dirty, abs=1e-12)
+
+
+def test_bigram_lm_score_case_folds_like_its_oracle(spark, tmp_path):
+    """ADVICE r3: mixed-case text must produce oracle-identical scores —
+    parity previously held only because the generated corpus is all
+    lowercase."""
+    from cumulus_etl_spark.plans import CATALOG
+    from tests.oracle_harness import compare
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    for f in os.listdir(SF):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF, f), os.path.join(sf_dir, f))
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    upper = docs.withColumn(
+        "text",
+        F.when(F.crc32(F.col("doc_id").cast("string")) % 2 == 0, F.upper("text"))
+        .otherwise(F.initcap("text")),
+    )
+    # single parquet FILE (the testdata layout DuckDB's view expects)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        upper.toArrow(), os.path.join(sf_dir, "documents.parquet")
+    )
+    entry = CATALOG["text_bigram_lm_score"]
+    result = compare(spark, sf_dir, "text_bigram_lm_score", entry.build, entry.oracle)
+    assert result["ok"], result
