@@ -21,44 +21,40 @@ from cumulus_etl_spark.plans import CATALOG
 # inside the catalog stays grouped by module; this is presentation order
 # for the gate only.
 _GATE_PRIORITY = [
-    # -- never gated (38) --
-    "q12_priority_by_returnflag", "q13_customer_distribution",
-    "q16_supplier_cnt_by_part_class", "q17_small_quantity_revenue",
-    "join_full_outer_nation_wealth", "window_first_last_nth",
-    "set_except_all_multiplicity", "q20_promotion_suppliers",
-    "join_bloom_pruned_revenue", "agg_stats_moments",
-    "window_rank_distribution", "events_retention_cohort",
-    "agg_unpivot_components", "events_daily_gapfill",
-    "agg_histogram_totalprice", "sample_stratified",
-    "events_conversion_funnel", "text_doc_freq_topk", "text_tfidf_topk",
-    "multimodal_image_stats", "multimodal_audio_features",
-    "multimodal_frame_sample", "corpus_shard_by_budget",
-    "corpus_decontaminate", "corpus_passage_dedup", "corpus_pii_scrub",
-    "corpus_prepare_pipeline", "corpus_domain_mixture",
-    "text_ngram_jaccard_pairs", "text_minhash_dedup", "text_dedup_clusters",
-    "text_simhash_pairs", "text_gopher_quality", "vector_knn_bruteforce",
-    "vector_ann_lsh", "vector_ann_ivf", "vector_neardup_cosine",
-    "vector_norm_stats", "text_repetition_stats",
-    # -- new this round, never gated --
-    "events_anomaly_zscore", "vector_int8_quantize", "vector_int8_topk",
-    "text_bpe_merge_candidates", "deid_scrub_throughput",
-    "vector_ann_ivf_int8", "scalar_variant_semistructured",
-    "corpus_pack_sequences",
-    # -- ERR in round 2 (TIMESTAMP_NTZ regression, fixed): must re-prove --
-    "window_sessionize", "window_range_frame_rolling",
-    # -- gated once (1) --
-    "deid_anonymize_customers",
+    # -- never gated: the 19 round-3 additions + this round's new entry --
+    "window_session_native", "scalar_array_functions", "graph_pagerank_step",
+    "events_markov_transitions", "profile_orders", "ml_gram_matrix",
+    "cdc_snapshot_diff", "agg_salted_returnflag", "agg_hll_sketch_rollup",
+    "corpus_train_val_split", "corpus_chunk_overlap",
+    "corpus_importance_rank", "corpus_split_leakage",
+    "text_bigram_lm_score", "text_inverted_index",
+    "corpus_quality_percentile_cut", "vector_ann_lsh_recall",
+    "vector_kmeans_assign", "vector_semdedup", "vector_mmr_rerank",
+    # -- gated rows-only in r3, now carrying full oracles (round 4):
+    #    must re-prove as hash-checked green --
+    "corpus_prepare_pipeline", "text_minhash_dedup", "text_simhash_pairs",
+    "vector_ann_lsh", "vector_ann_ivf", "vector_ann_ivf_int8",
+    # -- freshness rotation: last green row is round 1 --
+    "deid_year_generalize", "text_token_stats", "text_quality_score",
+    "text_lang_id", "text_fingerprint_dedup",
+    # -- freshness rotation: gated in round 2 only (once ever) --
+    "q2_min_cost_supplier", "q4_priority_exists", "q15_top_supplier",
+    "q21_waiting_supplier", "q9_profit_by_nation_year", "q11_important_parts",
+    # -- freshness rotation: last green row is round 2 (two green rounds) --
+    "q1_pricing_summary", "agg_distinct_counts", "agg_rollup_region_nation",
+    "agg_cube_orders", "agg_string_collect", "events_hourly_rollup",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+    "join_brand_revenue", "join_semi_big_spenders", "join_anti_no_orders",
+    "join_left_outer_nations",
 ]
 
-# Round-3 session additions (never gated; the window is full this round —
-# rotate these INTO the first 50 in round 4, displacing entries that will
-# then hold fresh green rows): vector_kmeans_assign, vector_semdedup,
-# corpus_train_val_split, corpus_chunk_overlap, corpus_importance_rank,
-# text_bigram_lm_score, text_inverted_index, graph_pagerank_step,
-# events_markov_transitions, profile_orders, ml_gram_matrix,
-# cdc_snapshot_diff, agg_salted_returnflag, window_session_native,
-# agg_hll_sketch_rollup, corpus_split_leakage, scalar_array_functions,
-# corpus_quality_percentile_cut, vector_mmr_rerank.
+# Remaining last-gated-r2 entries (window_topk_per_customer,
+# window_running_total, window_lag_lead_events, window_moving_average,
+# set_except_quiet_customers, set_intersect_status, set_union_tagged,
+# scalar_* , dedup_*, sort_global_topk, sample_seeded, q6/q14/q18/q19/q22,
+# q7/q8, agg_grouping_sets, agg_approx_distinct, agg_pivot_event_types,
+# agg_percentiles, set_intersect_all_multiplicity, join_asof/join_range)
+# rotate into the round-5 window; everything else holds a round-3 row.
 
 
 def _ordered() -> list[str]:

@@ -323,36 +323,119 @@ def simhash64(text_col: Column | str, ngram: int = 2) -> Column:
     return packed
 
 
+def simhash_blocks_md5(text_col: Column | str, ngram: int = 2, blocks: int = 4) -> Column:
+    """64-bit SimHash as an array of ``blocks`` block values (16 bits
+    each at blocks=4), feature-hashed with **md5** instead of xxhash64.
+
+    Why a second hash: md5 exists with identical output in DuckDB, so a
+    catalog entry built on this variant is fully oracle-checkable in SQL
+    (plans/textops.py _SIMHASH_ORACLE mirrors every step bit-for-bit) —
+    the xxhash64 variant (`simhash64`) stays the cheap JVM-hash default
+    for production pipelines. Bit i of a feature = bit (i mod 4) of hex
+    digit (i div 4) of md5(feature); signature bit = vote sum > 0; block
+    b packs bits [16b, 16b+16) little-endian. All expressions, one md5
+    per feature, no shuffle."""
+    width = 64 // blocks
+    feats = shingles(text_col, ngram)
+    hexes = F.transform(feats, lambda t: F.md5(t))
+
+    def bit_votes(h: Column) -> Column:
+        votes = []
+        for i in range(64):
+            c, b = divmod(i, 4)
+            digit = F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int")
+            votes.append(
+                F.when(F.shiftright(digit, b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+            )
+        return F.array(*votes)
+
+    votes = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
+    )
+    block_cols = []
+    for bidx in range(blocks):
+        s: Column | None = None
+        for j in range(width):
+            term = F.when(
+                F.element_at(votes, bidx * width + j + 1) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            s = term if s is None else s + term
+        block_cols.append(s)
+    return F.array(*block_cols)
+
+
+def _hamming_blocks(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: F.bit_count(p.bitwiseXOR(q)).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     blocks: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = 200,
+    feature_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: split the 64-bit signature into ``blocks``
     16-bit blocks; by pigeonhole, pairs within ``max_hamming`` ≤ blocks-1
     share ≥1 exact block → group per block value, verify Hamming ≤ max.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    ``max_bucket`` caps degenerate block buckets (near-identical-doc
+    floods) with the same collect-sorted-slice pair expansion as the
+    MinHash LSH path, so a skewed block value can't make the pair stage
+    quadratic — per-bucket work is O(cap²), ONE shuffle total. The slice
+    keeps the lowest ids, so the cap is deterministic (and mirrored
+    exactly in the SQL oracle). ``feature_hash='md5'`` selects the
+    DuckDB-portable signature (see simhash_blocks_md5)."""
     width = 64 // blocks
-    sigd = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
-    blocks_arr = F.array(
-        *[
-            F.shiftrightunsigned(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1))
-            for b in range(blocks)
-        ]
-    )
+    if feature_hash == "md5":
+        blocks_arr = simhash_blocks_md5(text_col, ngram=2, blocks=blocks)
+    else:
+        sig = simhash64(text_col)
+        blocks_arr = F.array(
+            *[
+                F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit((1 << width) - 1))
+                for b in range(blocks)
+            ]
+        )
+    sigd = df.select(F.col(id_col).alias("id"), blocks_arr.alias("blk"))
     exploded = sigd.select(
-        "id",
-        "sig",
-        F.posexplode(blocks_arr).alias("block_idx", "block_val"),
+        "id", F.posexplode(F.col("blk")).alias("block_idx", "block_val"), "blk"
     )
-    a = exploded.select("block_idx", "block_val", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = exploded.select("block_idx", "block_val", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = (
-        a.join(b, ["block_idx", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+    buckets = exploded.groupBy("block_idx", "block_val").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("id"), F.col("blk")))),
+            1,
+            max_bucket,
+        ).alias("members")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, max_bucket),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    _hamming_blocks(x["blk"], y["blk"]).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("members") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -79,6 +79,30 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
+def rademacher_planes_md5(dim: int, planes: int, tables: int) -> list[list[list[float]]]:
+    """±1 (Rademacher) hyperplane tensor derived from md5 of the
+    coordinates — sign-random-projection LSH is valid with ±1 entries
+    (Achlioptas-style sparse projections), and because DuckDB's md5
+    produces the same hex for the same string, a SQL oracle can rebuild
+    the EXACT tensor and hash-check the full ANN output (see
+    plans/vectorops.py _ANN_LSH_ORACLE). Plane component (t, p, d) is +1
+    iff the first hex digit of md5('plane:t:p:d') is < 8."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"plane:{t}:{p}:{d}".encode()).hexdigest()[0], 16) < 8
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for t in range(tables)
+    ]
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit j = sign(vec · plane_j), packed to a long."""
     bits = [
@@ -142,6 +166,7 @@ def ann_lsh(
     tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    planes_tensor: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via multi-table random-hyperplane LSH.
 
@@ -149,8 +174,16 @@ def ann_lsh(
     query if they collide in any table. Candidates are exact-cosine
     re-ranked. Recall rises with tables, cost with bucket size.
     Output: (query_id, rank, neighbor_id, score).
+
+    ``planes_tensor`` overrides the seeded Gaussian planes with a caller-
+    supplied [tables][planes][dim] tensor (e.g. rademacher_planes_md5 for
+    a SQL-reproducible variant).
     """
-    all_planes = [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+    all_planes = (
+        planes_tensor
+        if planes_tensor is not None
+        else [_hyperplanes(dim, planes, seed + t) for t in range(tables)]
+    )
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         v = as_double_array(vec_col)

@@ -192,12 +192,88 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth.select(*cols)
 
 
-@register("corpus_prepare_pipeline", None, tags=("text", "corpus", "dedup"), bench=True)
+def _lang_hits(words: tuple[str, ...]) -> str:
+    pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+# Every stage of prepare_corpus, mirrored: quality gate, stopword-vote
+# language id, fingerprint min-id dedup, then the EXACT all-pairs
+# 3-shingle Jaccard dedup standing in for the LSH stage (same drop rule;
+# identical whenever band recall is 1 — see text_minhash_dedup).
+def _pipeline_oracle() -> str:
+    return rf"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END
+              AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_punct,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         {_lang_hits(T.LANG_STOPWORDS['de'])} AS h_de,
+         {_lang_hits(T.LANG_STOPWORDS['en'])} AS h_en,
+         {_lang_hits(T.LANG_STOPWORDS['es'])} AS h_es,
+         {_lang_hits(T.LANG_STOPWORDS['fr'])} AS h_fr
+  FROM documents
+),
+good AS (
+  SELECT doc_id, source, text, n_tokens FROM feats
+  WHERE n_tokens >= 10
+    AND n_punct / GREATEST(n_chars, 1) <= 0.2
+    AND CASE
+          WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+          WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+          WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+          WHEN h_fr > 0 THEN 'fr'
+          ELSE 'und'
+        END = 'en'
+),
+exact AS (
+  SELECT doc_id, source, text, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM good
+  ) WHERE rn = 1
+),
+sh AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         END AS sh
+  FROM (SELECT doc_id, source, n_tokens,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM exact)
+),
+sized AS (SELECT doc_id, source, n_tokens, sh, len(sh) AS sz FROM sh),
+losers AS (
+  SELECT DISTINCT b.doc_id AS loser
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) >= 0.7 * greatest(a.sz, b.sz)
+   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.7
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sized WHERE doc_id NOT IN (SELECT loser FROM losers)
+GROUP BY source
+"""
+
+
+@register(
+    "corpus_prepare_pipeline", _pipeline_oracle(), tags=("text", "corpus", "dedup"),
+    bench=True,
+)
 def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-cleaning composition: quality band → language
     filter → exact-fingerprint dedup → MinHash-LSH fuzzy dedup →
-    per-source survivor counts. Rows-only (the LSH stage is the
-    non-SQL-expressible part); every stage is individually gated."""
+    per-source survivor counts. The oracle composes the per-stage SQL
+    mirrors (each also individually gated), with exact all-pairs Jaccard
+    standing in for the LSH candidate stage — identical output whenever
+    band recall is 1, which this hash check re-proves every round."""
     d = table(spark, sf_dir, "documents")
     survivors = C.prepare_corpus(d, lang="en")
     return survivors.groupBy("source").agg(

@@ -32,7 +32,10 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack→decode→embed image pipeline, aggregated: per media kind,
     row count, mean decoded width/height, mean byte size, and mean
     first-embedding component. Exercises the metadata expressions, the
-    Arrow batch path, and the nested-struct output schema end-to-end."""
+    Arrow batch path, and the nested-struct output schema end-to-end.
+    No oracle by design: the decode/embed stages are Pandas-UDF binary
+    processing DuckDB has no analog for (rows-only; decoders are
+    unit-tested against genuine containers in test_multimodal.py)."""
     packed = M.pack_media(_payloads(spark, sf_dir, "image"), "payload", "ct")
     decoded = M.decode_images(packed)
     embedded = M.embed_media(decoded)
@@ -52,7 +55,9 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature pass (stub codec, real vectorized DSP): per-doc
     duration/RMS/peak/zero-crossing-rate, filtered to non-trivial
-    clips and top-100 by duration with a doc_id tiebreak."""
+    clips and top-100 by duration with a doc_id tiebreak.
+    No oracle by design: the DSP runs in a Pandas UDF over binary
+    payloads (no DuckDB analog); rows-only + unit-tested decoders."""
     packed = M.pack_media(_payloads(spark, sf_dir, "audio"), "payload", "ct")
     feats = M.extract_audio_features(packed)
     return (
@@ -72,7 +77,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out: one row per sampled frame with the
     parent metadata carried along; aggregated to frames-per-video
-    distribution so the result is small and stable."""
+    distribution so the result is small and stable.
+    No oracle by design: frame extraction is Pandas-UDF binary
+    processing (no DuckDB analog); rows-only + unit-tested decoders."""
     packed = M.pack_media(_payloads(spark, sf_dir, "video"), "payload", "ct")
     frames = M.sample_video_frames(packed)
     per_video = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))

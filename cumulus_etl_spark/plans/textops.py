@@ -213,11 +213,43 @@ def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_minhash_dedup", None, tags=("text", "dedup"), bench=True)
+_MINHASH_SURVIVOR_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         END AS sh
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+),
+sized AS (SELECT doc_id, lang, source, sh, len(sh) AS sz FROM sh),
+losers AS (
+  SELECT DISTINCT b.doc_id AS loser
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) >= 0.7 * greatest(a.sz, b.sz)
+   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       / (a.sz + b.sz - len(list_intersect(a.sh, b.sh))) >= 0.7
+)
+SELECT doc_id, lang, source FROM sized
+WHERE doc_id NOT IN (SELECT loser FROM losers)
+"""
+
+
+@register("text_minhash_dedup", _MINHASH_SURVIVOR_ORACLE, tags=("text", "dedup"), bench=True)
 def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH fuzzy dedup survivors (shingle→minhash→band→bucket-join
-    →exact-Jaccard verify). Probabilistic candidate gen → rows-only check;
-    recall vs exact all-pairs is pytest-asserted."""
+    →exact-Jaccard verify, drop the greater id of each verified pair).
+
+    The oracle is the EXACT all-pairs 3-shingle-Jaccard dedup with the
+    same drop rule — LSH is only a candidate filter ahead of the exact
+    verify, so the survivor sets agree whenever band recall is 1, which
+    holds on this corpus at both gate scales (asserted by
+    tests/test_round4_fixes.py::test_minhash_survivors_equal_exact and
+    re-proven by this hash check every round: a recall regression turns
+    the driver row red)."""
     d = table(spark, sf_dir, "documents")
     return D.ngram_jaccard_dedup(d, "doc_id", "text", shingle_k=3, threshold=0.7).select(
         "doc_id", "lang", "source"
@@ -272,11 +304,70 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_simhash_pairs", None, tags=("text", "dedup"))
+_SIMHASH_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i + 1]))
+         END AS feats
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+),
+fh AS (SELECT doc_id, md5(f) AS h FROM sh, UNNEST(feats) AS u(f)),
+votes AS (
+  SELECT doc_id, i AS bit,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, (i // 4) + 1, 1)) - 1)
+                        >> (i % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM fh, UNNEST(generate_series(0, 63)) AS g(i)
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id, bit // 16 AS block_idx,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << (bit % 16)) ELSE 0 END)
+              AS BIGINT) AS block_val
+  FROM votes GROUP BY doc_id, bit // 16
+),
+blk AS (SELECT doc_id, list(block_val ORDER BY block_idx) AS blks
+        FROM sigs GROUP BY doc_id),
+buckets AS (
+  SELECT block_idx, block_val, list_sort(list(doc_id)) AS ids
+  FROM sigs GROUP BY block_idx, block_val
+),
+capped AS (SELECT ids[1:200] AS ids FROM buckets WHERE len(ids) > 1),
+cand AS (
+  SELECT DISTINCT ids[i] AS id_a, ids[j] AS id_b
+  FROM capped,
+       UNNEST(generate_series(1, len(ids))) AS ui(i),
+       UNNEST(generate_series(1, len(ids))) AS uj(j)
+  WHERE i < j
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(bit_count(xor(a.blks[1], b.blks[1])) + bit_count(xor(a.blks[2], b.blks[2]))
+            + bit_count(xor(a.blks[3], b.blks[3])) + bit_count(xor(a.blks[4], b.blks[4]))
+              AS INTEGER) AS hamming
+  FROM cand c JOIN blk a ON a.doc_id = c.id_a JOIN blk b ON b.doc_id = c.id_b
+)
+WHERE hamming <= 3
+"""
+
+
+@register("text_simhash_pairs", _SIMHASH_ORACLE, tags=("text", "dedup"))
 def text_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, 4-block pigeonhole, Hamming ≤ 3)."""
+    """SimHash near-dup pairs (64-bit, 4-block pigeonhole, Hamming ≤ 3,
+    bucket-capped). The pigeonhole candidate stage is EXACT — any pair at
+    Hamming ≤ 3 must agree on one of the 4 blocks — so with the md5
+    feature hash (identical in DuckDB) the whole pipeline is
+    deterministic and the oracle mirrors it bit-for-bit: shingle →
+    md5-nibble bit votes → 4×16-bit blocks → capped block buckets →
+    Hamming verify."""
     d = table(spark, sf_dir, "documents")
-    return D.simhash_candidates(d, "doc_id", "text", blocks=4, max_hamming=3)
+    return D.simhash_candidates(
+        d, "doc_id", "text", blocks=4, max_hamming=3, feature_hash="md5"
+    )
 
 
 _GOPHER_ORACLE = r"""

@@ -3,8 +3,11 @@
 The brute-force top-k is oracle-checked against DuckDB computing the
 identical sequential-fold cosine (list_zip→list_transform→list_sum mirrors
 zip_with→aggregate, so the doubles match bit-for-bit; scores additionally
-rounded to 6 dp for belt-and-braces). The LSH ANN path is rows-only;
-its recall is pytest-asserted against the brute-force oracle.
+rounded to 6 dp for belt-and-braces). The ANN paths are oracle-checked
+too: the LSH planes and IVF coarse centroids are chosen SQL-reproducibly
+(md5-derived ±1 tensor / corpus-seeded centroids), so DuckDB rebuilds the
+exact same index structure and the driver hash-checks full ANN outputs
+and the recall@k invariants — not just row counts.
 """
 
 from __future__ import annotations
@@ -53,26 +56,187 @@ def vector_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
-@register("vector_ann_lsh", None, tags=("vector",), bench=True)
-def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via multi-table random-hyperplane LSH: bucket join +
-    exact re-rank within buckets (the 100TB path — no cross product)."""
+# Every signature / candidate / re-rank step of the LSH ANN, mirrored:
+# the ±1 plane tensor rebuilds from md5 (identical hex in DuckDB), the
+# dot products are the same sequential folds the knn oracle proves
+# bit-exact, and the bucket ids are exact integer packs of sign bits.
+_ANN_LSH_CTES = f"""
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+signs AS (
+  SELECT t, p,
+         list(CASE WHEN strpos('01234567',
+                              substr(md5('plane:'||t||':'||p||':'||d), 1, 1)) > 0
+                   THEN 1.0 ELSE -1.0 END ORDER BY d) AS pl
+  FROM generate_series(0, 7) AS gt(t),
+       generate_series(0, 3) AS gp(p),
+       generate_series(0, 63) AS gd(d)
+  GROUP BY t, p
+),
+sigs AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(v, pl), x -> x[1] * x[2])) >= 0
+                       THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs, signs
+  GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+),
+ann_scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS score
+  FROM cand
+  JOIN vecs a ON a.vec_id = cand.query_id
+  JOIN vecs b ON b.vec_id = cand.neighbor_id
+),
+ann_topk AS (
+  SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+  FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM ann_scored
+  )
+  WHERE rank <= {_K}
+)
+"""
+
+_ANN_LSH_ORACLE = f"WITH {_ANN_LSH_CTES}\nSELECT * FROM ann_topk"
+
+
+def _lsh_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    ann = S.ann_lsh(emb, queries, k=_K, dim=64, planes=8, tables=6)
+    return S.ann_lsh(
+        emb, queries, k=_K, dim=64, planes=4, tables=8,
+        planes_tensor=S.rademacher_planes_md5(64, 4, 8),
+    )
+
+
+@register("vector_ann_lsh", _ANN_LSH_ORACLE, tags=("vector",), bench=True)
+def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH: bucket join +
+    exact re-rank within buckets (the 100TB path — no cross product).
+    The planes are an md5-derived ±1 tensor so the FULL output (not just
+    row counts) hash-checks against the SQL oracle rebuilding identical
+    signatures."""
+    ann = _lsh_entry(spark, sf_dir)
     return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
-@register("vector_ann_ivf", None, tags=("vector",))
-def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded coarse k-means centroids (driver-trained on a
-    sample, FAISS-style), corpus assigned to inverted lists, queries
-    probe their n nearest lists — one shuffle on the centroid id.
-    Rows-only check; recall vs brute force is pytest-asserted
-    (tests/test_similarity_extra.py)."""
+_ANN_LSH_RECALL_ORACLE = f"""
+WITH {_ANN_LSH_CTES},
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+                      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) DESC,
+                      c.vec_id) AS rank
+    FROM vecs q JOIN vecs c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE rank <= {_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM brute b
+        JOIN ann_topk a ON a.query_id = b.query_id
+                       AND a.neighbor_id = b.neighbor_id) AS BIGINT) AS hits,
+  CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS possible
+"""
+
+
+@register("vector_ann_lsh_recall", _ANN_LSH_RECALL_ORACLE, tags=("vector",))
+def vector_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-invariant entry (VERDICT r3 item 2): recall@k of the LSH
+    ANN against the oracle-checked brute force, computed inside Spark as
+    exact integer counts — the DuckDB oracle reproduces BOTH sides from
+    the same parquet, so the driver hash-checks the recall itself, not
+    just row shapes."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    ann = S.ann_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = _lsh_entry(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = S.knn_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+    hits = ann.join(brute, ["query_id", "neighbor_id"]).count()
+    possible = brute.count()
+    return spark.createDataFrame([(hits, possible)], "hits bigint, possible bigint")
+
+
+# IVF structure mirrored in SQL: coarse centroids are the {n} lowest-id
+# corpus vectors themselves (first_k_centroids — SQL-rebuildable, unlike
+# a numpy-k-means fit), cosine assignment/probes tie-break (score DESC,
+# centroid DESC) exactly like _nearest_centroids' array_sort+reverse.
+def _ivf_ctes(n_centroids: int, n_probe: int) -> str:
+    return f"""
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS c, v AS cv FROM vecs WHERE vec_id < {n_centroids}),
+cc AS (
+  SELECT vecs.vec_id, cents.c,
+         list_sum(list_transform(list_zip(vecs.v, cents.cv), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(vecs.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(cents.cv, x -> x * x)))) AS s
+  FROM vecs, cents
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM cc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+    FROM cc
+  ) WHERE rn <= {n_probe} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.c = p.c
+  WHERE a.vec_id != p.query_id
+)
+"""
+
+
+_ANN_IVF_ORACLE = f"""
+WITH {_ivf_ctes(16, 4)},
+ivf_scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS score
+  FROM cand
+  JOIN vecs a ON a.vec_id = cand.query_id
+  JOIN vecs b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM ivf_scored
+)
+WHERE rank <= {_K}
+"""
+
+
+@register("vector_ann_ivf", _ANN_IVF_ORACLE, tags=("vector",))
+def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse centroids → corpus assigned to inverted lists,
+    queries probe their n nearest lists — one shuffle on the centroid id.
+    The catalog entry seeds centroids with the 16 lowest-id corpus
+    vectors (first_k_centroids) so DuckDB rebuilds the identical index
+    and the FULL output hash-checks; the numpy-k-means-trained centroid
+    path stays pytest-checked (tests/test_similarity_extra.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    ann = S.ann_ivf(
+        emb, queries, k=_K, centroids=S.first_k_centroids(emb, 16), n_probe=4
+    )
     return ann.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
@@ -253,17 +417,60 @@ def vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vector_ann_ivf_int8", None, tags=("vector", "quantize"))
+_ANN_IVF_INT8_ORACLE = f"""
+WITH {_ivf_ctes(8, 3)},
+ex AS (
+  SELECT vec_id,
+         CAST(UNNEST(range(len(embedding))) AS INTEGER) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), am AS (
+  SELECT dim, MAX(ABS(x)) AS amax FROM ex GROUP BY dim
+), q AS (
+  SELECT ex.vec_id, ex.dim,
+         GREATEST(-127, LEAST(127, CAST(ROUND(x / amax * 127.0) AS INTEGER))) AS code
+  FROM ex JOIN am ON ex.dim = am.dim
+), codes AS (
+  SELECT vec_id, list(code ORDER BY dim) AS codes FROM q GROUP BY vec_id
+), scales AS (
+  SELECT list(amax * amax / 16129.0 ORDER BY dim) AS s2 FROM am
+), pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(qa.codes, ca.codes, s.s2),
+                                 t -> CAST(t[1] * t[2] AS DOUBLE) * t[3])) AS score
+  FROM cand
+  JOIN codes qa ON qa.vec_id = cand.query_id
+  JOIN codes ca ON ca.vec_id = cand.neighbor_id, scales s
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, round(score, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {_K}
+"""
+
+
+@register("vector_ann_ivf_int8", _ANN_IVF_INT8_ORACLE, tags=("vector", "quantize"))
 def vector_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8 search (faiss IVFx,SQ8 design): coarse inverted lists +
     int8 scalar-quantized scoring — candidates cut ~n_probe/n_centroids,
-    bytes per candidate cut 4x. Exactness and recall properties are
-    pytest-pinned (full-probe == int8 full scan)."""
+    bytes per candidate cut 4x. Seeded (lowest-8-id) centroids make the
+    index SQL-rebuildable, so the full output hash-checks; exactness
+    properties (full-probe == int8 full scan) stay pytest-pinned."""
     from cumulus_etl_spark.operators.quantize import ann_ivf_int8
+    from cumulus_etl_spark.operators.similarity import first_k_centroids
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ann_ivf_int8(emb, queries, k=_K, n_centroids=8, n_probe=3)
+    out = ann_ivf_int8(
+        emb, queries, k=_K, centroids=first_k_centroids(emb, 8), n_probe=3
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", F.round("score", 6).alias("score"),
+    )
 
 
 _KMEANS_ASSIGN_ORACLE = """

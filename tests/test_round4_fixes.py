@@ -188,3 +188,59 @@ def test_bigram_lm_score_case_folds_like_its_oracle(spark, tmp_path):
     entry = CATALOG["text_bigram_lm_score"]
     result = compare(spark, sf_dir, "text_bigram_lm_score", entry.build, entry.oracle)
     assert result["ok"], result
+
+
+def test_simhash_bucket_cap_bounds_pair_explosion(spark):
+    """VERDICT r3 item 3: 5k near-identical docs must not go quadratic —
+    the capped bucket keeps the lowest-id members only."""
+    from cumulus_etl_spark.operators import dedup as D
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog every day").alias("text"),
+    )
+    pairs = D.simhash_candidates(docs, max_bucket=50, feature_hash="md5")
+    rows = pairs.collect()
+    assert len(rows) == 50 * 49 // 2  # C(cap, 2), not C(5000, 2)
+    assert max(max(r["id_a"], r["id_b"]) for r in rows) < 50  # lowest ids kept
+    assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_simhash_cap_does_not_change_candidates_on_real_corpus(spark):
+    """The default cap must be invisible on the fuzz corpus (no bucket
+    anywhere near 200 members): capped == uncapped pair sets."""
+    from cumulus_etl_spark.operators import dedup as D
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, SF, "documents")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              D.simhash_candidates(d, feature_hash="md5").collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                D.simhash_candidates(d, max_bucket=10**6, feature_hash="md5").collect()}
+    assert capped == uncapped
+
+
+def test_minhash_survivors_equal_exact(spark):
+    """The LSH dedup's oracle premise: banded-minhash candidate recall is
+    1 on this corpus, so LSH survivors == exact all-pairs survivors."""
+    from cumulus_etl_spark.operators import dedup as D
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, SF, "documents")
+    lsh = {r["doc_id"] for r in
+           D.ngram_jaccard_dedup(d, "doc_id", "text", shingle_k=3, threshold=0.7)
+           .select("doc_id").collect()}
+    sh = d.select(F.col("doc_id").alias("id"), D.shingles("text", 3).alias("sh")) \
+          .withColumn("sz", F.size("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least("sz_a", "sz_b") >= 0.7 * F.greatest("sz_a", "sz_b"))
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("j", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("j") >= 0.7)
+    )
+    losers = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    exact = {r["doc_id"] for r in d.select("doc_id").collect()} - losers
+    assert lsh == exact
