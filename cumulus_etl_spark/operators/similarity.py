@@ -367,12 +367,62 @@ def nearest_centroid_l2(vec: Column, centroids: list[list[float]]) -> Column:
     return F.struct(best["c"].alias("cluster"), best["d"].alias("sq_dist"))
 
 
+# Above this many literal doubles (k·dim), the unrolled argmin expression
+# risks Catalyst plan-size / codegen limits (64KB method bodies) and a
+# multi-MB plan broadcast — switch to the broadcast-centroid-frame join.
+_LITERAL_ASSIGN_LIMIT = 64_000
+
+
+def assign_clusters(
+    base: DataFrame,
+    cents: list[list[float]],
+    literal_limit: int = _LITERAL_ASSIGN_LIMIT,
+) -> DataFrame:
+    """(id, v) frame → (id, v, cluster, sq_dist), nearest centroid by L2.
+
+    Two physical strategies for the same logical assignment:
+    - k·dim ≤ ``literal_limit``: centroids inlined as plan literals, the
+      whole argmin is ONE whole-stage-codegen expression — no join, no
+      shuffle (the small-k fast path).
+    - past the limit (SemDeDup at k≥1024): broadcast the centroid FRAME,
+      cross-join (row × centroid), min(struct(d, c)) per id, join back.
+      Two shuffles of (id, d, c) triples — never the vectors — in
+      exchange for an O(1)-size plan at any k.
+    Tie-break is identical on both paths: lexicographic (sq_dist,
+    cluster) minimum, i.e. lowest cluster id wins ties (pytest-pinned
+    equivalence in tests/test_round4_fixes.py)."""
+    k, dim = len(cents), len(cents[0])
+    if k * dim <= literal_limit:
+        best = nearest_centroid_l2(F.col("v"), cents)
+        return base.select(
+            "id", "v", best["cluster"].alias("cluster"), best["sq_dist"].alias("sq_dist")
+        )
+    spark = base.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "c int, cv array<double>",
+    )
+    scored = base.crossJoin(F.broadcast(cents_df)).select(
+        "id",
+        F.struct(
+            sq_l2(F.col("v"), F.col("cv")).alias("d"), F.col("c").alias("c")
+        ).alias("dc"),
+    )
+    best = (
+        scored.groupBy("id")
+        .agg(F.min("dc").alias("b"))
+        .select("id", F.col("b.c").alias("cluster"), F.col("b.d").alias("sq_dist"))
+    )
+    return base.join(best, "id")
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_limit: int = _LITERAL_ASSIGN_LIMIT,
 ) -> tuple[list[list[float]], DataFrame, list[float]]:
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -392,10 +442,7 @@ def kmeans_lloyd(
     base = corpus.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
     inertias: list[float] = []
     for _ in range(iters):
-        best = nearest_centroid_l2(F.col("v"), cents)
-        assigned = base.select(
-            "id", "v", best["cluster"].alias("cluster"), best["sq_dist"].alias("sq_dist")
-        )
+        assigned = assign_clusters(base, cents, literal_limit=literal_limit)
         # One pass computes both the update and the inertia.
         upd = (
             assigned.select("cluster", "sq_dist", F.posexplode("v").alias("dim", "x"))
@@ -414,8 +461,9 @@ def kmeans_lloyd(
             [by_c[c][d] for d in range(dim)] if c in by_c else cents[c]
             for c in range(len(cents))
         ]
-    best = nearest_centroid_l2(F.col("v"), cents)
-    assigned = base.select("id", best["cluster"].alias("cluster"))
+    assigned = assign_clusters(base, cents, literal_limit=literal_limit).select(
+        "id", "cluster"
+    )
     return cents, assigned, inertias
 
 
@@ -426,6 +474,7 @@ def semdedup(
     threshold: float = 0.93,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_limit: int = _LITERAL_ASSIGN_LIMIT,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then within each cluster drop every vector that has a
@@ -446,12 +495,10 @@ def semdedup(
     # vectors is a plain dot product, so the O(cluster²) stage does half
     # the arithmetic (no per-pair norms/sqrt). The assignment still runs
     # on the raw vector — centroid distances are L2 in the original space.
+    base = corpus.select(F.col(id_col).alias("id"), v.alias("v"))
     assigned = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            v.alias("v"),
-            nearest_centroid_l2(v, centroids)["cluster"].alias("cluster"),
-        )
+        assign_clusters(base, centroids, literal_limit=literal_limit)
+        .select("id", "v", "cluster")
         .withColumn("n", l2_norm(F.col("v")))
         .select(
             "id",
