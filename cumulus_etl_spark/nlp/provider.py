@@ -76,10 +76,16 @@ class StubSymptomModel:
             while (idx := lower.find(term, start)) != -1:
                 prefix = lower[max(0, idx - 12) : idx]
                 negated = "no " in prefix or "denies " in prefix or "without " in prefix
+                import hashlib
+
+                # md5, not hash(): PYTHONHASHSEED randomizes hash() across
+                # processes, which would unpin the golden output
+                # (tests/test_nlp_golden.py).
+                code_n = int(hashlib.md5(term.encode()).hexdigest()[:6], 16)
                 out.append(
                     {
                         "text": term,
-                        "code": f"C{abs(hash(term)) % 10_000_000:07d}",
+                        "code": f"C{code_n % 10_000_000:07d}",
                         "polarity": "negated" if negated else "positive",
                         "begin": idx,
                         "end": idx + len(term),

@@ -620,3 +620,63 @@ def test_stream_changes_tails_the_change_feed(spark, tmp_path):
         (r["id"], r["_change_type"], r["_commit_version"]) for r in first
     }
     assert new_rows == {("a", "update_preimage", 2), ("a", "update_postimage", 2)}
+
+
+def test_cdf_stream_drives_rollup(spark, tmp_path):
+    """VERDICT r3 item 8: stream_changes and IncrementalRollup composed as
+    ONE pipeline — the streaming tail of the change feed triggers rollup
+    refreshes (foreachBatch), with merge commits landing while the stream
+    is between drains. After each availableNow drain the rollup equals a
+    from-scratch batch groupBy of the source table."""
+    from cumulus_etl_spark.sinks import MergePolicy
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+    from cumulus_etl_spark.streaming import stream_changes
+
+    src = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), group_field="grp",
+                      last_updated_field=None, num_buckets=4, change_feed=True)
+    roll = IncrementalRollup(
+        spark, src, str(tmp_path / "views"), "by_grp", ["grp"], "val"
+    )
+
+    def drain():
+        # The stream's micro-batches are the change-feed commits; each one
+        # drives a rollup refresh — the composition under test.
+        (
+            stream_changes(spark, src)
+            .writeStream.foreachBatch(lambda bdf, bid: roll.refresh())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def assert_converged():
+        got = {(r["grp"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()}
+        want = {
+            (r["grp"], r["n"], r["s"])
+            for r in src.read().groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum(F.col("val").cast("double")).alias("s"))
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    src.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g1", 2), ("c", "g2", 3)],
+        "id string, grp string, val int"), pol)
+    drain()
+    assert_converged()
+
+    # two more commits while the stream is stopped (between drains):
+    # an update+insert+stale-group-delete merge, then an id delete
+    src.merge(spark.createDataFrame(
+        [("a", "g1", 10), ("d", "g1", 4)], "id string, grp string, val int"), pol)
+    src.delete_ids(["c"], change_feed=True)
+    drain()
+    assert_converged()
+
+    # no new commits: drain is a no-op, rollup unchanged
+    v = roll.applied_version()
+    drain()
+    assert roll.applied_version() == v
+    assert_converged()
