@@ -113,11 +113,28 @@ _PATTERNS: list[tuple[str, str]] = [
         r"wife|husband|mother|father|son|daughter|brother|sister)"
         r"[:\s]\s*[A-Z][a-z'-]+(?:\s+[A-Z][a-z'-]+)?",
     ),
+    # "Lastname, Firstname" chart-header form (r4, VERDICT item 9): the
+    # pre-comma token is surname-list gated — a bare capitalized word
+    # before a comma is ordinary prose ("Today, John ..."), so the
+    # looser direction is deliberately NOT matched.
+    (
+        "name_last_first",
+        r"\b(?:" + "|".join(sorted(SURNAMES)) + r"),\s*[A-Z][a-z'-]+\b",
+    ),
+    # Possessive name: "Smith's pain", "Emily's mother" — list-gated
+    # (either list), apostrophe-s included in the span.
+    (
+        "name_possessive",
+        r"\b(?:" + "|".join(sorted(SURNAMES | FIRST_NAMES)) + r")'s\b",
+    ),
 ]
 
 # Classes whose capitalization carries signal — applied without the (?i)
 # prefix on the JVM path and without re.IGNORECASE on the Python path.
-_CASE_SENSITIVE = {"name_pair", "name_credential", "name_context"}
+_CASE_SENSITIVE = {
+    "name_pair", "name_credential", "name_context",
+    "name_last_first", "name_possessive",
+}
 
 _PHI_PATTERNS: list[re.Pattern] = [
     re.compile(p, 0 if cls in _CASE_SENSITIVE else re.IGNORECASE)

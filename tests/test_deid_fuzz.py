@@ -128,6 +128,10 @@ PHI_SAMPLES = {
                         "per Lee Tran, N.P."],
     "name_context": ["patient: Keyshawn Vex arrived", "daughter Emily at bedside",
                      "seen by Attending Zorblatt"],
+    "name_last_first": ["chart for Smith, John reviewed", "Garcia, Maria follow-up",
+                        "Nguyen, Kim, seen in clinic"],
+    "name_possessive": ["Smith's pain is improving", "reviewed Emily's labs",
+                        "per O'Brien's wife"],
 }
 
 SAFE_SAMPLES = [

@@ -81,3 +81,53 @@ def test_nlp_golden(spark, tmp_path):
     )
     assert funnel2 == {"seen": 4, "with_text": 3, "from_cache": 3, "model_called": 0}
     assert _snapshot(spark, out) == golden
+
+
+def test_bundled_example_study_matrix(spark, tmp_path):
+    """VERDICT r3 item 7: the bundled reference-format example study
+    (cumulus_etl_spark/studies/example/) through the nlp CLI verb — the
+    2-task x 2-model matrix produces one correctly-named output table per
+    (task, model)."""
+    from cumulus_etl_spark.cli import main as cli_main
+
+    import cumulus_etl_spark
+
+    study_dir = os.path.join(
+        os.path.dirname(cumulus_etl_spark.__file__), "studies", "example"
+    )
+    from tests.fhir_fixtures import write_ndjson
+
+    input_dir = str(tmp_path / "in")
+    write_ndjson(input_dir, "docs.ndjson", [d for d in _fixture_docs() if "content" in d])
+    out = str(tmp_path / "out")
+    phi = str(tmp_path / "phi")
+
+    rc = cli_main([
+        "nlp", input_dir, out, phi,
+        "--task-config", os.path.join(study_dir, "tasks.toml"),
+    ])
+    assert rc == 0
+
+    expected = {
+        f"example__nlp_{task}_{model}"
+        for task in ("age", "smoking")
+        for model in ("claude_sonnet45", "gpt4o")
+    }
+    produced = {
+        name for name in os.listdir(out)
+        if ManagedTable(spark, out, name).exists()
+    }
+    assert expected <= produced, (expected, produced)
+    for name in expected:
+        t = ManagedTable(spark, out, name)
+        df = t.read()
+        # envelope contract holds per table
+        assert {"id", "note_ref", "encounter_ref", "subject_ref",
+                "generated_on", "task_version"} <= set(df.columns)
+        assert df.count() > 0
+    # per-task versions flow through from the toml
+    v_age = ManagedTable(spark, out, "example__nlp_age_gpt4o").read() \
+        .select("task_version").first()["task_version"]
+    v_smk = ManagedTable(spark, out, "example__nlp_smoking_gpt4o").read() \
+        .select("task_version").first()["task_version"]
+    assert (v_age, v_smk) == (1, 2)
