@@ -601,3 +601,66 @@ def vector_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
     )
     return S.mmr_rerank(cands, lam=0.7, k=_K)
+
+
+_PQ_ADC_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (  -- codebooks[m][j] = subvector m of seed vector j (32 seeds, 16 subspaces of 4)
+  SELECT m, vec_id AS j, v[m * 4 + 1 : m * 4 + 4] AS cw
+  FROM vecs, generate_series(0, 15) AS g(m)
+  WHERE vec_id < 32
+),
+dists AS (  -- every vector x subspace x codeword squared-L2
+  SELECT vecs.vec_id, cb.m, cb.j,
+         list_sum(list_transform(list_zip(vecs.v[cb.m * 4 + 1 : cb.m * 4 + 4], cb.cw),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM vecs, cb
+),
+enc AS (  -- corpus codes: nearest codeword per subspace, ties to lowest j
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+scores AS (  -- ADC: query's distance-table entry for the candidate's code,
+             -- folded in subspace order (list_sum of an ORDER BY m list =
+             -- the same left-to-right double sum Spark computes)
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_sum(list(qd.d ORDER BY qd.m)) AS d
+  FROM (SELECT vec_id FROM vecs WHERE vec_id < {_N_QUERIES}) q
+  JOIN dists qd ON qd.vec_id = q.vec_id
+  JOIN enc e ON e.m = qd.m AND e.code = qd.j
+  WHERE e.vec_id != q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+  HAVING COUNT(*) = 16
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+       round(d, 6) AS approx_sq_dist
+FROM (
+  SELECT query_id, neighbor_id, d,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rnk
+  FROM scores
+)
+WHERE rnk <= {_K}
+"""
+
+
+@register("vector_pq_adc_topk", _PQ_ADC_ORACLE, tags=("vector", "quantize"))
+def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.
+    2011; FAISS IndexPQ): corpus stored as 16 codeword ids (16 bytes/vec vs
+    256 — the memory-bandwidth lever at 100 TB), queries score candidates
+    with n_sub table lookups instead of vector math. Codebooks are seeded
+    from the 32 lowest-id corpus vectors so DuckDB rebuilds the identical
+    index and the full output hash-checks (same pattern as the seeded
+    IVF entries)."""
+    from cumulus_etl_spark.operators.quantize import pq_adc_topk, pq_codebooks_seeded
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    books = pq_codebooks_seeded(emb, n_sub=16, k=32)
+    out = pq_adc_topk(emb, queries, books, k=_K)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("approx_sq_dist", 6).alias("approx_sq_dist")
+    )

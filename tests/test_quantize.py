@@ -125,3 +125,52 @@ def test_ivf_int8_partial_probe_recall(spark):
     }
     recall = len(full & ivf) / len(full)
     assert recall >= 0.8, recall
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark, sf_smoke):
+    from cumulus_etl_spark.operators.quantize import pq_codebooks_seeded, pq_encode
+    from cumulus_etl_spark.sources import table
+
+    emb = table(spark, sf_smoke, "embeddings")
+    books = pq_codebooks_seeded(emb, n_sub=16, k=32)
+    assert len(books) == 16 and len(books[0]) == 32 and len(books[0][0]) == 4
+    enc1 = {r["id"]: tuple(r["codes"]) for r in pq_encode(emb, books).collect()}
+    enc2 = {r["id"]: tuple(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 16 and all(0 <= j < 32 for j in c) for c in enc1.values())
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_correct):
+    """PQ ADC top-5 overlaps exact squared-L2 top-5 well above chance
+    (recall is data-limited on this near-uniform synthetic corpus —
+    trained codebooks measure within noise of seeded ones here)."""
+    from pyspark.sql import Window
+
+    from cumulus_etl_spark.operators.quantize import pq_adc_topk, pq_codebooks_seeded
+    from cumulus_etl_spark.operators.similarity import as_double_array, sq_l2
+    from cumulus_etl_spark.sources import table
+
+    emb = table(spark, sf_correct, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = pq_codebooks_seeded(emb, n_sub=16, k=32)
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in pq_adc_topk(emb, q, books, k=5).collect()}
+    a = q.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv"))
+    pairs = b.crossJoin(F.broadcast(a)).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             pairs.select("query_id", "neighbor_id", sq_l2(F.col("qv"), F.col("cv")).alias("d"))
+             .withColumn("r", F.row_number().over(w)).filter("r <= 5").collect()}
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.4, recall  # chance level is 5/499 ≈ 0.01
+
+
+def test_pq_trained_codebooks_deterministic(spark, sf_smoke):
+    from cumulus_etl_spark.operators.quantize import pq_codebooks_trained
+    from cumulus_etl_spark.sources import table
+
+    emb = table(spark, sf_smoke, "embeddings")
+    b1 = pq_codebooks_trained(emb, n_sub=8, k=8, iters=3)
+    b2 = pq_codebooks_trained(emb, n_sub=8, k=8, iters=3)
+    assert b1 == b2
