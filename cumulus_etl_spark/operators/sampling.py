@@ -32,3 +32,44 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
 def stratified_sample(df: DataFrame, strata_col: str, fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sampling (sampleBy)."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic content-keyed sampling: keep a row iff
+    ``md5(salt || key) mod buckets < fraction·buckets``.
+
+    Unlike rand(seed) sampling, the decision is a pure function of the
+    KEY — stable across engines (md5 is byte-identical in DuckDB, so
+    the driver can hash-check the sample), across re-runs, and across
+    table versions (a row never flickers in/out of the sample as the
+    corpus grows — the property training-data splits need). No shuffle;
+    the filter rides the scan. The md5 hex is taken 15 hex digits
+    (60 bits) so the modulus math stays in exact BIGINT range."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15), 16, 10)
+    return df.filter(h.cast("bigint") % buckets < int(fraction * buckets))
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "sample",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling — the oracle-checkable
+    counterpart of ``stratified_sample`` (whose engine RNG stream no
+    other engine can reproduce). Unlisted strata are dropped, like
+    sampleBy."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15), 16, 10).cast("bigint")
+    thresh = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(kv[1] * buckets))]
+    )
+    t = thresh[F.col(strata_col)]
+    return df.filter(t.isNotNull() & ((h % buckets) < t))

@@ -177,3 +177,69 @@ def repetition_features(words: Column) -> dict[str, Column]:
         "mean_word_len": sum_len / safe_n,
         "alpha_word_frac": alpha / safe_n,
     }
+
+
+def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016): learn
+    the first ``n_merges`` merges over the corpus vocabulary. Returns a
+    DataFrame (merge_round, pair, n).
+
+    The scale-defining property of the classic BPE trainer: after ONE
+    corpus scan builds the distinct-word frequency table, every round's
+    work is vocabulary-bounded, not corpus-bounded — pair counting and
+    the merge rewrite run over |vocab| rows regardless of corpus size,
+    and only the single winning (pair, count) row reaches the driver per
+    round. Words are symbol sequences in a space-joined string; a merge
+    is a literal ``' x y ' → ' xy '`` replace (left-to-right,
+    non-overlapping — the same greedy semantics, and byte-identical
+    behavior, in DuckDB's replace(), which is what lets the catalog
+    entry hash-check all rounds; plans/textops.py _BPE_TRAIN_ORACLE).
+    Ties break lexicographically on the pair. localCheckpoint pins the
+    (small) vocab frame each round so lineage doesn't re-run all prior
+    rounds."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(words_array(F.lower(F.col(text_col)))).alias("w")
+    ).filter(F.length("w") > 0)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    state = wc.select(
+        F.concat_ws(" ", F.split("w", "")).alias("s"), "n"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        top = (
+            state.filter(F.size(arr) >= 2)
+            .select(F.explode(pairs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((r, pair, cnt))
+        merged = pair.replace(" ", "")
+        nxt = state.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=True)
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    return spark.createDataFrame(merges, "merge_round int, pair string, n bigint")

@@ -806,3 +806,38 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "event_type", F.col("estimate").cast("bigint").alias("approx_distinct_users")
     )
+
+
+_HASH_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(concat('0x', substr(md5(concat('sample', CAST(c_custkey AS VARCHAR))), 1, 15))
+              AS BIGINT) AS hv
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, c_acctbal FROM h
+WHERE CASE c_mktsegment
+        WHEN 'AUTOMOBILE' THEN hv % 1000000 < 500000
+        WHEN 'BUILDING'   THEN hv % 1000000 < 250000
+        WHEN 'FURNITURE'  THEN hv % 1000000 < 100000
+        ELSE FALSE
+      END
+"""
+
+
+@register("sample_hash_stratified", _HASH_SAMPLE_ORACLE, tags=("sample",))
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed stratified sampling: the keep decision
+    is md5(salt||key) mod N < threshold — a pure function of the row key,
+    so the sample is stable across engines (hash-checked here), re-runs,
+    and corpus growth, which is what training-data splits need and what
+    engine-RNG sampleBy (sample_stratified, rows-only) can't give. No
+    shuffle; the filter rides the scan."""
+    from cumulus_etl_spark.operators.sampling import hash_stratified_sample
+
+    cust = table(spark, sf_dir, "customer")
+    out = hash_stratified_sample(
+        cust, "c_mktsegment", "c_custkey",
+        {"AUTOMOBILE": 0.5, "BUILDING": 0.25, "FURNITURE": 0.1},
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal")

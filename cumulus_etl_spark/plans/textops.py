@@ -1,9 +1,11 @@
 """Text-analysis + dedup catalog entries over the `documents` table.
 
-Oracle-checked where SQL-expressible (token/quality/lang/fingerprint/
-exact-Jaccard); the LSH pipelines are registered rows-only (probabilistic
-candidate generation isn't portably SQL-expressible) and their recall is
-pytest-verified against exact all-pairs instead.
+All entries are oracle-checked. The LSH pipelines use two routes: the
+md5 feature hash (byte-identical in DuckDB) makes SimHash exactly
+mirrorable, and the MinHash path is checked against exact all-pairs
+Jaccard with the same drop rule — equal whenever band recall is 1,
+which pytest asserts and the per-round hash check re-proves (a recall
+regression turns the driver row red instead of hiding).
 """
 
 from __future__ import annotations
@@ -743,3 +745,53 @@ def corpus_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("pr") >= 0.5, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.sum(F.when(F.col("pr") >= 0.5, F.col("n_tokens")).otherwise(0)).cast("bigint").alias("kept_tokens"),
     )
+
+
+def _bpe_train_oracle(n_merges: int = 5) -> str:
+    """Generated round-by-round mirror of bpe_train_merges: each round's
+    CTEs compute pair counts over the previous vocabulary state, pick the
+    (count DESC, pair ASC) winner, and rewrite the symbol strings with
+    the same left-to-right non-overlapping literal replace."""
+    ctes = [r"""
+w0 AS (
+  SELECT array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE length(w) > 0
+  GROUP BY w
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""
+p{r} AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS pair, n
+    FROM (SELECT string_split(s, ' ') AS arr, n FROM {prev}) WHERE len(arr) >= 2
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+w{r} AS (
+  SELECT trim(replace(' ' || s || ' ',
+                      ' ' || b.pair || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' ')) AS s, n
+  FROM {prev}, b{r} b
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, pair, cnt AS n FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(ctes) + "\n" + selects
+
+
+@register("text_bpe_train_merges", _bpe_train_oracle(), tags=("text", "tokenizer"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative BPE trainer (first 5 merges), hash-checked round by
+    round: text_bpe_merge_candidates is only merge #0's ranking — this
+    runs the actual loop (vocabulary-bounded per-round work; one corpus
+    scan total; one scalar row to the driver per round)."""
+    from cumulus_etl_spark.operators.textstats import bpe_train_merges
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_train_merges(d, "text", n_merges=5)

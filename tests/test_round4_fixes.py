@@ -293,3 +293,34 @@ def test_semdedup_join_path_matches_literal(spark):
     joined = {(r["id"], r["cluster"], r["keep"])
               for r in S.semdedup(emb, k=8, literal_limit=0).collect()}
     assert lit == joined
+
+
+def test_bpe_train_merges_semantics(spark):
+    """BPE trainer: merges apply greedily left-to-right, counts are
+    corpus-frequency-weighted, rounds feed forward."""
+    from cumulus_etl_spark.operators.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    got = [(r["merge_round"], r["pair"], r["n"])
+           for r in bpe_train_merges(docs, n_merges=3).collect()]
+    # round 1: pairs in 'a a a b'x3 (a a:2 each -> 6) + 'a b'x2(+3) -> 'a a'=6 wins
+    assert got[0] == (1, "a a", 6)
+    # after merge: 'aa a b'x3, 'a b'x2 -> round 2: 'a b'=5 vs 'aa a'=3
+    assert got[1] == (2, "a b", 5)
+    # after merge: 'aa ab'x3, 'ab'x2 -> round 3: 'aa ab'=3
+    assert got[2] == (3, "aa ab", 3)
+
+
+def test_hash_sample_is_stable_under_growth(spark):
+    """Hash sampling keeps the same rows when the corpus grows — the
+    split-stability property rand(seed) can't give."""
+    from cumulus_etl_spark.operators.sampling import hash_sample
+
+    small = spark.range(500).select(F.col("id").alias("k"))
+    big = spark.range(1000).select(F.col("id").alias("k"))
+    s_small = {r["k"] for r in hash_sample(small, "k", 0.3).collect()}
+    s_big = {r["k"] for r in hash_sample(big, "k", 0.3).collect()}
+    assert s_small == {k for k in s_big if k < 500}
+    assert 0.2 < len(s_big) / 1000 < 0.4
