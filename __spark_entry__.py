@@ -30,7 +30,8 @@ _GATE_PRIORITY = [
     "text_bigram_lm_score", "text_inverted_index",
     "corpus_quality_percentile_cut", "vector_ann_lsh_recall",
     "vector_kmeans_assign", "vector_semdedup", "vector_mmr_rerank",
-    "vector_pq_adc_topk", "sample_hash_stratified", "text_bpe_train_merges",
+    "vector_pq_adc_topk", "vector_pq_recall", "sample_hash_stratified",
+    "text_bpe_train_merges",
     # -- gated rows-only in r3, now carrying full oracles (round 4):
     #    must re-prove as hash-checked green --
     "corpus_prepare_pipeline", "text_minhash_dedup", "text_simhash_pairs",
@@ -45,7 +46,6 @@ _GATE_PRIORITY = [
     "q1_pricing_summary", "agg_distinct_counts", "agg_rollup_region_nation",
     "agg_cube_orders", "agg_string_collect", "events_hourly_rollup",
     "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
-    "join_brand_revenue",
 ]
 
 # Remaining last-gated-r2 entries (window_topk_per_customer,

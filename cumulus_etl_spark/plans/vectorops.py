@@ -664,3 +664,88 @@ def vector_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("approx_sq_dist", 6).alias("approx_sq_dist")
     )
+
+
+_PQ_RECALL_ORACLE = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (
+  SELECT m, vec_id AS j, v[m * 4 + 1 : m * 4 + 4] AS cw
+  FROM vecs, generate_series(0, 15) AS g(m)
+  WHERE vec_id < 32
+),
+dists AS (
+  SELECT vecs.vec_id, cb.m, cb.j,
+         list_sum(list_transform(list_zip(vecs.v[cb.m * 4 + 1 : cb.m * 4 + 4], cb.cw),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM vecs, cb
+),
+enc AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+pq_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_sum(list(qd.d ORDER BY qd.m)) AS d
+      FROM (SELECT vec_id FROM vecs WHERE vec_id < {_N_QUERIES}) q
+      JOIN dists qd ON qd.vec_id = q.vec_id
+      JOIN enc e ON e.m = qd.m AND e.code = qd.j
+      WHERE e.vec_id != q.vec_id
+      GROUP BY q.vec_id, e.vec_id
+    )
+  ) WHERE rnk <= {_K}
+),
+exact_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.v, c.v),
+                                              x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+                      c.vec_id) AS rnk
+    FROM vecs q JOIN vecs c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE rnk <= {_K}
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM exact_topk e
+        JOIN pq_topk p ON p.query_id = e.query_id
+                      AND p.neighbor_id = e.neighbor_id) AS BIGINT) AS hits,
+  CAST((SELECT COUNT(*) FROM exact_topk) AS BIGINT) AS possible
+"""
+
+
+@register("vector_pq_recall", _PQ_RECALL_ORACLE, tags=("vector", "quantize"))
+def vector_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC against exact squared-L2 top-k, as exact
+    integer counts the oracle reproduces from both sides (the same
+    derived-invariant pattern as vector_ann_lsh_recall) — the driver
+    hash-checks PQ's accuracy itself every round."""
+    from pyspark.sql import Window
+
+    from cumulus_etl_spark.operators.quantize import pq_adc_topk, pq_codebooks_seeded
+    from cumulus_etl_spark.operators.similarity import as_double_array, sq_l2
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    books = pq_codebooks_seeded(emb, n_sub=16, k=32)
+    pq = pq_adc_topk(emb, queries, books, k=_K).select("query_id", "neighbor_id")
+    a = queries.select(F.col("vec_id").alias("query_id"), as_double_array("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), as_double_array("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_l2(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = pq.join(exact, ["query_id", "neighbor_id"]).count()
+    possible = exact.count()
+    return spark.createDataFrame([(hits, possible)], "hits bigint, possible bigint")
