@@ -48,13 +48,16 @@ _GATE_PRIORITY = [
     "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
 ]
 
-# Remaining last-gated-r2 entries (window_topk_per_customer,
-# window_running_total, window_lag_lead_events, window_moving_average,
-# set_except_quiet_customers, set_intersect_status, set_union_tagged,
-# scalar_* , dedup_*, sort_global_topk, sample_seeded, q6/q14/q18/q19/q22,
-# q7/q8, agg_grouping_sets, agg_approx_distinct, agg_pivot_event_types,
-# agg_percentiles, set_intersect_all_multiplicity, join_asof/join_range)
-# rotate into the round-5 window; everything else holds a round-3 row.
+# Round-5 rotation queue (oldest rows first): the remaining last-gated-r2
+# entries displaced by this round's new-entry additions —
+# join_brand_revenue, join_semi_big_spenders, join_anti_no_orders,
+# join_left_outer_nations, window_topk_per_customer, window_running_total,
+# window_lag_lead_events, window_moving_average, set_except_quiet_customers,
+# set_intersect_status, set_union_tagged, scalar_*, dedup_*,
+# sort_global_topk, sample_seeded, q6/q14/q18/q19/q22, q7/q8,
+# agg_grouping_sets, agg_approx_distinct, agg_pivot_event_types,
+# agg_percentiles, set_intersect_all_multiplicity, join_asof/join_range;
+# everything else holds a round-3 or round-4 row.
 
 
 def _ordered() -> list[str]:
