@@ -30,8 +30,8 @@ _GATE_PRIORITY = [
     "text_bigram_lm_score", "text_inverted_index",
     "corpus_quality_percentile_cut", "vector_ann_lsh_recall",
     "vector_kmeans_assign", "vector_semdedup", "vector_mmr_rerank",
-    "vector_pq_adc_topk", "vector_pq_recall", "sample_hash_stratified",
-    "text_bpe_train_merges",
+    "vector_pq_adc_topk", "vector_pq_recall", "vector_cluster_quality",
+    "sample_hash_stratified", "text_bpe_train_merges",
     # -- gated rows-only in r3, now carrying full oracles (round 4):
     #    must re-prove as hash-checked green --
     "corpus_prepare_pipeline", "text_minhash_dedup", "text_simhash_pairs",
@@ -45,7 +45,7 @@ _GATE_PRIORITY = [
     # -- freshness rotation: last green row is round 2 (two green rounds) --
     "q1_pricing_summary", "agg_distinct_counts", "agg_rollup_region_nation",
     "agg_cube_orders", "agg_string_collect", "events_hourly_rollup",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+    "q3_shipping_priority", "q5_local_supplier_volume",
 ]
 
 # Round-5 rotation queue (oldest rows first): the remaining last-gated-r2

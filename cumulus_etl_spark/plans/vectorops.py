@@ -749,3 +749,76 @@ def vector_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = pq.join(exact, ["query_id", "neighbor_id"]).count()
     possible = exact.count()
     return spark.createDataFrame([(hits, possible)], "hits bigint, possible bigint")
+
+
+_SILHOUETTE_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8),
+scored AS (
+  SELECT vecs.vec_id, cents.cid,
+         sqrt(list_sum(list_transform(list_zip(vecs.v, cents.cv),
+                                      x -> (x[1] - x[2]) * (x[1] - x[2])))) AS d
+  FROM vecs CROSS JOIN cents
+),
+own AS (
+  SELECT vec_id, cid AS cluster, d AS a FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+alt AS (
+  SELECT s.vec_id, MIN(s.d) AS b
+  FROM scored s JOIN own o ON o.vec_id = s.vec_id AND s.cid != o.cluster
+  GROUP BY s.vec_id
+),
+pts AS (
+  SELECT own.cluster,
+         CASE WHEN greatest(own.a, alt.b) = 0 THEN 0.0
+              ELSE (alt.b - own.a) / greatest(own.a, alt.b) END AS s
+  FROM own JOIN alt ON alt.vec_id = own.vec_id
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_silhouette
+FROM pts GROUP BY cluster
+"""
+
+
+@register("vector_cluster_quality", _SILHOUETTE_ORACLE, tags=("vector",))
+def vector_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette (centroid-based: a = distance to
+    own centroid, b = distance to nearest OTHER centroid) — the
+    linear-time clustering-quality audit used instead of the O(n²)
+    pairwise silhouette at corpus scale; the whole computation is
+    expressions over literal (lowest-8-id) centroids + one k-row agg, so
+    at 100 TB it's a single scan. Per-point scores rounded then
+    decimal-summed (order-independent equality, plans/catalog.py rules)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.first_k_centroids(emb, 8)
+    v = S.as_double_array("embedding")
+    scored = F.array(
+        *[
+            F.struct(
+                F.sqrt(S.sq_l2(v, F.array(*[F.lit(x) for x in c]))).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    srt = F.array_sort(scored)
+    a = F.element_at(srt, 1)["d"]
+    own = F.element_at(srt, 1)["c"]
+    b = F.element_at(srt, 2)["d"]
+    s = F.when(F.greatest(a, b) == 0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    pts = emb.select(own.alias("cluster"), s.alias("s"))
+    return pts.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (F.sum(F.round(F.col("s"), 6).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_silhouette"),
+    )

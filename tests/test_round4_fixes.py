@@ -324,3 +324,40 @@ def test_hash_sample_is_stable_under_growth(spark):
     s_big = {r["k"] for r in hash_sample(big, "k", 0.3).collect()}
     assert s_small == {k for k in s_big if k < 500}
     assert 0.2 < len(s_big) / 1000 < 0.4
+
+
+def test_hash_sample_fraction_monotone(spark):
+    """Growing the fraction only ADDS rows (threshold grows, the per-key
+    hash is fixed) — lets a pipeline upsample without resampling."""
+    from cumulus_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    prev: set = set()
+    for f in (0.1, 0.3, 0.6, 1.0):
+        cur = {r["k"] for r in hash_sample(df, "k", f).collect()}
+        assert prev <= cur, f
+        prev = cur
+    assert prev == set(range(2000))  # fraction 1.0 keeps everything
+
+
+def test_bpe_top_counts_non_increasing(spark):
+    """Each BPE round's winning count can't exceed the previous round's:
+    a merge only removes occurrences of existing pairs, and any new pair
+    (x, ab) occurs at most as often as the old (x, a) did."""
+    from cumulus_etl_spark.operators.textstats import bpe_train_merges
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, SF, "documents")
+    rows = bpe_train_merges(d, n_merges=6).orderBy("merge_round").collect()
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r["pair"] for r in rows)  # pairs are two symbols
+
+
+def test_cluster_quality_silhouette_bounds(spark):
+    """Simplified silhouette lies in [-1, 1]; centroid seed vectors score
+    positively (they sit at distance 0 from their own centroid)."""
+    from cumulus_etl_spark.plans import CATALOG
+
+    rows = CATALOG["vector_cluster_quality"].build(spark, SF).collect()
+    assert rows and all(-1.0 <= r["avg_silhouette"] <= 1.0 for r in rows)
