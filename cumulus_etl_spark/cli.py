@@ -171,6 +171,29 @@ def main(argv: list[str] | None = None) -> int:
     p_stats.add_argument("output_dir")
     p_stats.add_argument("--tables", nargs="*", default=None)
 
+    p_tok = sub.add_parser(
+        "tokenizer", help="train BPE merges over a document corpus"
+    )
+    p_tok.add_argument("input_path", help="parquet path with a text column")
+    p_tok.add_argument("--text-col", default="text")
+    p_tok.add_argument("--merges", type=int, default=32)
+    p_tok.add_argument("--out", default=None,
+                       help="also write the merge table as parquet here")
+
+    p_ann = sub.add_parser(
+        "ann", help="approximate-nearest-neighbor search over an embeddings parquet"
+    )
+    p_ann.add_argument("input_path", help="parquet with vec_id/embedding columns")
+    p_ann.add_argument("--query-ids", default="0,1,2,3,4",
+                       help="comma-separated vec_ids to use as queries")
+    p_ann.add_argument("--k", type=int, default=5)
+    p_ann.add_argument("--method", default="lsh",
+                       choices=["brute", "lsh", "ivf", "pq"],
+                       help="brute=exact cosine; lsh/ivf=bucketed cosine ANN; "
+                            "pq=product-quantized L2 ADC")
+    p_ann.add_argument("--id-col", default="vec_id")
+    p_ann.add_argument("--vec-col", default="embedding")
+
     args = parser.parse_args(argv)
     spark = get_spark(app_name=f"cumulus-etl-spark-{args.verb}")
 
@@ -437,6 +460,59 @@ def main(argv: list[str] | None = None) -> int:
             },
             "approx_distinct": bool(args.approx),
         }))
+        return 0
+    if args.verb == "tokenizer":
+        from cumulus_etl_spark.operators.textstats import bpe_train_merges
+
+        merges = bpe_train_merges(
+            spark.read.parquet(args.input_path), args.text_col, n_merges=args.merges
+        )
+        rows = merges.orderBy("merge_round").collect()
+        if args.out:
+            merges.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "n_merges": len(rows),
+            "merges": [
+                {"round": r["merge_round"], "pair": r["pair"], "count": r["n"]}
+                for r in rows
+            ],
+        }))
+        return 0
+    if args.verb == "ann":
+        from pyspark.sql import functions as F
+
+        from cumulus_etl_spark.operators import similarity as S
+
+        emb = spark.read.parquet(args.input_path)
+        qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        queries = emb.filter(F.col(args.id_col).isin(qids))
+        kw = {"id_col": args.id_col, "vec_col": args.vec_col, "k": args.k}
+        if args.method == "brute":
+            out = S.knn_bruteforce(emb, queries, **kw)
+        elif args.method == "lsh":
+            dim = len(emb.select(args.vec_col).first()[0])
+            out = S.ann_lsh(
+                emb, queries, dim=dim, planes=4, tables=8,
+                planes_tensor=S.rademacher_planes_md5(dim, 4, 8), **kw,
+            )
+        elif args.method == "ivf":
+            out = S.ann_ivf(emb, queries, **kw)
+        else:  # pq
+            from cumulus_etl_spark.operators.quantize import (
+                pq_adc_topk,
+                pq_codebooks_trained,
+            )
+
+            books = pq_codebooks_trained(emb, vec_col=args.vec_col, id_col=args.id_col)
+            out = pq_adc_topk(emb, queries, books, k=args.k,
+                              vec_col=args.vec_col, id_col=args.id_col)
+        by_q: dict = {}
+        for r in out.orderBy("query_id", "rank").collect():
+            by_q.setdefault(str(r["query_id"]), []).append({
+                "rank": r["rank"], "neighbor_id": r["neighbor_id"],
+                "score": float(r[3]),
+            })
+        print(json.dumps({"method": args.method, "k": args.k, "neighbors": by_q}))
         return 0
     if args.verb == "stats":
         import os as _os

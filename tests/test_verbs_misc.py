@@ -229,3 +229,33 @@ def test_profile_verb_single_pass_column_stats(spark, sf_smoke, capsys):
     exact_d = cols["o_custkey"]["n_distinct"]
     got_d = approx["columns"]["o_custkey"]["n_distinct"]
     assert abs(got_d - exact_d) <= max(2, 0.1 * exact_d)
+
+
+def test_tokenizer_cli_verb(spark, sf_smoke, capsys):
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+
+    rc = cli_main(["tokenizer", f"{sf_smoke}/documents.parquet", "--merges", "4"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_merges"] == 4
+    counts = [m["count"] for m in out["merges"]]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in m["pair"] for m in out["merges"])
+
+
+def test_ann_cli_verb_all_methods(spark, sf_smoke, capsys):
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+
+    for method in ("brute", "lsh", "ivf", "pq"):
+        rc = cli_main(["ann", f"{sf_smoke}/embeddings.parquet",
+                       "--method", method, "--k", "3", "--query-ids", "0,1"])
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["method"] == method
+        assert set(out["neighbors"]) == {"0", "1"}
+        for ranks in out["neighbors"].values():
+            assert [r["rank"] for r in ranks] == [1, 2, 3]
