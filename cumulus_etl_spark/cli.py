@@ -484,13 +484,16 @@ def main(argv: list[str] | None = None) -> int:
         from cumulus_etl_spark.operators import similarity as S
 
         emb = spark.read.parquet(args.input_path)
+        first = emb.select(args.vec_col).first()
+        if first is None:
+            raise SystemExit(f"ann: no rows in {args.input_path}")
+        dim = len(first[0])
         qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
         queries = emb.filter(F.col(args.id_col).isin(qids))
         kw = {"id_col": args.id_col, "vec_col": args.vec_col, "k": args.k}
         if args.method == "brute":
             out = S.knn_bruteforce(emb, queries, **kw)
         elif args.method == "lsh":
-            dim = len(emb.select(args.vec_col).first()[0])
             out = S.ann_lsh(
                 emb, queries, dim=dim, planes=4, tables=8,
                 planes_tensor=S.rademacher_planes_md5(dim, 4, 8), **kw,
@@ -503,7 +506,11 @@ def main(argv: list[str] | None = None) -> int:
                 pq_codebooks_trained,
             )
 
-            books = pq_codebooks_trained(emb, vec_col=args.vec_col, id_col=args.id_col)
+            # largest subspace count <= 16 that divides the dimension
+            n_sub = next(n for n in (16, 8, 4, 2, 1) if dim % n == 0)
+            books = pq_codebooks_trained(
+                emb, n_sub=n_sub, vec_col=args.vec_col, id_col=args.id_col
+            )
             out = pq_adc_topk(emb, queries, books, k=args.k,
                               vec_col=args.vec_col, id_col=args.id_col)
         by_q: dict = {}

@@ -66,26 +66,31 @@ class StubSymptomModel:
         n_in = len(text.split())
         return n_in, max(1, n_in // 10)
 
+    def _code(self, term: str) -> str:
+        # md5, not hash(): PYTHONHASHSEED randomizes hash() across
+        # processes, which would unpin the golden output
+        # (tests/test_nlp_golden.py). Pure function of the term, so one
+        # digest per (model, term) regardless of corpus size.
+        import hashlib
+
+        code_n = int(hashlib.md5(term.encode()).hexdigest()[:6], 16)
+        return f"C{code_n % 10_000_000:07d}"
+
     def __call__(self, text: str | None) -> list[dict]:
         if not text:
             return []
         lower = text.lower()
+        codes = {term: self._code(term) for term in self.terms}
         out = []
         for term in self.terms:
             start = 0
             while (idx := lower.find(term, start)) != -1:
                 prefix = lower[max(0, idx - 12) : idx]
                 negated = "no " in prefix or "denies " in prefix or "without " in prefix
-                import hashlib
-
-                # md5, not hash(): PYTHONHASHSEED randomizes hash() across
-                # processes, which would unpin the golden output
-                # (tests/test_nlp_golden.py).
-                code_n = int(hashlib.md5(term.encode()).hexdigest()[:6], 16)
                 out.append(
                     {
                         "text": term,
-                        "code": f"C{code_n % 10_000_000:07d}",
+                        "code": codes[term],
                         "polarity": "negated" if negated else "positive",
                         "begin": idx,
                         "end": idx + len(term),

@@ -227,6 +227,11 @@ def pq_codebooks_seeded(
 
     seeds = first_k_centroids(corpus, k, id_col=id_col, vec_col=vec_col)
     dim = len(seeds[0])
+    if n_sub <= 0 or dim % n_sub:
+        raise ValueError(
+            f"dim={dim} must divide evenly into n_sub={n_sub} subspaces "
+            "(a zero-width or truncated subspace would silently score garbage)"
+        )
     sub = dim // n_sub
     return [
         [seed[m * sub : (m + 1) * sub] for seed in seeds] for m in range(n_sub)
@@ -346,6 +351,11 @@ def pq_codebooks_trained(
     )
     x = np.array([r["v"] for r in sample])
     dim = x.shape[1]
+    if n_sub <= 0 or dim % n_sub:
+        raise ValueError(
+            f"dim={dim} must divide evenly into n_sub={n_sub} subspaces "
+            "(a zero-width or truncated subspace would silently score garbage)"
+        )
     sub = dim // n_sub
     rng = np.random.RandomState(seed)
     books: list[list[list[float]]] = []

@@ -34,6 +34,17 @@ def stratified_sample(df: DataFrame, strata_col: str, fractions: dict, seed: int
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def _bucket_hash(key_col: str, salt: str) -> Column:
+    """md5(salt || key) as a BIGINT — 15 hex digits (60 bits) so modulus
+    math stays in exact integer range; the single definition both hash
+    samplers (and their SQL oracle) share."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
@@ -49,10 +60,9 @@ def hash_sample(
     the driver can hash-check the sample), across re-runs, and across
     table versions (a row never flickers in/out of the sample as the
     corpus grows — the property training-data splits need). No shuffle;
-    the filter rides the scan. The md5 hex is taken 15 hex digits
-    (60 bits) so the modulus math stays in exact BIGINT range."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15), 16, 10)
-    return df.filter(h.cast("bigint") % buckets < int(fraction * buckets))
+    the filter rides the scan. Note ``int(fraction * buckets)``
+    TRUNCATES — the kept share is floor(fraction·buckets)/buckets."""
+    return df.filter(_bucket_hash(key_col, salt) % buckets < int(fraction * buckets))
 
 
 def hash_stratified_sample(
@@ -67,7 +77,7 @@ def hash_stratified_sample(
     counterpart of ``stratified_sample`` (whose engine RNG stream no
     other engine can reproduce). Unlisted strata are dropped, like
     sampleBy."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15), 16, 10).cast("bigint")
+    h = _bucket_hash(key_col, salt)
     thresh = F.create_map(
         *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(kv[1] * buckets))]
     )

@@ -190,10 +190,15 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
     the merge rewrite run over |vocab| rows regardless of corpus size,
     and only the single winning (pair, count) row reaches the driver per
     round. Words are symbol sequences in a space-joined string; a merge
-    is a literal ``' x y ' → ' xy '`` replace (left-to-right,
-    non-overlapping — the same greedy semantics, and byte-identical
-    behavior, in DuckDB's replace(), which is what lets the catalog
-    entry hash-check all rounds; plans/textops.py _BPE_TRAIN_ORACLE).
+    is a literal replace on a DOUBLE-SPACE-delimited form: each match
+    consumes one of the two delimiter spaces on each side, so adjacent
+    occurrences ('a a a a' → 'aa aa') merge exactly like the Sennrich
+    reference's lookaround regex — which RE2 (DuckDB) can't express
+    directly, but plain replace() on the doubled form can, with
+    byte-identical left-to-right non-overlapping behavior in both
+    engines (fuzz-validated against the regex reference; what lets the
+    catalog entry hash-check all rounds — plans/textops.py
+    _BPE_TRAIN_ORACLE).
     Ties break lexicographically on the pair. localCheckpoint pins the
     (small) vocab frame each round so lineage doesn't re-run all prior
     rounds."""
@@ -228,15 +233,13 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
             break
         pair, cnt = top[0]["pair"], int(top[0]["cnt"])
         merges.append((r, pair, cnt))
-        merged = pair.replace(" ", "")
+        x, y = pair.split(" ")
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        replaced = F.replace(padded, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
         nxt = state.select(
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("s"),
+            F.trim(F.replace(replaced, F.lit("  "), F.lit(" "))).alias("s"),
             "n",
         ).localCheckpoint(eager=True)
         state.unpersist()

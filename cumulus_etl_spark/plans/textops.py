@@ -773,9 +773,13 @@ p{r} AS (
 ),
 b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 w{r} AS (
-  SELECT trim(replace(' ' || s || ' ',
-                      ' ' || b.pair || ' ',
-                      ' ' || replace(b.pair, ' ', '') || ' ')) AS s, n
+  -- double-space-delimited replace == the Sennrich lookaround merge
+  -- (adjacent occurrences both merge); see operators/textstats.py
+  SELECT trim(replace(
+           replace(' ' || replace(s, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' '),
+           '  ', ' ')) AS s, n
   FROM {prev}, b{r} b
 )""")
     selects = "\nUNION ALL\n".join(

@@ -248,7 +248,7 @@ class ManagedTable:
         if HAVE_DELTA:
             self._merge_delta(updates, policy)
             return
-        self._publish_pending_changes()
+        self._publish_pending_changes(drop_orphans=True)
         ptr = self._pointer()
         if ptr is None:
             if policy.change_feed:
@@ -394,7 +394,7 @@ class ManagedTable:
                 .execute()
             )
             return
-        self._publish_pending_changes()
+        self._publish_pending_changes(drop_orphans=True)
         ptr = self._pointer()
         if ptr is None:
             return
@@ -599,12 +599,19 @@ class ManagedTable:
             shutil.rmtree(dst)
         os.replace(src, dst)
 
-    def _publish_pending_changes(self) -> None:
+    def _publish_pending_changes(self, drop_orphans: bool = False) -> None:
         """Crash recovery, run lazily from every feed access / merge:
         a staged dir at or below the committed version is a commit whose
-        publish step was interrupted — complete it; one above is an
-        orphan from a merge that died before its pointer flip — drop it
-        (its number will be reused)."""
+        publish step was interrupted — complete it. A staged dir ABOVE
+        the committed version is dropped only from WRITER paths
+        (``drop_orphans=True`` — merge/delete_ids, where it is an orphan
+        of a crashed merge whose number is about to be reused): a READER
+        must leave it alone, because the same v > cur state is also what
+        a concurrent in-flight merge looks like between its stage and
+        its pointer flip — deleting it from a read path would silently
+        commit that version with no change feed (code-review r4
+        finding). Writer overwrite of the staging dir makes the drop
+        cosmetic anyway."""
         root = os.path.join(self.path, ".changes_staging")
         if not os.path.isdir(root):
             return
@@ -615,7 +622,7 @@ class ManagedTable:
             v = int(e[1:])
             if v <= cur:
                 self._publish_changes(v)
-            else:
+            elif drop_orphans:
                 shutil.rmtree(os.path.join(root, e), ignore_errors=True)
 
     def change_versions(self) -> list[int]:

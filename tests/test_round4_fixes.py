@@ -47,8 +47,10 @@ def test_changes_dir_holds_only_committed_versions(spark, tmp_path):
 
 def test_crashed_merge_stage_is_invisible_then_dropped(spark, tmp_path):
     """A merge that died after staging but before the pointer flip leaves
-    nothing under changes/ (no phantom stream delivery); the next feed
-    access discards the orphan stage."""
+    nothing under changes/ (no phantom stream delivery). READ paths must
+    NOT touch the stage — the same v > cur state is what a concurrent
+    in-flight merge looks like (code-review r4 finding); only the next
+    WRITER drops/overwrites it before reusing the version number."""
     t, pol = _mk(spark, tmp_path)
     # Simulate the crash: stage version cur+1 and never flip the pointer.
     orphan = spark.createDataFrame([("zzz", 99)], "id string, val int").withColumn(
@@ -57,13 +59,14 @@ def test_crashed_merge_stage_is_invisible_then_dropped(spark, tmp_path):
     t._write_changes((t.current_version() or 0) + 1, orphan)
 
     assert sorted(os.listdir(os.path.join(t.path, "changes"))) == ["v1"]
-    assert t.change_versions() == [1]  # also sweeps the orphan stage
-    assert not os.path.isdir(t._staging_dir(2))
+    assert t.change_versions() == [1]  # feed shows committed versions only
+    assert os.path.isdir(t._staging_dir(2))  # reader left the stage alone
 
     # The reused version number publishes the REAL commit's rows only.
     t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)
     ch2 = t.read_changes(2, 2).collect()
     assert {r["id"] for r in ch2} == {"c"}
+    assert not os.path.isdir(t._staging_dir(2))  # writer drained it
 
 
 def test_crash_between_flip_and_publish_is_completed_lazily(spark, tmp_path):
@@ -311,6 +314,22 @@ def test_bpe_train_merges_semantics(spark):
     assert got[1] == (2, "a b", 5)
     # after merge: 'aa ab'x3, 'ab'x2 -> round 3: 'aa ab'=3
     assert got[2] == (3, "aa ab", 3)
+
+
+def test_bpe_merges_adjacent_runs_like_reference(spark):
+    """Sennrich semantics on symbol runs: merging (c, c) in 'c c c c'
+    yields 'cc cc' (BOTH adjacent occurrences), not 'cc c c' — the
+    double-space-delimiter replace matches the lookaround-regex
+    reference (code-review r4 finding)."""
+    from cumulus_etl_spark.operators.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "cccc cccc")], "doc_id long, text string")
+    got = [(r["merge_round"], r["pair"], r["n"])
+           for r in bpe_train_merges(docs, n_merges=2).collect()]
+    # 'c c c c' x2 words (deduped to one vocab row of n=2): (c,c) = 3*2
+    assert got[0] == (1, "c c", 6)
+    # fixed semantics: 'c c c c' -> 'cc cc', so round 2 sees (cc, cc) = 2
+    assert got[1] == (2, "cc cc", 2)
 
 
 def test_hash_sample_is_stable_under_growth(spark):
