@@ -248,26 +248,63 @@ def pq_encode(
     L2, ties to the lowest codeword id. Pure expression scan — the
     columnar analog of storing n_sub bytes per vector instead of
     dim floats (a 64x memory cut at dim=64/n_sub=4): the 100 TB corpus
-    scan for ANN reads ONLY these codes."""
-    from cumulus_etl_spark.operators.similarity import as_double_array, sq_l2
+    scan for ANN reads ONLY these codes.
 
-    n_sub = len(codebooks)
-    sub = len(codebooks[0][0])
+    The codebook ships as ONE literal nested-array expression with the
+    per-codeword distances computed by `transform` — not n_sub×K
+    separate fold expressions, whose tree size blew past whole-stage
+    codegen and ran interpreted (measured 33 s → 3 s at sf0.1; the same
+    literal-tensor fix as lsh_signatures_all). Tie-break: array_position
+    of the min = FIRST (lowest) codeword, identical to the struct-sort
+    form."""
+    from cumulus_etl_spark.operators.similarity import as_double_array
+
     v = as_double_array(vec_col)
+    return corpus.select(
+        F.col(id_col).alias("id"), _pq_codes_expr(v, codebooks).alias("codes")
+    )
+
+
+def _book_lit(book: list[list[float]]) -> Column:
+    """K×sub codebook as one literal nested-array expression (a single
+    JVM parse instead of K×sub py4j Column constructions)."""
+    inner = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in cw) + ")" for cw in book
+    )
+    return F.expr(f"array({inner})")
+
+
+def _pq_subspace_dists(v: Column, m: int, sub: int, book: list[list[float]]) -> Column:
+    """array<double> of squared-L2 distances from vector subspace m to
+    every codeword — sequential fold per codeword, same doubles as the
+    unrolled form and as the oracle's list_sum."""
+    subvec = F.slice(v, m * sub + 1, sub)
+    return F.transform(
+        _book_lit(book),
+        lambda cw: F.aggregate(
+            F.zip_with(subvec, cw, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _pq_codes_expr(v: Column, codebooks: list[list[list[float]]]) -> Column:
+    sub = len(codebooks[0][0])
+    k = len(codebooks[0])
     code_cols = []
     for m, book in enumerate(codebooks):
-        subvec = F.slice(v, m * sub + 1, sub)
-        scored = F.array(
-            *[
-                F.struct(
-                    sq_l2(subvec, F.array(*[F.lit(x) for x in cw])).alias("d"),
-                    F.lit(j).alias("j"),
-                )
-                for j, cw in enumerate(book)
-            ]
+        dists = _pq_subspace_dists(v, m, sub, book)
+        # one-pass argmin: zip (d, j) and take the struct min — evaluates
+        # the distance array once (array_position(min) walked it twice)
+        # and keeps the lowest-j tie-break via lexicographic struct order
+        zipped = F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, j: F.struct(d.alias("d"), j.alias("j")),
         )
-        code_cols.append(F.element_at(F.array_sort(scored), 1)["j"])
-    return corpus.select(F.col(id_col).alias("id"), F.array(*code_cols).alias("codes"))
+        code_cols.append(F.array_min(zipped)["j"].cast("int"))
+    return F.array(*code_cols)
 
 
 def pq_adc_topk(
@@ -289,18 +326,15 @@ def pq_adc_topk(
     """
     from pyspark.sql import Window
 
-    from cumulus_etl_spark.operators.similarity import as_double_array, sq_l2
+    from cumulus_etl_spark.operators.similarity import as_double_array
 
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
     qv = as_double_array(vec_col)
-    dt_cols = []
-    for m, book in enumerate(codebooks):
-        subvec = F.slice(qv, m * sub + 1, sub)
-        dt_cols.append(
-            F.array(*[sq_l2(subvec, F.array(*[F.lit(x) for x in cw])) for cw in book])
-        )
+    dt_cols = [
+        _pq_subspace_dists(qv, m, sub, book) for m, book in enumerate(codebooks)
+    ]
     q = queries.select(
         F.col(id_col).alias("query_id"), *[c.alias(f"dt{m}") for m, c in enumerate(dt_cols)]
     )
