@@ -380,3 +380,64 @@ def test_cluster_quality_silhouette_bounds(spark):
 
     rows = CATALOG["vector_cluster_quality"].build(spark, SF).collect()
     assert rows and all(-1.0 <= r["avg_silhouette"] <= 1.0 for r in rows)
+
+
+def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path):
+    """Randomized crash-injection fuzz of the staged-publish protocol:
+    interleave committed merges with simulated crashes (stage-only, or
+    flip-without-publish via manual un-publish) and reader sweeps; the
+    published feed must always equal exactly the committed model — every
+    committed version present (possibly after lazy recovery), no phantom
+    versions, no duplicate deliveries."""
+    import random
+
+    rng = random.Random(7)
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=2, change_feed=True)
+    committed: dict[int, set[str]] = {}  # version -> expected changed ids
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        ids = [f"k{next_id + i}" for i in range(n)]
+        next_id += n
+        return ids, spark.createDataFrame([(i, 1) for i in ids], "id string, val int")
+
+    for step in range(12):
+        action = rng.choice(["merge", "crash_stage", "crash_publish", "read"])
+        if action == "merge":
+            ids, df = batch(rng.randint(1, 3))
+            t.merge(df, pol)
+            committed[t.current_version()] = set(ids)
+        elif action == "crash_stage":
+            # died after staging, before the flip: stage an orphan
+            _, df = batch(1)
+            t._write_changes((t.current_version() or 0) + 1,
+                             df.withColumn("_change_type", F.lit("insert")))
+        elif action == "crash_publish":
+            # died between flip and publish: commit, then un-publish
+            ids, df = batch(rng.randint(1, 2))
+            t.merge(df, pol)
+            v = t.current_version()
+            committed[v] = set(ids)
+            if os.path.isdir(t._changes_dir(v)):
+                os.makedirs(os.path.dirname(t._staging_dir(v)), exist_ok=True)
+                os.replace(t._changes_dir(v), t._staging_dir(v))
+        else:
+            t.change_versions()  # reader sweep (publish-only)
+
+        # Invariant after every step: published versions ⊆ committed, and
+        # each published version carries exactly its committed ids.
+        pub_root = os.path.join(t.path, "changes")
+        published = (
+            {int(e[1:]) for e in os.listdir(pub_root) if e.startswith("v")}
+            if os.path.isdir(pub_root) else set()
+        )
+        assert published <= set(committed), (step, published, committed)
+
+    # Final recovery: one reader access publishes everything committed.
+    assert t.change_versions() == sorted(committed)
+    for v, ids in committed.items():
+        got = {r["id"] for r in t.read_changes(v, v).collect()}
+        assert got == ids, (v, got, ids)
