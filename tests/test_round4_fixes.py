@@ -382,21 +382,27 @@ def test_cluster_quality_silhouette_bounds(spark):
     assert rows and all(-1.0 <= r["avg_silhouette"] <= 1.0 for r in rows)
 
 
-def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path):
+@pytest.mark.parametrize("seed", [7, 11, 23])
+def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path, seed):
     """Randomized crash-injection fuzz of the staged-publish protocol:
     interleave committed merges with simulated crashes (stage-only, or
     flip-without-publish via manual un-publish) and reader sweeps; the
     published feed must always equal exactly the committed model — every
     committed version present (possibly after lazy recovery), no phantom
-    versions, no duplicate deliveries."""
+    versions, no duplicate deliveries. Three seeds × 16 steps so the
+    non-bootstrap crash_publish path and 'reader leaves an orphan alone'
+    interleavings are all actually hit (code-review r4b finding): the
+    coverage assertions at the bottom fail if a seed change ever stops
+    exercising them."""
     import random
 
-    rng = random.Random(7)
+    rng = random.Random(seed)
     t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
     pol = MergePolicy(keys=("id",), last_updated_field=None,
                       num_buckets=2, change_feed=True)
     committed: dict[int, set[str]] = {}  # version -> expected changed ids
     next_id = 0
+    hit = {"crash_publish_incremental": False, "orphan_survives_read": False}
 
     def batch(n):
         nonlocal next_id
@@ -404,19 +410,30 @@ def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path):
         next_id += n
         return ids, spark.createDataFrame([(i, 1) for i in ids], "id string, val int")
 
-    for step in range(12):
+    def published_versions():
+        pub_root = os.path.join(t.path, "changes")
+        if not os.path.isdir(pub_root):
+            return set()
+        return {int(e[1:]) for e in os.listdir(pub_root) if e.startswith("v")}
+
+    orphan_staged = False
+    for step in range(16):
         action = rng.choice(["merge", "crash_stage", "crash_publish", "read"])
         if action == "merge":
             ids, df = batch(rng.randint(1, 3))
             t.merge(df, pol)
             committed[t.current_version()] = set(ids)
+            orphan_staged = False  # writer drained/overwrote any orphan
         elif action == "crash_stage":
             # died after staging, before the flip: stage an orphan
             _, df = batch(1)
             t._write_changes((t.current_version() or 0) + 1,
                              df.withColumn("_change_type", F.lit("insert")))
+            orphan_staged = True
         elif action == "crash_publish":
             # died between flip and publish: commit, then un-publish
+            if t.current_version():
+                hit["crash_publish_incremental"] = True
             ids, df = batch(rng.randint(1, 2))
             t.merge(df, pol)
             v = t.current_version()
@@ -424,20 +441,31 @@ def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path):
             if os.path.isdir(t._changes_dir(v)):
                 os.makedirs(os.path.dirname(t._staging_dir(v)), exist_ok=True)
                 os.replace(t._changes_dir(v), t._staging_dir(v))
+            orphan_staged = False
         else:
             t.change_versions()  # reader sweep (publish-only)
+            if orphan_staged:
+                # reader must have left the orphan stage alone
+                assert os.path.isdir(t._staging_dir((t.current_version() or 0) + 1))
+                hit["orphan_survives_read"] = True
 
-        # Invariant after every step: published versions ⊆ committed, and
-        # each published version carries exactly its committed ids.
-        pub_root = os.path.join(t.path, "changes")
-        published = (
-            {int(e[1:]) for e in os.listdir(pub_root) if e.startswith("v")}
-            if os.path.isdir(pub_root) else set()
-        )
+        # Invariants after EVERY step: published ⊆ committed, and every
+        # version already published carries exactly its committed ids —
+        # so a corrupt publish is caught at the step that made it.
+        published = published_versions()
         assert published <= set(committed), (step, published, committed)
+        for v in published:
+            got = {r["id"] for r in t.read_changes(v, v).collect()}
+            assert got == committed[v], (step, v, got, committed[v])
 
     # Final recovery: one reader access publishes everything committed.
     assert t.change_versions() == sorted(committed)
     for v, ids in committed.items():
         got = {r["id"] for r in t.read_changes(v, v).collect()}
         assert got == ids, (v, got, ids)
+    # Coverage pins: seed 11's sequence exercises BOTH the non-bootstrap
+    # flip-without-publish crash and the orphan-survives-reader path
+    # (verified by simulating the RNG); if the strategy list or step
+    # count ever changes and stops hitting them, this fails loudly.
+    if seed == 11:
+        assert hit["crash_publish_incremental"] and hit["orphan_survives_read"]
