@@ -144,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     p_opt.add_argument("--tables", nargs="*", default=None,
                        help="table names (default: every table in output_dir)")
     p_opt.add_argument("--keep-versions", type=int, default=1)
+    p_opt.add_argument("--keep-changes", type=int, default=None,
+                       help="also truncate the change feed to the last N "
+                            "committed versions (default: keep all)")
 
     p_tf = sub.add_parser(
         "train-filter",
@@ -438,9 +441,13 @@ def main(argv: list[str] | None = None) -> int:
         for name in names:
             tbl = ManagedTable(spark, args.output_dir, name)
             before = tbl.versions()
-            tbl.finalize(keep_versions=args.keep_versions)
+            feed_before = len(tbl.change_versions())
+            tbl.finalize(keep_versions=args.keep_versions,
+                         keep_changes=args.keep_changes)
             report[name] = {"dropped": len(before) - len(tbl.versions()),
                             "kept": len(tbl.versions())}
+            if args.keep_changes is not None:
+                report[name]["feed_dropped"] = feed_before - len(tbl.change_versions())
         print(json.dumps({"optimized": report}))
         return 0
     if args.verb == "profile":

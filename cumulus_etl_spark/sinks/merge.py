@@ -431,14 +431,33 @@ class ManagedTable:
         )
         self._publish_changes(next_v)
 
-    def finalize(self, keep_versions: int = 1) -> None:
-        """K3: compaction analog — drop superseded version directories."""
+    def finalize(self, keep_versions: int = 1, keep_changes: int | None = None) -> None:
+        """K3: compaction analog — drop superseded version directories.
+
+        ``keep_changes``: change-feed retention (Delta's
+        ``delta.changeDataFeed`` + log retention analog). None keeps the
+        whole feed; N keeps the last N committed change versions and
+        drops older ones — without this the feed grows without bound at
+        scale. Consumers (IncrementalRollup, stream_changes checkpoints)
+        must be caught up past the horizon before truncating, exactly as
+        with Delta's VACUUM vs streaming-source retention."""
         v = self.current_version()
         if v is None:
             return
         for entry in os.listdir(self.path):
             if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) <= v - keep_versions:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        if keep_changes is not None:
+            self._publish_pending_changes()  # never GC an unpublished commit
+            root = os.path.join(self.path, "changes")
+            if os.path.isdir(root):
+                for entry in os.listdir(root):
+                    if (
+                        entry.startswith("v")
+                        and entry[1:].isdigit()
+                        and int(entry[1:]) <= v - keep_changes
+                    ):
+                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def _merge_delta(self, updates: DataFrame, policy: MergePolicy) -> None:
         """Real Delta MERGE — same semantics, file-pruned and transactional.

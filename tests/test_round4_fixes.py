@@ -469,3 +469,26 @@ def test_cdf_crash_fuzz_feed_matches_model(spark, tmp_path, seed):
     # count ever changes and stops hitting them, this fails loudly.
     if seed == 11:
         assert hit["crash_publish_incremental"] and hit["orphan_survives_read"]
+
+
+def test_finalize_change_feed_retention(spark, tmp_path):
+    """finalize(keep_changes=N) truncates the feed to the last N
+    committed versions — the unbounded-feed-growth fix — and completes
+    any pending publish first so a committed version is never GC'd
+    while still staged."""
+    t, pol = _mk(spark, tmp_path)
+    for v in ("c", "d", "e"):
+        t.merge(spark.createDataFrame([(v, 1)], "id string, val int"), pol)
+    assert t.change_versions() == [1, 2, 3, 4]
+
+    # un-publish the newest version to simulate a pending publish
+    os.makedirs(os.path.dirname(t._staging_dir(4)), exist_ok=True)
+    os.replace(t._changes_dir(4), t._staging_dir(4))
+
+    t.finalize(keep_versions=1, keep_changes=2)
+    assert t.change_versions() == [3, 4]  # pending v4 published, old GC'd
+    assert {r["id"] for r in t.read_changes(4, 4).collect()} == {"e"}
+    # keep_changes=None (default) leaves the feed alone
+    t.merge(spark.createDataFrame([("f", 1)], "id string, val int"), pol)
+    t.finalize()
+    assert t.change_versions() == [3, 4, 5]
