@@ -93,6 +93,21 @@ class IncrementalRollup:
         start = applied + 1
         available = self.source.change_versions()
         todo = [v for v in available if v >= start]
+        # Feed-continuity guard: finalize(keep_changes=N) may have GC'd
+        # versions this rollup never applied, and a delete_ids(...,
+        # change_feed=False) leaves a version with no feed entry — both
+        # would silently diverge the rollup if skipped. Fail loudly; the
+        # fix is a rollup rebuild (or catching up before truncating).
+        cur = self.source.current_version() or 0
+        missing_low = bool(todo) and todo[0] > start
+        missing_high = not todo and cur > applied
+        if missing_low or missing_high:
+            raise ValueError(
+                f"change feed has a hole past applied version {applied} "
+                f"(available: {available}, source at v{cur}) — the feed was "
+                "truncated or a version committed without changes; rebuild "
+                "the rollup from a fresh scan"
+            )
         if not todo:
             return 0
         ch = self.source.read_changes(from_version=todo[0], to_version=todo[-1])

@@ -492,3 +492,32 @@ def test_finalize_change_feed_retention(spark, tmp_path):
     t.merge(spark.createDataFrame([("f", 1)], "id string, val int"), pol)
     t.finalize()
     assert t.change_versions() == [3, 4, 5]
+
+
+def test_rollup_detects_truncated_feed(spark, tmp_path):
+    """A rollup behind the retention horizon must fail loudly, not
+    silently skip GC'd versions."""
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    t, pol = _mk(spark, tmp_path)
+    roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_id", ["id"], "val")
+    assert roll.refresh() == 1
+
+    for v in ("c", "d", "e"):
+        t.merge(spark.createDataFrame([(v, 1)], "id string, val int"), pol)
+    t.finalize(keep_changes=1)  # GC v2..v3; rollup applied only v1
+    with pytest.raises(ValueError, match="hole past applied version 1"):
+        roll.refresh()
+
+
+def test_rollup_detects_feedless_version(spark, tmp_path):
+    """delete_ids(change_feed=False) on a feed table commits a version
+    with no feed entry — refresh must flag the divergence."""
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    t, pol = _mk(spark, tmp_path)
+    roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_id", ["id"], "val")
+    assert roll.refresh() == 1
+    t.delete_ids(["a"], change_feed=False)
+    with pytest.raises(ValueError, match="hole past applied version 1"):
+        roll.refresh()
