@@ -441,7 +441,9 @@ def main(argv: list[str] | None = None) -> int:
         for name in names:
             tbl = ManagedTable(spark, args.output_dir, name)
             before = tbl.versions()
-            feed_before = len(tbl.change_versions())
+            feed_before = (
+                len(tbl.change_versions()) if args.keep_changes is not None else 0
+            )
             tbl.finalize(keep_versions=args.keep_versions,
                          keep_changes=args.keep_changes)
             report[name] = {"dropped": len(before) - len(tbl.versions()),

@@ -91,22 +91,25 @@ class IncrementalRollup:
             )
         applied = self.applied_version()
         start = applied + 1
-        available = self.source.change_versions()
-        todo = [v for v in available if v >= start]
-        # Feed-continuity guard: finalize(keep_changes=N) may have GC'd
-        # versions this rollup never applied, and a delete_ids(...,
-        # change_feed=False) leaves a version with no feed entry — both
-        # would silently diverge the rollup if skipped. Fail loudly; the
-        # fix is a rollup rebuild (or catching up before truncating).
+        # Read the committed version BEFORE listing the feed: a merge
+        # committing between the two calls then only ADDS versions beyond
+        # cur (applied next refresh) instead of making a healthy feed look
+        # like it has a hole at the top.
         cur = self.source.current_version() or 0
-        missing_low = bool(todo) and todo[0] > start
-        missing_high = not todo and cur > applied
-        if missing_low or missing_high:
+        available = self.source.change_versions()
+        todo = [v for v in available if start <= v <= cur]
+        # Feed-continuity guard: every version in (applied, cur] must have
+        # a feed entry. finalize(keep_changes=N) may have GC'd versions
+        # this rollup never applied, and a delete_ids(...,
+        # change_feed=False) leaves a MIDDLE hole — both silently diverge
+        # the rollup if skipped, so any gap fails loudly. Recovery:
+        # rebuild() recomputes from a full source scan.
+        if todo != list(range(start, cur + 1)):
             raise ValueError(
-                f"change feed has a hole past applied version {applied} "
-                f"(available: {available}, source at v{cur}) — the feed was "
-                "truncated or a version committed without changes; rebuild "
-                "the rollup from a fresh scan"
+                f"change feed has a hole in ({applied}, {cur}] "
+                f"(feed entries there: {todo}) — the feed was truncated or "
+                "a version committed without changes; call rebuild() to "
+                "recompute this rollup from a full source scan"
             )
         if not todo:
             return 0
@@ -160,6 +163,60 @@ class IncrementalRollup:
         os.replace(tmp, self._state_path)
         self.table.merge(merged, self.policy)
         return len(todo)
+
+    def rebuild(self) -> int:
+        """Recompute the rollup from a FULL source scan and fast-forward
+        the applied version to the source's current commit — the recovery
+        path for a feed hole (refresh()'s ValueError) or a rollup left
+        behind a finalize(keep_changes=N) horizon. Groups that vanished
+        from the source are zeroed (read() filters n_rows > 0), since the
+        rollup merge itself has no delete path. Returns the source
+        version the rollup now reflects."""
+        src = self.source.read()
+        if src is None:
+            fresh = None
+        else:
+            fresh = src.groupBy(*self.group_cols).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col(self.value_col).cast("double")).alias("sum_value"),
+            )
+        old = self.table.read()
+        if old is not None:
+            stale = old.select(*self.group_cols)
+            if fresh is not None:
+                stale = stale.join(fresh.select(*self.group_cols), self.group_cols, "left_anti")
+            zeros = stale.select(
+                *self.group_cols,
+                F.lit(0).cast("bigint").alias("n_rows"),
+                F.lit(0.0).alias("sum_value"),
+            )
+            fresh = zeros if fresh is None else fresh.unionByName(zeros)
+        target = self.source.current_version() or 0
+        if fresh is None:
+            # nothing ever written anywhere: just record the version
+            fresh_rows: list = []
+            from pyspark.sql.types import (
+                DoubleType, LongType, StringType, StructField, StructType,
+            )
+            schema = StructType(
+                [StructField(c, StringType()) for c in self.group_cols]
+                + [StructField("n_rows", LongType()), StructField("sum_value", DoubleType())]
+            )
+            fresh = self.spark.createDataFrame(fresh_rows, schema)
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": target,
+                    "prev_version": self.applied_version(),
+                    "pending_rollup_version": (self.table.current_version() or 0) + 1,
+                },
+                fh,
+            )
+        os.replace(tmp, self._state_path)
+        self.table.merge(fresh, self.policy)
+        return target
 
     def read(self) -> DataFrame | None:
         df = self.table.read()

@@ -436,11 +436,18 @@ class ManagedTable:
 
         ``keep_changes``: change-feed retention (Delta's
         ``delta.changeDataFeed`` + log retention analog). None keeps the
-        whole feed; N keeps the last N committed change versions and
-        drops older ones — without this the feed grows without bound at
-        scale. Consumers (IncrementalRollup, stream_changes checkpoints)
-        must be caught up past the horizon before truncating, exactly as
-        with Delta's VACUUM vs streaming-source retention."""
+        whole feed; N keeps the last N committed FEED ENTRIES (not table
+        versions — feedless commits don't shrink the kept window) and
+        drops older ones, oldest first, each via an atomic
+        rename-then-delete so a crash can neither leave a half-deleted
+        version that consumers would read as complete nor a
+        non-contiguous feed. Without retention the feed grows without
+        bound at scale. An IncrementalRollup behind the horizon fails
+        loudly and offers rebuild(); a checkpointed stream_changes
+        consumer behind it silently loses the truncated commits (the
+        file source never lists deleted files) — drain streams past the
+        horizon BEFORE truncating, exactly as with Delta's VACUUM vs
+        streaming-source retention."""
         v = self.current_version()
         if v is None:
             return
@@ -449,15 +456,17 @@ class ManagedTable:
                 shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
         if keep_changes is not None:
             self._publish_pending_changes()  # never GC an unpublished commit
-            root = os.path.join(self.path, "changes")
-            if os.path.isdir(root):
-                for entry in os.listdir(root):
-                    if (
-                        entry.startswith("v")
-                        and entry[1:].isdigit()
-                        and int(entry[1:]) <= v - keep_changes
-                    ):
-                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            trash = os.path.join(self.path, ".changes_trash")
+            # sweep any half-deleted trash from a previous crashed GC
+            if os.path.isdir(trash):
+                shutil.rmtree(trash, ignore_errors=True)
+            feed = self.change_versions()
+            drop = feed[: len(feed) - keep_changes] if keep_changes > 0 else feed
+            for ver in drop:  # ascending: a crash keeps the feed contiguous
+                os.makedirs(trash, exist_ok=True)
+                dst = os.path.join(trash, f"v{ver}")
+                os.replace(self._changes_dir(ver), dst)  # atomic disappearance
+                shutil.rmtree(dst, ignore_errors=True)
 
     def _merge_delta(self, updates: DataFrame, policy: MergePolicy) -> None:
         """Real Delta MERGE — same semantics, file-pruned and transactional.

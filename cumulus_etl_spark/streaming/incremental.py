@@ -136,6 +136,12 @@ def stream_changes(spark: SparkSession, table) -> DataFrame:
     reused. A crash between flip and publish only delays that version's
     delivery until the next feed access completes the rename.
 
+    Retention caveat: ``finalize(keep_changes=N)`` deletes old feed
+    versions; a checkpointed stream that is BEHIND the horizon silently
+    loses them (a file source never lists deleted files). Drain streams
+    past the horizon before truncating — same contract as Delta VACUUM
+    vs streaming sources.
+
     Delta deployments stream the native feed instead:
     ``spark.readStream.format("delta").option("readChangeFeed", "true")``.
     """

@@ -506,7 +506,7 @@ def test_rollup_detects_truncated_feed(spark, tmp_path):
     for v in ("c", "d", "e"):
         t.merge(spark.createDataFrame([(v, 1)], "id string, val int"), pol)
     t.finalize(keep_changes=1)  # GC v2..v3; rollup applied only v1
-    with pytest.raises(ValueError, match="hole past applied version 1"):
+    with pytest.raises(ValueError, match=r"hole in \(1, 4\]"):
         roll.refresh()
 
 
@@ -519,5 +519,46 @@ def test_rollup_detects_feedless_version(spark, tmp_path):
     roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_id", ["id"], "val")
     assert roll.refresh() == 1
     t.delete_ids(["a"], change_feed=False)
-    with pytest.raises(ValueError, match="hole past applied version 1"):
+    with pytest.raises(ValueError, match=r"hole in \(1, 2\]"):
         roll.refresh()
+
+
+def test_rollup_detects_middle_hole_and_rebuilds(spark, tmp_path):
+    """A feedless commit in the MIDDLE of the unapplied range must also
+    raise (code-review r4c finding), and rebuild() recovers: full-scan
+    recompute, stale groups zeroed, refresh usable again."""
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    t, pol = _mk(spark, tmp_path)
+    roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_id", ["id"], "val")
+    assert roll.refresh() == 1
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)  # v2 feed
+    t.delete_ids(["a"], change_feed=False)                                 # v3 NO feed
+    t.merge(spark.createDataFrame([("d", 4)], "id string, val int"), pol)  # v4 feed
+    with pytest.raises(ValueError, match=r"hole in \(1, 4\]"):
+        roll.refresh()
+
+    assert roll.rebuild() == 4
+    got = {(r["id"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()}
+    want = {(r["id"], 1, float(r["val"])) for r in t.read().collect()}
+    assert got == want
+    assert ("a", 1, 1.0) not in got  # deleted id zeroed out
+    assert roll.refresh() == 0  # caught up; future refreshes work
+
+    t.merge(spark.createDataFrame([("e", 5)], "id string, val int"), pol)
+    assert roll.refresh() == 1
+
+
+def test_feed_retention_counts_feed_entries_not_versions(spark, tmp_path):
+    """keep_changes counts committed FEED ENTRIES: feedless commits at
+    the top of the version range must not shrink (or wipe) the kept
+    window (code-review r4c finding)."""
+    t, pol = _mk(spark, tmp_path)
+    for v in ("c", "d"):
+        t.merge(spark.createDataFrame([(v, 1)], "id string, val int"), pol)
+    # two feedless commits on top
+    t.delete_ids(["c"], change_feed=False)
+    t.delete_ids(["d"], change_feed=False)
+    assert t.change_versions() == [1, 2, 3]
+    t.finalize(keep_changes=2)
+    assert t.change_versions() == [2, 3]  # last 2 FEED entries survive
