@@ -174,6 +174,21 @@ def main(argv: list[str] | None = None) -> int:
     p_stats.add_argument("output_dir")
     p_stats.add_argument("--tables", nargs="*", default=None)
 
+    p_roll = sub.add_parser(
+        "rollup",
+        help="maintain an incremental (count, sum) rollup from a table's change feed",
+    )
+    p_roll.add_argument("lake_dir", help="directory holding the source ManagedTable")
+    p_roll.add_argument("table", help="source table name (merged with change_feed=True)")
+    p_roll.add_argument("views_dir", help="directory for the rollup's own table")
+    p_roll.add_argument("name", help="rollup table name")
+    p_roll.add_argument("--group-by", required=True,
+                        help="comma-separated group columns")
+    p_roll.add_argument("--value-col", required=True,
+                        help="numeric column to sum")
+    p_roll.add_argument("--rebuild", action="store_true",
+                        help="full-scan recompute (recovery after feed truncation)")
+
     p_tok = sub.add_parser(
         "tokenizer", help="train BPE merges over a document corpus"
     )
@@ -469,6 +484,26 @@ def main(argv: list[str] | None = None) -> int:
             },
             "approx_distinct": bool(args.approx),
         }))
+        return 0
+    if args.verb == "rollup":
+        from cumulus_etl_spark.sinks import ManagedTable
+        from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+        src = ManagedTable(spark, args.lake_dir, args.table)
+        roll = IncrementalRollup(
+            spark, src, args.views_dir, args.name,
+            [c.strip() for c in args.group_by.split(",") if c.strip()],
+            args.value_col,
+        )
+        if args.rebuild:
+            version = roll.rebuild()
+            print(json.dumps({"rebuilt_to_version": version}))
+        else:
+            applied = roll.refresh()
+            print(json.dumps({
+                "applied_commits": applied,
+                "at_version": roll.applied_version(),
+            }))
         return 0
     if args.verb == "tokenizer":
         from cumulus_etl_spark.operators.textstats import bpe_train_merges

@@ -259,3 +259,39 @@ def test_ann_cli_verb_all_methods(spark, sf_smoke, capsys):
         assert set(out["neighbors"]) == {"0", "1"}
         for ranks in out["neighbors"].values():
             assert [r["rank"] for r in ranks] == [1, 2, 3]
+
+
+def test_rollup_cli_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=4, change_feed=True)
+    t.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g2", 2)], "id string, grp string, val int"), pol)
+
+    argv = ["rollup", str(tmp_path / "lake"), "obs", str(tmp_path / "views"),
+            "by_grp", "--group-by", "grp", "--value-col", "val"]
+    assert cli_main(argv) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"applied_commits": 1, "at_version": 1}
+
+    t.merge(spark.createDataFrame(
+        [("c", "g1", 5)], "id string, grp string, val int"), pol)
+    assert cli_main(argv) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"applied_commits": 1, "at_version": 2}
+
+    roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_grp",
+                             ["grp"], "val")
+    got = {(r["grp"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()}
+    assert got == {("g1", 2, 6.0), ("g2", 1, 2.0)}
+
+    # rebuild path via CLI
+    assert cli_main(argv + ["--rebuild"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rebuilt_to_version": 2}
