@@ -172,7 +172,23 @@ class IncrementalRollup:
         from the source are zeroed (read() filters n_rows > 0), since the
         rollup merge itself has no delete path. Returns the source
         version the rollup now reflects."""
-        src = self.source.read()
+        if self.source._is_delta():
+            # Same reason as refresh(): the fallback state handshake is
+            # meaningless against Delta commit numbering.
+            raise NotImplementedError(
+                "IncrementalRollup.rebuild over a native Delta source: use "
+                "readChangeFeed streaming + foreachBatch merge; the fallback "
+                "state handshake does not apply to Delta commit numbering"
+            )
+        # Pin the version FIRST, then scan that exact snapshot: a source
+        # merge committing between a floating read() and a later
+        # current_version() read would make the state claim a version
+        # whose rows the rollup lacks — refresh() would then skip that
+        # commit's deltas forever (advice r4). Same ordering discipline
+        # as refresh()'s "read the committed version BEFORE listing the
+        # feed".
+        target = self.source.current_version() or 0
+        src = self.source.read(version=target) if target else self.source.read()
         if src is None:
             fresh = None
         else:
@@ -191,7 +207,6 @@ class IncrementalRollup:
                 F.lit(0.0).alias("sum_value"),
             )
             fresh = zeros if fresh is None else fresh.unionByName(zeros)
-        target = self.source.current_version() or 0
         if fresh is None:
             # nothing ever written anywhere: just record the version
             fresh_rows: list = []

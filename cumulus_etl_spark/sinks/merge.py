@@ -461,7 +461,9 @@ class ManagedTable:
             if os.path.isdir(trash):
                 shutil.rmtree(trash, ignore_errors=True)
             feed = self.change_versions()
-            drop = feed[: len(feed) - keep_changes] if keep_changes > 0 else feed
+            # clamp: keep_changes > len(feed) must drop NOTHING (a negative
+            # stop index would silently delete the oldest entries instead)
+            drop = feed[: max(0, len(feed) - keep_changes)] if keep_changes > 0 else feed
             for ver in drop:  # ascending: a crash keeps the feed contiguous
                 os.makedirs(trash, exist_ok=True)
                 dst = os.path.join(trash, f"v{ver}")
@@ -625,7 +627,15 @@ class ManagedTable:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.isdir(dst):  # pre-staging legacy layout only
             shutil.rmtree(dst)
-        os.replace(src, dst)
+        try:
+            os.replace(src, dst)
+        except FileNotFoundError:
+            # TOCTOU with a concurrent publisher: the lazy sweep runs from
+            # reader paths (change_versions/stream_changes) as well as
+            # writers, so another process can finish the same publish
+            # between our isdir check and the replace — that is success.
+            if not os.path.isdir(dst):
+                raise
 
     def _publish_pending_changes(self, drop_orphans: bool = False) -> None:
         """Crash recovery, run lazily from every feed access / merge:
