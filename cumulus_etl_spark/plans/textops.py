@@ -294,13 +294,24 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: near-dup pairs (same-source token
     Jaccard ≥ 0.5) → distributed connected components (min-label
     propagation + pointer jumping, operators/graph.py) → per-doc
-    cluster id + canonical flag. The oracle computes the same
-    components with a recursive CTE — transitive closure, so A~B~C
-    chains land in ONE cluster even when A≁C directly."""
+    cluster id + canonical flag. The oracle computes the same components
+    with a recursive CTE — transitive closure, so A~B~C chains land in
+    ONE cluster even when A≁C directly.
+
+    The pair feed is the EXACT prefix-filter similarity join
+    (operators/dedup.py:prefix_filter_pairs) — provably the same pair
+    set as the all-pairs ground truth (`text_ngram_jaccard_pairs`,
+    pytest-pinned equal at sf0.01 and sf0.1 by
+    test_corpus.py::test_prefix_filter_pairs_equal_exact) without ever
+    materializing a per-source cross product, which is what made the
+    previous feed a latent quadratic at 100 TB with a dominant source
+    (round-4 verdict task 4)."""
     from cumulus_etl_spark.operators.graph import dedup_clusters
 
     d = table(spark, sf_dir, "documents")
-    pairs = text_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = D.prefix_filter_pairs(
+        d, "doc_id", "text", threshold=0.5, block_col="source", shingle_k=1
+    ).select("id_a", "id_b")
     return dedup_clusters(d, pairs, "doc_id").select(
         "doc_id", "cluster_id", "is_canonical"
     )
@@ -664,7 +675,7 @@ stats AS (
   SELECT word,
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
          COUNT(*) AS tf,
-         (array_agg(DISTINCT doc_id ORDER BY doc_id))[1:8] AS postings
+         array_to_string((array_agg(DISTINCT doc_id ORDER BY doc_id))[1:8], ',') AS postings
   FROM toks GROUP BY word
 )
 SELECT word, df, tf, postings
@@ -681,7 +692,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAPPED sorted posting list (first 8 doc ids). The cap is what makes
     this scale-shaped: collect_set of raw postings would concentrate a
     stop-word's entire doc list on one reducer, so membership is
-    deduplicated and row_number-capped BEFORE the list aggregation."""
+    deduplicated and row_number-capped BEFORE the list aggregation. The
+    postings are emitted as a comma-joined string: the driver's pandas
+    canonicalizer cannot hash array columns, and every oracled catalog
+    entry must be scalar-only (pinned by
+    test_catalog_guards.py::test_oracled_outputs_are_scalar_only)."""
     d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     toks = d.select("doc_id", F.explode(T.words_array(F.lower(F.col("text")))).alias("word"))
     tf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
@@ -694,7 +709,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(
             F.max("df_full").cast("bigint").alias("df"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings"),
         )
     )
     return (

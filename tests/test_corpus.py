@@ -318,3 +318,52 @@ def test_corpus_cli_split_leakage_report(spark, tmp_path, capsys):
     # every held-out doc shares the body 8-grams with train
     for split, n in summary["leakage"].items():
         assert 0 < n <= held[split]
+
+
+def test_prefix_filter_pairs_equal_exact(spark, sf_correct):
+    """The prefix-filter similarity join (text_dedup_clusters' pair feed)
+    must return EXACTLY the all-pairs ground-truth pair set — that is the
+    theorem it implements, not an LSH recall argument, so any deviation
+    is a bug (round-4 verdict task 4). Checked at sf0.01 here; the sf0.1
+    check runs in the bench-adjacent slow suite below."""
+    from cumulus_etl_spark.operators.dedup import prefix_filter_pairs
+    from cumulus_etl_spark.plans.textops import text_ngram_jaccard_pairs
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, sf_correct, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in text_ngram_jaccard_pairs(spark, sf_correct)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    pf = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(
+            d, "doc_id", "text", threshold=0.5, block_col="source", shingle_k=1
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert pf == exact
+    assert len(pf) > 0
+
+
+def test_prefix_filter_pairs_equal_exact_sf01(spark):
+    """Same equality at sf0.1 (5k docs, 445k true pairs) — the scale the
+    driver benches at. Slow (~25 s) but the point of the prefix-filter
+    path is that it holds as data grows."""
+    from cumulus_etl_spark.operators.dedup import prefix_filter_pairs
+    from cumulus_etl_spark.plans.textops import text_ngram_jaccard_pairs
+    from cumulus_etl_spark.sources import table
+
+    sf = "/root/testdata/sf0.1"
+    d = table(spark, sf, "documents")
+    exact = text_ngram_jaccard_pairs(spark, sf).select("id_a", "id_b")
+    pf = prefix_filter_pairs(
+        d, "doc_id", "text", threshold=0.5, block_col="source", shingle_k=1
+    ).select("id_a", "id_b")
+    n_exact = exact.count()
+    assert pf.exceptAll(exact).count() == 0
+    assert exact.exceptAll(pf).count() == 0
+    assert n_exact > 100_000
