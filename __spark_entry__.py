@@ -27,7 +27,7 @@ from cumulus_etl_spark.plans import CATALOG
 _GATE_PRIORITY = [
     # -- never hash-green: the r4 red (postings column now scalar) --
     "text_inverted_index",
-    # -- new round-5 entries: never gated --
+    # -- new round-6 entry: never gated (exact integer-greedy MMR) --
     "vector_mmr_select",
     # -- changed this round: the cluster feed is now the exact
     #    prefix-filter join (no all-pairs) — must re-prove --

@@ -592,3 +592,71 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)
+
+
+def mmr_select_exact(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_comp: int = 3,
+) -> DataFrame:
+    """Exact-arithmetic MMR selection — the oracle-replayable variant of
+    ``mmr_rerank`` (reference intent: diversity re-rank after retrieval;
+    cf. Carbonell & Goldstein 1998).
+
+    Inputs are INTEGER micro-units: ``rel_micro`` (relevance ×1e6,
+    rounded once, upstream in Catalyst) and ``sims`` — a
+    ``map<neighbor_id, sim_micro>`` of pairwise candidate similarities
+    quantized the same way. The greedy objective is then pure integer
+    arithmetic::
+
+        mmr_e7 = lam_num·rel_micro − lam_comp·max(sim_micro to picked)
+
+    (units of 1e-7 with the default 7/3 split, i.e. λ=0.7), with ties
+    broken toward the lower neighbor_id. Because every input is an
+    integer and the recurrence is integer, an external engine (DuckDB,
+    in the catalog oracle) replays the selection bit-for-bit — no
+    float-accumulation drift, unlike the double-precision ``mmr_rerank``.
+
+    Scale shape: identical to ``mmr_rerank`` — sequential per query,
+    parallel across queries, one shuffle on query_id; each group is only
+    the candidate list, never the corpus.
+
+    Input: (query_id, neighbor_id, rel_micro, sims map<long,long>).
+    Output: (query_id, rank, neighbor_id, rel_micro, mmr_e7).
+    """
+    import pandas as pd
+
+    out_schema = "query_id long, rank int, neighbor_id long, rel_micro long, mmr_e7 long"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {
+            int(n): int(r) for n, r in zip(pdf["neighbor_id"], pdf["rel_micro"])
+        }
+        sims = {
+            int(n): ({} if s is None else {int(a): int(b) for a, b in s.items()})
+            for n, s in zip(pdf["neighbor_id"], pdf["sims"])
+        }
+        remaining = sorted(rel)  # ascending id: strict > keeps lowest id on ties
+        picked: list[int] = []
+        rows: list[tuple[int, int, int, int, int]] = []
+        while remaining and len(picked) < k:
+            best_id: int | None = None
+            best_mmr = 0
+            for nid in remaining:
+                if picked:
+                    penalty = max(sims[nid][p] for p in picked)
+                    mmr = lam_num * rel[nid] - lam_comp * penalty
+                else:
+                    mmr = lam_num * rel[nid]
+                if best_id is None or mmr > best_mmr:
+                    best_id, best_mmr = nid, mmr
+            picked.append(best_id)
+            remaining.remove(best_id)
+            rows.append((qid, len(picked), best_id, rel[best_id], best_mmr))
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "neighbor_id", "rel_micro", "mmr_e7"]
+        )
+
+    return candidates.groupBy("query_id").applyInPandas(greedy, out_schema)

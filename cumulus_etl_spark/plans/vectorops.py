@@ -822,3 +822,148 @@ def vector_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("s"), 6).cast("decimal(18,6)")).cast("double")
          / F.count(F.lit(1))).alias("avg_silhouette"),
     )
+
+
+_MMR_N_CANDS = 20
+
+
+def _mmr_select_oracle() -> str:
+    """Unrolled greedy-MMR replay: one (candidate, pick, picked-set) CTE
+    triple per rank. Generated rather than hand-written so k changes in
+    one place; every quantity is BIGINT micro-units, so DuckDB replays
+    the Spark greedy bit-for-bit (see operators/similarity.py:
+    mmr_select_exact)."""
+    steps = []
+    for i in range(2, _K + 1):
+        steps.append(f"""c{i} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel_micro,
+         7 * c.rel_micro - 3 * MAX(s.sim_micro) AS mmr_e7
+  FROM mcands c
+  JOIN p{i - 1} p ON p.query_id = c.query_id
+                AND NOT list_contains(p.picked, c.neighbor_id)
+  JOIN msims s ON s.query_id = c.query_id AND s.ia = c.neighbor_id
+              AND list_contains(p.picked, s.ib)
+  GROUP BY c.query_id, c.neighbor_id, c.rel_micro
+),
+s{i} AS (
+  SELECT query_id, neighbor_id, rel_micro, mmr_e7 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY mmr_e7 DESC, neighbor_id) AS rn
+    FROM c{i}) WHERE rn = 1
+),
+p{i} AS (
+  SELECT p.query_id, list_append(p.picked, s.neighbor_id) AS picked
+  FROM p{i - 1} p JOIN s{i} s USING (query_id)
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS INT) AS rank, neighbor_id,"
+        f" CAST(rel_micro AS BIGINT) AS rel_micro,"
+        f" CAST(mmr_e7 AS BIGINT) AS mmr_e7 FROM s{i}"
+        for i in range(1, _K + 1)
+    )
+    return f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nv AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+  FROM vecs
+),
+rels AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(round(list_sum(list_transform(list_zip(q.vn, c.vn),
+                                            x -> x[1] * x[2])) * 1000000, 0)
+              AS BIGINT) AS rel_micro
+  FROM nv q JOIN nv c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+),
+mcands AS (
+  SELECT query_id, neighbor_id, rel_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_micro DESC, neighbor_id) AS rn
+    FROM rels) WHERE rn <= {_MMR_N_CANDS}
+),
+msims AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         CAST(round(list_sum(list_transform(list_zip(na.vn, nb.vn),
+                                            x -> x[1] * x[2])) * 1000000, 0)
+              AS BIGINT) AS sim_micro
+  FROM mcands a
+  JOIN mcands b ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+  JOIN nv na ON na.vec_id = a.neighbor_id
+  JOIN nv nb ON nb.vec_id = b.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, rel_micro, 7 * rel_micro AS mmr_e7 FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_micro DESC, neighbor_id) AS rn
+    FROM mcands) WHERE rn = 1
+),
+p1 AS (SELECT query_id, [neighbor_id] AS picked FROM s1),
+{",".join(steps)}
+{union}
+"""
+
+
+@register("vector_mmr_select", _mmr_select_oracle(), tags=("vector", "search"))
+def vector_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-replayable MMR (λ=0.7 as the integer split 7/3): brute-force
+    top-20 cosine candidates per query, relevances and pairwise candidate
+    similarities quantized ONCE to micro-units in Catalyst (round(x·1e6)
+    of the sequential-fold dot of pre-normalized vectors — the proven
+    bit-exact pattern from vector_semdedup), then the greedy selection
+    runs on pure integers in applyInPandas
+    (operators/similarity.py:mmr_select_exact) and DuckDB replays it with
+    an unrolled per-rank CTE chain. Pins the MMR semantics the rows-only
+    vector_mmr_rerank entry could not (float accumulation drift)."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    nv = (
+        emb.select(F.col("vec_id"), S.as_double_array("embedding").alias("v"))
+        .withColumn("n", S.l2_norm(F.col("v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("vn"),
+        )
+    )
+    q = nv.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    c = nv.select(F.col("vec_id").alias("neighbor_id"), F.col("vn").alias("cv"))
+    rels = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.dot(F.col("qv"), F.col("cv")) * 1e6, 0)
+            .cast("long")
+            .alias("rel_micro"),
+            "cv",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("neighbor_id")
+    )
+    cands = (
+        rels.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_N_CANDS)
+        .drop("rn")
+    )
+    a = cands.select("query_id", F.col("neighbor_id").alias("ia"), F.col("cv").alias("va"))
+    b = cands.select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("ib"), F.col("cv").alias("vb")
+    )
+    sims = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("ia") != F.col("ib")))
+        .select(
+            "query_id", "ia", "ib",
+            F.round(S.dot(F.col("va"), F.col("vb")) * 1e6, 0)
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    simmap = sims.groupBy("query_id", F.col("ia").alias("neighbor_id")).agg(
+        F.map_from_entries(F.collect_list(F.struct("ib", "sim_micro"))).alias("sims")
+    )
+    inp = cands.drop("cv").join(simmap, ["query_id", "neighbor_id"], "left")
+    return S.mmr_select_exact(inp, k=_K)
