@@ -680,3 +680,86 @@ def test_cdf_stream_drives_rollup(spark, tmp_path):
     drain()
     assert roll.applied_version() == v
     assert_converged()
+
+
+def test_stream_changes_checkpoint_hole_detector(spark, tmp_path):
+    """Round-5 verdict ask 3: retention that truncates the feed PAST a
+    stream's checkpoint position must raise (instead of the file source
+    silently skipping the deleted commits); retention that only drops
+    already-delivered versions resumes clean."""
+    import pytest
+
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.streaming import stream_changes
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=2, change_feed=True)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        (
+            stream_changes(spark, t, checkpoint_dir=ckpt)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    t.merge(spark.createDataFrame([("a", 1)], "id string, val int"), pol)  # v1
+    drain()  # checkpoint now at v1
+
+    # two more commits the stream has NOT seen
+    t.merge(spark.createDataFrame([("b", 2)], "id string, val int"), pol)  # v2
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)  # v3
+
+    # retention keeps only the newest feed entry (v3): v2 — undelivered —
+    # is gone; the stream is behind the horizon -> loud failure
+    t.finalize(keep_versions=10, keep_changes=1)
+    with pytest.raises(ValueError, match="hole after the stream's checkpoint"):
+        stream_changes(spark, t, checkpoint_dir=ckpt)
+
+    # fresh checkpoint (late subscriber) is exempt — starts at the horizon
+    stream_changes(spark, t, checkpoint_dir=str(tmp_path / "fresh-ckpt"))
+
+
+def test_stream_changes_retention_up_to_checkpoint_resumes(spark, tmp_path):
+    """Companion case: dropping only ALREADY-DELIVERED feed versions is
+    safe — the guarded stream resumes and delivers exactly the new
+    commits."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+    from cumulus_etl_spark.streaming import stream_changes
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=2, change_feed=True)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        (
+            stream_changes(spark, t, checkpoint_dir=ckpt)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    t.merge(spark.createDataFrame([("a", 1)], "id string, val int"), pol)  # v1
+    t.merge(spark.createDataFrame([("b", 2)], "id string, val int"), pol)  # v2
+    drain()  # delivered v1+v2
+    t.merge(spark.createDataFrame([("c", 3)], "id string, val int"), pol)  # v3
+    # horizon moves up TO the checkpoint (keeps v3, drops delivered v1/v2)
+    t.finalize(keep_versions=10, keep_changes=1)
+    drain()  # clean resume, no raise
+    got = {(r["id"], r["_commit_version"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert ("c", 3) in got
+    assert {v for _, v in got} == {1, 2, 3}
