@@ -295,3 +295,61 @@ def test_rollup_cli_verb(spark, tmp_path, capsys):
     assert cli_main(argv + ["--rebuild"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"rebuilt_to_version": 2}
+
+
+def test_cli_retention_then_rollup_e2e(spark, tmp_path, capsys):
+    """Round-5 verdict ask 7 (r4 ask 7): the full CLI composition —
+    `optimize --keep-changes` truncating the feed past a rollup's applied
+    position, the `rollup` verb then failing LOUDLY (feed hole), and
+    `rollup --rebuild` recovering — mirroring the operator-level coverage
+    in test_round4_fixes at the user-facing surface."""
+    import json as _json
+
+    import pytest
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    t = ManagedTable(spark, str(tmp_path / "lake"), "obs")
+    pol = MergePolicy(keys=("id",), last_updated_field=None,
+                      num_buckets=4, change_feed=True)
+    t.merge(spark.createDataFrame(
+        [("a", "g1", 1), ("b", "g2", 2)], "id string, grp string, val int"), pol)
+
+    roll_argv = ["rollup", str(tmp_path / "lake"), "obs",
+                 str(tmp_path / "views"), "by_grp",
+                 "--group-by", "grp", "--value-col", "val"]
+    assert cli_main(roll_argv) == 0  # rollup applied through v1
+    capsys.readouterr()
+
+    # two more commits the rollup has NOT applied, then retention keeps
+    # only the newest feed entry -> v2 is gone, hole in (v1, v3]
+    t.merge(spark.createDataFrame([("c", "g1", 5)],
+                                  "id string, grp string, val int"), pol)
+    t.merge(spark.createDataFrame([("d", "g2", 7)],
+                                  "id string, grp string, val int"), pol)
+    assert cli_main(["optimize", str(tmp_path / "lake"),
+                     "--keep-versions", "10", "--keep-changes", "1"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["optimized"]["obs"]["feed_dropped"] == 2
+
+    with pytest.raises(ValueError, match="hole"):
+        cli_main(roll_argv)
+
+    # recovery: full-scan rebuild, then the rollup equals a fresh groupBy
+    assert cli_main(roll_argv + ["--rebuild"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rebuilt_to_version": 3}
+    from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
+
+    roll = IncrementalRollup(spark, t, str(tmp_path / "views"), "by_grp",
+                             ["grp"], "val")
+    got = {(r["grp"], r["n_rows"], r["sum_value"]) for r in roll.read().collect()}
+    assert got == {("g1", 2, 6.0), ("g2", 2, 9.0)}
+
+    # and incremental refreshes work again after a new commit
+    t.merge(spark.createDataFrame([("e", "g1", 3)],
+                                  "id string, grp string, val int"), pol)
+    assert cli_main(roll_argv) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"applied_commits": 1, "at_version": 4}
