@@ -25,44 +25,48 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- never hash-green: the r4 red (postings column now scalar) --
-    "text_inverted_index",
     # -- new round-6 entry: never gated (exact integer-greedy MMR) --
     "vector_mmr_select",
-    # -- changed this round: the cluster feed is now the exact
-    #    prefix-filter join (no all-pairs) — must re-prove --
+    # -- changed this round: the pair feed's verification now runs on
+    #    RAW shingle arrays with 64-bit candidate hashing and an eager
+    #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
     "text_dedup_clusters",
-    # -- freshness rotation: last green row is round 2 (32 entries) --
-    "join_brand_revenue", "join_semi_big_spenders", "join_anti_no_orders",
-    "join_left_outer_nations", "window_topk_per_customer",
-    "window_running_total", "window_lag_lead_events", "window_moving_average",
-    "set_except_quiet_customers", "set_intersect_status", "set_union_tagged",
-    "set_intersect_all_multiplicity", "scalar_string_functions",
-    "scalar_date_functions", "scalar_case_bucketing", "scalar_json_extract",
-    "dedup_distinct_pairs", "dedup_last_wins", "sort_global_topk",
-    "q6_forecast_revenue", "q14_type_share", "q18_large_orders",
-    "q19_bracket_filter", "q22_idle_rich_customers", "q7_nation_volume",
-    "q8_market_share", "q10_returned_items", "agg_grouping_sets",
-    "agg_pivot_event_types", "agg_percentiles", "join_asof_last_purchase",
-    "join_range_activity_after_signup",
-    # -- freshness rotation: last green row is round 3, gated once ever --
-    "corpus_shard_by_budget", "corpus_decontaminate", "corpus_passage_dedup",
-    "corpus_pii_scrub", "corpus_domain_mixture", "corpus_pack_sequences",
-    "vector_knn_bruteforce", "vector_neardup_cosine", "vector_norm_stats",
-    "vector_int8_quantize", "vector_int8_topk", "text_doc_freq_topk",
-    "text_tfidf_topk", "text_gopher_quality", "text_repetition_stats",
-    "text_bpe_merge_candidates",
+    # -- freshness rotation: the 22 entries whose last green row is r3 --
+    "scalar_variant_semistructured", "set_except_all_multiplicity",
+    "window_first_last_nth", "window_rank_distribution", "window_sessionize",
+    "window_range_frame_rolling", "join_full_outer_nation_wealth",
+    "join_bloom_pruned_revenue", "q12_priority_by_returnflag",
+    "q13_customer_distribution", "q16_supplier_cnt_by_part_class",
+    "q17_small_quantity_revenue", "q20_promotion_suppliers",
+    "agg_stats_moments", "agg_unpivot_components", "agg_histogram_totalprice",
+    "events_retention_cohort", "events_daily_gapfill",
+    "events_conversion_funnel", "events_anomaly_zscore",
+    "deid_anonymize_customers", "text_ngram_jaccard_pairs",
+    # -- freshness rotation: first 26 (alphabetical) of the 47 r4 rows --
+    "agg_cube_orders", "agg_distinct_counts", "agg_rollup_region_nation",
+    "agg_salted_returnflag", "agg_string_collect", "cdc_snapshot_diff",
+    "corpus_chunk_overlap", "corpus_importance_rank",
+    "corpus_prepare_pipeline", "corpus_quality_percentile_cut",
+    "corpus_split_leakage", "corpus_train_val_split", "deid_year_generalize",
+    "events_hourly_rollup", "events_markov_transitions",
+    "graph_pagerank_step", "ml_gram_matrix", "profile_orders",
+    "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
+    "q21_waiting_supplier", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_priority_exists", "q5_local_supplier_volume",
 ]
 
-# Round-6 rotation queue (oldest rows first): the remaining last-gated-r3
-# entries — scalar_variant_semistructured, set_except_all_multiplicity,
-# window_first_last_nth, window_rank_distribution, window_sessionize,
-# window_range_frame_rolling, join_full_outer_nation_wealth,
-# join_bloom_pruned_revenue, q12/q13/q16/q17/q20, agg_stats_moments,
-# agg_unpivot_components, agg_histogram_totalprice, events_retention_cohort,
-# events_daily_gapfill, events_conversion_funnel, events_anomaly_zscore,
-# deid_anonymize_customers, text_ngram_jaccard_pairs; everything else
-# holds a round-4 or round-5 row.
+# Round-7 rotation queue (oldest rows first): the remaining 21
+# last-gated-r4 entries —
+# "q9_profit_by_nation_year", "sample_hash_stratified",
+# "scalar_array_functions", "text_bigram_lm_score", "text_bpe_train_merges",
+# "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
+# "text_quality_score", "text_simhash_pairs", "text_token_stats",
+# "vector_ann_ivf", "vector_ann_ivf_int8", "vector_ann_lsh",
+# "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
+# "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
+# "window_session_native" —
+# then the 50 r5 rows (oldest first). text_inverted_index went green in
+# r5 after the scalar-postings fix; everything else holds an r5/r6 row.
 
 
 def _ordered() -> list[str]:

@@ -44,11 +44,21 @@ def main() -> None:
     except Exception:
         pass
 
+    # Noise indicator (round-5 verdict ask 10): the r5 numbers drifted
+    # +9-22% uniformly from CPU contention with nothing in the repo
+    # recording it. Two defenses: (a) each query runs TWICE and reports
+    # the min (steady-state, scheduler hiccups drop out); (b) loadavg
+    # before/after is recorded so a contended run is visible in the JSON.
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        t0 = time.perf_counter()
-        materialize(q.build(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(q.build(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    load_end = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
     # The 14-query set benched in rounds 1-2, for round-over-round
@@ -73,6 +83,12 @@ def main() -> None:
                 "queries": timings,
                 "core14_r1r2_comparable_seconds": core14,
                 "sf": sf,
+                "noise": {
+                    "timing": "min_of_2_runs_per_query",
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in load_end],
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )

@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
     p_etl.add_argument("phi_dir")
     p_etl.add_argument("--task", action="append", dest="tasks")
     p_etl.add_argument("--philter", action="store_true")
+    p_etl.add_argument("--philter-bare-names", action="store_true",
+                       help="also mask mid-sentence Title-case bigrams "
+                            "(conservative bare-name heuristic; implies "
+                            "false positives on unusual Title-case prose)")
     p_etl.add_argument("--export-group", dest="group_name")
     p_etl.add_argument("--export-timestamp", dest="export_datetime")
     p_etl.add_argument(
@@ -225,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             args.phi_dir,
             tasks=args.tasks,
             philter=args.philter,
+            philter_bare_names=args.philter_bare_names,
             group_name=args.group_name,
             export_datetime=args.export_datetime,
             output_format=args.output_format,

@@ -136,6 +136,37 @@ _CASE_SENSITIVE = {
     "name_last_first", "name_possessive",
 }
 
+# -- opt-in bare-name heuristic (r4 verdict ask 8 / r5 ask 9) ----------------
+# Title-case bigram with NO list hit and NO trigger context — the recall
+# class the POS-tagger covers in philter-lite. Deliberately conservative
+# and OFF by default (it redacts any mid-sentence Title-case bigram):
+#  - positive lookbehind requires a lowercase/digit/comma + space before
+#    the bigram, so sentence-initial bigrams ("Blood Pressure was ...")
+#    and headers never match (documented recall gap: a bare name opening
+#    a sentence survives);
+#  - clinical/institutional second tokens are excluded so eponym and
+#    facility phrases survive ("Parkinson Disease", "Mass General
+#    Hospital"); lowercase-second eponyms ("Down syndrome",
+#    "Parkinson's disease") never matched to begin with (case gate).
+_BARE_SAFE_FIRST = (
+    "New|North|South|East|West|Saint|St|Mount|Lake|Fort|Port|"
+    "Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday|"
+    "January|February|March|April|May|June|July|August|September|"
+    "October|November|December"
+)
+_BARE_SAFE_SECOND = (
+    "Disease|Syndrome|Sign|Test|Score|Scale|Criteria|Maneuver|Stage|"
+    "Hospital|Center|Centre|Clinic|Department|University|College|"
+    "General|Medical|Memorial|Regional|Health|Healthcare|Institute|"
+    "Lab|Laboratory|Unit|Ward|Pharmacy|Imaging|Radiology|Oncology"
+)
+BARE_NAME_PATTERN = (
+    r"(?<=[a-z0-9,;]\s)"
+    r"(?!(?:" + _BARE_SAFE_FIRST + r")\b)[A-Z][a-z'-]+\s+"
+    r"(?!(?:" + _BARE_SAFE_SECOND + r")\b)[A-Z][a-z'-]+\b"
+)
+_BARE_NAME_RE = re.compile(BARE_NAME_PATTERN)
+
 _PHI_PATTERNS: list[re.Pattern] = [
     re.compile(p, 0 if cls in _CASE_SENSITIVE else re.IGNORECASE)
     for cls, p in _PATTERNS
@@ -144,23 +175,37 @@ _PHI_PATTERNS: list[re.Pattern] = [
 REDACTION = "***"
 
 
-def philter_mask(col: Column) -> Column:
-    """JVM-side PHI masking: each detected span becomes ``***``."""
+def philter_mask(col: Column, bare_names: bool = False) -> Column:
+    """JVM-side PHI masking: each detected span becomes ``***``.
+
+    ``bare_names``: opt-in Title-case-bigram heuristic (see
+    ``BARE_NAME_PATTERN``) — runs AFTER the list/context name rules so
+    those tighter spans are already collapsed."""
     for cls, pat in _PATTERNS:
         prefix = "" if cls in _CASE_SENSITIVE else "(?i)"
         col = F.regexp_replace(col, prefix + pat, REDACTION)
+    if bare_names:
+        col = F.regexp_replace(col, BARE_NAME_PATTERN, REDACTION)
     return col
 
 
-def scrub_text(text: str | None) -> str | None:
+def scrub_text(text: str | None, bare_names: bool = False) -> str | None:
     """Length-preserving PHI masking (each span → equal-length asterisks)."""
     if text is None:
         return None
     for pat in _PHI_PATTERNS:
         text = pat.sub(lambda m: "*" * len(m.group(0)), text)
+    if bare_names:
+        text = _BARE_NAME_RE.sub(lambda m: "*" * len(m.group(0)), text)
     return text
 
 
 @F.pandas_udf(StringType())
 def philter_udf(texts: pd.Series) -> pd.Series:
     return texts.map(scrub_text)
+
+
+@F.pandas_udf(StringType())
+def philter_udf_bare_names(texts: pd.Series) -> pd.Series:
+    """philter_udf + the opt-in bare-name bigram heuristic."""
+    return texts.map(lambda t: scrub_text(t, bare_names=True))

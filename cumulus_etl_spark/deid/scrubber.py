@@ -97,6 +97,9 @@ class Scrubber:
 
     salt: str
     philter_enabled: bool = False
+    # opt-in Title-case-bigram bare-name masking (philter.BARE_NAME_PATTERN);
+    # conservative but still heuristic, so off unless the operator asks
+    philter_bare_names: bool = False
     nlp_mode: bool = False
     allowed_extensions: frozenset[str] = field(default_factory=lambda: ALLOWED_EXTENSION_URLS)
     allowed_modifier_extensions: frozenset[str] = field(
@@ -395,6 +398,8 @@ class Scrubber:
             return zip_generalize(col)
         if action == "philter":
             if self.philter_enabled and not self.nlp_mode:
-                return philter_mask(nullif_empty(col))
+                return philter_mask(
+                    nullif_empty(col), bare_names=self.philter_bare_names
+                )
             return nullif_empty(col)
         raise ValueError(f"unknown scrub action {action!r}")

@@ -38,6 +38,7 @@ def run_etl(
     phi_dir: str,
     tasks: list[str] | None = None,
     philter: bool = False,
+    philter_bare_names: bool = False,
     group_name: str | None = None,
     export_datetime: str | None = None,
     output_format: str = "merged",
@@ -71,7 +72,11 @@ def run_etl(
     )
     config.save()
 
-    scrubber = Scrubber(salt=codebook.salt, philter_enabled=philter)
+    scrubber = Scrubber(
+        salt=codebook.salt,
+        philter_enabled=philter,
+        philter_bare_names=philter_bare_names,
+    )
     deleted = read_deleted_ids(spark, input_dir)
 
     errors_root = errors_to or os.path.join(phi_dir, "errors")

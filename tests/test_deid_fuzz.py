@@ -209,3 +209,59 @@ def test_canary_in_modifier_extension_vetoes_row(spark, tmp_path):
     ])
     df = scan_resources(spark, str(tmp_path), ["Patient"])
     assert Scrubber(salt="fz").scrub(df, "Patient").count() == 0
+
+
+# bare-name heuristic (r4 ask 8 / r5 verdict ask 9): masked ONLY with the
+# opt-in flag; names chosen to be absent from both embedded name lists so
+# no other rule fires first.
+BARE_NAME_SAMPLES = [
+    "spoke with Quorvald Zinthra today",
+    "accompanied by Xanthe Brovik",
+    "per conversation with Tevrik Oslund yesterday",
+]
+# precision canaries that must survive even WITH the flag on
+BARE_NAME_SAFE = [
+    "history of Parkinson Disease noted",       # eponym: safe second token
+    "Down syndrome confirmed by karyotype",      # lowercase second — no match
+    "Parkinson's disease is stable",             # possessive+lowercase
+    "admitted to Massachusetts General Hospital",
+    "transferred from Boston Medical Center",
+    "followed at Mayo Clinic since then",        # institutional second token
+    "seen on Tuesday Morning rounds was fine",   # day-name first token
+    "Blood Pressure was stable",                 # sentence-initial bigram
+]
+
+
+def test_philter_bare_name_flag(spark):
+    """With philter_bare_names on, unlisted Title-case bigrams mid-sentence
+    are masked (new recall class); the eponym/institution canaries and
+    sentence-initial bigrams survive (person-name-derived institutions
+    like 'Dana Farber' are a documented false positive — they are
+    indistinguishable from name pairs without an entity list); with the flag OFF nothing changes —
+    zero precision regressions by construction."""
+    from cumulus_etl_spark.deid.philter import philter_mask, scrub_text
+
+    rows = [(f"phi:{i}", s) for i, s in enumerate(BARE_NAME_SAMPLES)] + [
+        (f"safe:{i}", s) for i, s in enumerate(BARE_NAME_SAFE)
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    on = {r["k"]: r["m"] for r in df.select(
+        "k", philter_mask(F.col("text"), bare_names=True).alias("m")).collect()}
+    off = {r["k"]: r["m"] for r in df.select(
+        "k", philter_mask(F.col("text"), bare_names=False).alias("m")).collect()}
+
+    for i, s in enumerate(BARE_NAME_SAMPLES):
+        assert "***" in on[f"phi:{i}"], f"flag-on leaked: {s!r}"
+        assert off[f"phi:{i}"] == s, f"flag-off must not mask: {s!r}"
+        py = scrub_text(s, bare_names=True)
+        assert "*" in py and len(py) == len(s)
+        assert scrub_text(s) == s
+    for i, s in enumerate(BARE_NAME_SAFE):
+        assert on[f"safe:{i}"] == s, f"flag-on precision regression: {s!r}"
+        assert scrub_text(s, bare_names=True) == s
+
+    # the original safe clinical snippets also survive the flag
+    safe_df = spark.createDataFrame([(s,) for s in SAFE_SAMPLES], "text string")
+    kept = [r["m"] for r in safe_df.select(
+        philter_mask(F.col("text"), bare_names=True).alias("m")).collect()]
+    assert kept == SAFE_SAMPLES
