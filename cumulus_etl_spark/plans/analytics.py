@@ -841,3 +841,51 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"AUTOMOBILE": 0.5, "BUILDING": 0.25, "FURNITURE": 0.1},
     )
     return out.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+_HLL_ROLLUP_INV_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_lossless,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= 0.05 * COUNT(DISTINCT user_id) AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_hll_rollup_invariant", _HLL_ROLLUP_INV_ORACLE, tags=("agg", "sketch"))
+def agg_hll_rollup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariants of the mergeable-sketch rollup
+    (agg_hll_sketch_rollup stays rows-only for the raw estimates):
+
+    - ``exact_users`` — fully hash-checked against DuckDB's exact count;
+    - ``union_lossless`` — unioning per-day sketches gives EXACTLY the
+      single-pass sketch's estimate (same lgK ⟹ lossless union, the
+      property that makes pre-aggregated sketches answer 100 TB rollups
+      without rescans). DuckDB cannot union DataSketches, so the oracle
+      states the expected constant; a Spark-side break flips it red.
+    - ``within_5pct`` — estimate within 5% of exact (>3σ at lgK=12),
+      asserted by EACH engine on its own sketch."""
+    from cumulus_etl_spark.operators.sketch import sketch_distinct, sketch_union
+
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch_distinct(ev, ["event_type", "day"], "user_id", lgk=12)
+    rolled = sketch_union(daily, ["event_type"]).select(
+        "event_type", F.col("estimate").alias("union_est")
+    )
+    single = sketch_distinct(ev, ["event_type"], "user_id", lgk=12).select(
+        "event_type", F.col("estimate").alias("single_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        exact.join(rolled, "event_type").join(single, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("union_est") == F.col("single_est")).alias("union_lossless"),
+            (F.abs(F.col("union_est") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("within_5pct"),
+        )
+    )

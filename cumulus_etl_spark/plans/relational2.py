@@ -578,3 +578,30 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("n_events"),
     )
+
+
+_APPROX_ERR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         <= 0.1 * COUNT(DISTINCT l_partkey) AS approx_within_10pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_distinct_error", _APPROX_ERR_ORACLE, tags=("agg",))
+def agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-invariant oracle for HyperLogLog++ (the
+    vector_ann_lsh_recall playbook, r5 verdict): raw estimates differ
+    across engines, but the PROPERTY — approx within 10% of exact
+    (5σ at rsd=0.02) — is engine-independent and deterministic given
+    the data, so each engine asserts it on its OWN sketch and the gate
+    hash-checks the exact counts plus the invariant bit. A Spark HLL
+    regression past tolerance flips the bool and goes red."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    return li.groupBy("l_returnflag").agg(
+        exact.cast("bigint").alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.1 * exact).alias("approx_within_10pct"),
+    )
