@@ -90,6 +90,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    pairs_pinned: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs and elect the min-id canonical per
     cluster. Returns df's rows + `cluster_id` + `is_canonical` —
@@ -103,7 +104,11 @@ def dedup_clusters(
     cluster label in a single left join at the end."""
     # pairs is typically an expensive frame (LSH + verify); it feeds both
     # the touched-vertex set and the edge list, so pin it once.
-    pairs = pairs.localCheckpoint(eager=True)
+    # ``pairs_pinned``: callers whose pair feed is ALREADY an eager
+    # checkpoint (prefix_filter_pairs) skip the redundant second
+    # materialization pass.
+    if not pairs_pinned:
+        pairs = pairs.localCheckpoint(eager=True)
     touched = (
         pairs.select(F.col(pair_a).alias(id_col))
         .union(pairs.select(F.col(pair_b).alias(id_col)))
