@@ -830,3 +830,64 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_train_merges(d, "text", n_merges=5)
+
+
+_REPEATED_SUBSTR_K = 50
+
+_REPEATED_SUBSTR_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), {_REPEATED_SUBSTR_K}) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {_REPEATED_SUBSTR_K - 1}, 1) + 1)) AS i
+    FROM documents
+  )
+  WHERE length(substr(text, CAST(i AS INTEGER), {_REPEATED_SUBSTR_K})) = {_REPEATED_SUBSTR_K}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+       CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_dup_grams
+FROM grams JOIN dup USING (g)
+GROUP BY doc_id
+"""
+
+
+@register("text_repeated_substrings", _REPEATED_SUBSTR_ORACLE, tags=("text", "dedup"))
+def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-duplication analysis — the Spark
+    re-expression of suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    50-char gram of every document, counted corpus-wide; positions whose
+    gram occurs ≥2 times anywhere (same doc or cross-doc) are the
+    memorization-prone spans the paper deletes. Reported per doc:
+    duplicated positions + distinct duplicated grams (docs with none are
+    omitted, mirrored by the oracle's inner join).
+
+    Scale shape: two shuffles — corpus-wide gram count (the distributed
+    stand-in for the suffix array; map-side partial aggregation absorbs
+    the unique-gram bulk) and the per-doc re-aggregation. No UDF, no
+    cross product; gram rows are |total chars| of the corpus, the same
+    linear blowup the suffix array pays. At 100 TB: raise the stride
+    and/or pre-hash grams (xxhash64) to cut the shuffle payload — kept
+    as raw strings here so the DuckDB oracle is byte-identical."""
+    d = table(spark, sf_dir, "documents")
+    k = _REPEATED_SUBSTR_K
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)),"
+                f" i -> substring(text, i, {k}))"
+            )
+        ).alias("g"),
+    ).filter(F.length("g") == k)
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    return (
+        grams.join(dup.select("g"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_positions"),
+            F.countDistinct("g").cast("bigint").alias("n_dup_grams"),
+        )
+    )

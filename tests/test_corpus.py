@@ -389,3 +389,30 @@ def test_prefix_bucket_size_p99(spark, sf_correct):
         assert row["p99"] <= bound, (sf_dir, row)
         # max bucket stays the same order as p99 — no single flood bucket
         assert row["mx"] <= 2 * bound, (sf_dir, row)
+
+
+def test_repeated_substrings_detects_planted_duplicate(spark):
+    """Lee-et-al-style substring dedup: a 60-char span shared by two docs
+    yields 11 duplicated 50-gram positions in each (60-50+1), a unique
+    doc yields none, and an intra-doc repeat also counts."""
+    import pandas as pd
+
+    from cumulus_etl_spark.plans import CATALOG
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog again and over" + "y" * 10
+    assert len(shared) >= 60
+    rows = [
+        (1, "A" * 30 + shared + "B" * 30),
+        (2, "C" * 25 + shared + "D" * 35),
+        (3, " ".join(f"word{i}alpha" for i in range(40))),  # aperiodic
+        (4, ("z" * 70) + "m" + ("z" * 70)),  # intra-doc repeats
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: (r["n_dup_positions"], r["n_dup_grams"])
+               for r in CATALOG["text_repeated_substrings"].build(spark, td).collect()}
+    span = len(shared) - 50 + 1
+    assert out[1][0] >= span and out[2][0] >= span
+    assert 3 not in out
+    assert out[4][0] > 0
