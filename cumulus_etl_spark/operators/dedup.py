@@ -371,6 +371,7 @@ def prefix_filter_pairs(
         .filter(F.size("xs") > 1)
         .select(F.explode(_bucket_pairs()).alias("p"))
         .filter(F.least("p.sz_a", "p.sz_b") >= threshold * F.greatest("p.sz_a", "p.sz_b"))
+        .filter(_ppjoin_positional_ok(threshold))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -431,17 +432,21 @@ def _prefix_buckets(sh: DataFrame, threshold: float) -> DataFrame:
     plen = (F.col("sz") - F.ceil(F.col("sz") * threshold) + 1).cast("int")
     pref = arr.select(
         "id", "blk", "sz",
-        F.explode(F.slice(F.transform("st", lambda s: s["h"]), 1, plen)).alias("h"),
+        F.posexplode(F.slice(F.transform("st", lambda s: s["h"]), 1, plen)).alias(
+            "pos", "h"
+        ),
     )
     return pref.groupBy("blk", "h").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
+        F.sort_array(F.collect_list(F.struct("id", "sz", "pos"))).alias("xs")
     )
 
 
 def _bucket_pairs() -> Column:
     """All in-bucket (i < j) pairs of the ``xs`` array — slice length is
     size(xs), so oversized buckets are fully paired, never silently
-    truncated (round-5 ADVICE)."""
+    truncated (round-5 ADVICE). Each pair carries both docs' sizes and
+    the shared token's PREFIX POSITIONS for the PPJoin positional
+    filter."""
     return F.flatten(
         F.transform(
             F.col("xs"),
@@ -450,10 +455,31 @@ def _bucket_pairs() -> Column:
                 lambda y: F.struct(
                     x["id"].alias("id_a"), y["id"].alias("id_b"),
                     x["sz"].alias("sz_a"), y["sz"].alias("sz_b"),
+                    x["pos"].alias("pos_a"), y["pos"].alias("pos_b"),
                 ),
             ),
         )
     )
+
+
+def _ppjoin_positional_ok(threshold: float) -> Column:
+    """PPJoin positional filter (Xiao et al. WWW'08): J ≥ t needs overlap
+    α = ⌈t/(1+t)·(|A|+|B|)⌉; a shared token at prefix positions
+    (pos_a, pos_b) caps the achievable overlap at
+    min(|A|−pos_a, |B|−pos_b) — common tokens at-or-after the FIRST
+    shared position in the common global order. Every qualifying pair is
+    generated in its first-shared-token bucket too (the prefix theorem),
+    where this bound is sound, so filtering per bucket never loses a
+    true pair. Positions come from the hashed prefix while sizes are
+    RAW: within-doc collisions can only SHORTEN hashed positions, making
+    the bound looser — over-pruning is impossible."""
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("p.sz_a") + F.col("p.sz_b"))
+    )
+    remaining = F.least(
+        F.col("p.sz_a") - F.col("p.pos_a"), F.col("p.sz_b") - F.col("p.pos_b")
+    )
+    return remaining >= alpha
 
 
 def prefix_bucket_sizes(
