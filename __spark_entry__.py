@@ -25,12 +25,13 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- new round-6 entries: never gated (exact integer-greedy MMR;
-    #    derived-invariant oracles for HLL approx-distinct + sketch
-    #    rollup, shrinking the rows-only list to 9 [7 of them
-    #    environment/RNG-inherent, 2 superseded by oracled siblings]) --
+    # -- new round-6 entries, never gated: exact integer-greedy MMR;
+    #    HLL derived-invariant oracles (rows-only list now 9, 7 of them
+    #    environment/RNG-inherent, 2 superseded by oracled siblings);
+    #    substring-level dedup; salted-join no-op proof; DSIR resample --
     "vector_mmr_select", "agg_approx_distinct_error",
     "agg_hll_rollup_invariant", "text_repeated_substrings",
+    "join_salted_bigkey", "corpus_importance_resample",
     # -- changed this round: the pair feed's verification now runs on
     #    RAW shingle arrays with 64-bit candidate hashing and an eager
     #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
@@ -55,11 +56,11 @@ _GATE_PRIORITY = [
     "events_hourly_rollup", "events_markov_transitions",
     "graph_pagerank_step", "ml_gram_matrix", "profile_orders",
     "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
-    "q21_waiting_supplier", "q2_min_cost_supplier",
 ]
 
-# Round-7 rotation queue (oldest rows first): the remaining 24
+# Round-7 rotation queue (oldest rows first): the remaining 26
 # last-gated-r4 entries —
+# "q21_waiting_supplier", "q2_min_cost_supplier",
 # "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",
 # "q9_profit_by_nation_year", "sample_hash_stratified",
 # "scalar_array_functions", "text_bigram_lm_score", "text_bpe_train_merges",

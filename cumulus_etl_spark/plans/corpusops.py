@@ -588,3 +588,93 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_shared"), F.lit(0))).cast("bigint").alias("total_shared_grams"),
         )
     )
+
+
+_RESAMPLE_ORACLE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per
+),
+w AS (
+  SELECT per.source, per.n_docs,
+         CASE WHEN per.n_tokens > 0
+              THEN least((1.0 / tot.n_sources)
+                         / (per.n_tokens / tot.total_tokens), 1.0)
+         END AS capped_weight
+  FROM per, tot
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE CAST(concat('0x', substr(md5(concat('resample',
+                     CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000
+        < floor(w.capped_weight * 1000000)
+  GROUP BY d.source
+)
+SELECT w.source, w.n_docs,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       w.capped_weight
+FROM w LEFT JOIN kept ON w.source = kept.source
+"""
+
+
+@register("corpus_importance_resample", _RESAMPLE_ORACLE, tags=("corpus", "sample"))
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTION step of domain reweighting (corpus_domain_mixture
+    computes the weights; DSIR/DoReMi-style pipelines then resample):
+    each document is kept iff its md5-uniform draw (the hash_sample
+    construction — a pure function of the doc id, stable across engines,
+    re-runs, and corpus growth) falls under its source's capped weight.
+    Per-source kept counts are hash-checked exactly because every
+    ingredient is deterministic: integer token sums, IEEE divisions, the
+    60-bit md5 bucket. One agg shuffle for weights (domain-bounded), a
+    broadcast join of weights onto the scan, map-side filter, one final
+    agg — the corpus itself is never shuffled."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    capped = F.when(share > 0, F.least(target / share, F.lit(1.0)))
+    weights = j.select("source", "n_docs", capped.alias("capped_weight"))
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("resample"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(weights.select("source", "capped_weight")), "source")
+        .filter(
+            F.pmod(draw, F.lit(1_000_000))
+            < F.floor(F.col("capped_weight") * 1_000_000)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        weights.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            "capped_weight",
+        )
+    )

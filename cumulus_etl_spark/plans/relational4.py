@@ -498,3 +498,60 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first3_upper_sorted"),
         F.element_at(w, -1).alias("last_word"),
     )
+
+
+_SALT_FACTOR = 8
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                      * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_salted_bigkey", _SALTED_JOIN_ORACLE, tags=("join", "skew"))
+def join_salted_bigkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dimension join proven a SEMANTIC NO-OP: the
+    probe side (lineitem) gets a deterministic salt in [0, 8) per row,
+    the build side (orders) is replicated once per salt value, and the
+    join runs on (key, salt) — so one hot orderkey spreads over 8
+    shuffle partitions instead of one straggler task. The oracle is the
+    PLAIN join: identical per-priority counts and revenue, pinning that
+    salting changes the physical distribution and nothing else (the
+    join-side analogue of agg_salted_returnflag). At 100 TB: pick the
+    factor from the observed hot-key share, or let AQE skew-join split
+    post-hoc; explicit salting also covers the aggregation-free
+    co-group cases AQE cannot rewrite."""
+    from cumulus_etl_spark.plans.catalog import dsum2
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (dec("l_extendedprice", 15, 4)
+         * (F.lit(1) - dec("l_discount", 8, 6))).alias("rev"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_FACTOR))
+        .alias("salt"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_FACTOR - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("bigint"))
+    )
+    return (
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (li["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum2(F.col("rev"), "revenue"),
+        )
+    )
