@@ -416,3 +416,64 @@ def test_repeated_substrings_detects_planted_duplicate(spark):
     assert out[1][0] >= span and out[2][0] >= span
     assert 3 not in out
     assert out[4][0] > 0
+
+
+def test_raw_shingles_matches_reference_shingles(spark):
+    """raw_shingles (the O(tokens·k) zip_with form feeding exact
+    verification) must equal shingles() (the readable O(tokens²)
+    reference) for k=1..3 including short-doc and empty edge cases."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.dedup import raw_shingles, shingles, tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "one two"),
+        (3, "single"),
+        (4, ""),
+        (5, "  spaced   out   tokens  "),
+        (6, "rep rep rep rep"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for k in (1, 2, 3):
+        ref = F.array_sort(F.array_distinct(shingles("text", k)))
+        got = F.array_sort(raw_shingles("text", k))
+        bad = df.select(
+            "id", ref.alias("ref"), got.alias("got")
+        ).filter(F.col("ref") != F.col("got")).collect()
+        if k == 1:
+            # shingles(k=1) builds 1-grams via concat_ws — same tokens
+            bad = [b for b in bad if sorted(b["ref"]) != sorted(b["got"])]
+        assert not bad, (k, bad)
+
+
+def test_prefix_filter_pairs_k3_equals_bruteforce(spark):
+    """The shingle_k=3 path of the exact prefix-filter join (raw string
+    3-shingle verification) against a brute-force all-pairs Jaccard on
+    the same raw shingle sets."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.dedup import prefix_filter_pairs, raw_shingles
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select("doc_id", raw_shingles("text", 3).alias("sh")).collect()
+    }
+    t = 0.4
+    expect = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter >= t * (len(sets[a]) + len(sets[b]) - inter):
+            expect.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(
+            d, "doc_id", "text", threshold=t, shingle_k=3
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
