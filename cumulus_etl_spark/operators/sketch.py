@@ -47,3 +47,85 @@ def sketch_union(
     return g.select(
         *cols, "sketch", F.hll_sketch_estimate(F.col("sketch")).alias("estimate")
     )
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#
+# The heavy-hitter companion to HLL: a d×w integer table answering point
+# frequency queries with one-sided error (estimate >= true count, over by
+# at most eps*N with probability 1-delta, eps = e/w, delta = e^-d). The
+# 100 TB pattern: build the table with ONE map-side-combinable groupBy
+# over (seed, bucket) — d*w cells regardless of input size — persist the
+# tiny table, and answer "how often does key k appear" without rescanning.
+# Hashing is md5-derived so the sketch is engine-reproducible (the same
+# construction replays in DuckDB for the correctness oracle).
+
+
+def _cms_bucket(key: Column, seed: Column, width: int, salt: str) -> Column:
+    """Deterministic bucket in [0, width): md5(salt:seed:key) is the hash
+    family (seed selects the member), first 15 hex chars -> positive
+    60-bit int -> mod width. Pure expression, engine-portable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), seed.cast("string"), F.lit(":"), key)),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the d×w Count-Min table: (seed, bucket) -> cnt.
+
+    One explode (rows×depth, map-local) and one groupBy whose output is
+    at most depth*width rows — the partial aggregation combines map-side,
+    so the shuffle carries ~d*w rows per input partition no matter how
+    large df is."""
+    long = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    )
+    return (
+        long.withColumn("bucket", _cms_bucket(F.col("k"), F.col("seed"), width, salt))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate the frequency of every distinct key in df:
+    estimate(k) = min over seeds of table[seed][bucket(seed, k)].
+
+    Returns (key_col, cms_estimate). The table side is at most d*w rows
+    so the probe join is broadcast — the only shuffle is the distinct on
+    keys. estimate >= exact count always (one-sided error)."""
+    cells = countmin_table(df, key_col, depth=depth, width=width, salt=salt)
+    probes = (
+        df.select(F.col(key_col)).distinct()
+        .select(
+            F.col(key_col),
+            F.col(key_col).cast("string").alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+        )
+        .withColumn("bucket", _cms_bucket(F.col("k"), F.col("seed"), width, salt))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

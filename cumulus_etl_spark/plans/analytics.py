@@ -889,3 +889,71 @@ def agg_hll_rollup_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 0.05 * F.col("exact_users")).alias("within_5pct"),
         )
     )
+
+
+_CMS_ORACLE = """
+WITH seeds AS (SELECT unnest(range(4)) AS seed),
+cells AS (
+  SELECT seed,
+         CAST(concat('0x', substr(md5('cms:' || CAST(seed AS VARCHAR) || ':'
+                                      || CAST(l_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 512 AS bucket,
+         COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT k, seed,
+         CAST(concat('0x', substr(md5('cms:' || CAST(seed AS VARCHAR) || ':'
+                                      || CAST(k AS VARCHAR)), 1, 15))
+              AS BIGINT) % 512 AS bucket
+  FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) CROSS JOIN seeds
+),
+est AS (
+  SELECT k, MIN(cnt) AS cms_estimate
+  FROM probes JOIN cells USING (seed, bucket)
+  GROUP BY k
+),
+exact AS (SELECT l_partkey AS k, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1)
+SELECT k AS l_partkey,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       cms_estimate >= exact_cnt AS never_underestimates
+FROM exact JOIN est USING (k)
+ORDER BY exact_cnt DESC, l_partkey
+LIMIT 25
+"""
+
+
+@register("agg_countmin_topk", _CMS_ORACLE, tags=("agg", "sketch"))
+def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan) heavy hitters, FULLY
+    replayed by the oracle: the hash family is md5-derived (the
+    sample_hash_stratified trick), so Spark and DuckDB build the
+    identical d=4 × w=512 table and the per-key min-over-seeds estimates
+    hash-match exactly — not just an invariant check. Output: the 25
+    most frequent part keys with exact count, CMS estimate, and the
+    one-sided-error bit (estimate can only over-count). Scale story:
+    the table is d*w cells regardless of input rows (map-side combine),
+    the probe join broadcasts the table, and the top-k has a total
+    tiebreak (exact_cnt DESC, l_partkey)."""
+    from cumulus_etl_spark.operators.sketch import countmin_estimates
+
+    li = table(spark, sf_dir, "lineitem")
+    est = countmin_estimates(li, "l_partkey", depth=4, width=512, salt="cms")
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return (
+        exact.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), "l_partkey")
+        .limit(25)
+    )

@@ -48,3 +48,69 @@ def test_sketch_global_union(spark, sf_correct):
     assert len(total) == 1
     exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
     assert abs(total[0]["estimate"] - exact) <= max(2.0, 0.05 * exact)
+
+
+def test_countmin_never_underestimates_and_is_tight(spark, sf_correct):
+    """CMS one-sided error: estimate >= exact for EVERY key, and with
+    w=512 >> distinct(l_partkey at sf0.001) most keys should be exact
+    (few collisions)."""
+    from cumulus_etl_spark.operators.sketch import countmin_estimates
+
+    li = table(spark, sf_correct, "lineitem")
+    est = countmin_estimates(li, "l_partkey", depth=4, width=512)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    joined = exact.join(est, "l_partkey").collect()
+    assert len(joined) == li.select("l_partkey").distinct().count()
+    n = li.count()
+    eps_bound = (2.718281828 / 512) * n  # CMS: Pr[over > (e/w)N] <= e^-d
+    n_over_bound = 0
+    for r in joined:
+        assert r["cms_estimate"] >= r["exact_cnt"], r
+        if r["cms_estimate"] - r["exact_cnt"] > eps_bound:
+            n_over_bound += 1
+    # e^-4 ~ 1.8% expected violation rate; allow 5% slack.
+    assert n_over_bound <= 0.05 * len(joined), (n_over_bound, len(joined))
+
+
+def test_countmin_table_shape_and_mass(spark, sf_correct):
+    """The table never exceeds d*w cells and each row's total mass is
+    exactly the input row count (every row lands in one bucket per
+    seed)."""
+    from cumulus_etl_spark.operators.sketch import countmin_table
+
+    li = table(spark, sf_correct, "lineitem")
+    n = li.count()
+    cells = countmin_table(li, "l_partkey", depth=4, width=512).collect()
+    assert len(cells) <= 4 * 512
+    per_seed = {}
+    for c in cells:
+        assert 0 <= c["bucket"] < 512
+        per_seed[c["seed"]] = per_seed.get(c["seed"], 0) + c["cnt"]
+    assert per_seed == {s: n for s in range(4)}
+
+
+def test_countmin_bucket_matches_reference_md5():
+    """The bucket function must replay outside Spark (it is the oracle
+    contract): hand-compute md5('cms:seed:key') -> first 15 hex -> int
+    -> mod w for a few keys and compare."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    from cumulus_etl_spark.operators.sketch import _cms_bucket
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(k,) for k in ["17", "42", "999"]], ["k"])
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", _cms_bucket(F2.col("k"), F2.lit(3), 512, "cms").alias("b")
+        ).collect()
+    }
+    for k in ["17", "42", "999"]:
+        h = hashlib.md5(f"cms:3:{k}".encode()).hexdigest()[:15]
+        assert got[k] == int(h, 16) % 512, k
