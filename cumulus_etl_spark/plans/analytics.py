@@ -957,3 +957,81 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "l_partkey")
         .limit(25)
     )
+
+
+_APPROX_Q_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+picks AS (
+  SELECT o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n_rows,
+         MAX(CASE WHEN rn = (45 * (n - 1)) // 100 + 1 THEN o_totalprice END) AS p45,
+         MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN o_totalprice END) AS p50,
+         MAX(CASE WHEN rn = (55 * (n - 1)) // 100 + 1 THEN o_totalprice END) AS p55
+  FROM ranked GROUP BY o_orderpriority
+),
+approx AS (
+  SELECT o_orderpriority, approx_quantile(o_totalprice, 0.5) AS aq
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT p.o_orderpriority, n_rows, p45, p50, p55,
+       (aq >= p45 AND aq <= p55) AS approx_in_bracket
+FROM picks p JOIN approx a ON p.o_orderpriority = a.o_orderpriority
+"""
+
+
+@register("agg_approx_quantile_bracket", _APPROX_Q_ORACLE, tags=("agg", "sketch"))
+def agg_approx_quantile_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-invariant oracle for approximate quantiles (the
+    agg_approx_distinct_error playbook): Spark's Greenwald-Khanna
+    percentile_approx and DuckDB's t-digest approx_quantile produce
+    different raw values, but the rank-error PROPERTY — the approximate
+    median lies between the exact 45th and 55th discrete percentiles —
+    is engine-independent, so each engine asserts it on its OWN sketch
+    while the hash-checked payload is the exact bracket values picked by
+    an explicit integer rank formula (rank = (p*(n-1)) div 100 + 1 over
+    a totally-ordered sort, values passed through untouched — no float
+    arithmetic to diverge). A Spark GK regression past +-5% rank error
+    flips the bool and goes red."""
+    orders = table(spark, sf_dir, "orders")
+    wrank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def pick(p: int, alias: str):
+        at = F.expr(f"({p} * (n - 1)) div 100 + 1")
+        return F.max(
+            F.when(F.col("rn") == at, F.col("o_totalprice"))
+        ).alias(alias)
+
+    picks = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pick(45, "p45"),
+        pick(50, "p50"),
+        pick(55, "p55"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").alias("aq")
+    )
+    return picks.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_rows",
+        "p45",
+        "p50",
+        "p55",
+        ((F.col("aq") >= F.col("p45")) & (F.col("aq") <= F.col("p55"))).alias(
+            "approx_in_bracket"
+        ),
+    )
