@@ -246,3 +246,91 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
         state = nxt
     state.unpersist()
     return spark.createDataFrame(merges, "merge_round int, pair string, n bigint")
+
+
+# ---- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) ----
+
+_WIN_HASH_SPACE = 1 << 40  # 40-bit gram hash
+_WIN_POS_SPACE = 1 << 20  # supports docs up to ~1M grams
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    salt: str = "wf",
+) -> DataFrame:
+    """MOSS-style winnowed document fingerprints: hash every k-char gram,
+    slide a w-gram window, keep the minimum hash per window (ties ->
+    rightmost), dedupe the selections. Guarantees: every window
+    contributes a fingerprint (so any match of length >= k+w-1 chars is
+    detected) at an expected density of 2/(w+1) — the selective
+    alternative to keeping every gram (text_fingerprint_dedup).
+
+    Pure Catalyst: one explode (rows x grams, map-local), one window-min
+    per doc (the only shuffle, partitioned by doc id), one distinct.
+    The min-with-rightmost-tiebreak rides a single BIGINT
+    ``hash * 2^20 + (2^20-1-pos)`` so plain MIN implements the paper's
+    tie rule — engine-portable (the correctness oracle replays it in
+    DuckDB). Docs with more than 2^20 grams would wrap the position
+    field; split such documents upstream (chunk_documents) before
+    fingerprinting.
+
+    Returns (id_col, fp, pos, n_grams): the selected fingerprint hashes
+    with the gram position each was chosen at.
+    """
+    from pyspark.sql import Window
+
+    doc_id = F.col(id_col)
+    # Filter BEFORE the explode: sequence(1, m) with m < 1 DESCENDS in
+    # Spark, so short docs must never reach it.
+    eligible = df.filter(F.length(text_col) - k + 1 >= window)
+    grams = eligible.select(
+        doc_id,
+        (F.length(text_col) - k + 1).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.length(text_col) - k + 1)).alias("pos"),
+        F.col(text_col).alias("__t"),
+    )
+    hashed = grams.select(
+        id_col,
+        "n_grams",
+        "pos",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt + ":"),
+                                F.substring(F.col("__t"), F.col("pos"), F.lit(k)),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_WIN_HASH_SPACE),
+            )
+            * _WIN_POS_SPACE
+            + (_WIN_POS_SPACE - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    winmin = hashed.select(
+        id_col,
+        "n_grams",
+        "pos",
+        F.min("key").over(w).alias("wkey"),
+    ).filter(F.col("pos") <= F.col("n_grams") - window + 1)
+    return winmin.select(
+        id_col,
+        "n_grams",
+        F.expr(f"wkey div {_WIN_POS_SPACE}").alias("fp"),
+        (F.lit(_WIN_POS_SPACE - 1) - F.pmod(F.col("wkey"), F.lit(_WIN_POS_SPACE))).alias(
+            "pos"
+        ),
+    ).distinct()

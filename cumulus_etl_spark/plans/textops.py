@@ -891,3 +891,71 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("g").cast("bigint").alias("n_dup_grams"),
         )
     )
+
+
+_WINNOW_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) - 7 AS n_grams
+  FROM documents WHERE length(text) - 7 >= 4
+),
+hashed AS (
+  SELECT doc_id, n_grams, pos,
+         (CAST(concat('0x', substr(md5('wf:' || substr(text, pos, 8)), 1, 15))
+               AS BIGINT) % 1099511627776) * 1048576 + (1048575 - pos) AS key
+  FROM d, unnest(range(1, n_grams + 1)) AS t(pos)
+),
+winmin AS (
+  SELECT doc_id, n_grams, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+  FROM hashed
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams,
+         wkey // 1048576 AS fp,
+         1048575 - (wkey % 1048576) AS selpos
+  FROM winmin WHERE pos <= n_grams - 3
+),
+gapped AS (
+  SELECT doc_id, n_grams, fp, selpos,
+         selpos - lag(selpos) OVER (PARTITION BY doc_id ORDER BY selpos) AS gap
+  FROM sel
+)
+SELECT doc_id,
+       CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(fp % 1000003) AS BIGINT) AS fp_digest,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+FROM gapped
+GROUP BY doc_id
+"""
+
+
+@register("text_winnow_fingerprints", _WINNOW_ORACLE, tags=("text", "dedup"))
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinter):
+    per-document selected k-gram fingerprints at k=8, w=4 — the
+    selective local fingerprinting scheme that guarantees any shared
+    run of >= k+w-1 chars is caught while storing only ~2/(w+1) of the
+    grams. The full selection replays in DuckDB (md5 hash family,
+    rightmost-tie-break folded into one BIGINT min), and the output pins
+    the winnowing DENSITY GUARANTEE itself: max_gap — the largest
+    distance between consecutive selected positions — can never exceed
+    w by construction, so a selection bug shows up as a value diff, not
+    just a count diff. fp_digest folds the selected hash multiset."""
+    sel = T.winnow_fingerprints(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=8, window=4
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("pos")
+    gapped = sel.select(
+        "doc_id",
+        "n_grams",
+        "fp",
+        (F.col("pos") - F.lag("pos").over(wlag)).alias("gap"),
+    )
+    return gapped.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.sum(F.pmod(F.col("fp"), F.lit(1000003))).cast("bigint").alias("fp_digest"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap"),
+    )

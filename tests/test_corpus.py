@@ -477,3 +477,71 @@ def test_prefix_filter_pairs_k3_equals_bruteforce(spark):
     }
     assert got == expect
     assert len(got) > 0
+
+
+# ---- winnowing fingerprints ------------------------------------------------
+
+
+def test_winnow_guarantees(spark):
+    """Pin the two paper guarantees on synthetic docs: (1) consecutive
+    selected positions are never more than w apart; (2) any two docs
+    sharing a run of >= k+w-1 chars share at least one fingerprint."""
+    from cumulus_etl_spark.operators.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"  # 25 chars >= 8+4-1
+    docs = [
+        (1, "AAAA " + shared + " xyzzy padding tail one"),
+        (2, "completely different prefix " + shared + " QQQQ"),
+        (3, "no overlap with anything else at all here zz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sel = winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        poss = sorted(r["pos"] for r in rows)
+        gaps = [b - a for a, b in zip(poss, poss[1:])]
+        assert all(g <= 4 for g in gaps), (doc_id, gaps)
+        # first window [1, w] must contribute
+        assert poss[0] <= 4
+    fps = {d: {r["fp"] for r in rows} for d, rows in by_doc.items()}
+    assert fps[1] & fps[2], "docs sharing a 25-char run must share a fingerprint"
+
+
+def test_winnow_selects_window_minimum_rightmost(spark):
+    """Hand-replay one tiny doc: selection must equal the min-hash
+    (rightmost on ties) of every w-window of k-gram hashes."""
+    import hashlib
+
+    from cumulus_etl_spark.operators.textstats import winnow_fingerprints
+
+    text = "abcdefghijklmnop"  # 16 chars -> 9 grams at k=8
+    k, w = 8, 4
+    grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hv = [
+        int(hashlib.md5(f"wf:{g}".encode()).hexdigest()[:15], 16) % (1 << 40)
+        for g in grams
+    ]
+    expect = set()
+    for s in range(len(grams) - w + 1):
+        # min hash in window, ties -> rightmost (max pos)
+        best = min(range(s, s + w), key=lambda i: (hv[i], -i))
+        expect.add((hv[best], best + 1))  # 1-based pos
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {
+        (r["fp"], r["pos"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect()
+    }
+    assert got == expect
+
+
+def test_winnow_skips_short_docs(spark):
+    from cumulus_etl_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "exactly11ch"), (3, "just ten c")], ["doc_id", "text"]
+    )
+    # doc 2: 11 chars -> 4 grams = w -> eligible; docs 1,3 too short
+    out = winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
+    assert {r["doc_id"] for r in out} == {2}
