@@ -172,3 +172,61 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    The classic degree-ordered compact-forward scheme: orient every edge
+    from its lower (degree, id) endpoint to the higher, enumerate wedges
+    from each source's oriented out-edges, and close them against the
+    oriented edge set. Each triangle is found exactly once, and the
+    wedge intermediate is sum_x C(outdeg_x, 2) = O(E^1.5) — bounded even
+    on power-law degree skew, because high-degree hubs sit on the
+    receiving end of most of their edges. Three shuffles (degree agg,
+    wedge join on source, closing join on the wedge pair); nothing
+    driver-side.
+
+    The (degree, id) order rides one BIGINT ``deg * 2^32 + id`` so joins
+    and comparisons stay single-column; node ids must fit in 32 bits.
+
+    Returns (id, n_triangles) for nodes in >= 1 triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("id", (F.col("deg") * (1 << 32) + F.col("id")).alias("okey"))
+    )
+    # Orient each edge low-okey -> high-okey.
+    keyed = (
+        e.join(deg.withColumnRenamed("id", "a").withColumnRenamed("okey", "ka"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("okey", "kb"), "b")
+        .select(
+            F.least("ka", "kb").alias("u"),
+            F.greatest("ka", "kb").alias("v"),
+        )
+    )
+    w1 = keyed.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = keyed.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closing = keyed.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("okey"))
+        .select(F.pmod(F.col("okey"), F.lit(1 << 32)).alias("id"))
+    )
+    return nodes.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

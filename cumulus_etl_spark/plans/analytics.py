@@ -1035,3 +1035,66 @@ def agg_approx_quantile_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_in_bracket"
         ),
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS sup
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pairs WHERE sup >= 2),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY id
+ORDER BY n_triangles DESC, l_partkey
+LIMIT 10
+"""
+
+
+@register("graph_triangle_count", _TRIANGLE_ORACLE, tags=("graph",))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph: parts are connected
+    when they appear in >= 2 common orders (the support-2 cut is the
+    market-basket prune that keeps the edge set sparse no matter how
+    many orders stream through), then each node's triangle
+    participation is counted with the degree-ordered compact-forward
+    scheme (operators.graph.triangle_counts: wedge intermediate bounded
+    O(E^1.5) even under hub skew). The oracle enumerates the same
+    triangles by plain id-ordering — orientation changes the join sizes,
+    never the triangle set, which is exactly the property worth pinning.
+    Top-10 nodes, total tiebreak."""
+    from cumulus_etl_spark.operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    return (
+        triangle_counts(pairs, "u", "v")
+        .select(F.col("id").alias("l_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "l_partkey")
+        .limit(10)
+    )

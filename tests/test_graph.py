@@ -90,3 +90,40 @@ def test_pagerank_mass_and_hub_dominance(spark):
     # Deterministic across reruns.
     got2 = {r["id"]: r["rank"] for r in pagerank(edges, damping=0.85, iters=12).collect()}
     assert got == got2
+
+
+def test_triangle_counts_k4_plus_tail(spark):
+    """K4 (every node in C(3,2)=3 triangles) plus a dangling path that
+    adds none; reversed/duplicate edges must canonicalize away."""
+    from cumulus_etl_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (5, 6)] + [(2, 1), (3, 1), (1, 2)]  # dupes/reversed
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_total_matches_bruteforce(spark):
+    """Random-ish deterministic graph: per-node counts sum to 3x the
+    number of triangles found by brute-force enumeration."""
+    from itertools import combinations
+
+    from cumulus_etl_spark.operators.graph import triangle_counts
+
+    nodes = list(range(20))
+    edges = [
+        (u, v)
+        for u, v in combinations(nodes, 2)
+        if (u * 7 + v * 13) % 5 < 2  # deterministic ~40% density
+    ]
+    eset = set(edges)
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = triangle_counts(df).collect()
+    assert sum(r["n_triangles"] for r in rows) == 3 * tri
+    assert tri > 0
