@@ -653,3 +653,62 @@ def simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---- SymSpell deletion-neighborhood fuzzy join ----------------------------
+
+
+def symdelete_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-bounded string pairs via deletion-neighborhood
+    blocking (the SymSpell scheme): every string emits itself plus each
+    single-character deletion as blocking keys; any two strings within
+    Levenshtein distance 1 — one substitution, insertion, or deletion —
+    necessarily share a key (substitute: delete the differing char from
+    both; insert/delete: the shorter string IS a deletion of the
+    longer), so candidate generation is a plain equi-join on the key
+    with no n^2 block scans. Candidates are then verified with exact
+    levenshtein. Only max_dist=1 is supported (distance-2 needs the
+    quadratic 2-deletion neighborhood).
+
+    Scale: keys per string = length+1 (linear blow-up, map-local
+    explode), one shuffle on the key, distinct, then the cheap exact
+    verify on the candidate set only. This is the ER blocking pattern
+    that replaces a cartesian fuzzy join.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
+    """
+    if max_dist != 1:
+        raise ValueError("symdelete_fuzzy_pairs supports max_dist=1 only")
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    # greatest(length,1) guards the empty string: sequence(1, 0) would
+    # DESCEND; for s='' the lone variant equals s and is harmless.
+    variants = F.expr(
+        "transform(sequence(1, greatest(length(s), 1)),"
+        " i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))"
+    )
+    keys = base.select(
+        "id",
+        "s",
+        F.explode(F.concat(F.array(F.col("s")), variants)).alias("key"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -545,3 +545,44 @@ def test_winnow_skips_short_docs(spark):
     # doc 2: 11 chars -> 4 grams = w -> eligible; docs 1,3 too short
     out = winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
     assert {r["doc_id"] for r in out} == {2}
+
+
+# ---- SymSpell deletion-neighborhood fuzzy join -----------------------------
+
+
+def test_symdelete_matches_bruteforce_all_pairs(spark):
+    """The blocked join must equal the brute-force levenshtein<=1 join:
+    substitutions, insertions, deletions caught; distance-2 excluded."""
+    from cumulus_etl_spark.operators.dedup import symdelete_fuzzy_pairs
+
+    words = [
+        "spark", "spork", "sparks", "park", "stark",  # sub/insert/delete of spark
+        "duck", "dock", "ducks",
+        "zebra",  # no neighbours
+        "ax", "x", "a", "",  # short strings + empty
+    ]
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 1
+    }
+    df = spark.createDataFrame([(w,) for w in words], ["name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in symdelete_fuzzy_pairs(df, "name", "name").collect()
+    }
+    assert got == expect
+    assert ("park", "spark") in got and ("spark", "stark") in got
+    assert ("duck", "spark") not in got
