@@ -28,10 +28,16 @@ _GATE_PRIORITY = [
     # -- new round-6 entries, never gated: exact integer-greedy MMR;
     #    HLL derived-invariant oracles (rows-only list now 9, 7 of them
     #    environment/RNG-inherent, 2 superseded by oracled siblings);
-    #    substring-level dedup; salted-join no-op proof; DSIR resample --
+    #    substring-level dedup; salted-join no-op proof; DSIR resample;
+    #    Count-Min sketch (fully replayed); approx-quantile rank-error
+    #    invariant; winnowing fingerprints; SymSpell fuzzy join;
+    #    degree-ordered triangle counting --
     "vector_mmr_select", "agg_approx_distinct_error",
     "agg_hll_rollup_invariant", "text_repeated_substrings",
     "join_salted_bigkey", "corpus_importance_resample",
+    "agg_countmin_topk", "agg_approx_quantile_bracket",
+    "text_winnow_fingerprints", "join_fuzzy_name_match",
+    "graph_triangle_count",
     # -- changed this round: the pair feed's verification now runs on
     #    RAW shingle arrays with 64-bit candidate hashing and an eager
     #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
@@ -58,8 +64,11 @@ _GATE_PRIORITY = [
     "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
 ]
 
-# Round-7 rotation queue (oldest rows first): the remaining 26
-# last-gated-r4 entries —
+# Round-7 rotation queue (oldest rows first): the five r4 names the five
+# new round-6 entries pushed past position 50 —
+# "ml_gram_matrix", "profile_orders", "q11_important_parts",
+# "q15_top_supplier", "q1_pricing_summary" —
+# then the remaining 26 last-gated-r4 entries —
 # "q21_waiting_supplier", "q2_min_cost_supplier",
 # "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",
 # "q9_profit_by_nation_year", "sample_hash_stratified",
