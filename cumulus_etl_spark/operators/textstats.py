@@ -202,16 +202,38 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
     Ties break lexicographically on the pair. localCheckpoint pins the
     (small) vocab frame each round so lineage doesn't re-run all prior
     rounds."""
+    spark = docs.sparkSession
+    state = _bpe_vocab_state(docs, text_col)
+    state, merges = _bpe_merge_loop(state, n_merges)
+    state.unpersist()
+    return spark.createDataFrame(merges, "merge_round int, pair string, n bigint")
+
+
+def _bpe_vocab_state(docs, text_col: str, keep_word: bool = False):
+    """Distinct-word frequency table as the BPE state frame: ``s`` is
+    the space-joined symbol string, ``n`` the word frequency, plus the
+    raw word ``w`` when keep_word (the encoder needs it back)."""
     from pyspark.sql import functions as F
 
-    spark = docs.sparkSession
     words = docs.select(
         F.explode(words_array(F.lower(F.col(text_col)))).alias("w")
     ).filter(F.length("w") > 0)
     wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    state = wc.select(
-        F.concat_ws(" ", F.split("w", "")).alias("s"), "n"
-    ).localCheckpoint(eager=True)
+    cols = (["w"] if keep_word else []) + [
+        F.concat_ws(" ", F.split("w", "")).alias("s"),
+        "n",
+    ]
+    return wc.select(*cols).localCheckpoint(eager=True)
+
+
+def _bpe_merge_loop(state, n_merges: int):
+    """The Sennrich merge loop over a state frame with symbol-string
+    column ``s`` and weight ``n`` (any extra columns ride along
+    untouched). Each round: count adjacent pairs weighted by n, pick
+    (count DESC, pair ASC), rewrite every string with the double-space
+    literal replace. Returns (final_state, merges)."""
+    from pyspark.sql import functions as F
+
     merges: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):
         arr = F.split("s", " ")
@@ -238,14 +260,41 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 5):
             F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
         )
         replaced = F.replace(padded, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
-        nxt = state.select(
-            F.trim(F.replace(replaced, F.lit("  "), F.lit(" "))).alias("s"),
-            "n",
+        nxt = state.withColumn(
+            "s", F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
         ).localCheckpoint(eager=True)
         state.unpersist()
         state = nxt
-    state.unpersist()
-    return spark.createDataFrame(merges, "merge_round int, pair string, n bigint")
+    return state, merges
+
+
+def bpe_encode_vocab(docs, text_col: str = "text", n_merges: int = 5):
+    """Train-and-apply BPE encoding of the corpus vocabulary: learn the
+    first ``n_merges`` merges (bpe_train_merges semantics, bit-equal)
+    and return each distinct word ENCODED under them — the tokenizer
+    application step, giving true post-BPE token counts instead of the
+    regex approximation (bpe_ish_token_count).
+
+    Applying merges in rank order to the vocabulary is exactly the
+    trainer's rewrite, so encode shares the loop; per-round work stays
+    vocabulary-bounded regardless of corpus size, and encoding new text
+    against a FROZEN vocab is a broadcast join on the word.
+
+    Returns (w, n, encoded, n_tokens) — the word, its corpus frequency,
+    its final symbol string, and its encoded length."""
+    from pyspark.sql import functions as F
+
+    state = _bpe_vocab_state(docs, text_col, keep_word=True)
+    state, _merges = _bpe_merge_loop(state, n_merges)
+    # The final state stays checkpointed: its lineage was truncated, so
+    # unpersisting before the caller materializes would orphan the plan.
+    # It is vocab-sized — release it via the returned frame if needed.
+    return state.select(
+        "w",
+        "n",
+        F.col("s").alias("encoded"),
+        F.size(F.split("s", " ")).cast("bigint").alias("n_tokens"),
+    )
 
 
 # ---- Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03) ----

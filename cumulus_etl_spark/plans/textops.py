@@ -1021,3 +1021,61 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+def _bpe_encode_oracle(n_merges: int = 5, top: int = 20) -> str:
+    """Generated mirror of bpe_encode_vocab: the _bpe_train_oracle CTE
+    chain with the raw word carried through every rewrite, finishing
+    with the encoded vocabulary instead of the merge list."""
+    ctes = [r"""
+v0 AS (
+  SELECT w,
+         array_to_string(list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ') AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE length(w) > 0
+  GROUP BY w
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""
+p{r} AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS pair, n
+    FROM (SELECT string_split(s, ' ') AS arr, n FROM {prev}) WHERE len(arr) >= 2
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+v{r} AS (
+  SELECT w, trim(replace(
+           replace(' ' || replace(s, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' '),
+           '  ', ' ')) AS s, n
+  FROM {prev}, b{r} b
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT w, n, s AS encoded,
+       CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens
+FROM v{n_merges}
+ORDER BY n DESC, w
+LIMIT {top}"""
+    )
+
+
+@register("text_bpe_encode", _bpe_encode_oracle(), tags=("text", "tokenizer"))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION, hash-checked end to end: train the
+    first 5 merges (text_bpe_train_merges semantics) and encode the
+    corpus vocabulary under them — output is the 20 most frequent words
+    with their frequency, encoded symbol string, and post-BPE token
+    count. This closes the tokenizer loop: candidates -> trained merges
+    -> applied encoding, all vocabulary-bounded after one corpus scan,
+    with the oracle replaying every merge round AND the final encoding
+    in DuckDB. Total tiebreak (n DESC, w ASC)."""
+    enc = T.bpe_encode_vocab(table(spark, sf_dir, "documents"), "text", n_merges=5)
+    return enc.orderBy(F.desc("n"), "w").limit(20)

@@ -586,3 +586,44 @@ def test_symdelete_matches_bruteforce_all_pairs(spark):
     assert got == expect
     assert ("park", "spark") in got and ("spark", "stark") in got
     assert ("duck", "spark") not in got
+
+
+# ---- BPE encoding ---------------------------------------------------------
+
+
+def test_bpe_encode_vocab_applies_trained_merges(spark):
+    """Sennrich-style toy corpus: merges learned then applied; encoded
+    strings must reassemble to the original words and shrink where the
+    merges apply."""
+    from cumulus_etl_spark.operators.textstats import (
+        bpe_encode_vocab,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest widest")],
+        ["doc_id", "text"],
+    )
+    merges = [r["pair"] for r in bpe_train_merges(docs, n_merges=3).collect()]
+    enc = {r["w"]: r for r in bpe_encode_vocab(docs, n_merges=3).collect()}
+    assert set(enc) == {"low", "lower", "newest", "widest"}
+    for w, r in enc.items():
+        assert r["encoded"].replace(" ", "") == w
+        assert r["n_tokens"] == len(r["encoded"].split(" "))
+        assert r["n_tokens"] <= len(w)
+    # replay the merges by hand on 'low'
+    sym = list("low")
+    for pair in merges:
+        x, y = pair.split(" ")
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == x and sym[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    assert enc["low"]["encoded"] == " ".join(sym)
+    # the top merge must have compressed at least one word below char count
+    assert any(r["n_tokens"] < len(w) for w, r in enc.items())
