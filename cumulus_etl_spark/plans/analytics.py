@@ -1098,3 +1098,82 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "l_partkey")
         .limit(10)
     )
+
+
+_ASSOC_ORACLE = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup FROM baskets GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT ante, cons, pair.sup AS sup,
+       round(CAST(pair.sup AS DOUBLE) / ia.sup, 6) AS conf_fwd,
+       round(CAST(pair.sup AS DOUBLE) / ic.sup, 6) AS conf_rev,
+       round(CAST(pair.sup * n.n AS DOUBLE) / (ia.sup * ic.sup), 6) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = ante
+JOIN item ic ON ic.l_partkey = cons
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons
+LIMIT 15
+"""
+
+
+@register("agg_association_rules", _ASSOC_ORACLE, tags=("agg", "corpus"))
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: pair support
+    (>= 3 co-orders, the Apriori prune that keeps the pair lattice
+    sparse at any order volume), confidence in both directions, and
+    lift. Arithmetic determinism: supports are exact BIGINTs, every
+    output double is ONE correctly-rounded division of exact integers
+    (sup*N < 2^53), then 6dp-rounded — hash-identical across engines.
+    One shuffle for baskets, one for the pair count; item supports
+    broadcast onto the surviving pairs. Top-15 by lift, total
+    tiebreak."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("sup").alias("sup_a"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("sup").alias("sup_c"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "sup",
+            F.round(F.col("sup").cast("double") / F.col("sup_a"), 6).alias("conf_fwd"),
+            F.round(F.col("sup").cast("double") / F.col("sup_c"), 6).alias("conf_rev"),
+            F.round(
+                (F.col("sup") * F.col("n_orders")).cast("double")
+                / (F.col("sup_a") * F.col("sup_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(15)
+    )
