@@ -1,0 +1,169 @@
+"""Streaming heavy hitters: an incrementally maintained Count-Min sketch.
+
+The batch sketch (operators/sketch.py countmin_table) answers "how often
+does key k appear" with one scan; a LANDING ZONE wants the running
+answer as data arrives, without rescanning history. Count-Min is
+MERGEABLE — two sketches over disjoint data add cell-wise — so the
+persistent state is just the d×w cell table plus a bounded candidate
+set of the current top keys:
+
+Per micro-batch (foreachBatch, checkpointed — an interrupted ingest
+resumes where it left off):
+
+1. build the batch's own d×w delta table (map-side combine; the shuffle
+   carries at most d*w rows per input partition),
+2. add it cell-wise into the persistent cells table (the table is at
+   most d*w rows total, so this is a broadcast-sized join however much
+   data has streamed through),
+3. re-estimate the union of (current candidates ∪ batch keys) against
+   the updated cells and keep the top_k by (estimate, key) — the
+   standard CMS+heap heavy-hitter construction, distributed.
+
+The invariant this buys (pinned in tests/test_streaming.py): after any
+sequence of batches, the cells table EQUALS the batch-built sketch over
+the concatenated data — streaming adds no error beyond CMS itself — and
+candidate estimates are the same one-sided overestimates.
+
+Like every CMS, a key's true count is never under-estimated, and a key
+can only miss the candidate set if at ingest time it was outside the
+top_k estimates; size top_k with headroom over the report size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.sketch import _cms_bucket, countmin_table
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+CELLS_TABLE = "cms_cells"
+TOPK_TABLE = "cms_topk"
+
+
+class StreamingCountMin:
+    """Persistent Count-Min sketch + top-k candidates under ``root``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        depth: int = 4,
+        width: int = 512,
+        salt: str = "cms",
+        top_k: int = 50,
+    ):
+        self.spark = spark
+        self.depth = depth
+        self.width = width
+        self.salt = salt
+        self.top_k = top_k
+        self.cells = ManagedTable(spark, root, CELLS_TABLE)
+        self.topk = ManagedTable(spark, root, TOPK_TABLE)
+        self._cell_policy = MergePolicy(
+            keys=("seed", "bucket"), last_updated_field=None, num_buckets=4
+        )
+        self._topk_policy = MergePolicy(
+            keys=("k",), last_updated_field=None, num_buckets=4
+        )
+
+    # ---- ingest ----
+
+    def ingest_batch(self, rows: DataFrame, key_col: str) -> None:
+        """Fold one batch into the sketch and refresh the candidates."""
+        delta = countmin_table(
+            rows, key_col, depth=self.depth, width=self.width, salt=self.salt
+        )
+        prior = self.cells.read()
+        cells = (
+            delta
+            if prior is None
+            else delta.unionByName(prior)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        # d*w rows max: pin them so estimate() below and the merge don't
+        # recompute the union against a table mid-rewrite.
+        cells = cells.localCheckpoint(eager=True)
+        self.cells.merge(cells, self._cell_policy)
+
+        batch_keys = rows.select(
+            F.col(key_col).cast("string").alias("k")
+        ).distinct()
+        prior_topk = self.topk.read()
+        cand = (
+            batch_keys
+            if prior_topk is None
+            else batch_keys.unionByName(prior_topk.select("k")).distinct()
+        )
+        est = self._estimate_against(cand, cells)
+        new_topk = (
+            est.orderBy(F.desc("estimate"), "k").limit(self.top_k)
+        ).localCheckpoint(eager=True)
+        self.topk.merge(new_topk, self._topk_policy)
+        if prior_topk is not None:
+            evicted = prior_topk.select("k").join(
+                new_topk.select("k"), "k", "left_anti"
+            )
+            self.topk.delete_ids(evicted, id_col="k")
+
+    def _estimate_against(self, keys: DataFrame, cells: DataFrame) -> DataFrame:
+        probes = keys.select(
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(self.depth - 1))).alias("seed"),
+        ).withColumn(
+            "bucket", _cms_bucket(F.col("k"), F.col("seed"), self.width, self.salt)
+        )
+        return (
+            probes.join(F.broadcast(cells), ["seed", "bucket"])
+            .groupBy("k")
+            .agg(F.min("cnt").cast("bigint").alias("estimate"))
+        )
+
+    # ---- queries ----
+
+    def estimate(self, keys: DataFrame | list[str], key_col: str = "k") -> DataFrame:
+        """(k, estimate) for the given keys against the current sketch."""
+        if isinstance(keys, list):
+            keys = self.spark.createDataFrame([(k,) for k in keys], "k string")
+        else:
+            keys = keys.select(F.col(key_col).cast("string").alias("k"))
+        cells = self.cells.read()
+        if cells is None:
+            return keys.select("k", F.lit(0).cast("bigint").alias("estimate"))
+        return self._estimate_against(keys.distinct(), cells)
+
+    def heavy_hitters(self) -> DataFrame | None:
+        """The current top-k candidates (k, estimate)."""
+        t = self.topk.read()
+        return None if t is None else t.orderBy(F.desc("estimate"), "k")
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    schema: str,
+    **cms_kwargs,
+) -> StreamingCountMin:
+    """Checkpointed ingest: NDJSON rows landing in ``input_dir`` fold
+    into the persistent sketch batch by batch; each run processes
+    exactly the files that arrived since the last one."""
+    cms = StreamingCountMin(spark, sketch_root, **cms_kwargs)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.ndjson")
+        .json(input_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: cms.ingest_batch(batch_df, key_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return cms

@@ -763,3 +763,70 @@ def test_stream_changes_retention_up_to_checkpoint_resumes(spark, tmp_path):
            for r in spark.read.parquet(out_dir).collect()}
     assert ("c", 3) in got
     assert {v for _, v in got} == {1, 2, 3}
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
+    """Mergeability invariant: after N micro-batches the persistent
+    cell table EQUALS the batch sketch over the concatenated data, and
+    the candidate set holds the true heavy hitters with one-sided
+    estimates."""
+    from collections import Counter
+
+    from cumulus_etl_spark.operators.sketch import countmin_table
+    from cumulus_etl_spark.streaming.heavy_hitters import StreamingCountMin
+
+    # skewed key stream: key i appears ~ 60/i times
+    keys = [str(i) for i in range(1, 40) for _ in range(60 // i)]
+    batches = [keys[0::3], keys[1::3], keys[2::3]]
+    cms = StreamingCountMin(spark, str(tmp_path / "cms"), width=64, top_k=15)
+    for b in batches:
+        cms.ingest_batch(spark.createDataFrame([(k,) for k in b], ["k"]), "k")
+
+    all_df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    want = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in countmin_table(all_df, "k", width=64).collect()
+    }
+    got = {
+        (r["seed"], r["bucket"]): r["cnt"] for r in cms.cells.read().collect()
+    }
+    assert got == want
+
+    exact = Counter(keys)
+    hh = {r["k"]: r["estimate"] for r in cms.heavy_hitters().collect()}
+    assert len(hh) == 15
+    for k, est in hh.items():
+        assert est >= exact[k], (k, est, exact[k])
+    # the true top-5 must all be candidates
+    for k, _ in exact.most_common(5):
+        assert k in hh, k
+
+
+def test_streaming_countmin_file_stream_checkpoint(spark, tmp_path):
+    """File-source ingest: new files fold in, re-runs are checkpointed
+    no-ops."""
+    from cumulus_etl_spark.streaming.heavy_hitters import streaming_heavy_hitters
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "cms-ckpt")
+    write_ndjson(src, "b1.ndjson", [{"k": "a"}, {"k": "a"}, {"k": "b"}])
+    cms = streaming_heavy_hitters(
+        spark, src, root, ckpt, "k", "k string", width=64, top_k=5
+    )
+    est1 = {r["k"]: r["estimate"] for r in cms.estimate(["a", "b"]).collect()}
+    assert est1["a"] >= 2 and est1["b"] >= 1
+
+    write_ndjson(src, "b2.ndjson", [{"k": "a"}, {"k": "c"}])
+    cms = streaming_heavy_hitters(
+        spark, src, root, ckpt, "k", "k string", width=64, top_k=5
+    )
+    est2 = {r["k"]: r["estimate"] for r in cms.estimate(["a", "c"]).collect()}
+    assert est2["a"] >= 3 and est2["c"] >= 1
+
+    # no new files -> no-op
+    cms = streaming_heavy_hitters(
+        spark, src, root, ckpt, "k", "k string", width=64, top_k=5
+    )
+    est3 = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
+    assert est3 == {"a": est2["a"]}
