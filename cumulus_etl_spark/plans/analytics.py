@@ -1177,3 +1177,56 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "ante", "cons")
         .limit(15)
     )
+
+
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY 1
+)
+SELECT user_id, n AS n_events, n_types,
+       round(CAST(n * n - ss AS DOUBLE) / (n * n), 6) AS gini
+FROM u
+ORDER BY gini DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_gini_diversity", _GINI_ORACLE, tags=("events", "agg"))
+def events_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as GINI IMPURITY over event types —
+    1 - sum(p_i^2), the log-free diversity index. Shannon entropy is
+    the obvious choice but libm log is not correctly rounded and
+    diverges between engines (plans/catalog.py determinism rules);
+    Gini ranks distributions identically for this purpose and reduces
+    to ONE division of exact integers, (n^2 - sum c_i^2) / n^2 —
+    hash-identical. Two map-side-combinable aggregations, no joins.
+    Top-20 most diverse users, total tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return (
+        u.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            F.round(
+                (F.col("n") * F.col("n") - F.col("ss")).cast("double")
+                / (F.col("n") * F.col("n")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy(F.desc("gini"), "user_id")
+        .limit(20)
+    )
