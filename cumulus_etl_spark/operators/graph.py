@@ -209,7 +209,12 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("deg"))
         .select("id", (F.col("deg") * (1 << 32) + F.col("id")).alias("okey"))
     )
-    # Orient each edge low-okey -> high-okey.
+    # Orient each edge low-okey -> high-okey. The oriented edge list is
+    # consumed by THREE join branches (both wedge sides + the closing
+    # probe) on different keys, so exchange reuse can't dedupe it —
+    # eagerly pin it once (it is post-aggregation small: |E| rows,
+    # 2 longs) instead of recomputing the upstream degree join per
+    # branch.
     keyed = (
         e.join(deg.withColumnRenamed("id", "a").withColumnRenamed("okey", "ka"), "a")
         .join(deg.withColumnRenamed("id", "b").withColumnRenamed("okey", "kb"), "b")
@@ -217,6 +222,7 @@ def triangle_counts(
             F.least("ka", "kb").alias("u"),
             F.greatest("ka", "kb").alias("v"),
         )
+        .localCheckpoint(eager=True)
     )
     w1 = keyed.select(F.col("u").alias("x"), F.col("v").alias("y"))
     w2 = keyed.select(F.col("u").alias("x"), F.col("v").alias("z"))
