@@ -712,3 +712,76 @@ def symdelete_fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER blocking (Hernandez & Stolfo):
+    sort the strings under several keys (here: the string and its
+    reverse — prefix damage hides from one ordering but not both),
+    compare each row only to its ``window`` successors per pass, union
+    the passes, verify candidates with exact levenshtein.
+
+    The complement of symdelete_fuzzy_pairs: deletion blocking is
+    complete at distance 1 but keys explode with string length;
+    sorted-neighborhood costs O(n log n) sort + O(n*w) comparisons at
+    ANY distance threshold, trading completeness (a pair whose
+    difference defeats every sort key is missed) for a hard cost bound
+    — the standard big-data ER tradeoff, so the pair set here is a
+    deterministic SUBSET of the true distance-<=max_dist pairs.
+
+    Per pass: global ranks come from the distributed prefix-sum
+    (operators.corpus.global_running_sum — range partition + local
+    window + broadcast offsets, never a single-task global window), and
+    the rank band becomes an EQUI-join on rank-buckets of size
+    ``window`` (each left row probes its own and the next bucket) so
+    the planner gets a hash join, not a nested-loop range join.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, distinct across passes.
+    """
+    from cumulus_etl_spark.operators.corpus import global_running_sum
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    passes = []
+    for key in (F.col("s"), F.reverse(F.col("s"))):
+        # unique sort key (ties broken by id) -> rank = running count
+        keyed = base.withColumn(
+            "__k", F.concat(key, F.lit(" "), F.col("id").cast("string"))
+        ).withColumn("__one", F.lit(1))
+        ranked = global_running_sum(keyed, "__one", "__k", out_col="rn").select(
+            "id", "s", "rn"
+        )
+        bkt = F.floor((F.col("rn") - 1) / window)
+        left = ranked.select(
+            "id", "s", "rn", F.explode(F.array(bkt, bkt + 1)).alias("jb")
+        )
+        right = ranked.select(
+            F.col("id").alias("id_r"),
+            F.col("s").alias("s_r"),
+            F.col("rn").alias("rn_r"),
+            bkt.alias("jb"),
+        )
+        passes.append(
+            left.join(right, "jb")
+            .filter(
+                (F.col("rn_r") > F.col("rn"))
+                & (F.col("rn_r") <= F.col("rn") + window)
+            )
+            .select(
+                F.least("id", "id_r").alias("id_a"),
+                F.greatest("id", "id_r").alias("id_b"),
+                F.least("s", "s_r").alias("sa"),
+                F.greatest("s", "s_r").alias("sb"),
+            )
+        )
+    cand = passes[0].unionByName(passes[1]).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1079,3 +1079,50 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB. Total tiebreak (n DESC, w ASC)."""
     enc = T.bpe_encode_vocab(table(spark, sf_dir, "documents"), "text", n_merges=5)
     return enc.orderBy(F.desc("n"), "w").limit(20)
+
+
+_SNM_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+fwd AS (
+  SELECT name, row_number() OVER (ORDER BY name || ' ' || name) AS rn FROM names
+),
+rev AS (
+  SELECT name, row_number() OVER (ORDER BY reverse(name) || ' ' || name) AS rn
+  FROM names
+),
+cand AS (
+  SELECT least(a.name, b.name) AS name_a, greatest(a.name, b.name) AS name_b
+  FROM fwd a JOIN fwd b ON b.rn > a.rn AND b.rn <= a.rn + 3
+  UNION
+  SELECT least(a.name, b.name), greatest(a.name, b.name)
+  FROM rev a JOIN rev b ON b.rn > a.rn AND b.rn <= a.rn + 3
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+@register("join_sorted_neighborhood", _SNM_ORACLE, tags=("join", "text", "dedup"))
+def join_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo), the
+    O(n log n) ER strategy: rank names under two sort keys (the name
+    and its reverse), compare each name only to its 3 successors per
+    pass, verify with exact levenshtein <= 2. Complements
+    join_fuzzy_name_match: deletion blocking is complete at distance 1;
+    sorted-neighborhood reaches distance 2 at bounded cost but may miss
+    pairs that defeat both orderings — the recall/cost tradeoff is the
+    semantics, and the oracle pins exactly which pairs each ordering
+    surfaces. The Spark ranks come from the distributed prefix-sum
+    (range partition + broadcast offsets, no single-task global
+    window); the rank band runs as a bucketed equi-join."""
+    from cumulus_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    names = table(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name")
+    ).distinct()
+    pairs = sorted_neighborhood_pairs(names, "name", "name", window=3, max_dist=2)
+    return pairs.select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"), "dist"
+    ).orderBy("name_a", "name_b")

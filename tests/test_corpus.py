@@ -627,3 +627,38 @@ def test_bpe_encode_vocab_applies_trained_merges(spark):
     assert enc["low"]["encoded"] == " ".join(sym)
     # the top merge must have compressed at least one word below char count
     assert any(r["n_tokens"] < len(w) for w, r in enc.items())
+
+
+def test_sorted_neighborhood_matches_reference_replay(spark):
+    """Replay the two-pass window scheme in Python: same orderings,
+    same band, same verify — the Spark pair set must match exactly."""
+    from cumulus_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    words = [
+        "cold anvil", "old anvil", "cold bolt", "old bolt", "red bolt",
+        "new bolt", "big anvil", "tiny gear", "huge gear", "old gear",
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    expect = set()
+    for keyfn in (lambda w: w + " " + w, lambda w: w[::-1] + " " + w):
+        ranked = sorted(words, key=keyfn)
+        for i, a in enumerate(ranked):
+            for b in ranked[i + 1 : i + 4]:  # window=3 successors
+                if lev(a, b) <= 2:
+                    expect.add(tuple(sorted((a, b))))
+    df = spark.createDataFrame([(w,) for w in words], ["name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "name", "name", window=3).collect()
+    }
+    assert got == expect
+    # the reverse pass is what finds shared-suffix pairs
+    assert ("cold anvil", "old anvil") in got
