@@ -38,7 +38,7 @@ _GATE_PRIORITY = [
     "agg_countmin_topk", "agg_approx_quantile_bracket",
     "text_winnow_fingerprints", "join_fuzzy_name_match",
     "graph_triangle_count", "text_bpe_encode", "agg_association_rules",
-    "events_gini_diversity", "join_sorted_neighborhood",
+    "events_gini_diversity", "join_sorted_neighborhood", "graph_kcore",
     # -- changed this round: the pair feed's verification now runs on
     #    RAW shingle arrays with 64-bit candidate hashing and an eager
     #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
@@ -65,11 +65,12 @@ _GATE_PRIORITY = [
     "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
 ]
 
-# Round-7 rotation queue (oldest rows first): the nine r4 names the nine
+# Round-7 rotation queue (oldest rows first): the ten r4 names the ten
 # new round-6 entries pushed past position 50 —
-# "deid_year_generalize", "events_hourly_rollup", "events_markov_transitions",
-# "graph_pagerank_step", "ml_gram_matrix", "profile_orders",
-# "q11_important_parts", "q15_top_supplier", "q1_pricing_summary" —
+# "corpus_train_val_split", "deid_year_generalize", "events_hourly_rollup",
+# "events_markov_transitions", "graph_pagerank_step", "ml_gram_matrix",
+# "profile_orders", "q11_important_parts", "q15_top_supplier",
+# "q1_pricing_summary" —
 # then the remaining 26 last-gated-r4 entries —
 # "q21_waiting_supplier", "q2_min_cost_supplier",
 # "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",

@@ -236,3 +236,65 @@ def triangle_counts(
     return nodes.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: drop every
+    node with degree < k, recompute degrees, repeat. ``rounds=None``
+    peels until a fixed point (one tiny count() action per round is the
+    convergence probe); ``rounds=N`` runs exactly N peels — the
+    deterministic bounded form a SQL oracle can replay by unrolling.
+
+    Per round: one degree aggregation (map-side combinable) and two
+    semi-joins of the edge list against the surviving nodes — all
+    shuffles on node id, nothing driver-side but the convergence
+    scalar. The edge list is eagerly re-pinned each round so lineage
+    stays one round deep no matter how many peels run (the
+    connected_components discipline).
+
+    Returns (id, deg): surviving nodes with their in-core degree.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("id"))
+            .unionAll(ed.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+
+    i = 0
+    n_edges = e.count() if rounds is None else None
+    while True:
+        i += 1
+        keep = degrees(e).filter(F.col("deg") >= k).select("id")
+        nxt = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            n_next = nxt.count()
+            done = n_next == n_edges
+            n_edges = n_next
+        else:
+            done = i >= rounds
+        e.unpersist()
+        e = nxt
+        if done:
+            break
+    return degrees(e)

@@ -1230,3 +1230,82 @@ def events_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gini"), "user_id")
         .limit(20)
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 10, top: int = 20) -> str:
+    """Generated unrolled replay of kcore_peel(rounds=N) (the MMR /
+    BPE-oracle playbook: fixed-depth iterative algorithms mirror as a
+    CTE chain emitted by Python)."""
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and e{r} is
+    # referenced three times per following round — inlining would expand
+    # the chain exponentially (observed: file-handle exhaustion at 10
+    # rounds). Materializing evaluates each round once, like the Spark
+    # side's per-round localCheckpoint.
+    ctes = ["""
+pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (SELECT u, v FROM pairs)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT u AS id FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY id
+),
+k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON e.u = a.id
+  JOIN k{r} b ON e.v = b.id
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT id AS l_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY id
+ORDER BY core_degree DESC, l_partkey
+LIMIT {top}"""
+    )
+
+
+@register("graph_kcore", _kcore_oracle(), tags=("graph",))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the support-2 co-purchase graph by 10 bounded peeling
+    rounds (operators.graph.kcore_peel) — the densest-region extraction
+    that degree thresholds alone can't give (a high-degree node whose
+    neighbors all die must die with them, which is what the iteration
+    propagates). Ten rounds reach the true fixed point at gate scale
+    (convergence in 9; the until-convergence mode is pytest-pinned
+    against brute force), and the oracle unrolls the identical ten
+    rounds as a generated CTE chain. Per round: one degree aggregation
+    + two semi-joins, edge list re-pinned so lineage stays flat —
+    peeling depth, not data volume, is the only driver-side state."""
+    from cumulus_etl_spark.operators.graph import kcore_peel
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    core = kcore_peel(pairs, k=3, rounds=10, src="u", dst="v")
+    return (
+        core.select(F.col("id").alias("l_partkey"), F.col("deg").alias("core_degree"))
+        .orderBy(F.desc("core_degree"), "l_partkey")
+        .limit(20)
+    )

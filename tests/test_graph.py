@@ -127,3 +127,48 @@ def test_triangle_counts_total_matches_bruteforce(spark):
     rows = triangle_counts(df).collect()
     assert sum(r["n_triangles"] for r in rows) == 3 * tri
     assert tri > 0
+
+
+def test_kcore_peel_until_convergence_matches_bruteforce(spark):
+    """K4 with a pendant path and a separate triangle: the 3-core is
+    exactly the K4; the 2-core adds the triangle but never the path.
+    Until-convergence must equal a Python fixed-point peel."""
+    from cumulus_etl_spark.operators.graph import kcore_peel
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    edges = k4 + path + tri
+
+    def brute(es, k):
+        es = {tuple(sorted(e)) for e in es}
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in es if u in keep and v in keep}
+            if nxt == es:
+                return deg if es else {}
+            es = nxt
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3):
+        got = {r["id"]: r["deg"] for r in kcore_peel(df, k).collect()}
+        assert got == brute(edges, k), k
+    assert set(brute(edges, 3)) == {1, 2, 3, 4}
+
+
+def test_kcore_bounded_rounds_prefix_of_convergence(spark):
+    """rounds=1 performs exactly one peel (pendant leaves gone, the
+    next layer still present); enough rounds equals the fixed point."""
+    from cumulus_etl_spark.operators.graph import kcore_peel
+
+    # chain into a triangle: peeling the chain takes one round per link
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    one = {r["id"] for r in kcore_peel(df, 2, rounds=1).collect()}
+    assert one == {2, 3, 4, 5, 6}  # node 1 (degree 1) peeled, 2 not yet
+    full = {r["id"] for r in kcore_peel(df, 2, rounds=10).collect()}
+    assert full == {4, 5, 6}
