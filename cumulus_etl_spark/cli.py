@@ -139,6 +139,22 @@ def main(argv: list[str] | None = None) -> int:
     p_dedup.add_argument("--schema", default="doc_id long, text string")
     p_dedup.add_argument("--jaccard-threshold", type=float, default=0.7)
 
+    p_hh = sub.add_parser(
+        "heavy-hitters",
+        help="fold an NDJSON landing dir into a persistent Count-Min sketch; "
+        "report the running top keys",
+    )
+    p_hh.add_argument("input_dir", help="landing directory of *.ndjson files")
+    p_hh.add_argument("sketch_dir", help="where the sketch tables live")
+    p_hh.add_argument("key_col", help="column to count")
+    p_hh.add_argument("--checkpoint", default=None,
+                      help="stream checkpoint dir (default: <sketch_dir>/_checkpoint)")
+    p_hh.add_argument("--schema", required=True,
+                      help="input schema, e.g. 'user_id long, event string'")
+    p_hh.add_argument("--depth", type=int, default=4)
+    p_hh.add_argument("--width", type=int, default=512)
+    p_hh.add_argument("--top-k", type=int, default=50)
+
     p_opt = sub.add_parser(
         "optimize",
         help="drop superseded table versions (the finalize/vacuum analog; "
@@ -445,6 +461,30 @@ def main(argv: list[str] | None = None) -> int:
             ]
         )
         print(json.dumps({"near_dups": found, "index": args.index_dir}))
+        return 0
+    if args.verb == "heavy-hitters":
+        import os as _os
+
+        from cumulus_etl_spark.streaming.heavy_hitters import streaming_heavy_hitters
+
+        cms = streaming_heavy_hitters(
+            spark,
+            args.input_dir,
+            args.sketch_dir,
+            args.checkpoint or _os.path.join(args.sketch_dir, "_checkpoint"),
+            args.key_col,
+            args.schema,
+            depth=args.depth,
+            width=args.width,
+            top_k=args.top_k,
+        )
+        hh = cms.heavy_hitters()
+        top = (
+            []
+            if hh is None
+            else [{"key": r["k"], "estimate": r["estimate"]} for r in hh.collect()]
+        )
+        print(json.dumps({"heavy_hitters": top, "sketch": args.sketch_dir}))
         return 0
     if args.verb == "optimize":
         import os as _os

@@ -830,3 +830,30 @@ def test_streaming_countmin_file_stream_checkpoint(spark, tmp_path):
     )
     est3 = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
     assert est3 == {"a": est2["a"]}
+
+
+def test_heavy_hitters_cli_verb(spark, tmp_path, capsys):
+    """`heavy-hitters` verb: NDJSON landing dir -> persistent sketch ->
+    JSON report; second run folds new files in."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "sketch")
+    write_ndjson(src, "b1.ndjson",
+                 [{"k": "x"}] * 5 + [{"k": "y"}] * 2 + [{"k": "z"}])
+    rc = main(["heavy-hitters", src, root, "k",
+               "--schema", "k string", "--width", "64", "--top-k", "3"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}
+    assert len(top) == 3 and top["x"] >= 5
+
+    write_ndjson(src, "b2.ndjson", [{"k": "y"}] * 9)
+    rc = main(["heavy-hitters", src, root, "k",
+               "--schema", "k string", "--width", "64", "--top-k", "3"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}
+    assert top["y"] >= 11 and list(top)[0] == "y"
