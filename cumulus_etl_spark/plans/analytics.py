@@ -1309,3 +1309,81 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("core_degree"), "l_partkey")
         .limit(20)
     )
+
+
+_ATTRIB_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM events
+),
+pur AS (
+  SELECT user_id, ts, last_click,
+         (last_click IS NOT NULL
+          AND last_click >= ts - INTERVAL 1 HOUR) AS attributed
+  FROM seq WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN attributed
+                THEN (epoch_us(ts) - epoch_us(last_click)) // 1000000
+                ELSE 0 END) AS BIGINT) AS latency_s_total
+FROM pur
+GROUP BY user_id
+ORDER BY n_purchases DESC, user_id
+LIMIT 25
+"""
+
+
+@register("events_attribution_last_touch", _ATTRIB_ORACLE, tags=("events", "window"))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent preceding click if it happened within the 1-hour
+    lookback. The as-of lookup is NOT a range join — it is one running
+    MAX(click ts) window over the per-user event sequence (unbounded
+    preceding), so the whole attribution costs a single shuffle on
+    user_id no matter how long the histories get, the same shape the
+    streaming sessionizer uses. Latency sums are exact integer seconds
+    (epoch-microsecond difference, integer division) — no float
+    accumulation. Top-25 buyers, total tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts")))
+        .over(w)
+        .alias("last_click"),
+    )
+    pur = seq.filter(F.col("event_type") == "purchase").withColumn(
+        "attributed",
+        F.col("last_click").isNotNull()
+        & (F.col("last_click") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        pur.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("attributed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.sum(
+                F.when(
+                    F.col("attributed"),
+                    F.expr("(unix_micros(ts) - unix_micros(last_click)) div 1000000"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("latency_s_total"),
+        )
+        .orderBy(F.desc("n_purchases"), "user_id")
+        .limit(25)
+    )

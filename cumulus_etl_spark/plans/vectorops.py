@@ -967,3 +967,87 @@ def vector_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inp = cands.drop("cv").join(simmap, ["query_id", "neighbor_id"], "left")
     return S.mmr_select_exact(inp, k=_K)
+
+
+def _trunc_topk_cte(alias: str, dim: int | None) -> str:
+    """Brute-force top-k CTE over (optionally prefix-truncated) vectors,
+    identical fold/tiebreak to _KNN_ORACLE."""
+    src = "vecs" if dim is None else f"(SELECT vec_id, v[1:{dim}] AS v FROM vecs)"
+    return f"""
+{alias} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+                      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) DESC,
+                      c.vec_id
+           ) AS rank
+    FROM {src} q JOIN {src} c
+      ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+  ) WHERE rank <= {_K}
+)"""
+
+
+_MATRYOSHKA_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),{_trunc_topk_cte("full_topk", None)},{_trunc_topk_cte("t16", 16)},{_trunc_topk_cte("t32", 32)}
+SELECT f.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN h16.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_16,
+       CAST(SUM(CASE WHEN h32.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_32
+FROM full_topk f
+LEFT JOIN t16 h16 ON h16.query_id = f.query_id AND h16.neighbor_id = f.neighbor_id
+LEFT JOIN t32 h32 ON h32.query_id = f.query_id AND h32.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register("vector_matryoshka_recall", _MATRYOSHKA_ORACLE, tags=("vector",))
+def vector_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval quality (the Matryoshka /
+    dimension-pruning tradeoff): exact top-k under the first 16 and 32
+    of 64 dims, scored against the full-dim exact top-k — the recall
+    curve that tells you how far an index can shrink its vectors before
+    ranking degrades. All three top-k sets use the bit-identical
+    sequential cosine fold of vector_knn_bruteforce (prefix slice is
+    the same elements in the same order on both engines), so the
+    hash-checked payload is exact integer hit counts per query. The
+    Spark side reuses knn_bruteforce on prefix-sliced columns: one
+    broadcast of the query set per truncation, no index rebuild."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    full = S.knn_bruteforce(emb, queries, k=_K).select("query_id", "neighbor_id")
+
+    def trunc_topk(dim: int) -> DataFrame:
+        ed = emb.select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
+        qd = ed.filter(F.col("vec_id") < _N_QUERIES)
+        return S.knn_bruteforce(ed, qd, k=_K).select(
+            "query_id", F.col("neighbor_id").alias("n_t")
+        )
+
+    out = full
+    for dim in (16, 32):
+        t = trunc_topk(dim).withColumn("hit", F.lit(1))
+        out = out.join(
+            t,
+            (out["query_id"] == t["query_id"]) & (out["neighbor_id"] == t["n_t"]),
+            "left",
+        ).select(
+            out["query_id"],
+            out["neighbor_id"],
+            *[out[c] for c in out.columns if c.startswith("hit_")],
+            F.coalesce(t["hit"], F.lit(0)).alias(f"hit_{dim}"),
+        )
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("hit_16").cast("bigint").alias("hits_16"),
+            F.sum("hit_32").cast("bigint").alias("hits_32"),
+        )
+        .orderBy("query_id")
+    )
