@@ -40,6 +40,7 @@ _GATE_PRIORITY = [
     "graph_triangle_count", "text_bpe_encode", "agg_association_rules",
     "events_gini_diversity", "join_sorted_neighborhood", "graph_kcore",
     "events_attribution_last_touch", "vector_matryoshka_recall",
+    "ml_auc_rank", "ml_threshold_metrics",
     # -- changed this round: the pair feed's verification now runs on
     #    RAW shingle arrays with 64-bit candidate hashing and an eager
     #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
@@ -66,8 +67,9 @@ _GATE_PRIORITY = [
     "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
 ]
 
-# Round-7 rotation queue (oldest rows first): the twelve r4 names the
-# twelve new round-6 entries pushed past position 50 —
+# Round-7 rotation queue (oldest rows first): the fourteen r4 names the
+# fourteen new round-6 entries pushed past position 50 —
+# "corpus_importance_rank", "corpus_prepare_pipeline",
 # "corpus_quality_percentile_cut", "corpus_split_leakage",
 # "corpus_train_val_split", "deid_year_generalize", "events_hourly_rollup",
 # "events_markov_transitions", "graph_pagerank_step", "ml_gram_matrix",

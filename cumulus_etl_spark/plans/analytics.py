@@ -1387,3 +1387,136 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("n_purchases"), "user_id")
         .limit(25)
     )
+
+
+_AUC_ORACLE = """
+WITH r AS (
+  SELECT event_type,
+         2 * rank() OVER (ORDER BY value)
+           + COUNT(*) OVER (PARTITION BY value) - 1 AS rank2
+  FROM events
+),
+tot AS (SELECT COUNT(*) AS n FROM events),
+cls AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(rank2) AS BIGINT) AS s2
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * (n - n_pos)), 6) AS auc
+FROM cls CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
+@register("ml_auc_rank", _AUC_ORACLE, tags=("ml", "agg"))
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC-AUC of ``value`` for every event class by the
+    Mann-Whitney rank-sum identity, tie-correct and EXACT: average tie
+    ranks are half-integers, so everything rides doubled integer ranks
+    rank2 = 2*rank_min + ties - 1 and AUC reduces to one division of
+    exact integers. The Spark side never opens a global window: ranks
+    come from per-distinct-value counts + the distributed prefix sum
+    (rank2 = 2*cum - cnt + 1), then each class folds
+    sum(cnt_per_value_and_class * rank2) — rank the VALUES once
+    (|distinct values| rows), not the events, which is the shape that
+    survives when events are 10^12 and distinct scores are 10^6. The
+    oracle uses the plain window formulation of the same identity."""
+    from cumulus_etl_spark.operators.corpus import global_running_sum
+
+    ev = table(spark, sf_dir, "events")
+    vc = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_running_sum(vc, "cnt", "value", out_col="cum").select(
+        "value", (2 * F.col("cum") - F.col("cnt") + 1).alias("rank2")
+    )
+    per_vt = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cls = (
+        per_vt.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pos"),
+            F.sum(F.col("c") * F.col("rank2")).cast("bigint").alias("s2"),
+        )
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        cls.crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "n_pos",
+            (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+            F.round(
+                (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+                / (2.0 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_THRESH_ORACLE = """
+WITH t AS (SELECT unnest([10.0, 50.0, 150.0]) AS thr),
+m AS (
+  SELECT thr,
+         CAST(SUM(CASE WHEN value >= thr AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN value >= thr AND event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN value < thr AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN value < thr AND event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM events CROSS JOIN t
+  GROUP BY thr
+)
+SELECT thr, tp, fp, fn, tn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
+FROM m
+ORDER BY thr
+"""
+
+
+@register("ml_threshold_metrics", _THRESH_ORACLE, tags=("ml", "agg"))
+def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation sweep: confusion counts +
+    precision/recall/F1 for score >= threshold predicting the
+    'purchase' class, at three thresholds in one scan (explode the
+    threshold list against the stream — never three passes). Every
+    metric is ONE correctly-rounded division of exact integer counts
+    (F1 via 2TP/(2TP+FP+FN), not a ratio of ratios), so the doubles
+    hash-match across engines."""
+    ev = table(spark, sf_dir, "events")
+    thr = F.explode(F.array(F.lit(10.0), F.lit(50.0), F.lit(150.0))).alias("thr")
+    x = ev.select("event_type", "value", thr)
+    pos = F.col("event_type") == "purchase"
+    hi = F.col("value") >= F.col("thr")
+    m = x.groupBy("thr").agg(
+        F.sum(F.when(hi & pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(hi & ~pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~hi & pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~hi & ~pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    return (
+        m.select(
+            "thr",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
+                "recall"
+            ),
+            F.round(
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("thr")
+    )

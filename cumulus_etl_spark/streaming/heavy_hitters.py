@@ -114,10 +114,17 @@ class StreamingCountMin:
         ).withColumn(
             "bucket", _cms_bucket(F.col("k"), F.col("seed"), self.width, self.salt)
         )
+        # LEFT join + coalesce 0: a bucket with no cell row means count 0,
+        # and CMS takes the min over ALL rows — an inner join would drop
+        # the empty bucket and inflate (or lose) never-seen keys.
         return (
-            probes.join(F.broadcast(cells), ["seed", "bucket"])
+            probes.join(F.broadcast(cells), ["seed", "bucket"], "left")
             .groupBy("k")
-            .agg(F.min("cnt").cast("bigint").alias("estimate"))
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("bigint")
+                .alias("estimate")
+            )
         )
 
     # ---- queries ----

@@ -129,3 +129,37 @@ def test_train_filter_cli_end_to_end(spark, sf_smoke, tmp_path, capsys):
     assert {"label", "score"} <= set(back.columns)
     s = back.agg(F.min("score").alias("lo"), F.max("score").alias("hi")).collect()[0]
     assert 0.0 <= s["lo"] and s["hi"] <= 1.0
+
+
+def test_auc_rank_identity_matches_pairwise_bruteforce(spark):
+    """The rank-sum AUC (as implemented by ml_auc_rank's distributed
+    rank2 formulation) must equal the pairwise definition
+    P(score_pos > score_neg) + 0.5*P(tie), ties included."""
+    from cumulus_etl_spark.operators.corpus import global_running_sum
+    from pyspark.sql import functions as F
+
+    # scores with deliberate ties across classes
+    data = [("pos", 3.0), ("pos", 2.0), ("pos", 2.0), ("pos", 0.5),
+            ("neg", 2.0), ("neg", 1.0), ("neg", 0.5), ("neg", 0.1),
+            ("neg", 3.0)]
+    df = spark.createDataFrame(data, ["label", "score"])
+
+    # brute force
+    pos = [s for l, s in data if l == "pos"]
+    neg = [s for l, s in data if l == "neg"]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = wins / (len(pos) * len(neg))
+
+    vc = df.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = global_running_sum(vc, "cnt", "score", out_col="cum").select(
+        "score", (2 * F.col("cum") - F.col("cnt") + 1).alias("rank2")
+    )
+    s2, n_pos = (
+        df.filter(F.col("label") == "pos")
+        .groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+        .join(ranked, "score")
+        .agg(F.sum(F.col("c") * F.col("rank2")), F.sum("c"))
+        .collect()[0]
+    )
+    got = (s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * len(neg))
+    assert abs(got - want) < 1e-12, (got, want)

@@ -857,3 +857,18 @@ def test_heavy_hitters_cli_verb(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     top = {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}
     assert top["y"] >= 11 and list(top)[0] == "y"
+
+
+def test_streaming_countmin_unseen_key_estimate(spark, tmp_path):
+    """A key whose buckets are all empty must estimate 0 (not vanish,
+    not inherit other keys' counts from an inner join)."""
+    from cumulus_etl_spark.streaming.heavy_hitters import StreamingCountMin
+
+    cms = StreamingCountMin(spark, str(tmp_path / "cms"), width=512, top_k=5)
+    cms.ingest_batch(spark.createDataFrame([("a",)] * 3, ["k"]), "k")
+    est = {r["k"]: r["estimate"] for r in
+           cms.estimate(["a", "never-seen-key-xyz"]).collect()}
+    assert est["a"] >= 3
+    # with w=512 and one seen key, all 4 buckets of the unseen key are
+    # empty unless it collides with 'a' in every seed (p ~ (1/512)^4)
+    assert est["never-seen-key-xyz"] == 0
