@@ -207,8 +207,20 @@ def triangle_counts(
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .select("id", (F.col("deg") * (1 << 32) + F.col("id")).alias("okey"))
     )
+    # The okey packing assumes ids in [0, 2^32): out-of-range ids would
+    # silently corrupt the (deg, id) order AND decode to wrong ids, so
+    # fail loudly instead. Checked on the post-aggregation node frame
+    # (|V| rows), not the edge list, so the guard costs ~nothing.
+    n_bad = deg.filter(
+        (F.col("id") < 0) | (F.col("id") >= F.lit(1 << 32))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"triangle_counts: {n_bad} node ids outside [0, 2^32) — "
+            "remap ids before packing them into the degree-order key"
+        )
+    deg = deg.select("id", (F.col("deg") * (1 << 32) + F.col("id")).alias("okey"))
     # Orient each edge low-okey -> high-okey. The oriented edge list is
     # consumed by THREE join branches (both wedge sides + the closing
     # probe) on different keys, so exchange reuse can't dedupe it —
@@ -276,6 +288,8 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         )
 
+    if rounds is not None and rounds <= 0:
+        return degrees(e)  # zero peels = the input graph's degrees
     i = 0
     n_edges = e.count() if rounds is None else None
     while True:

@@ -1037,14 +1037,38 @@ def agg_approx_quantile_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRIANGLE_ORACLE = """
-WITH pairs AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS sup
+# Shared by graph_triangle_count / graph_kcore (Python and SQL sides):
+# parts co-ordered at least twice — the support prune that keeps the
+# edge set sparse at any order volume.
+_SUPPORT2_PAIRS_CTE = """
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a
   JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-),
-e AS (SELECT u, v FROM pairs WHERE sup >= 2),
+  HAVING COUNT(*) >= 2
+)"""
+
+
+def _support2_copurchase_pairs(li: DataFrame) -> DataFrame:
+    """(u, v) part pairs sharing >= 2 orders, u < v."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+
+
+_TRIANGLE_ORACLE = ("""
+WITH """ + _SUPPORT2_PAIRS_CTE + """,
+e AS (SELECT u, v FROM pairs),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1
@@ -1060,7 +1084,7 @@ SELECT id AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY id
 ORDER BY n_triangles DESC, l_partkey
 LIMIT 10
-"""
+""")
 
 
 @register("graph_triangle_count", _TRIANGLE_ORACLE, tags=("graph",))
@@ -1077,21 +1101,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-10 nodes, total tiebreak."""
     from cumulus_etl_spark.operators.graph import triangle_counts
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("u", "v")
-    )
+    pairs = _support2_copurchase_pairs(table(spark, sf_dir, "lineitem"))
     return (
         triangle_counts(pairs, "u", "v")
         .select(F.col("id").alias("l_partkey"), "n_triangles")
@@ -1241,15 +1251,12 @@ def _kcore_oracle(k: int = 3, rounds: int = 10, top: int = 20) -> str:
     # the chain exponentially (observed: file-handle exhaustion at 10
     # rounds). Materializing evaluates each round once, like the Spark
     # side's per-round localCheckpoint.
-    ctes = ["""
-pairs AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-),
-e0 AS MATERIALIZED (SELECT u, v FROM pairs)"""]
+    ctes = [
+        _SUPPORT2_PAIRS_CTE.replace(
+            "pairs AS (", "pairs AS MATERIALIZED (", 1
+        )
+        + ",\ne0 AS MATERIALIZED (SELECT u, v FROM pairs)"
+    ]
     for r in range(1, rounds + 1):
         ctes.append(f"""
 d{r} AS MATERIALIZED (
@@ -1288,21 +1295,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     peeling depth, not data volume, is the only driver-side state."""
     from cumulus_etl_spark.operators.graph import kcore_peel
 
-    li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("u", "v")
-    )
+    pairs = _support2_copurchase_pairs(table(spark, sf_dir, "lineitem"))
     core = kcore_peel(pairs, k=3, rounds=10, src="u", dst="v")
     return (
         core.select(F.col("id").alias("l_partkey"), F.col("deg").alias("core_degree"))
@@ -1407,6 +1400,8 @@ SELECT event_type, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
        round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
              / (2.0 * n_pos * (n - n_pos)), 6) AS auc
 FROM cls CROSS JOIN tot
+WHERE n_pos < n  -- AUC undefined with no negatives (and Spark NULL vs
+                 -- DuckDB inf would diverge); drop the degenerate class
 ORDER BY event_type
 """
 
@@ -1445,6 +1440,7 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
         cls.crossJoin(F.broadcast(n))
+        .filter(F.col("n_pos") < F.col("n"))
         .select(
             "event_type",
             "n_pos",
@@ -1471,7 +1467,8 @@ m AS (
   GROUP BY thr
 )
 SELECT thr, tp, fp, fn, tn,
-       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
        round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
        round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1
 FROM m
@@ -1506,9 +1503,12 @@ def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp",
             "fn",
             "tn",
-            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias(
-                "precision"
-            ),
+            # pinned NULL when no positive predictions (Spark's 0-divide
+            # NULL vs DuckDB's inf would otherwise diverge)
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6),
+            ).alias("precision"),
             F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias(
                 "recall"
             ),

@@ -1049,12 +1049,18 @@ p{r} AS (
 ),
 b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 v{r} AS (
-  SELECT w, trim(replace(
-           replace(' ' || replace(s, ' ', '  ') || ' ',
-                   ' ' || replace(b.pair, ' ', '  ') || ' ',
-                   ' ' || replace(b.pair, ' ', '') || ' '),
-           '  ', ' ')) AS s, n
-  FROM {prev}, b{r} b
+  -- LEFT JOIN ON TRUE: when the vocabulary exhausts before round {r}
+  -- (b{r} empty) the state must pass through unchanged, mirroring the
+  -- Spark loop's break — a plain cross join would wipe it.
+  SELECT w,
+         CASE WHEN b.pair IS NULL THEN s
+              ELSE trim(replace(
+                     replace(' ' || replace(s, ' ', '  ') || ' ',
+                             ' ' || replace(b.pair, ' ', '  ') || ' ',
+                             ' ' || replace(b.pair, ' ', '') || ' '),
+                     '  ', ' '))
+         END AS s, n
+  FROM {prev} LEFT JOIN b{r} b ON TRUE
 )""")
     return (
         "WITH " + ",".join(ctes)

@@ -69,22 +69,44 @@ class StreamingCountMin:
 
     # ---- ingest ----
 
-    def ingest_batch(self, rows: DataFrame, key_col: str) -> None:
-        """Fold one batch into the sketch and refresh the candidates."""
+    def ingest_batch(
+        self, rows: DataFrame, key_col: str, batch_id: int | None = None
+    ) -> None:
+        """Fold one batch into the sketch and refresh the candidates.
+
+        Replay-safe: the stream's ``batch_id`` is written INTO the cells
+        table (same column on every row), and a merge is one atomic
+        pointer flip — so a micro-batch replayed after a crash between
+        the cells merge and the stream's offset commit is detected by
+        its watermark and skipped instead of double-counted. (The topk
+        refresh below is derived purely from cells + candidates, so
+        replaying IT is naturally idempotent.) Direct callers without a
+        batch_id get monotonically increasing synthetic ids."""
+        prior = self.cells.read()
+        prior_batch = (
+            -1
+            if prior is None
+            else prior.agg(F.max("last_batch")).collect()[0][0]
+        )
+        if batch_id is None:
+            batch_id = prior_batch + 1
+        elif batch_id <= prior_batch:
+            return  # replay of an already-folded micro-batch
         delta = countmin_table(
             rows, key_col, depth=self.depth, width=self.width, salt=self.salt
         )
-        prior = self.cells.read()
-        cells = (
+        summed = (
             delta
             if prior is None
-            else delta.unionByName(prior)
+            else delta.unionByName(prior.select("seed", "bucket", "cnt"))
             .groupBy("seed", "bucket")
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
         # d*w rows max: pin them so estimate() below and the merge don't
         # recompute the union against a table mid-rewrite.
-        cells = cells.localCheckpoint(eager=True)
+        cells = summed.withColumn(
+            "last_batch", F.lit(batch_id).cast("bigint")
+        ).localCheckpoint(eager=True)
         self.cells.merge(cells, self._cell_policy)
 
         batch_keys = rows.select(
@@ -135,10 +157,11 @@ class StreamingCountMin:
             keys = self.spark.createDataFrame([(k,) for k in keys], "k string")
         else:
             keys = keys.select(F.col(key_col).cast("string").alias("k"))
+        keys = keys.distinct()  # same shape whether the sketch exists yet
         cells = self.cells.read()
         if cells is None:
             return keys.select("k", F.lit(0).cast("bigint").alias("estimate"))
-        return self._estimate_against(keys.distinct(), cells)
+        return self._estimate_against(keys, cells)
 
     def heavy_hitters(self) -> DataFrame | None:
         """The current top-k candidates (k, estimate)."""
@@ -166,7 +189,9 @@ def streaming_heavy_hitters(
     )
     (
         stream.writeStream.foreachBatch(
-            lambda batch_df, batch_id: cms.ingest_batch(batch_df, key_col)
+            lambda batch_df, batch_id: cms.ingest_batch(
+                batch_df, key_col, batch_id=batch_id
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

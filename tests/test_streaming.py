@@ -872,3 +872,28 @@ def test_streaming_countmin_unseen_key_estimate(spark, tmp_path):
     # with w=512 and one seen key, all 4 buckets of the unseen key are
     # empty unless it collides with 'a' in every seed (p ~ (1/512)^4)
     assert est["never-seen-key-xyz"] == 0
+
+
+def test_streaming_countmin_replayed_batch_is_skipped(spark, tmp_path):
+    """Crash-replay safety: re-folding the same micro-batch id must be
+    a no-op (the batch watermark rides atomically in the cells table),
+    so counts never double."""
+    from cumulus_etl_spark.streaming.heavy_hitters import StreamingCountMin
+
+    cms = StreamingCountMin(spark, str(tmp_path / "cms"), width=64, top_k=5)
+    b = spark.createDataFrame([("a",)] * 4 + [("b",)], ["k"])
+    cms.ingest_batch(b, "k", batch_id=0)
+    before = sorted(
+        (r["seed"], r["bucket"], r["cnt"]) for r in cms.cells.read().collect()
+    )
+    cms.ingest_batch(b, "k", batch_id=0)  # replay
+    after = sorted(
+        (r["seed"], r["bucket"], r["cnt"]) for r in cms.cells.read().collect()
+    )
+    assert after == before
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
+    assert est["a"] == 4
+    # a NEW batch still folds in
+    cms.ingest_batch(b, "k", batch_id=1)
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
+    assert est["a"] == 8
