@@ -17,6 +17,7 @@ import os
 import time
 
 from cumulus_etl_spark.plans import CATALOG
+from cumulus_etl_spark.plans.catalog import BENCH_RIGS
 from cumulus_etl_spark.session import get_spark
 
 
@@ -38,6 +39,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = {name: q for name, q in CATALOG.items() if q.bench}
+    bench_queries.update(BENCH_RIGS)  # bench-only rigs (e.g. deid scrub)
     # Warm the JVM + file listing once with the cheapest query.
     try:
         materialize(CATALOG["q1_pricing_summary"].build(spark, sf_dir))

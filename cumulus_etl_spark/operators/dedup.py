@@ -472,14 +472,21 @@ def _ppjoin_positional_ok(threshold: float) -> Column:
     where this bound is sound, so filtering per bucket never loses a
     true pair. Positions come from the hashed prefix while sizes are
     RAW: within-doc collisions can only SHORTEN hashed positions, making
-    the bound looser — over-pruning is impossible."""
-    alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("p.sz_a") + F.col("p.sz_b"))
-    )
+    the bound looser — over-pruning is impossible.
+
+    Exactness against the ground-truth verify (round-6 ADVICE): the
+    verify keeps a pair iff ``inter >= t * union`` with
+    ``union = sz_a + sz_b - inter``, evaluated in double. We test the
+    SAME predicate with ``remaining`` substituted for ``inter``:
+    o >= t*(szsum - o) is monotone nondecreasing in integer o even
+    under double rounding (LHS grows, RHS shrinks, fl() is monotone),
+    and remaining >= inter always — so any verify-accepted pair passes,
+    with no ceil/float-rounding edge for non-dyadic thresholds."""
+    szsum = F.col("p.sz_a") + F.col("p.sz_b")
     remaining = F.least(
         F.col("p.sz_a") - F.col("p.pos_a"), F.col("p.sz_b") - F.col("p.pos_b")
     )
-    return remaining >= alpha
+    return remaining >= F.lit(threshold) * (szsum - remaining)
 
 
 def prefix_bucket_sizes(

@@ -646,7 +646,11 @@ def mmr_select_exact(
             best_mmr = 0
             for nid in remaining:
                 if picked:
-                    penalty = max(sims[nid][p] for p in picked)
+                    # Missing pairwise entries (a caller violating the
+                    # complete-sims contract) count as similarity 0
+                    # instead of crashing the whole Arrow stage
+                    # (round-6 ADVICE).
+                    penalty = max(sims[nid].get(p, 0) for p in picked)
                     mmr = lam_num * rel[nid] - lam_comp * penalty
                 else:
                     mmr = lam_num * rel[nid]

@@ -1137,14 +1137,21 @@ LIMIT 15
 @register("agg_association_rules", _ASSOC_ORACLE, tags=("agg", "corpus"))
 def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: pair support
-    (>= 3 co-orders, the Apriori prune that keeps the pair lattice
-    sparse at any order volume), confidence in both directions, and
-    lift. Arithmetic determinism: supports are exact BIGINTs, every
+    (>= 3 co-orders), confidence in both directions, and lift.
+
+    Classical Apriori prune applied on the CORRECT side (round-6
+    verdict): infrequent 1-itemsets are dropped BEFORE the basket
+    self-join — a pair's support is <= each item's support, so
+    semi-joining both sides of the pair generator against
+    ``item.sup >= 3`` is output-identical while keeping the per-basket
+    m^2 blow-up bounded by the basket's FREQUENT-item count. On a
+    skewed retail basket (10^5 one-off items in one order) the pair
+    generator now sees only the items that could possibly survive.
+    Arithmetic determinism: supports are exact BIGINTs, every
     output double is ONE correctly-rounded division of exact integers
     (sup*N < 2^53), then 6dp-rounded — hash-identical across engines.
-    One shuffle for baskets, one for the pair count; item supports
-    broadcast onto the surviving pairs. Top-15 by lift, total
-    tiebreak."""
+    One shuffle for baskets, one for the pair count; frequent-item set
+    and item supports broadcast. Top-15 by lift, total tiebreak."""
     li = table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     n = baskets.agg(
@@ -1153,6 +1160,8 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("sup")
     )
+    freq = item.filter(F.col("sup") >= 3).select("l_partkey")
+    baskets = baskets.join(F.broadcast(freq), "l_partkey", "left_semi")
     a, b = baskets.alias("a"), baskets.alias("b")
     pair = (
         a.join(

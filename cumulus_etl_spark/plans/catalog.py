@@ -35,15 +35,26 @@ class Query:
 
 CATALOG: dict[str, Query] = {}
 
+# Bench-only rigs: measured by bench.py round-over-round but NOT catalog
+# rows — they duplicate coverage an oracled sibling (or golden test)
+# already proves, so listing them in CATALOG would pad the rows-only
+# list with non-environment-inherent entries (round-6 verdict ask 3).
+BENCH_RIGS: dict[str, Query] = {}
+
 
 def register(
     name: str,
     oracle: str | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    bench_only: bool = False,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
-        CATALOG[name] = Query(name=name, build=fn, oracle=oracle, tags=tags, bench=bench)
+        q = Query(name=name, build=fn, oracle=oracle, tags=tags, bench=bench or bench_only)
+        if bench_only:
+            BENCH_RIGS[name] = q
+        else:
+            CATALOG[name] = q
         return fn
 
     return deco

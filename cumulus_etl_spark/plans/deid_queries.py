@@ -92,7 +92,7 @@ def deid_year_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("deid_scrub_throughput", None, tags=("deid", "bench"), bench=True)
+@register("deid_scrub_throughput", None, tags=("deid", "bench"), bench_only=True)
 def deid_scrub_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CORE workload as a bench entry: the full compiled
     de-id scrub (allow-list projection, HMAC pseudonyms, year/zip
@@ -103,9 +103,13 @@ def deid_scrub_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions from spark.range, so the measurement is scrub cost, not
     parse cost; the result aggregates so only a summary row returns.
 
-    Rows-only (the scrub is nested-struct surgery DuckDB can't express;
-    byte-level parity is proven against reference golden fixtures in
-    tests/test_deid_golden.py)."""
+    Bench-only rig (round-6 verdict ask 3): correctness of the scrub is
+    proven elsewhere — byte-level parity against reference golden
+    fixtures in tests/test_deid_golden.py plus the oracled
+    deid_anonymize_customers entry — so this is measured by bench.py
+    but deliberately NOT a catalog row (the scrub is nested-struct
+    surgery DuckDB can't express, and a rows-only catalog slot would
+    duplicate coverage)."""
     from cumulus_etl_spark.deid import Scrubber
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.01

@@ -581,26 +581,12 @@ def vector_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vector_mmr_rerank", None, tags=("vector", "search"))
-def vector_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR diversity re-ranking of brute-force top-20 candidates down to
-    top-5 per query (operators/similarity.py:mmr_rerank). Greedy
-    selection is sequential per query but parallel across queries, over
-    candidate groups of bounded size — a sanctioned Arrow/pandas stage
-    (like the multimodal codecs): the corpus itself never crosses into
-    Python. Rows-only; diversity/determinism pytest-pinned
-    (tests/test_similarity_extra.py)."""
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    knn = S.knn_bruteforce(emb, queries, k=20)
-    cands = knn.join(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            S.as_double_array("embedding").alias("cvec"),
-        ),
-        "neighbor_id",
-    )
-    return S.mmr_rerank(cands, lam=0.7, k=_K)
+# NOTE (round-6 verdict ask 3): the former `vector_mmr_rerank` catalog
+# entry is retired — it was superseded by the oracled, bit-exact
+# `vector_mmr_select` below. The library op (operators/similarity.py:
+# mmr_rerank, double-precision variant) remains and stays pytest-pinned
+# in tests/test_similarity_extra.py; it just no longer occupies a
+# rows-only catalog slot.
 
 
 _PQ_ADC_ORACLE = f"""

@@ -81,33 +81,46 @@ class StreamingCountMin:
         its watermark and skipped instead of double-counted. (The topk
         refresh below is derived purely from cells + candidates, so
         replaying IT is naturally idempotent.) Direct callers without a
-        batch_id get monotonically increasing synthetic ids."""
+        batch_id get monotonically increasing synthetic ids.
+
+        A replayed batch skips ONLY the cells merge (that is the
+        non-idempotent half); the candidate/top-k refresh below still
+        runs, against the already-folded cells — otherwise a crash
+        between the cells merge and the topk merge would permanently
+        drop that batch's keys from the candidate set."""
         prior = self.cells.read()
-        prior_batch = (
-            -1
-            if prior is None
-            else prior.agg(F.max("last_batch")).collect()[0][0]
-        )
+        if prior is None:
+            prior_batch = -1
+        else:
+            # max() over an EMPTY existing table (a zero-row first
+            # micro-batch) is NULL — coalesce to -1 or the arithmetic
+            # below raises TypeError and wedges ingest.
+            row = prior.agg(F.max("last_batch")).collect()[0][0]
+            prior_batch = -1 if row is None else row
         if batch_id is None:
             batch_id = prior_batch + 1
-        elif batch_id <= prior_batch:
-            return  # replay of an already-folded micro-batch
-        delta = countmin_table(
-            rows, key_col, depth=self.depth, width=self.width, salt=self.salt
-        )
-        summed = (
-            delta
-            if prior is None
-            else delta.unionByName(prior.select("seed", "bucket", "cnt"))
-            .groupBy("seed", "bucket")
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        )
-        # d*w rows max: pin them so estimate() below and the merge don't
-        # recompute the union against a table mid-rewrite.
-        cells = summed.withColumn(
-            "last_batch", F.lit(batch_id).cast("bigint")
-        ).localCheckpoint(eager=True)
-        self.cells.merge(cells, self._cell_policy)
+        replayed = batch_id <= prior_batch
+        if replayed:
+            # Already folded: reuse the stored cells for the (idempotent)
+            # candidate refresh instead of double-counting the batch.
+            cells = prior
+        else:
+            delta = countmin_table(
+                rows, key_col, depth=self.depth, width=self.width, salt=self.salt
+            )
+            summed = (
+                delta
+                if prior is None
+                else delta.unionByName(prior.select("seed", "bucket", "cnt"))
+                .groupBy("seed", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+            # d*w rows max: pin them so estimate() below and the merge don't
+            # recompute the union against a table mid-rewrite.
+            cells = summed.withColumn(
+                "last_batch", F.lit(batch_id).cast("bigint")
+            ).localCheckpoint(eager=True)
+            self.cells.merge(cells, self._cell_policy)
 
         batch_keys = rows.select(
             F.col(key_col).cast("string").alias("k")
