@@ -893,6 +893,85 @@ def text_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_REMOVAL_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         substr(text, CAST(i AS INTEGER), {_REPEATED_SUBSTR_K}) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - {_REPEATED_SUBSTR_K - 1}, 1) + 1)) AS i
+    FROM documents
+  )
+  WHERE length(substr(text, CAST(i AS INTEGER), {_REPEATED_SUBSTR_K})) = {_REPEATED_SUBSTR_K}
+),
+marked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+starts AS (SELECT doc_id, pos FROM marked WHERE rn >= 2),
+seq AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM starts
+),
+pieces AS (
+  SELECT s.doc_id, s.pos AS ord,
+         CASE WHEN s.prev IS NULL THEN substr(d.text, 1, s.pos - 1)
+              ELSE substr(d.text, s.prev + {_REPEATED_SUBSTR_K},
+                          greatest(s.pos - s.prev - {_REPEATED_SUBSTR_K}, 0))
+         END AS piece
+  FROM seq s JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id, 2147483647 AS ord,
+         substr(d.text, t.mx + {_REPEATED_SUBSTR_K}) AS piece
+  FROM (SELECT doc_id, max(pos) AS mx, COUNT(*) AS n_spans
+        FROM starts GROUP BY doc_id) t
+  JOIN documents d USING (doc_id)
+),
+rebuilt AS (
+  SELECT p.doc_id, string_agg(p.piece, '' ORDER BY p.ord) AS clean_text
+  FROM pieces p GROUP BY p.doc_id
+),
+spans AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM starts GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS orig_len,
+       CAST(length(coalesce(r.clean_text, d.text)) AS BIGINT) AS clean_len,
+       CAST(coalesce(spans.n, 0) AS BIGINT) AS n_removed_spans,
+       md5(coalesce(r.clean_text, d.text)) AS clean_digest
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN spans USING (doc_id)
+"""
+
+
+@register("text_substring_removal", _SUBSTR_REMOVAL_ORACLE, tags=("text", "dedup"))
+def text_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee-et-al substring dedup (round-6 verdict
+    ask 4; `text_repeated_substrings` above is the analysis half):
+    every corpus-wide duplicated 50-char gram keeps
+    only its first occurrence in (doc_id, pos) order; each later
+    occurrence's span is excised and the remainders stitched by a pure
+    Catalyst fold (operators/corpus.py:remove_repeated_spans — cursor
+    arithmetic handles overlapping spans as their exact union; no UDF).
+    The oracle replays the identical cursor recurrence as a lag()
+    window (cursor after span i is always pos_i + k, so the piece
+    between consecutive removal starts is substr(text, prev+k,
+    max(pos-prev-k, 0))). Output digests the cleaned text (md5) so the
+    hash compare stays small; every doc returns a row (unchanged docs
+    pass through). Two shuffles: the per-gram first-occurrence window
+    and the per-doc rebuild — the same linear gram blowup a suffix
+    array pays, map-side combine absorbing unique grams."""
+    from cumulus_etl_spark.operators.corpus import remove_repeated_spans
+
+    d = table(spark, sf_dir, "documents")
+    out = remove_repeated_spans(d, "doc_id", "text", k=_REPEATED_SUBSTR_K)
+    return out.select(
+        "doc_id", "orig_len", "clean_len", "n_removed_spans",
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
 _WINNOW_ORACLE = """
 WITH d AS (
   SELECT doc_id, text, length(text) - 7 AS n_grams

@@ -418,6 +418,48 @@ def test_repeated_substrings_detects_planted_duplicate(spark):
     assert out[4][0] > 0
 
 
+def test_remove_repeated_spans_planted_dups(spark):
+    """The removal half of Lee-et-al substring dedup: exact stitched
+    output on planted duplicates, at two corpus sizes (the second run
+    replicates the planted docs 20x with unique fillers so the global
+    first-occurrence window crosses many partitions)."""
+    from cumulus_etl_spark.operators.corpus import remove_repeated_spans
+
+    k = 5
+    base = [
+        (1, "ABCDEfghijABCDExyz"),   # intra-doc repeat: 2nd span excised
+        (2, "12ABCDE89"),            # cross-doc repeat of doc 1's gram
+        (3, "no dups here at all"),  # untouched
+        (4, "QQQQQQQQ"),             # overlapping self-repeats collapse
+    ]
+    for scale in (1, 20):
+        rows = list(base) + [
+            (100 + i, f"unique filler number {i} with tail {i * 7919}")
+            for i in range((scale - 1) * 20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string").repartition(8)
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(df, k=k).collect()
+        }
+        # doc1 keeps the FIRST (global order) occurrence; pos-11 span goes
+        assert out[1]["clean_text"] == "ABCDEfghijxyz"
+        assert out[1]["n_removed_spans"] == 1
+        # doc2's occurrence is later in (doc_id, pos) order -> excised
+        assert out[2]["clean_text"] == "1289"
+        # untouched doc passes through, zero spans
+        assert out[3]["clean_text"] == "no dups here at all"
+        assert out[3]["n_removed_spans"] == 0
+        # 'QQQQQ' occurs at pos 1..4; pos 1 is the kept FIRST, pos 2-4 are
+        # removal starts whose union covers chars 2..8 — including most of
+        # the first-occurrence span (the documented overlap corollary)
+        assert out[4]["clean_text"] == "Q"
+        assert out[4]["n_removed_spans"] == 3
+        assert out[4]["orig_len"] == 8 and out[4]["clean_len"] == 1
+        # invariant: clean_len == orig_len - |union of removed spans| >= 0
+        assert all(r["clean_len"] >= 0 for r in out.values())
+
+
 def test_raw_shingles_matches_reference_shingles(spark):
     """raw_shingles (the O(tokens·k) zip_with form feeding exact
     verification) must equal shingles() (the readable O(tokens²)
