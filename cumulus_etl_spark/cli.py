@@ -154,6 +154,10 @@ def main(argv: list[str] | None = None) -> int:
     p_hh.add_argument("--depth", type=int, default=4)
     p_hh.add_argument("--width", type=int, default=512)
     p_hh.add_argument("--top-k", type=int, default=50)
+    p_hh.add_argument("--window-batches", type=int, default=0,
+                      help="report heavy hitters over only the last N "
+                           "micro-batches (ring of N mergeable sketches); "
+                           "0 = all-time")
 
     p_opt = sub.add_parser(
         "optimize",
@@ -474,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint or _os.path.join(args.sketch_dir, "_checkpoint"),
             args.key_col,
             args.schema,
+            window_batches=args.window_batches,
             depth=args.depth,
             width=args.width,
             top_k=args.top_k,

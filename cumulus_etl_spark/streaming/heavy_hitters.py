@@ -182,6 +182,134 @@ class StreamingCountMin:
         return None if t is None else t.orderBy(F.desc("estimate"), "k")
 
 
+WIN_CELLS_TABLE = "cms_win_cells"
+WIN_TOPK_TABLE = "cms_win_topk"
+
+
+class WindowedCountMin(StreamingCountMin):
+    """Sliding-window heavy hitters: a RING of ``window_batches``
+    mergeable Count-Min sketches (round-6 verdict ask 6). Training-data
+    telemetry wants "heavy in the last K batches", not all-time — an
+    old flood key must decay out once its batches rotate off.
+
+    Slot ``batch_id % window_batches`` holds batch's OWN sketch; an
+    ingest overwrites the slot that just fell out of the window, and
+    every query sums the ≤K stored slots cell-wise — CMS is linear, so
+    the sum IS the sketch of exactly the last K batches' rows, with the
+    usual one-sided error. Slot replacement must be COMPLETE (stale
+    buckets the new batch didn't touch have to go), so each ingest
+    writes the slot DENSE — all d×w cells, zeros included — which keeps
+    the state bounded at window_batches·d·w rows regardless of data
+    volume and lets the same atomic ManagedTable merge carry it.
+
+    Replay safety is inherited: the batch watermark rides in the cells
+    rows; a replayed batch skips the slot write but still refreshes the
+    top-k candidates against the stored ring (idempotent)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        depth: int = 4,
+        width: int = 512,
+        salt: str = "cms",
+        top_k: int = 50,
+        window_batches: int = 8,
+    ):
+        super().__init__(
+            spark, root, depth=depth, width=width, salt=salt, top_k=top_k
+        )
+        if window_batches < 1:
+            raise ValueError(f"window_batches must be >= 1, got {window_batches}")
+        self.window_batches = window_batches
+        self.cells = ManagedTable(spark, root, WIN_CELLS_TABLE)
+        self.topk = ManagedTable(spark, root, WIN_TOPK_TABLE)
+        self._cell_policy = MergePolicy(
+            keys=("slot", "seed", "bucket"), last_updated_field=None, num_buckets=4
+        )
+
+    def _dense_grid(self) -> DataFrame:
+        n = self.depth * self.width
+        return self.spark.range(n).select(
+            (F.col("id") / self.width).cast("int").alias("seed"),
+            (F.col("id") % self.width).cast("int").alias("bucket"),
+        )
+
+    def _window_cells(self, cells: DataFrame) -> DataFrame:
+        """Cell-wise sum of the stored ring = the window's sketch."""
+        return cells.groupBy("seed", "bucket").agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+
+    def ingest_batch(
+        self, rows: DataFrame, key_col: str, batch_id: int | None = None
+    ) -> None:
+        prior = self.cells.read()
+        if prior is None:
+            prior_batch = -1
+        else:
+            row = prior.agg(F.max("last_batch")).collect()[0][0]
+            prior_batch = -1 if row is None else row
+        if batch_id is None:
+            batch_id = prior_batch + 1
+        if batch_id <= prior_batch:
+            stored = prior  # replay: slot already written; refresh topk only
+        else:
+            delta = countmin_table(
+                rows, key_col, depth=self.depth, width=self.width, salt=self.salt
+            )
+            dense = (
+                self._dense_grid()
+                .join(delta, ["seed", "bucket"], "left")
+                .select(
+                    F.lit(batch_id % self.window_batches).cast("int").alias("slot"),
+                    "seed",
+                    "bucket",
+                    F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+                    F.lit(batch_id).cast("bigint").alias("last_batch"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            self.cells.merge(dense, self._cell_policy)
+            stored = self.cells.read()
+        if stored is None:  # first-ever batch delivered zero rows
+            stored = self.spark.createDataFrame(
+                [], "slot int, seed int, bucket int, cnt bigint, last_batch bigint"
+            )
+        window = self._window_cells(stored).localCheckpoint(eager=True)
+
+        batch_keys = rows.select(
+            F.col(key_col).cast("string").alias("k")
+        ).distinct()
+        prior_topk = self.topk.read()
+        cand = (
+            batch_keys
+            if prior_topk is None
+            else batch_keys.unionByName(prior_topk.select("k")).distinct()
+        )
+        est = self._estimate_against(cand, window)
+        new_topk = (
+            est.orderBy(F.desc("estimate"), "k").limit(self.top_k)
+        ).localCheckpoint(eager=True)
+        self.topk.merge(new_topk, self._topk_policy)
+        if prior_topk is not None:
+            evicted = prior_topk.select("k").join(
+                new_topk.select("k"), "k", "left_anti"
+            )
+            self.topk.delete_ids(evicted, id_col="k")
+
+    def estimate(self, keys: DataFrame | list[str], key_col: str = "k") -> DataFrame:
+        if isinstance(keys, list):
+            keys = self.spark.createDataFrame([(k,) for k in keys], "k string")
+        else:
+            keys = keys.select(F.col(key_col).cast("string").alias("k"))
+        keys = keys.distinct()
+        cells = self.cells.read()
+        if cells is None:
+            return keys.select("k", F.lit(0).cast("bigint").alias("estimate"))
+        return self._estimate_against(keys, self._window_cells(cells))
+
+
 def streaming_heavy_hitters(
     spark: SparkSession,
     input_dir: str,
@@ -189,12 +317,20 @@ def streaming_heavy_hitters(
     checkpoint_dir: str,
     key_col: str,
     schema: str,
+    window_batches: int = 0,
     **cms_kwargs,
 ) -> StreamingCountMin:
     """Checkpointed ingest: NDJSON rows landing in ``input_dir`` fold
     into the persistent sketch batch by batch; each run processes
-    exactly the files that arrived since the last one."""
-    cms = StreamingCountMin(spark, sketch_root, **cms_kwargs)
+    exactly the files that arrived since the last one.
+    ``window_batches > 0`` selects the sliding-window ring
+    (WindowedCountMin) instead of the all-time sketch."""
+    if window_batches > 0:
+        cms: StreamingCountMin = WindowedCountMin(
+            spark, sketch_root, window_batches=window_batches, **cms_kwargs
+        )
+    else:
+        cms = StreamingCountMin(spark, sketch_root, **cms_kwargs)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.ndjson")

@@ -897,3 +897,112 @@ def test_streaming_countmin_replayed_batch_is_skipped(spark, tmp_path):
     cms.ingest_batch(b, "k", batch_id=1)
     est = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
     assert est["a"] == 8
+
+
+def test_streaming_countmin_replay_still_refreshes_topk(spark, tmp_path):
+    """Crash between the cells merge and the topk merge (round-6
+    ADVICE): on replay the cells are skipped but the candidate/top-k
+    refresh MUST still run, or the replayed batch's keys are
+    permanently absent from heavy_hitters()."""
+    from cumulus_etl_spark.streaming.heavy_hitters import StreamingCountMin
+
+    cms = StreamingCountMin(spark, str(tmp_path / "cms"), width=64, top_k=5)
+    b0 = spark.createDataFrame([("a",)] * 4, ["k"])
+    cms.ingest_batch(b0, "k", batch_id=0)
+    b1 = spark.createDataFrame([("hot",)] * 9 + [("b",)], ["k"])
+    cms.ingest_batch(b1, "k", batch_id=1)
+    # simulate the crash window: wipe the topk table back to batch-0
+    # state, then replay batch 1 — counts must not double, but 'hot'
+    # must (re)enter the candidates
+    cms.topk.delete_ids(
+        spark.createDataFrame([("hot",), ("b",)], ["k"]), id_col="k"
+    )
+    assert "hot" not in {r["k"] for r in cms.heavy_hitters().collect()}
+    cms.ingest_batch(b1, "k", batch_id=1)  # replay
+    hh = {r["k"]: r["estimate"] for r in cms.heavy_hitters().collect()}
+    assert "hot" in hh and hh["hot"] >= 9
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["hot"]).collect()}
+    assert est["hot"] == 9  # not double-counted
+
+
+def test_streaming_countmin_empty_first_batch(spark, tmp_path):
+    """A zero-row first micro-batch (availableNow on an empty file)
+    must not wedge ingest with a NULL watermark (round-6 ADVICE)."""
+    from cumulus_etl_spark.streaming.heavy_hitters import StreamingCountMin
+
+    cms = StreamingCountMin(spark, str(tmp_path / "cms"), width=64, top_k=5)
+    empty = spark.createDataFrame([], "k string")
+    cms.ingest_batch(empty, "k", batch_id=0)
+    cms.ingest_batch(spark.createDataFrame([("a",)] * 2, ["k"]), "k", batch_id=1)
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
+    assert est["a"] == 2
+
+
+def test_windowed_countmin_planted_drift(spark, tmp_path):
+    """Sliding-window ring: a key heavy ONLY in early batches decays to
+    estimate 0 and falls out of the top-k once its slots rotate off;
+    the window estimate equals the exact count over the last K batches
+    (one-sided, here collision-free at w=512)."""
+    from cumulus_etl_spark.streaming.heavy_hitters import WindowedCountMin
+
+    cms = WindowedCountMin(
+        spark, str(tmp_path / "wcms"), width=512, top_k=3, window_batches=2
+    )
+    mk = lambda rows: spark.createDataFrame([(k,) for k in rows], ["k"])
+    # batch 0 + 1: 'old' floods; batch 2 + 3: 'new' rises, 'old' absent
+    cms.ingest_batch(mk(["old"] * 20 + ["x"]), "k", batch_id=0)
+    cms.ingest_batch(mk(["old"] * 20 + ["y"]), "k", batch_id=1)
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["old"]).collect()}
+    assert est["old"] == 40  # both batches inside the window
+    cms.ingest_batch(mk(["new"] * 5 + ["y"] * 2), "k", batch_id=2)
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["old", "new"]).collect()}
+    assert est["old"] == 20  # batch 0 rotated off, batch 1 remains
+    cms.ingest_batch(mk(["new"] * 5 + ["z"] * 3), "k", batch_id=3)
+    est = {r["k"]: r["estimate"] for r in
+           cms.estimate(["old", "new", "z"]).collect()}
+    assert est["old"] == 0   # fully decayed out
+    assert est["new"] == 10  # exact over the last 2 batches
+    assert est["z"] == 3
+    hh = [r["k"] for r in cms.heavy_hitters().collect()]
+    assert "old" not in hh and hh[0] == "new"
+
+
+def test_windowed_countmin_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch into the ring must not rewrite its slot
+    (counts stay exact) but still refreshes the top-k."""
+    from cumulus_etl_spark.streaming.heavy_hitters import WindowedCountMin
+
+    cms = WindowedCountMin(
+        spark, str(tmp_path / "wcms"), width=64, top_k=3, window_batches=4
+    )
+    b = spark.createDataFrame([("a",)] * 6 + [("b",)], ["k"])
+    cms.ingest_batch(b, "k", batch_id=0)
+    cms.ingest_batch(b, "k", batch_id=0)  # replay
+    est = {r["k"]: r["estimate"] for r in cms.estimate(["a"]).collect()}
+    assert est["a"] == 6
+
+
+def test_heavy_hitters_cli_windowed(spark, tmp_path, capsys):
+    """--window-batches N reports over only the last N micro-batches."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "sketch")
+    args = ["heavy-hitters", src, root, "k", "--schema", "k string",
+            "--width", "64", "--top-k", "2", "--window-batches", "1"]
+    write_ndjson(src, "b1.ndjson", [{"k": "x"}] * 7 + [{"k": "y"}])
+    rc = main(args)
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}["x"] == 7
+
+    # next batch: window of 1 forgets x entirely
+    write_ndjson(src, "b2.ndjson", [{"k": "y"}] * 3)
+    rc = main(args)
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    top = {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}
+    assert top["y"] == 3
+    assert top.get("x", 0) == 0
