@@ -25,69 +25,60 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- new round-6 entries, never gated: exact integer-greedy MMR;
-    #    HLL derived-invariant oracles (rows-only list now 9, 7 of them
-    #    environment/RNG-inherent, 2 superseded by oracled siblings);
-    #    substring-level dedup; salted-join no-op proof; DSIR resample;
-    #    Count-Min sketch (fully replayed); approx-quantile rank-error
-    #    invariant; winnowing fingerprints; SymSpell fuzzy join;
-    #    degree-ordered triangle counting --
-    "vector_mmr_select", "agg_approx_distinct_error",
-    "agg_hll_rollup_invariant", "text_repeated_substrings",
-    "join_salted_bigkey", "corpus_importance_resample",
-    "agg_countmin_topk", "agg_approx_quantile_bracket",
-    "text_winnow_fingerprints", "join_fuzzy_name_match",
-    "graph_triangle_count", "text_bpe_encode", "agg_association_rules",
-    "events_gini_diversity", "join_sorted_neighborhood", "graph_kcore",
-    "events_attribution_last_touch", "vector_matryoshka_recall",
-    "ml_auc_rank", "ml_threshold_metrics",
-    # -- changed this round: the pair feed's verification now runs on
-    #    RAW shingle arrays with 64-bit candidate hashing and an eager
-    #    pair checkpoint (operators/dedup.py rewrite) — must re-prove --
+    # -- new round-7 entries, never gated: substring-span REMOVAL (the
+    #    Lee-et-al removal half) and the windowed Count-Min ring --
+    "text_substring_removal", "agg_countmin_windowed",
+    # -- changed this round, must re-prove: Apriori-pruned pair lattice
+    #    (output provably identical — the oracle re-proves it); the
+    #    single-pass grouped-prefix-sum sorted-neighborhood rework
+    #    (18 → 4 shuffles); text_dedup_clusters consumes the PPJoin
+    #    positional filter whose ceil/float bound became the exact
+    #    verify-mirroring predicate --
+    "agg_association_rules", "join_sorted_neighborhood",
     "text_dedup_clusters",
-    # -- freshness rotation: the 22 entries whose last green row is r3 --
-    "scalar_variant_semistructured", "set_except_all_multiplicity",
-    "window_first_last_nth", "window_rank_distribution", "window_sessionize",
-    "window_range_frame_rolling", "join_full_outer_nation_wealth",
-    "join_bloom_pruned_revenue", "q12_priority_by_returnflag",
-    "q13_customer_distribution", "q16_supplier_cnt_by_part_class",
-    "q17_small_quantity_revenue", "q20_promotion_suppliers",
-    "agg_stats_moments", "agg_unpivot_components", "agg_histogram_totalprice",
-    "events_retention_cohort", "events_daily_gapfill",
-    "events_conversion_funnel", "events_anomaly_zscore",
-    "deid_anonymize_customers", "text_ngram_jaccard_pairs",
-    # -- freshness rotation: first 26 (alphabetical) of the 47 r4 rows --
-    "agg_cube_orders", "agg_distinct_counts", "agg_rollup_region_nation",
-    "agg_salted_returnflag", "agg_string_collect", "cdc_snapshot_diff",
-    "corpus_chunk_overlap", "corpus_importance_rank",
-    "corpus_prepare_pipeline", "corpus_quality_percentile_cut",
-    "corpus_split_leakage", "corpus_train_val_split", "deid_year_generalize",
-    "events_hourly_rollup", "events_markov_transitions",
-    "graph_pagerank_step", "ml_gram_matrix", "profile_orders",
-    "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
+    # -- freshness rotation: ALL 40 entries whose last green row is r4
+    #    (the round-6 verdict's ask 1 — after this window nothing is
+    #    older than r5) --
+    "corpus_importance_rank", "corpus_prepare_pipeline",
+    "corpus_quality_percentile_cut", "corpus_split_leakage",
+    "corpus_train_val_split", "deid_year_generalize", "events_hourly_rollup",
+    "events_markov_transitions", "graph_pagerank_step", "ml_gram_matrix",
+    "profile_orders", "q11_important_parts", "q15_top_supplier",
+    "q1_pricing_summary", "q21_waiting_supplier", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",
+    "q9_profit_by_nation_year", "sample_hash_stratified",
+    "scalar_array_functions", "text_bigram_lm_score", "text_bpe_train_merges",
+    "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
+    "text_quality_score", "text_simhash_pairs", "text_token_stats",
+    "vector_ann_ivf", "vector_ann_ivf_int8", "vector_ann_lsh",
+    "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
+    "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
+    "window_session_native",
+    # -- 5 spare slots: the alphabetically-first r5-stale rows, so the
+    #    freshness tail keeps advancing --
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot_event_types",
+    "corpus_decontaminate", "corpus_domain_mixture",
 ]
 
-# Round-7 rotation queue (oldest rows first): the fourteen r4 names the
-# fourteen new round-6 entries pushed past position 50 —
-# "corpus_importance_rank", "corpus_prepare_pipeline",
-# "corpus_quality_percentile_cut", "corpus_split_leakage",
-# "corpus_train_val_split", "deid_year_generalize", "events_hourly_rollup",
-# "events_markov_transitions", "graph_pagerank_step", "ml_gram_matrix",
-# "profile_orders", "q11_important_parts", "q15_top_supplier",
-# "q1_pricing_summary" —
-# then the remaining 26 last-gated-r4 entries —
-# "q21_waiting_supplier", "q2_min_cost_supplier",
-# "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",
-# "q9_profit_by_nation_year", "sample_hash_stratified",
-# "scalar_array_functions", "text_bigram_lm_score", "text_bpe_train_merges",
-# "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
-# "text_quality_score", "text_simhash_pairs", "text_token_stats",
-# "vector_ann_ivf", "vector_ann_ivf_int8", "vector_ann_lsh",
-# "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
-# "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
-# "window_session_native" —
-# then the 50 r5 rows (oldest first). text_inverted_index went green in
-# r5 after the scalar-postings fix; everything else holds an r5/r6 row.
+# Round-8 rotation queue (oldest rows first): the remaining 44 entries
+# whose last green row is r5 —
+# "corpus_pack_sequences", "corpus_passage_dedup", "corpus_pii_scrub",
+# "corpus_shard_by_budget", "dedup_distinct_pairs", "dedup_last_wins",
+# "join_anti_no_orders", "join_asof_last_purchase", "join_brand_revenue",
+# "join_left_outer_nations", "join_range_activity_after_signup",
+# "join_semi_big_spenders", "q10_returned_items", "q14_type_share",
+# "q18_large_orders", "q19_bracket_filter", "q22_idle_rich_customers",
+# "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+# "scalar_case_bucketing", "scalar_date_functions", "scalar_json_extract",
+# "scalar_string_functions", "set_except_quiet_customers",
+# "set_intersect_all_multiplicity", "set_intersect_status",
+# "set_union_tagged", "sort_global_topk", "text_bpe_merge_candidates",
+# "text_doc_freq_topk", "text_gopher_quality", "text_inverted_index",
+# "text_repetition_stats", "text_tfidf_topk", "vector_int8_quantize",
+# "vector_int8_topk", "vector_knn_bruteforce", "vector_neardup_cosine",
+# "vector_norm_stats", "window_lag_lead_events", "window_moving_average",
+# "window_running_total", "window_topk_per_customer" —
+# then the 50 r6 rows (oldest first).
 
 
 def _ordered() -> list[str]:

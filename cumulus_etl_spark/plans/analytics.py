@@ -925,7 +925,7 @@ LIMIT 25
 """
 
 
-@register("agg_countmin_topk", _CMS_ORACLE, tags=("agg", "sketch"))
+@register("agg_countmin_topk", _CMS_ORACLE, tags=("agg", "sketch"), bench=True)
 def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan) heavy hitters, FULLY
     replayed by the oracle: the hash family is md5-derived (the
@@ -1199,7 +1199,7 @@ LIMIT 10
 """)
 
 
-@register("graph_triangle_count", _TRIANGLE_ORACLE, tags=("graph",))
+@register("graph_triangle_count", _TRIANGLE_ORACLE, tags=("graph",), bench=True)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the co-purchase graph: parts are connected
     when they appear in >= 2 common orders (the support-2 cut is the
@@ -1246,7 +1246,7 @@ LIMIT 15
 """
 
 
-@register("agg_association_rules", _ASSOC_ORACLE, tags=("agg", "corpus"))
+@register("agg_association_rules", _ASSOC_ORACLE, tags=("agg", "corpus"), bench=True)
 def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: pair support
     (>= 3 co-orders), confidence in both directions, and lift.

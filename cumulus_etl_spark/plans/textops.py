@@ -1189,7 +1189,7 @@ ORDER BY name_a, name_b
 """
 
 
-@register("join_sorted_neighborhood", _SNM_ORACLE, tags=("join", "text", "dedup"))
+@register("join_sorted_neighborhood", _SNM_ORACLE, tags=("join", "text", "dedup"), bench=True)
 def join_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo), the
     O(n log n) ER strategy: rank names under two sort keys (the name

@@ -898,8 +898,10 @@ def vector_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact pattern from vector_semdedup), then the greedy selection
     runs on pure integers in applyInPandas
     (operators/similarity.py:mmr_select_exact) and DuckDB replays it with
-    an unrolled per-rank CTE chain. Pins the MMR semantics the rows-only
-    vector_mmr_rerank entry could not (float accumulation drift)."""
+    an unrolled per-rank CTE chain. Pins the MMR semantics the retired
+    rows-only vector_mmr_rerank entry could not (float accumulation
+    drift); the double-precision library op mmr_rerank remains
+    pytest-pinned in tests/test_similarity_extra.py."""
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
