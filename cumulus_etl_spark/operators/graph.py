@@ -174,6 +174,78 @@ def pagerank(
     return ranks
 
 
+def pagerank_integer(
+    edges: DataFrame,
+    rounds: int = 5,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank power iteration in EXACT integer micro-units — the
+    cross-engine-replayable variant of ``pagerank`` (the MMR/BPE
+    integer-recurrence playbook: every step is integer arithmetic, so
+    an external engine replays the iteration bit-for-bit, no float
+    accumulation drift).
+
+    Ranks live in units of 1/scale: r0 = scale // n for every vertex,
+    then per round r'(v) = T + (damp_num · Σ_incoming(r(u) // outdeg(u)))
+    // damp_den with the constant teleport mass
+    T = ((damp_den − damp_num) · (scale // n)) // damp_den. All values
+    stay positive bigints (scale=1e12, ·85 < 2^63 — no overflow), and
+    floor division is identical in Spark (DIV) and DuckDB (//) on
+    positives. Floor-truncation loses ≤1 unit per division, i.e. a
+    ~1e-12 relative perturbation per round — ranking-irrelevant, and
+    what the oracle replays is the EXACT same truncated recurrence.
+
+    Same scale shape as ``pagerank``: two shuffles per round on vertex
+    id, per-round eager localCheckpoint keeps the plan flat at any
+    round count, driver state is the loop counter + two scalars (n,
+    teleport). Returns (id, rank_units bigint).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    verts = (
+        edges.select(F.col(src_col).alias("id"))
+        .union(edges.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    n = verts.count()  # scalar; the teleport term needs it
+    r0 = scale // n
+    teleport = ((damp_den - damp_num) * r0) // damp_den
+    out_deg = edges.groupBy(F.col(src_col).alias("id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("odeg")
+    )
+    ranks = verts.select("id", F.lit(r0).cast("bigint").alias("rank_units"))
+    for _ in range(rounds):
+        contribs = (
+            ranks.join(out_deg, "id")
+            .join(edges, F.col("id") == F.col(src_col))
+            .select(
+                F.col(dst_col).alias("id"),
+                F.expr("rank_units DIV odeg").cast("bigint").alias("c"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(
+            F.sum("c").cast("bigint").alias("s")
+        )
+        ranks = (
+            verts.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damp_num} * coalesce(s, 0L)) DIV {damp_den}"
+                    )
+                ).cast("bigint").alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

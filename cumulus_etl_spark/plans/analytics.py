@@ -1425,6 +1425,98 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_int_oracle(
+    rounds: int = 5, scale: int = 10**12, top: int = 20
+) -> str:
+    """Generated unrolled replay of pagerank_integer(rounds=N) over the
+    symmetrized customer↔supplier trade graph (the kcore/MMR playbook:
+    integer recurrences replay exactly; emit the CTE chain from
+    Python). AS MATERIALIZED for the same reason as _kcore_oracle —
+    each round is referenced by the next, inlining would expand
+    exponentially."""
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+consts AS MATERIALIZED (
+  SELECT {scale} // n AS r0,
+         (15 * ({scale} // n)) // 100 AS tele
+  FROM nn
+),
+outdeg AS MATERIALIZED (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT id, (SELECT r0 FROM consts) AS r FROM verts
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+c{t} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(SUM(r.r // d.odeg) AS BIGINT) AS s
+  FROM edges e
+  JOIN r{t - 1} r ON e.src = r.id
+  JOIN outdeg d ON e.src = d.id
+  GROUP BY 1
+),
+r{t} AS MATERIALIZED (
+  SELECT v.id,
+         (SELECT tele FROM consts) + (85 * COALESCE(c.s, 0)) // 100 AS r
+  FROM verts v LEFT JOIN c{t} c USING (id)
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT id AS vertex_id, CAST(r AS BIGINT) AS rank_units
+FROM r{rounds}
+ORDER BY r DESC, id
+LIMIT {top}"""
+    )
+
+
+@register("graph_pagerank_integer", _pagerank_int_oracle(), tags=("graph",))
+def graph_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIVE full PageRank power iterations, hash-checked round by round
+    — graph_pagerank_step pins only one step; this runs the actual
+    iteration (operators/graph.py:pagerank_integer) in exact integer
+    micro-units (1e-12) so DuckDB replays all five rounds bit-for-bit
+    via a generated materialized-CTE chain. Graph: the symmetrized
+    customer↔supplier trade bipartite graph (parity-disambiguated ids),
+    so rank genuinely mixes across rounds instead of draining into
+    dangling sinks. Two shuffles per round on vertex id, per-round
+    eager re-pin keeps lineage flat, driver state is two scalars.
+    Top-20 by (rank, id) total order."""
+    from cumulus_etl_spark.operators.graph import pagerank_integer
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, rounds=5, scale=10**12)
+    return (
+        ranks.select(F.col("id").alias("vertex_id"), F.col("rank_units"))
+        .orderBy(F.desc("rank_units"), "vertex_id")
+        .limit(20)
+    )
+
+
 _ATTRIB_ORACLE = """
 WITH seq AS (
   SELECT user_id, ts, event_type,

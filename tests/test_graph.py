@@ -172,3 +172,46 @@ def test_kcore_bounded_rounds_prefix_of_convergence(spark):
     assert one == {2, 3, 4, 5, 6}  # node 1 (degree 1) peeled, 2 not yet
     full = {r["id"] for r in kcore_peel(df, 2, rounds=10).collect()}
     assert full == {4, 5, 6}
+
+
+def test_pagerank_integer_matches_sequential_reference(spark):
+    """Exact-integer PageRank == a plain Python replay of the same
+    truncated recurrence (the property that makes the DuckDB oracle
+    possible), plus hub dominance and the teleport floor."""
+    from cumulus_etl_spark.operators.graph import pagerank_integer
+
+    edges_py = [(i, 0) for i in range(1, 6)] + [(0, 1), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    scale, rounds = 10**12, 5
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank_integer(edges, rounds=rounds, scale=scale).collect()
+    }
+
+    # sequential reference of the identical integer recurrence
+    verts = sorted({v for e in edges_py for v in e})
+    n = len(verts)
+    r0 = scale // n
+    tele = (15 * r0) // 100
+    outdeg: dict[int, int] = {}
+    for s, _ in edges_py:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: r0 for v in verts}
+    for _ in range(rounds):
+        s: dict[int, int] = {}
+        for u, v in edges_py:
+            s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+        rank = {v: tele + (85 * s.get(v, 0)) // 100 for v in verts}
+    assert got == rank
+    assert got[0] == max(got.values())          # the hub dominates
+    assert all(v >= tele for v in got.values())  # teleport floor
+    assert sum(got.values()) <= scale            # truncation only loses
+
+
+def test_pagerank_integer_zero_rounds_is_uniform(spark):
+    from cumulus_etl_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {r["id"]: r["rank_units"]
+           for r in pagerank_integer(edges, rounds=0).collect()}
+    assert got == {0: 10**12 // 2, 1: 10**12 // 2}
