@@ -26,10 +26,11 @@ from cumulus_etl_spark.plans import CATALOG
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
     # -- new round-7 entries, never gated: substring-span REMOVAL (the
-    #    Lee-et-al removal half), the windowed Count-Min ring, and the
-    #    5-round exact-integer PageRank iteration --
+    #    Lee-et-al removal half), the windowed Count-Min ring, the
+    #    5-round exact-integer PageRank iteration, reciprocal-rank
+    #    fusion, and content-defined chunking --
     "text_substring_removal", "agg_countmin_windowed",
-    "graph_pagerank_integer",
+    "graph_pagerank_integer", "vector_rrf_fusion", "text_cdc_chunks",
     # -- changed this round, must re-prove: Apriori-pruned pair lattice
     #    (output provably identical — the oracle re-proves it); the
     #    single-pass grouped-prefix-sum sorted-neighborhood rework
@@ -58,13 +59,12 @@ _GATE_PRIORITY = [
     "window_session_native",
     # -- remaining spare slots: the alphabetically-first r5-stale rows,
     #    so the freshness tail keeps advancing --
-    "agg_grouping_sets", "agg_percentiles", "agg_pivot_event_types",
-    "corpus_decontaminate",
+    "agg_grouping_sets", "agg_percentiles",
 ]
 
-# Round-8 rotation queue (oldest rows first): the remaining 45 entries
+# Round-8 rotation queue (oldest rows first): the remaining 47 entries
 # whose last green row is r5 —
-# "corpus_domain_mixture",
+# "agg_pivot_event_types", "corpus_decontaminate", "corpus_domain_mixture",
 # "corpus_pack_sequences", "corpus_passage_dedup", "corpus_pii_scrub",
 # "corpus_shard_by_budget", "dedup_distinct_pairs", "dedup_last_wins",
 # "join_anti_no_orders", "join_asof_last_purchase", "join_brand_revenue",

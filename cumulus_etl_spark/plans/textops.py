@@ -1040,6 +1040,104 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_ORACLE = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+b AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS bpos
+  FROM (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM d)
+  WHERE CAST(concat('0x', substr(md5('cdc:' || substr(text, CAST(i AS INTEGER) - 7, 8)), 1, 15))
+             AS BIGINT) % 64 = 0
+),
+lens AS (
+  SELECT doc_id, bpos,
+         bpos - COALESCE(lag(bpos) OVER (PARTITION BY doc_id ORDER BY bpos), 0) AS clen
+  FROM b
+),
+stats AS (
+  SELECT doc_id,
+         COUNT(*) AS nb,
+         MAX(clen) AS maxlen,
+         MAX(bpos) AS lastb,
+         SUM(bpos % 1000003) AS digest
+  FROM lens GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_chars,
+       CAST(CASE WHEN s.nb IS NULL THEN 1
+                 WHEN d.n - s.lastb > 0 THEN s.nb + 1
+                 ELSE s.nb END AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN s.nb IS NULL THEN d.n
+                 ELSE GREATEST(s.maxlen, d.n - s.lastb) END AS BIGINT) AS max_chunk,
+       CAST(COALESCE(s.digest, 0) AS BIGINT) AS boundary_digest
+FROM d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+@register("text_cdc_chunks", _CDC_ORACLE, tags=("text", "dedup"))
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Rabin boundary scheme that
+    storage and training-data dedup pipelines cut shift-resistant
+    chunks with): a chunk boundary falls after position i whenever the
+    rolling 8-gram ending at i hashes to 0 mod 64 (md5-derived family,
+    expected chunk ~64 chars) — inserting a byte shifts ALL fixed-block
+    boundaries but only local CDC boundaries, which is the entire point
+    of the scheme. Fully replayed by the oracle: boundary positions,
+    per-chunk lengths (lag window per doc), max chunk, and a boundary
+    multiset digest are integer-exact in both engines; docs shorter
+    than the gram (or boundary-free) are one whole-doc chunk. Two
+    shuffles: the per-doc boundary window and the final per-doc
+    aggregate; gram rows are |total chars| with map-side combine, the
+    same linear cost the substring-dedup entries pay."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    grams = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(8, greatest(length(text), 8)),"
+                " i -> named_struct('i', CAST(i AS BIGINT),"
+                "                   'g', substring(text, i - 7, 8)))"
+            )
+        ).alias("x"),
+    ).filter((F.col("x.i") <= F.col("n")) & (F.length("x.g") == 8))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cdc:"), F.col("x.g"))), 1, 15), 16, 10
+    ).cast("long")
+    b = grams.filter(F.pmod(h, F.lit(64)) == 0).select(
+        "doc_id", F.col("x.i").alias("bpos")
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("bpos")
+    lens = b.select(
+        "doc_id",
+        "bpos",
+        (F.col("bpos") - F.coalesce(F.lag("bpos").over(wlag), F.lit(0))).alias(
+            "clen"
+        ),
+    )
+    stats = lens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.max("clen").alias("maxlen"),
+        F.max("bpos").alias("lastb"),
+        F.sum(F.pmod(F.col("bpos"), F.lit(1000003))).alias("digest"),
+    )
+    return d.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.when(F.col("nb").isNull(), F.lit(1))
+        .when(F.col("n") - F.col("lastb") > 0, F.col("nb") + 1)
+        .otherwise(F.col("nb"))
+        .cast("bigint")
+        .alias("n_chunks"),
+        F.when(F.col("nb").isNull(), F.col("n"))
+        .otherwise(F.greatest("maxlen", F.col("n") - F.col("lastb")))
+        .cast("bigint")
+        .alias("max_chunk"),
+        F.coalesce("digest", F.lit(0)).cast("bigint").alias("boundary_digest"),
+    )
+
+
 _FUZZY_NAME_ORACLE = """
 WITH names AS (SELECT p_name AS name, COUNT(*) AS n_parts FROM part GROUP BY 1),
 keys AS (

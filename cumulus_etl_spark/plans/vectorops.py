@@ -417,6 +417,137 @@ def vector_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K, _RRF_TOPK, _RRF_CONST, _RRF_SCALE = 20, 5, 60, 1_000_000_000
+
+_RRF_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cos_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS score
+  FROM vecs q JOIN vecs c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+),
+cosr AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM cos_scored
+  ) WHERE r <= {_RRF_K}
+),
+ex AS (
+  SELECT vec_id,
+         CAST(UNNEST(range(len(embedding))) AS INTEGER) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), am AS (
+  SELECT dim, MAX(ABS(x)) AS amax FROM ex GROUP BY dim
+), q AS (
+  SELECT ex.vec_id, ex.dim,
+         GREATEST(-127, LEAST(127, CAST(ROUND(x / amax * 127.0) AS INTEGER))) AS code
+  FROM ex JOIN am ON ex.dim = am.dim
+), codes AS (
+  SELECT vec_id, list(code ORDER BY dim) AS codes FROM q GROUP BY vec_id
+), scales AS (
+  SELECT list(amax * amax / 16129.0 ORDER BY dim) AS s2 FROM am
+), mips AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(a.codes, b.codes, s.s2),
+                                 t -> CAST(t[1] * t[2] AS DOUBLE) * t[3])) AS score
+  FROM codes a, codes b, scales s
+  WHERE a.vec_id < {_N_QUERIES} AND b.vec_id != a.vec_id
+),
+mipsr AS (
+  SELECT query_id, neighbor_id, r FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM mips
+  ) WHERE r <= {_RRF_K}
+),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(a.r, 0) AS rank_cos,
+         COALESCE(b.r, 0) AS rank_mips,
+         (CASE WHEN a.r IS NULL THEN 0
+               ELSE {_RRF_SCALE} // ({_RRF_CONST} + a.r) END
+          + CASE WHEN b.r IS NULL THEN 0
+                 ELSE {_RRF_SCALE} // ({_RRF_CONST} + b.r) END) AS rrf_units
+  FROM cosr a
+  FULL OUTER JOIN mipsr b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id,
+       CAST(rank_cos AS INTEGER) AS rank_cos,
+       CAST(rank_mips AS INTEGER) AS rank_mips,
+       CAST(rrf_units AS BIGINT) AS rrf_units
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_units DESC, neighbor_id) AS rnk
+  FROM fused
+)
+WHERE rnk <= {_RRF_TOPK}
+"""
+
+
+@register("vector_rrf_fusion", _RRF_ORACLE, tags=("vector", "search"))
+def vector_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (Cormack et al. 2009 —
+    the standard hybrid-search merge): exact cosine top-20 and int8
+    MIPS top-20 per query, fused by
+    rrf = Σ 1e9 // (60 + rank) over the lists containing the doc —
+    INTEGER units so the fused score replays exactly (the float 1/(60+r)
+    sum would drift; the // form is the same ordering). Both input
+    rankings ride the already-oracled scoring expressions
+    (vector_knn_bruteforce, vector_int8_topk); absent ranks surface as
+    0 so the output carries no NULLs. One full-outer join on
+    (query, doc), fused top-5 with a total tiebreak. Scale shape: the
+    per-retriever candidate lists are top-k-bounded per query, so the
+    fusion join is |queries|·k rows however large the corpus."""
+    from pyspark.sql import Window
+
+    from cumulus_etl_spark.operators.quantize import int8_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    a = S.knn_bruteforce(emb, queries, k=_RRF_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_cos")
+    )
+    b = int8_topk(emb, queries, k=_RRF_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_mips")
+    )
+    rrf = (
+        F.when(
+            F.col("r_cos").isNull(), F.lit(0)
+        ).otherwise(F.expr(f"{_RRF_SCALE} DIV ({_RRF_CONST} + r_cos)"))
+        + F.when(
+            F.col("r_mips").isNull(), F.lit(0)
+        ).otherwise(F.expr(f"{_RRF_SCALE} DIV ({_RRF_CONST} + r_mips)"))
+    ).cast("bigint")
+    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce("r_cos", F.lit(0)).cast("int").alias("rank_cos"),
+        F.coalesce("r_mips", F.lit(0)).cast("int").alias("rank_mips"),
+        rrf.alias("rrf_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_units"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            "rank_cos", "rank_mips", "rrf_units",
+        )
+    )
+
+
 _ANN_IVF_INT8_ORACLE = f"""
 WITH {_ivf_ctes(8, 3)},
 ex AS (

@@ -704,3 +704,35 @@ def test_sorted_neighborhood_matches_reference_replay(spark):
     assert got == expect
     # the reverse pass is what finds shared-suffix pairs
     assert ("cold anvil", "old anvil") in got
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The defining CDC property: prefix insertion shifts every FIXED
+    block boundary but leaves content-defined boundaries put (modulo
+    the first window). Pinned via the catalog entry on a planted pair:
+    a doc and its one-char-prefixed copy keep (nearly) the same chunk
+    structure, and chunk arithmetic is internally consistent."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from cumulus_etl_spark.plans import CATALOG
+
+    base = "".join(
+        f"word{i * 2654435761 % 997} " for i in range(400)
+    )  # aperiodic ~2.5k chars
+    rows = [(1, base), (2, "X" + base)]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in CATALOG["text_cdc_chunks"].build(spark, td).collect()}
+    a, b = out[1], out[2]
+    assert a["n_chunks"] >= 2  # expected ~len/64 boundaries actually fire
+    # shift resistance: at most the first chunk is disturbed
+    assert abs(a["n_chunks"] - b["n_chunks"]) <= 1
+    assert abs(a["max_chunk"] - b["max_chunk"]) <= 1
+    # consistency: every chunk fits inside the doc
+    for r in (a, b):
+        assert 1 <= r["max_chunk"] <= r["n_chars"]
