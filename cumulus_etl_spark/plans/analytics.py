@@ -1262,10 +1262,15 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arithmetic determinism: supports are exact BIGINTs, every
     output double is ONE correctly-rounded division of exact integers
     (sup*N < 2^53), then 6dp-rounded — hash-identical across engines.
-    One shuffle for baskets, one for the pair count; frequent-item set
-    and item supports broadcast. Top-15 by lift, total tiebreak."""
+    One shuffle for baskets (eagerly pinned — n, item supports, and
+    both sides of the pair generator reuse it, so without the pin the
+    lineitem scan + distinct would recompute five times), one for the
+    pair count; frequent-item set and item supports broadcast. Top-15
+    by lift, total tiebreak."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
