@@ -206,17 +206,23 @@ def pagerank_integer(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # Pin the working set once: edges feed the per-round join 2×rounds
+    # times and verts/out_deg derive from them — without the pin every
+    # round re-runs the caller's whole edge-construction lineage (the
+    # kcore_peel discipline).
+    edges = edges.localCheckpoint(eager=True)
     verts = (
         edges.select(F.col(src_col).alias("id"))
         .union(edges.select(F.col(dst_col).alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = verts.count()  # scalar; the teleport term needs it
     r0 = scale // n
     teleport = ((damp_den - damp_num) * r0) // damp_den
     out_deg = edges.groupBy(F.col(src_col).alias("id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("odeg")
-    )
+    ).localCheckpoint(eager=True)
     ranks = verts.select("id", F.lit(r0).cast("bigint").alias("rank_units"))
     for _ in range(rounds):
         contribs = (

@@ -502,6 +502,9 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # verts (2 scans), outdeg, and contrib all reuse this frame;
+        # pin it or the orders⋈lineitem distinct recomputes four times
+        .localCheckpoint(eager=True)
     )
     verts = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
