@@ -28,9 +28,11 @@ _GATE_PRIORITY = [
     # -- new round-7 entries, never gated: substring-span REMOVAL (the
     #    Lee-et-al removal half), the windowed Count-Min ring, the
     #    5-round exact-integer PageRank iteration, reciprocal-rank
-    #    fusion, and content-defined chunking --
+    #    fusion, content-defined chunking, and exponential-decay
+    #    activity scoring --
     "text_substring_removal", "agg_countmin_windowed",
     "graph_pagerank_integer", "vector_rrf_fusion", "text_cdc_chunks",
+    "events_decayed_counts",
     # -- changed this round, must re-prove: Apriori-pruned pair lattice
     #    (output provably identical — the oracle re-proves it); the
     #    single-pass grouped-prefix-sum sorted-neighborhood rework
@@ -57,13 +59,14 @@ _GATE_PRIORITY = [
     "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
     "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
     "window_session_native",
-    # -- remaining spare slots: the alphabetically-first r5-stale rows,
+    # -- remaining spare slot: the alphabetically-first r5-stale row,
     #    so the freshness tail keeps advancing --
-    "agg_grouping_sets", "agg_percentiles",
+    "agg_grouping_sets",
 ]
 
-# Round-8 rotation queue (oldest rows first): the remaining 47 entries
+# Round-8 rotation queue (oldest rows first): the remaining 48 entries
 # whose last green row is r5 —
+# "agg_percentiles",
 # "agg_pivot_event_types", "corpus_decontaminate", "corpus_domain_mixture",
 # "corpus_pack_sequences", "corpus_passage_dedup", "corpus_pii_scrub",
 # "corpus_shard_by_budget", "dedup_distinct_pairs", "dedup_last_wins",

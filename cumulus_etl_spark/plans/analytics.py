@@ -1074,6 +1074,67 @@ def agg_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECAY_ORACLE = """
+WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+w AS (
+  SELECT user_id,
+         (1::BIGINT << (30 - date_diff('day', CAST(ts AS DATE), md))) AS wt,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+  FROM events, maxd
+  WHERE date_diff('day', CAST(ts AS DATE), md) <= 30
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(wt) AS BIGINT) AS decayed_units,
+       CAST(SUM(wt * isp) AS BIGINT) AS decayed_purchase_units
+FROM w
+GROUP BY user_id
+ORDER BY decayed_units DESC, user_id
+LIMIT 20
+"""
+
+
+@register("events_decayed_counts", _DECAY_ORACLE, tags=("events", "agg", "sketch"))
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay activity scoring — the decay flavor of
+    recency-weighted heavy hitters (the windowed ring in
+    streaming/heavy_hitters.py is the sharp-cutoff flavor): each event
+    weighs 2^-(age_days), computed EXACTLY as the integer
+    2^(30-age) so the half-life-per-day sum is a plain bigint
+    aggregation both engines reproduce bit-for-bit (ages ≤ 30 days by
+    the data's span; sum < rows·2^30 ≪ 2^63). A key flooding last
+    month scores below a modest key active today — the
+    training-telemetry ranking an all-time count can't give. One
+    map-side-combinable aggregation after a broadcast of the max date;
+    top-20 with a total tiebreak."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    maxd = ev.agg(F.max("d").alias("md"))
+    w = (
+        ev.crossJoin(F.broadcast(maxd))
+        .withColumn("age", F.datediff("md", "d"))
+        .filter(F.col("age") <= 30)
+        .select(
+            "user_id",
+            F.expr("shiftleft(1L, 30 - age)").alias("wt"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("isp"),
+        )
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("wt").cast("bigint").alias("decayed_units"),
+            F.sum(F.col("wt") * F.col("isp")).cast("bigint").alias(
+                "decayed_purchase_units"
+            ),
+        )
+        .orderBy(F.desc("decayed_units"), "user_id")
+        .limit(20)
+    )
+
+
 _APPROX_Q_ORACLE = """
 WITH ranked AS (
   SELECT o_orderpriority, o_totalprice,
