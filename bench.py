@@ -76,6 +76,15 @@ def main() -> None:
         "vector_knn_bruteforce", "window_topk_per_customer",
     }
     core14 = round(sum(t for n, t in timings.items() if n in legacy), 3)
+    # The exact 20-query set benched in round 6, for r6-comparability:
+    # round 7 added graph_triangle_count, join_sorted_neighborhood,
+    # agg_association_rules, agg_countmin_topk (round-6 verdict ask 8),
+    # which grows `value` without touching these.
+    r6_set = legacy | {
+        "corpus_prepare_pipeline", "deid_scrub_throughput", "ml_gram_matrix",
+        "text_dedup_clusters", "vector_ann_lsh", "vector_semdedup",
+    }
+    r6_20 = round(sum(t for n, t in timings.items() if n in r6_set), 3)
     print(
         json.dumps(
             {
@@ -84,6 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "core14_r1r2_comparable_seconds": core14,
+                "r6_20query_comparable_seconds": r6_20,
                 "sf": sf,
                 "noise": {
                     "timing": "min_of_2_runs_per_query",
