@@ -28,19 +28,23 @@ _GATE_PRIORITY = [
     # -- new round-7 entries, never gated: substring-span REMOVAL (the
     #    Lee-et-al removal half), the windowed Count-Min ring, the
     #    5-round exact-integer PageRank iteration, reciprocal-rank
-    #    fusion, content-defined chunking, and exponential-decay
-    #    activity scoring --
+    #    fusion, content-defined chunking, exponential-decay activity
+    #    scoring, Apriori level-3 frequent triples, and inter-arrival
+    #    quantiles --
     "text_substring_removal", "agg_countmin_windowed",
     "graph_pagerank_integer", "vector_rrf_fusion", "text_cdc_chunks",
-    "events_decayed_counts",
+    "events_decayed_counts", "agg_frequent_triples",
+    "events_interarrival_quantiles",
     # -- changed this round, must re-prove: Apriori-pruned pair lattice
-    #    (output provably identical — the oracle re-proves it); the
+    #    (output provably identical — the oracle re-proves it) and the
     #    single-pass grouped-prefix-sum sorted-neighborhood rework
-    #    (18 → 4 shuffles); text_dedup_clusters consumes the PPJoin
-    #    positional filter whose ceil/float bound became the exact
-    #    verify-mirroring predicate --
+    #    (18 → 4 shuffles). NOT re-queued: text_dedup_clusters — its
+    #    only upstream change is the PPJoin positional predicate swap
+    #    (candidate pruning only; the raw-token verify is unchanged and
+    #    the swap is proven over-prune-free in the docstring), its
+    #    oracle was re-checked green in-session at sf0.01, and its r6
+    #    row stays within the ≤2-round freshness SLA through r8 --
     "agg_association_rules", "join_sorted_neighborhood",
-    "text_dedup_clusters",
     # -- freshness rotation: ALL 40 entries whose last green row is r4
     #    (the round-6 verdict's ask 1 — after this window nothing is
     #    older than r5) --
@@ -59,14 +63,11 @@ _GATE_PRIORITY = [
     "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
     "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
     "window_session_native",
-    # -- remaining spare slot: the alphabetically-first r5-stale row,
-    #    so the freshness tail keeps advancing --
-    "agg_grouping_sets",
 ]
 
-# Round-8 rotation queue (oldest rows first): the remaining 48 entries
-# whose last green row is r5 —
-# "agg_percentiles",
+# Round-8 rotation queue (oldest rows first): the 49 entries whose last
+# green row is r5 —
+# "agg_grouping_sets", "agg_percentiles",
 # "agg_pivot_event_types", "corpus_decontaminate", "corpus_domain_mixture",
 # "corpus_pack_sequences", "corpus_passage_dedup", "corpus_pii_scrub",
 # "corpus_shard_by_budget", "dedup_distinct_pairs", "dedup_last_wins",

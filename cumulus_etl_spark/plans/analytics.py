@@ -1074,6 +1074,77 @@ def agg_countmin_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+g AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN gap_us END) AS BIGINT) AS p25_us,
+       CAST(MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN gap_us END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN gap_us END) AS BIGINT) AS p90_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register("events_interarrival_quantiles", _INTERARRIVAL_ORACLE, tags=("events", "window"))
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival-time distribution — the user-cadence
+    profile behavioral pipelines feed anomaly/engagement models with.
+    Gaps are exact integer epoch-microsecond differences between a
+    user's consecutive same-type events (lag window, event_id
+    tiebreak); the p25/p50/p90 picks use the explicit integer rank
+    formula (p·(n−1)) // 100 + 1 on a total order — the
+    agg_approx_quantile_bracket exact-percentile discipline, so both
+    engines select the identical element, no interpolation ambiguity.
+    Shuffles: the per-(user,type) lag window and the per-type rank
+    window; at 100 TB the rank window is per-type (tens of partitions)
+    over gap values — switch to the distributed prefix-sum rank
+    (global_running_sum) if a single type's gap count outgrows a
+    partition, exactly like ml_auc_rank does."""
+    ev = table(spark, sf_dir, "events")
+    us = (F.unix_micros(F.col("ts"))).cast("bigint")
+    wlag = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", (us - F.lag(us).over(wlag)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    wrank = Window.partitionBy("event_type").orderBy("gap_us")
+    wall = Window.partitionBy("event_type")
+    ranked = seq.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    pick = lambda p: F.max(
+        F.when(
+            F.col("rn") == F.expr(f"({p} * (n - 1)) DIV 100 + 1"), F.col("gap_us")
+        )
+    ).cast("bigint")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(25).alias("p25_us"),
+        pick(50).alias("p50_us"),
+        pick(90).alias("p90_us"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
+
+
 _DECAY_ORACLE = """
 WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
 w AS (
@@ -1376,6 +1447,111 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), "ante", "cons")
         .limit(15)
+    )
+
+
+_TRIPLES_ORACLE = """
+WITH baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_sup AS MATERIALIZED (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+p_inst AS (  -- in-basket instances of FREQUENT pairs only
+  SELECT a.l_orderkey, a.l_partkey AS x, b.l_partkey AS y
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN pair_sup p ON p.x = a.l_partkey AND p.y = b.l_partkey
+),
+tri AS (
+  SELECT i.x, i.y, c.l_partkey AS z, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM p_inst i
+  JOIN baskets c ON c.l_orderkey = i.l_orderkey AND c.l_partkey > i.y
+  JOIN pair_sup pxz ON pxz.x = i.x AND pxz.y = c.l_partkey
+  JOIN pair_sup pyz ON pyz.x = i.y AND pyz.y = c.l_partkey
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 2
+)
+SELECT tri.x AS item_a, tri.y AS item_b, tri.z AS item_c, tri.sup,
+       round(CAST(tri.sup AS DOUBLE) / pxy.sup, 6) AS conf_ab_c
+FROM tri JOIN pair_sup pxy ON pxy.x = tri.x AND pxy.y = tri.y
+ORDER BY tri.sup DESC, item_a, item_b, item_c
+"""
+
+
+@register("agg_frequent_triples", _TRIPLES_ORACLE, tags=("agg", "corpus"))
+def agg_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori LEVEL 3 — frequent 3-itemsets with the {a,b}→c rule
+    confidence (agg_association_rules stops at pairs; this runs the
+    next lattice level with the full Apriori pruning cascade): triple
+    instances are generated ONLY from in-basket instances of frequent
+    pairs, and a candidate (x,y,z) must have ALL THREE sub-pairs
+    frequent before it is ever counted — the downward-closure property
+    that keeps level-k candidate growth bounded by the frequent
+    level-(k-1) set, which is the whole reason Apriori scales.
+    Supports are exact BIGINTs; confidence is one correctly-rounded
+    division. Shuffles: baskets (pinned, reused by every stage), the
+    pair count, the triple count; the frequent-pair set broadcasts
+    onto both the instance filter and the two closure checks."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    in_pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_partkey").alias("x"),
+        F.col("b.l_partkey").alias("y"),
+    )
+    pair_sup = (
+        in_pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    freq_keys = pair_sup.select("x", "y")
+    p_inst = in_pairs.join(F.broadcast(freq_keys), ["x", "y"], "left_semi")
+    c = baskets.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("z")
+    )
+    tri = (
+        p_inst.join(c, "l_orderkey")
+        .filter(F.col("z") > F.col("y"))
+        .join(
+            F.broadcast(freq_keys.select(F.col("x"), F.col("y").alias("z"))),
+            ["x", "z"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                freq_keys.select(F.col("x").alias("y"), F.col("y").alias("z"))
+            ),
+            ["y", "z"],
+            "left_semi",
+        )
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    pxy = pair_sup.select("x", "y", F.col("sup").alias("sup_xy"))
+    return (
+        tri.join(F.broadcast(pxy), ["x", "y"])
+        .select(
+            F.col("x").alias("item_a"),
+            F.col("y").alias("item_b"),
+            F.col("z").alias("item_c"),
+            "sup",
+            F.round(F.col("sup").cast("double") / F.col("sup_xy"), 6).alias(
+                "conf_ab_c"
+            ),
+        )
+        .orderBy(F.desc("sup"), "item_a", "item_b", "item_c")
     )
 
 
