@@ -736,3 +736,33 @@ def test_cdc_chunks_shift_resistance(spark):
     # consistency: every chunk fits inside the doc
     for r in (a, b):
         assert 1 <= r["max_chunk"] <= r["n_chars"]
+
+
+def test_frequent_triples_downward_closure(spark):
+    """Apriori level 3 on a planted basket set: only the triple whose
+    three sub-pairs are all frequent survives, with exact support and
+    {a,b}->c confidence."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from cumulus_etl_spark.plans import CATALOG
+
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3],
+        3: [1, 2],
+        4: [4, 5],          # pair seen once -> pruned at level 2
+        5: [1, 2, 3, 6],    # 6 pairs with 1/2/3 only once each -> pruned
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+            os.path.join(td, "lineitem.parquet")
+        )
+        out = CATALOG["agg_frequent_triples"].build(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["item_c"], r["sup"]) == (1, 2, 3, 3)
+    assert r["conf_ab_c"] == 0.75  # sup(1,2,3)=3 over sup(1,2)=4
