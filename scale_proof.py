@@ -91,7 +91,10 @@ def build_replica(spark, k: int) -> None:
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings = {}
+    from cumulus_etl_spark.plans.catalog import BENCH_RIGS
+
     bench = {n: q for n, q in CATALOG.items() if q.bench}
+    bench.update(BENCH_RIGS)  # bench-only rigs scale too (deid scrub)
     materialize(CATALOG["q1_pricing_summary"].build(spark, sf_dir))  # warm
     for name, q in sorted(bench.items()):
         t0 = time.perf_counter()
