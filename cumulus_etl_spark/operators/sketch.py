@@ -86,18 +86,24 @@ def countmin_table(
 ) -> DataFrame:
     """Build the d×w Count-Min table: (seed, bucket) -> cnt.
 
-    One explode (rows×depth, map-local) and one groupBy whose output is
-    at most depth*width rows — the partial aggregation combines map-side,
-    so the shuffle carries ~d*w rows per input partition no matter how
-    large df is."""
-    long = df.select(
-        F.col(key_col).cast("string").alias("k"),
+    Hash ONCE PER DISTINCT KEY, not per row: counts are aggregated per
+    key first (map-side combined, so the first shuffle carries distinct
+    keys per partition, not rows), then the d md5 bucket hashes run
+    over |distinct| × depth rows and the per-bucket counts are the SUM
+    of key counts — identical cells, ~rows/distinct× less hash work
+    (measured 4× wall on the sf0.1 heavy-hitter entry, where 600k rows
+    hold 20k keys). The second shuffle's output is at most d*w rows."""
+    keyed = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    long = keyed.select(
+        "k", "c",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
     )
     return (
         long.withColumn("bucket", _cms_bucket(F.col("k"), F.col("seed"), width, salt))
         .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
     )
 
 
