@@ -107,8 +107,12 @@ def global_running_sum(
     # broadcast offsets. __pid ordering matches order ordering within a
     # group because ranges are sorted and group leads the range key.
     gb = ["__pid"] + gcols[:-1]
+    # SUM, not max(__cum_local): they agree for non-negative values, but
+    # a signed value_col (e.g. +1/-1 interval counting) has a running
+    # max above its true partition total, which would corrupt every
+    # later partition's offset.
     totals = (
-        local.groupBy(*gb).agg(F.max("__cum_local").alias("__total")).collect()
+        local.groupBy(*gb).agg(F.sum(value_col).alias("__total")).collect()
     )
     offsets = []
     running: dict = {}

@@ -89,21 +89,16 @@ class StreamingCountMin:
         between the cells merge and the topk merge would permanently
         drop that batch's keys from the candidate set."""
         prior = self.cells.read()
-        if prior is None:
-            prior_batch = -1
-        else:
-            # max() over an EMPTY existing table (a zero-row first
-            # micro-batch) is NULL — coalesce to -1 or the arithmetic
-            # below raises TypeError and wedges ingest.
-            row = prior.agg(F.max("last_batch")).collect()[0][0]
-            prior_batch = -1 if row is None else row
+        prior_batch = self._prior_batch(prior)
         if batch_id is None:
             batch_id = prior_batch + 1
-        replayed = batch_id <= prior_batch
-        if replayed:
+        if batch_id <= prior_batch:
             # Already folded: reuse the stored cells for the (idempotent)
             # candidate refresh instead of double-counting the batch.
-            cells = prior
+            # prior can still be None here if a caller hands a negative
+            # batch_id to an empty store — fall back to the empty frame
+            # instead of crashing the refresh join.
+            cells = prior if prior is not None else self._empty_cells()
         else:
             delta = countmin_table(
                 rows, key_col, depth=self.depth, width=self.width, salt=self.salt
@@ -121,7 +116,34 @@ class StreamingCountMin:
                 "last_batch", F.lit(batch_id).cast("bigint")
             ).localCheckpoint(eager=True)
             self.cells.merge(cells, self._cell_policy)
+        self._refresh_topk(rows, key_col, cells)
 
+    # ---- shared machinery (base + windowed subclass) ----
+
+    def _empty_cells(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "seed int, bucket int, cnt bigint, last_batch bigint"
+        )
+
+    def _prior_batch(self, prior: DataFrame | None) -> int:
+        """The stored batch watermark; -1 for a missing OR empty table
+        (max() over a zero-row table is NULL — a zero-row first
+        micro-batch must not wedge ingest with a TypeError)."""
+        if prior is None:
+            return -1
+        row = prior.agg(F.max("last_batch")).collect()[0][0]
+        return -1 if row is None else row
+
+    def _query_cells(self, cells: DataFrame) -> DataFrame:
+        """Hook: the (seed, bucket, cnt) frame estimates run against.
+        The all-time sketch queries its cells as stored; the windowed
+        subclass overrides this with the recency-filtered ring sum."""
+        return cells
+
+    def _refresh_topk(self, rows: DataFrame, key_col: str, cells: DataFrame) -> None:
+        """Re-estimate (current candidates ∪ batch keys) against the
+        cells and keep the top_k — derived purely from stored state, so
+        running it on a replayed batch is idempotent."""
         batch_keys = rows.select(
             F.col(key_col).cast("string").alias("k")
         ).distinct()
@@ -131,7 +153,7 @@ class StreamingCountMin:
             if prior_topk is None
             else batch_keys.unionByName(prior_topk.select("k")).distinct()
         )
-        est = self._estimate_against(cand, cells)
+        est = self._estimate_against(cand, self._query_cells(cells))
         new_topk = (
             est.orderBy(F.desc("estimate"), "k").limit(self.top_k)
         ).localCheckpoint(eager=True)
@@ -174,7 +196,7 @@ class StreamingCountMin:
         cells = self.cells.read()
         if cells is None:
             return keys.select("k", F.lit(0).cast("bigint").alias("estimate"))
-        return self._estimate_against(keys, cells)
+        return self._estimate_against(keys, self._query_cells(cells))
 
     def heavy_hitters(self) -> DataFrame | None:
         """The current top-k candidates (k, estimate)."""
@@ -235,9 +257,29 @@ class WindowedCountMin(StreamingCountMin):
             (F.col("id") % self.width).cast("int").alias("bucket"),
         )
 
-    def _window_cells(self, cells: DataFrame) -> DataFrame:
-        """Cell-wise sum of the stored ring = the window's sketch."""
-        return cells.groupBy("seed", "bucket").agg(
+    def _empty_cells(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "slot int, seed int, bucket int, cnt bigint, last_batch bigint"
+        )
+
+    def _query_cells(self, cells: DataFrame) -> DataFrame:
+        """Recency-filtered cell-wise sum of the ring = the window's
+        sketch. The filter (last_batch within window_batches of the
+        newest) matters beyond belt-and-braces: a sketch root reopened
+        with a SMALLER window_batches would otherwise keep summing the
+        orphaned high slots forever, and a caller-supplied batch-id gap
+        > window_batches would leave rotated-off batches in scope —
+        with the filter both degrade to exactly 'the last K batch ids
+        seen', and slots a smaller ring can no longer overwrite simply
+        age out of every estimate."""
+        mx = cells.agg(F.max("last_batch").alias("__mx"))
+        live = (
+            cells.crossJoin(F.broadcast(mx))
+            .filter(
+                F.col("last_batch") > F.col("__mx") - F.lit(self.window_batches)
+            )
+        )
+        return live.groupBy("seed", "bucket").agg(
             F.sum("cnt").cast("bigint").alias("cnt")
         )
 
@@ -245,15 +287,12 @@ class WindowedCountMin(StreamingCountMin):
         self, rows: DataFrame, key_col: str, batch_id: int | None = None
     ) -> None:
         prior = self.cells.read()
-        if prior is None:
-            prior_batch = -1
-        else:
-            row = prior.agg(F.max("last_batch")).collect()[0][0]
-            prior_batch = -1 if row is None else row
+        prior_batch = self._prior_batch(prior)
         if batch_id is None:
             batch_id = prior_batch + 1
         if batch_id <= prior_batch:
-            stored = prior  # replay: slot already written; refresh topk only
+            # replay: slot already written; refresh topk only
+            stored = prior if prior is not None else self._empty_cells()
         else:
             delta = countmin_table(
                 rows, key_col, depth=self.depth, width=self.width, salt=self.salt
@@ -272,42 +311,9 @@ class WindowedCountMin(StreamingCountMin):
             )
             self.cells.merge(dense, self._cell_policy)
             stored = self.cells.read()
-        if stored is None:  # first-ever batch delivered zero rows
-            stored = self.spark.createDataFrame(
-                [], "slot int, seed int, bucket int, cnt bigint, last_batch bigint"
-            )
-        window = self._window_cells(stored).localCheckpoint(eager=True)
-
-        batch_keys = rows.select(
-            F.col(key_col).cast("string").alias("k")
-        ).distinct()
-        prior_topk = self.topk.read()
-        cand = (
-            batch_keys
-            if prior_topk is None
-            else batch_keys.unionByName(prior_topk.select("k")).distinct()
-        )
-        est = self._estimate_against(cand, window)
-        new_topk = (
-            est.orderBy(F.desc("estimate"), "k").limit(self.top_k)
-        ).localCheckpoint(eager=True)
-        self.topk.merge(new_topk, self._topk_policy)
-        if prior_topk is not None:
-            evicted = prior_topk.select("k").join(
-                new_topk.select("k"), "k", "left_anti"
-            )
-            self.topk.delete_ids(evicted, id_col="k")
-
-    def estimate(self, keys: DataFrame | list[str], key_col: str = "k") -> DataFrame:
-        if isinstance(keys, list):
-            keys = self.spark.createDataFrame([(k,) for k in keys], "k string")
-        else:
-            keys = keys.select(F.col(key_col).cast("string").alias("k"))
-        keys = keys.distinct()
-        cells = self.cells.read()
-        if cells is None:
-            return keys.select("k", F.lit(0).cast("bigint").alias("estimate"))
-        return self._estimate_against(keys, self._window_cells(cells))
+            if stored is None:  # first-ever batch delivered zero rows
+                stored = self._empty_cells()
+        self._refresh_topk(rows, key_col, stored)
 
 
 def streaming_heavy_hitters(

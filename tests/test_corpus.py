@@ -766,3 +766,18 @@ def test_frequent_triples_downward_closure(spark):
     r = out[0]
     assert (r["item_a"], r["item_b"], r["item_c"], r["sup"]) == (1, 2, 3, 3)
     assert r["conf_ab_c"] == 0.75  # sup(1,2,3)=3 over sup(1,2)=4
+
+
+def test_global_running_sum_signed_values(spark):
+    """The per-partition carry-forward must be the SUM of the partition
+    (not the running max) so signed prefix sums — +1/-1 interval
+    counting — come out right across partition boundaries."""
+    from cumulus_etl_spark.operators.corpus import global_running_sum
+
+    rows = [(i, 1 if i % 2 == 0 else -1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v int").repartition(16)
+    got = {r["k"]: r["__cum"] for r in global_running_sum(df, "v", "k").collect()}
+    cum = 0
+    for k, v in rows:
+        cum += v
+        assert got[k] == cum, (k, got[k], cum)

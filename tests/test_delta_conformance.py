@@ -122,13 +122,12 @@ def test_fake_delta_table_accepts_the_same_call_shapes(spark):
         fn = inspect.unwrap(getattr(owner, name))
         sig = inspect.signature(fn)
         params = [p for p in sig.parameters.values() if p.name not in ("self", "cls")]
+        # self/cls are already filtered out of params, so this is the
+        # positional budget regardless of static/bound flavor
         accepts_pos = sum(
             p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD) for p in params
         )
-        # staticmethods keep all params; bound classmethod/instance drop 1
-        is_static = isinstance(inspect.getattr_static(owner, name), staticmethod)
-        budget = accepts_pos if is_static else accepts_pos
-        assert n_pos <= budget, (name, n_pos, sig)
+        assert n_pos <= accepts_pos, (name, n_pos, sig)
         for kw in kwargs:
             assert kw in sig.parameters, (name, kw, sig)
 

@@ -1006,3 +1006,26 @@ def test_heavy_hitters_cli_windowed(spark, tmp_path, capsys):
     top = {d["key"]: d["estimate"] for d in rep["heavy_hitters"]}
     assert top["y"] == 3
     assert top.get("x", 0) == 0
+
+
+def test_windowed_countmin_reopened_with_smaller_window(spark, tmp_path):
+    """Reopening a sketch root with a SMALLER window_batches must not
+    keep summing the orphaned high slots forever: the recency filter
+    ages them out of every estimate (round-7 self-review finding)."""
+    from cumulus_etl_spark.streaming.heavy_hitters import WindowedCountMin
+
+    root = str(tmp_path / "wcms")
+    mk = lambda rows: spark.createDataFrame([(k,) for k in rows], ["k"])
+    big = WindowedCountMin(spark, root, width=64, top_k=3, window_batches=8)
+    for b in range(6):
+        big.ingest_batch(mk(["old"] * 10), "k", batch_id=b)
+    small = WindowedCountMin(spark, root, width=64, top_k=3, window_batches=2)
+    small.ingest_batch(mk(["new"] * 4), "k", batch_id=6)
+    small.ingest_batch(mk(["new"] * 4), "k", batch_id=7)
+    est = {r["k"]: r["estimate"]
+           for r in small.estimate(["old", "new"]).collect()}
+    # slots 0-5 hold 'old' but only batches > 7-2=5 are in scope: slot
+    # 6%8 and 7%8 — 'old' must have fully aged out even though its
+    # slots were never overwritten by the smaller ring
+    assert est["old"] == 0
+    assert est["new"] == 8
