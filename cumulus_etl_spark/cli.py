@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--check-leakage", action="store_true",
                           help="with --split: report how many held-out docs "
                                "share an 8-word gram with the train split")
+    p_corpus.add_argument("--dedup-substrings", type=int, default=None,
+                          metavar="K",
+                          help="after doc-level dedup, excise every "
+                               "corpus-duplicated K-char span keeping its "
+                               "first occurrence (Lee et al. substring "
+                               "dedup) and stitch the remainders")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -331,6 +337,41 @@ def main(argv: list[str] | None = None) -> int:
             jaccard_threshold=args.jaccard_threshold,
         )
         report = {}
+        if args.dedup_substrings:
+            from pyspark.sql import functions as _F
+
+            from cumulus_etl_spark.operators.corpus import remove_repeated_spans
+            from cumulus_etl_spark.operators import textstats as _T
+
+            cleaned = remove_repeated_spans(
+                survivors, args.id_col, args.text_col, k=args.dedup_substrings
+            )
+            stats = cleaned.agg(
+                _F.sum("n_removed_spans").cast("bigint").alias("spans"),
+                _F.sum(_F.col("orig_len") - _F.col("clean_len"))
+                .cast("bigint")
+                .alias("chars"),
+            ).collect()[0]
+            report["substring_dedup"] = {
+                "k": args.dedup_substrings,
+                "removed_spans": int(stats["spans"] or 0),
+                "removed_chars": int(stats["chars"] or 0),
+            }
+            # swap in the stitched text and recompute the token count the
+            # shard packer budgets on; empty-out docs drop entirely
+            survivors = (
+                survivors.drop(args.text_col, "n_tokens")
+                .join(
+                    cleaned.select(
+                        args.id_col, _F.col("clean_text").alias(args.text_col)
+                    ),
+                    args.id_col,
+                )
+                .withColumn(
+                    "n_tokens", _T.quality_features(_F.col(args.text_col))["n_tokens"]
+                )
+                .filter(_F.col("n_tokens") > 0)
+            )
         part_cols = ["shard_id"]
         if args.split:
             from cumulus_etl_spark.operators.corpus import hash_split

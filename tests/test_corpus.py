@@ -781,3 +781,43 @@ def test_global_running_sum_signed_values(spark):
     for k, v in rows:
         cum += v
         assert got[k] == cum, (k, got[k], cum)
+
+
+def test_corpus_cli_substring_dedup(spark, tmp_path, capsys):
+    """corpus --dedup-substrings K: duplicated K-char spans are excised
+    from the written shards (first occurrence survives) and the summary
+    reports what was removed."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs3.parquet")
+    out = str(tmp_path / "corpus-out3")
+    boiler = "this exact boilerplate sentence repeats in every single document here"
+    rows = [
+        (i, f"unique lead {i} with words number {i * 31} " + boiler
+            + f" trailing tail {i} content {i * 17}", "en", "s")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500",
+               "--jaccard-threshold", "0.95",
+               "--dedup-substrings", str(len(boiler))])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sd = summary["substring_dedup"]
+    assert sd["k"] == len(boiler)
+    assert sd["removed_spans"] >= 11  # every copy after the first
+    assert sd["removed_chars"] >= 11 * len(boiler)
+    back = spark.read.parquet(out)
+    texts = [r["text"] for r in back.collect()]
+    assert sum(boiler in t for t in texts) == 1  # exactly one survivor
+    # duplicated-gram UNION semantics: straddling K-grams extend the
+    # removal through the shared " trailing tail " suffix in non-first
+    # docs, so only the first-occurrence doc keeps it — doc-specific
+    # lead and tail content must survive everywhere
+    assert sum("trailing tail" in t for t in texts) >= 1
+    assert all("unique lead" in t and "content" in t for t in texts)
