@@ -236,9 +236,11 @@ def main(argv: list[str] | None = None) -> int:
                        help="comma-separated vec_ids to use as queries")
     p_ann.add_argument("--k", type=int, default=5)
     p_ann.add_argument("--method", default="lsh",
-                       choices=["brute", "lsh", "ivf", "pq"],
+                       choices=["brute", "lsh", "ivf", "pq", "rrf"],
                        help="brute=exact cosine; lsh/ivf=bucketed cosine ANN; "
-                            "pq=product-quantized L2 ADC")
+                            "pq=product-quantized L2 ADC; rrf=hybrid "
+                            "reciprocal-rank fusion of exact cosine + "
+                            "int8 MIPS rankings")
     p_ann.add_argument("--id-col", default="vec_id")
     p_ann.add_argument("--vec-col", default="embedding")
 
@@ -635,6 +637,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.method == "ivf":
             out = S.ann_ivf(emb, queries, **kw)
+        elif args.method == "rrf":
+            from cumulus_etl_spark.operators.quantize import int8_topk
+
+            deep = dict(kw, k=max(args.k * 4, 20))  # fuse over deeper lists
+            a = S.knn_bruteforce(emb, queries, **deep)
+            b = int8_topk(emb, queries, **deep)
+            out = S.rrf_fuse(a, b, k=args.k).select(
+                "query_id", "rank", "neighbor_id",
+                F.col("rrf_units").cast("double").alias("score"),
+            )
         else:  # pq
             from cumulus_etl_spark.operators.quantize import (
                 pq_adc_topk,

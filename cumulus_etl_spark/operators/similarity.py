@@ -664,3 +664,54 @@ def mmr_select_exact(
         )
 
     return candidates.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 5,
+    const: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retriever rankings (Cormack et al.
+    2009): rrf(doc) = Σ scale // (const + rank) over the lists that
+    contain the doc — INTEGER units so the fused score is
+    engine-replayable (a float 1/(const+r) sum drifts; the floor
+    division induces the same ordering).
+
+    Inputs are (query_id, neighbor_id, rank) frames, e.g. from
+    knn_bruteforce and quantize.int8_topk. Absent ranks surface as 0
+    (never NULL). Output: (query_id, rank, neighbor_id, rank_a,
+    rank_b, rrf_units), fused top-k per query with a total tiebreak.
+    Scale shape: both inputs are top-k-bounded per query, so the
+    full-outer fusion join is |queries|·k rows however large the
+    corpus the retrievers scanned."""
+    fa = a.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("__ra")
+    )
+    fb = b.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("__rb")
+    )
+    rrf = (
+        F.when(F.col("__ra").isNull(), F.lit(0)).otherwise(
+            F.expr(f"{scale} DIV ({const} + __ra)")
+        )
+        + F.when(F.col("__rb").isNull(), F.lit(0)).otherwise(
+            F.expr(f"{scale} DIV ({const} + __rb)")
+        )
+    ).cast("bigint")
+    fused = fa.join(fb, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce("__ra", F.lit(0)).cast("int").alias("rank_a"),
+        F.coalesce("__rb", F.lit(0)).cast("int").alias("rank_b"),
+        rrf.alias("rrf_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_units"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "rank_a", "rank_b", "rrf_units")
+    )

@@ -508,43 +508,18 @@ def vector_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, doc), fused top-5 with a total tiebreak. Scale shape: the
     per-retriever candidate lists are top-k-bounded per query, so the
     fusion join is |queries|·k rows however large the corpus."""
-    from pyspark.sql import Window
-
     from cumulus_etl_spark.operators.quantize import int8_topk
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    a = S.knn_bruteforce(emb, queries, k=_RRF_K).select(
-        "query_id", "neighbor_id", F.col("rank").alias("r_cos")
-    )
-    b = int8_topk(emb, queries, k=_RRF_K).select(
-        "query_id", "neighbor_id", F.col("rank").alias("r_mips")
-    )
-    rrf = (
-        F.when(
-            F.col("r_cos").isNull(), F.lit(0)
-        ).otherwise(F.expr(f"{_RRF_SCALE} DIV ({_RRF_CONST} + r_cos)"))
-        + F.when(
-            F.col("r_mips").isNull(), F.lit(0)
-        ).otherwise(F.expr(f"{_RRF_SCALE} DIV ({_RRF_CONST} + r_mips)"))
-    ).cast("bigint")
-    fused = a.join(b, ["query_id", "neighbor_id"], "full_outer").select(
-        "query_id",
-        "neighbor_id",
-        F.coalesce("r_cos", F.lit(0)).cast("int").alias("rank_cos"),
-        F.coalesce("r_mips", F.lit(0)).cast("int").alias("rank_mips"),
-        rrf.alias("rrf_units"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_units"), F.asc("neighbor_id")
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _RRF_TOPK)
-        .select(
-            "query_id", "rank", "neighbor_id",
-            "rank_cos", "rank_mips", "rrf_units",
-        )
+    a = S.knn_bruteforce(emb, queries, k=_RRF_K)
+    b = int8_topk(emb, queries, k=_RRF_K)
+    fused = S.rrf_fuse(a, b, k=_RRF_TOPK, const=_RRF_CONST, scale=_RRF_SCALE)
+    return fused.select(
+        "query_id", "rank", "neighbor_id",
+        F.col("rank_a").alias("rank_cos"),
+        F.col("rank_b").alias("rank_mips"),
+        "rrf_units",
     )
 
 

@@ -250,7 +250,7 @@ def test_ann_cli_verb_all_methods(spark, sf_smoke, capsys):
 
     from cumulus_etl_spark.cli import main as cli_main
 
-    for method in ("brute", "lsh", "ivf", "pq"):
+    for method in ("brute", "lsh", "ivf", "pq", "rrf"):
         rc = cli_main(["ann", f"{sf_smoke}/embeddings.parquet",
                        "--method", method, "--k", "3", "--query-ids", "0,1"])
         assert rc == 0
