@@ -821,3 +821,54 @@ def test_corpus_cli_substring_dedup(spark, tmp_path, capsys):
     # lead and tail content must survive everywhere
     assert sum("trailing tail" in t for t in texts) >= 1
     assert all("unique lead" in t and "content" in t for t in texts)
+
+
+def test_remove_repeated_spans_matches_bruteforce_reference(spark):
+    """Randomized cross-check: the Catalyst cursor-fold stitch equals an
+    independent sequential implementation (mark every non-first
+    duplicated k-gram occurrence, excise the UNION of spans) over random
+    small-alphabet corpora where overlaps and cross-doc dups are dense."""
+    import random
+
+    from cumulus_etl_spark.operators.corpus import remove_repeated_spans
+
+    rng = random.Random(11)
+    k = 4
+    for trial in range(3):
+        docs = [
+            (i, "".join(rng.choice("abc") for _ in range(rng.randrange(0, 40))))
+            for i in range(12)
+        ]
+        # sequential reference
+        first_seen: set[str] = set()
+        removal: dict[int, list[int]] = {i: [] for i, _ in docs}
+        for i, t in docs:  # (doc_id, pos) global order
+            for p in range(len(t) - k + 1):
+                g = t[p : p + k]
+                if g in first_seen:
+                    removal[i].append(p + 1)  # 1-based
+                else:
+                    first_seen.add(g)
+        # count occurrences corpus-wide; only grams with >=2 occurrences
+        from collections import Counter
+
+        cnt = Counter(
+            t[p : p + k] for _, t in docs for p in range(len(t) - k + 1)
+        )
+        expect = {}
+        for i, t in docs:
+            starts = [
+                p for p in removal[i] if cnt[t[p - 1 : p - 1 + k]] >= 2
+            ]
+            keep = [True] * len(t)
+            for p in starts:
+                for j in range(p - 1, min(p - 1 + k, len(t))):
+                    keep[j] = False
+            expect[i] = "".join(c for c, kp in zip(t, keep) if kp)
+
+        df = spark.createDataFrame(docs, "doc_id int, text string").repartition(5)
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_repeated_spans(df, k=k).collect()
+        }
+        assert got == expect, f"trial {trial}"
