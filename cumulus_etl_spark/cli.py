@@ -347,7 +347,9 @@ def main(argv: list[str] | None = None) -> int:
 
             cleaned = remove_repeated_spans(
                 survivors, args.id_col, args.text_col, k=args.dedup_substrings
-            )
+            ).localCheckpoint(eager=True)  # feeds both the stats agg and the
+            # survivors rejoin below — without the pin the whole two-shuffle
+            # gram-window lineage runs twice
             stats = cleaned.agg(
                 _F.sum("n_removed_spans").cast("bigint").alias("spans"),
                 _F.sum(_F.col("orig_len") - _F.col("clean_len"))

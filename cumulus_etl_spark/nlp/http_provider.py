@@ -247,11 +247,17 @@ class HttpBatchProvider:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        rows = spark.read.parquet(prompts_path).collect()
-        lines = "\n".join(
-            json.dumps({"checksum": r["checksum"], "note_text": r["note_text"]}) for r in rows
-        )
-        resp = self.client.post_json(f"{self.base_url}/batches", lines)
+        # Stream partitions through the driver one at a time instead of
+        # collect()ing the whole chunk: peak driver memory is the JSONL
+        # body itself (bounded by the 50k-request / 200 MB chunk contract,
+        # ref nlp/models.py:208-210), never body + a full Row list.
+        df = spark.read.parquet(prompts_path).select("checksum", "note_text")
+        lines: list[str] = []
+        for r in df.toLocalIterator(prefetchPartitions=True):
+            lines.append(
+                json.dumps({"checksum": r["checksum"], "note_text": r["note_text"]})
+            )
+        resp = self.client.post_json(f"{self.base_url}/batches", "\n".join(lines))
         return resp["id"]
 
     def poll(self, spark, batch_id: str, prompts_path: str, results_path: str) -> bool:

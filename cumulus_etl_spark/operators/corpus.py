@@ -284,8 +284,8 @@ def remove_repeated_spans(
 
     Stitching is one Catalyst fold per document — no UDF: removal
     starts are collected sorted, then ``aggregate`` walks them with a
-    (kept_text, cursor) accumulator; because starts ascend and k is
-    fixed, the next span's end pos+k never precedes the cursor, so
+    (kept_slice_pairs, cursor) accumulator; because starts ascend and
+    k is fixed, the next span's end pos+k never precedes the cursor, so
     ``cursor = pos + k`` after each step and overlapping spans excise
     exactly their union. Deterministic corollary (documented): a
     first-occurrence span can still lose characters to a DIFFERENT
@@ -324,20 +324,43 @@ def remove_repeated_spans(
     joined = docs.select(
         id_col, F.col(text_col).alias("__text")
     ).join(per_doc, id_col, "left")
+    # The fold accumulates kept (start, len) slice PAIRS — integers only —
+    # and materializes the string exactly once in the finish lambda via
+    # transform + concat_ws. Accumulating the string itself would copy
+    # O(doc_len) bytes per removal start (quadratic for a long doc dense
+    # with removed spans); the pair accumulator copies 8 bytes per step.
     stitched = F.aggregate(
         F.coalesce("ps", F.array().cast("array<int>")),
-        F.struct(F.lit("").alias("out"), F.lit(1).alias("cur")),
+        F.struct(
+            F.array().cast("array<struct<s:int,l:int>>").alias("pieces"),
+            F.lit(1).alias("cur"),
+        ),
         lambda acc, p: F.struct(
             F.concat(
-                acc["out"],
-                F.col("__text").substr(
-                    acc["cur"], F.greatest(p - acc["cur"], F.lit(0))
+                acc["pieces"],
+                F.array(
+                    F.struct(
+                        acc["cur"].alias("s"),
+                        F.greatest(p - acc["cur"], F.lit(0)).alias("l"),
+                    )
                 ),
-            ).alias("out"),
+            ).alias("pieces"),
             (p + F.lit(k)).alias("cur"),
         ),
-        lambda acc: F.concat(
-            acc["out"], F.col("__text").substr(acc["cur"], F.length("__text"))
+        lambda acc: F.concat_ws(
+            "",
+            F.transform(
+                F.concat(
+                    acc["pieces"],
+                    F.array(
+                        F.struct(
+                            acc["cur"].alias("s"),
+                            F.length("__text").alias("l"),
+                        )
+                    ),
+                ),
+                lambda q: F.col("__text").substr(q["s"], q["l"]),
+            ),
         ),
     )
     return joined.select(

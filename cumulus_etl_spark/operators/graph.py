@@ -22,7 +22,7 @@ count (a scalar, not data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -48,12 +48,17 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     for it in range(max_iter):
-        # min label over each vertex's neighbors
+        # min label over each vertex's neighbors; the self rows are
+        # tagged so the aggregation can carry each vertex's OLD label
+        # alongside the new min — that turns the convergence check into
+        # an `observe` metric collected DURING the round's checkpoint
+        # job instead of a separate join+count job per round (round-7
+        # verdict ask 6: one job per round, down from two).
         nbr = (
             e.join(labels, e["a"] == labels["v"])
-            .select(F.col("b").alias("v"), "label")
+            .select(F.col("b").alias("v"), "label", F.lit(False).alias("__self"))
         )
-        cand = labels.union(nbr)
+        cand = labels.select("v", "label", F.lit(True).alias("__self")).union(nbr)
         if it > 0:
             # pointer jumping: the label of my label. Skipped in round 1,
             # where labels are still the identity map and the self-join
@@ -61,25 +66,35 @@ def connected_components(
             hop = (
                 labels.alias("x")
                 .join(labels.alias("y"), F.col("x.label") == F.col("y.v"))
-                .select(F.col("x.v").alias("v"), F.col("y.label").alias("label"))
+                .select(
+                    F.col("x.v").alias("v"),
+                    F.col("y.label").alias("label"),
+                    F.lit(False).alias("__self"),
+                )
             )
             cand = cand.union(hop)
+        obs = Observation()
         new_labels = (
-            cand.groupBy("v").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        if it == 0:
-            # round 1 always changes something when any edge exists; the
-            # convergence count would be a whole extra job for a known
-            # answer. Start checking from round 2.
-            labels = new_labels
-            continue
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
-            .filter(F.col("label") != F.col("old"))
-            .count()
+            cand.groupBy("v")
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one self row per v (labels is one-row-per-vertex),
+                # so this min IS the previous round's label
+                F.min(F.when(F.col("__self"), F.col("label"))).alias("__old"),
+            )
+            # null-safe: a vertex absent from `vertices` has no self row
+            # (NULL __old) and must count as changed, not be skipped
+            .observe(
+                obs,
+                F.sum(
+                    (~F.col("label").eqNullSafe(F.col("__old"))).cast("long")
+                ).alias("changed"),
+            )
+            .select("v", "label")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
@@ -218,6 +233,8 @@ def pagerank_integer(
         .localCheckpoint(eager=True)
     )
     n = verts.count()  # scalar; the teleport term needs it
+    if n == 0:
+        raise ValueError("pagerank_integer: edges is empty (no vertices)")
     r0 = scale // n
     teleport = ((damp_den - damp_num) * r0) // damp_den
     out_deg = edges.groupBy(F.col(src_col).alias("id")).agg(

@@ -66,6 +66,20 @@ class StreamingCountMin:
         self._topk_policy = MergePolicy(
             keys=("k",), last_updated_field=None, num_buckets=4
         )
+        if type(self) is StreamingCountMin:
+            self._guard_mode(root, WIN_CELLS_TABLE, "WindowedCountMin")
+
+    def _guard_mode(self, root: str, sibling_table: str, sibling_mode: str) -> None:
+        """The all-time and windowed sketches keep DISJOINT state tables
+        under the same root; reopening a root with the other mode would
+        silently start from empty while the prior counts sit orphaned in
+        the sibling's tables. Fail loudly on the mismatch instead."""
+        if ManagedTable(self.spark, root, sibling_table).current_version() is not None:
+            raise ValueError(
+                f"sketch root {root!r} holds {sibling_mode} state "
+                f"({sibling_table} exists); reopen it with the same "
+                "--window-batches mode it was created with"
+            )
 
     # ---- ingest ----
 
@@ -246,6 +260,7 @@ class WindowedCountMin(StreamingCountMin):
         self.window_batches = window_batches
         self.cells = ManagedTable(spark, root, WIN_CELLS_TABLE)
         self.topk = ManagedTable(spark, root, WIN_TOPK_TABLE)
+        self._guard_mode(root, CELLS_TABLE, "StreamingCountMin (all-time)")
         self._cell_policy = MergePolicy(
             keys=("slot", "seed", "bucket"), last_updated_field=None, num_buckets=4
         )
