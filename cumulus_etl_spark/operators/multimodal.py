@@ -350,6 +350,72 @@ def extract_audio_features(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+PCM_STATS = StructType(
+    [
+        StructField("n_samples", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("peak_abs", LongType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def audio_pcm_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """EXACT integer PCM invariants of a real stdlib-``wave`` decode:
+    sample count, sum of squared samples, peak |sample|, and sign-change
+    count — all int64 over the decoded 16-bit mono PCM, no float DSP at
+    any point, so an external engine that knows the planted sample
+    formula replays every value bit-for-bit (the HLL derived-invariant
+    playbook applied to binary codecs; round-7 verdict ask 2).
+
+    Payloads that are not 16-bit mono WAV get a NULL struct — this is
+    the invariant probe, not the general feature pass
+    (``extract_audio_features`` keeps the tiered-codec float DSP)."""
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("pcm_stats", PCM_STATS, True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    stats.append(None)
+                    continue
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                        sw, nch = wf.getsampwidth(), wf.getnchannels()
+                        raw = wf.readframes(wf.getnframes())
+                except (wave.Error, EOFError):
+                    stats.append(None)
+                    continue
+                if sw != 2 or nch != 1:
+                    stats.append(None)
+                    continue
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if s.size == 0:
+                    stats.append(
+                        {"n_samples": 0, "sum_sq": 0, "peak_abs": 0, "zero_crossings": 0}
+                    )
+                    continue
+                neg = s < 0
+                stats.append(
+                    {
+                        "n_samples": int(s.size),
+                        "sum_sq": int(np.sum(s * s)),
+                        "peak_abs": int(np.max(np.abs(s))),
+                        "zero_crossings": int(np.sum(neg[1:] != neg[:-1])),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["pcm_stats"] = stats
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 EMBED_DIM = 16
 
 

@@ -1,11 +1,22 @@
-"""Multimodal catalog entries — put the binary-column pipeline under the
-driver's per-round gate (rows-only: the decode stage is a deterministic
-stub, see operators/multimodal.py, so there is no SQL oracle; schema and
-row counts are still checked every round).
+"""Multimodal catalog entries — the binary-column pipeline under the
+driver's per-round gate.
 
-Payloads are synthesized from `documents.text` bytes so the pipeline is
-fully deterministic and runs on the standard harness tables: the bytes
-flow binary→metadata→mapInPandas exactly as real media would.
+Round 7 these were all rows-only (stub payloads from ``documents.text``
+bytes, fake-path decode).  Round 8 converts two of them to FULL oracle
+rows via the derived-invariant playbook (the same move that oracled the
+HLL sketches): the query PLANTS genuine containers — a BMP header / a
+RIFF-WAVE 16-bit PCM file — whose content is a deterministic
+SQL-expressible function of the ``documents`` table, decodes them with
+the real stdlib codecs (struct header parse / ``wave`` module) inside
+the Arrow batch stage, and emits EXACT INTEGER decode invariants that
+DuckDB re-derives from the same formulas without ever touching a byte.
+A wrong container build, a wrong parse, or a wrong batch shape all
+break the hash.  Only the video frame-sampler stays rows-only (no
+stdlib video demuxer exists to decode against).
+
+Byte-level identity is pinned too: both engines hash the canonical hex
+of the payload (DuckDB's sha256 is VARCHAR-only, so the digest is over
+``hex(payload)`` rather than the raw blob on both sides).
 """
 
 from __future__ import annotations
@@ -18,6 +29,17 @@ from cumulus_etl_spark.plans.catalog import register
 from cumulus_etl_spark.sources import table
 
 
+def _le_hex(expr: str, nbytes: int) -> str:
+    """SQL for the little-endian hex of an integer expression — identical
+    text runs in Spark SQL and DuckDB (hex() is uppercase-minimal in
+    both, lpad/substring agree)."""
+    h = f"lpad(hex({expr}), {2 * nbytes}, '0')"
+    pairs = ", ".join(
+        f"substring({h}, {2 * i - 1}, 2)" for i in reversed(range(1, nbytes + 1))
+    )
+    return f"concat({pairs})"
+
+
 def _payloads(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
@@ -27,50 +49,149 @@ def _payloads(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_stats", None, tags=("multimodal",))
-def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pack→decode→embed image pipeline, aggregated: per media kind,
-    row count, mean decoded width/height, mean byte size, and mean
-    first-embedding component. Exercises the metadata expressions, the
-    Arrow batch path, and the nested-struct output schema end-to-end.
-    No oracle by design: the decode/embed stages are Pandas-UDF binary
-    processing DuckDB has no analog for (rows-only; decoders are
-    unit-tested against genuine containers in test_multimodal.py)."""
-    packed = M.pack_media(_payloads(spark, sf_dir, "image"), "payload", "ct")
-    decoded = M.decode_images(packed)
-    embedded = M.embed_media(decoded)
-    return (
-        embedded.groupBy(F.col("media_meta.media_kind").alias("media_kind"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.avg("image_info.width").alias("avg_width"),
-            F.avg("image_info.height").alias("avg_height"),
-            F.avg("media_meta.byte_size").alias("avg_bytes"),
-            F.avg(F.element_at("embedding", 1)).alias("avg_emb0"),
-        )
-    )
+# ---- image: planted BMP headers, real struct parse ----
+
+_BMP_W = "16 + length(text) % 240"
+_BMP_H = "16 + (length(text) * 7) % 180"
+# 26 bytes: 'BM' + 12 don't-care file-header bytes + DIB header size 40
+# + int32-LE width + int32-LE height — exactly the prefix
+# parse_image_header() validates and reads.
+_BMP_HEX = (
+    f"concat('424D', repeat('00', 12), {_le_hex('40', 4)}, "
+    f"{_le_hex(_BMP_W, 4)}, {_le_hex(_BMP_H, 4)})"
+)
+
+_IMAGE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST({_BMP_W} AS BIGINT) AS width,
+         CAST({_BMP_H} AS BIGINT) AS height,
+         unhex({_BMP_HEX}) AS payload
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(octet_length(payload) AS BIGINT) AS byte_size,
+       sha256(hex(payload)) AS payload_digest
+FROM b
+ORDER BY doc_id
+"""
 
 
-@register("multimodal_audio_features", None, tags=("multimodal",))
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature pass (stub codec, real vectorized DSP): per-doc
-    duration/RMS/peak/zero-crossing-rate, filtered to non-trivial
-    clips and top-100 by duration with a doc_id tiebreak.
-    No oracle by design: the DSP runs in a Pandas UDF over binary
-    payloads (no DuckDB analog); rows-only + unit-tested decoders."""
-    packed = M.pack_media(_payloads(spark, sf_dir, "audio"), "payload", "ct")
-    feats = M.extract_audio_features(packed)
-    return (
-        feats.select(
-            "doc_id",
-            F.col("audio_features.duration_s").alias("duration_s"),
-            F.col("audio_features.rms").alias("rms"),
-            F.col("audio_features.zero_crossing_rate").alias("zcr"),
-        )
-        .filter(F.col("duration_s") > 0)
-        .orderBy(F.desc("duration_s"), F.asc("doc_id"))
-        .limit(100)
+@register("multimodal_image_header_invariants", _IMAGE_ORACLE, tags=("multimodal",))
+def multimodal_image_header_invariants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Plant a real BMP container per document (dims are a deterministic
+    function of the text length), run it through pack→decode, and emit
+    the decoded dimensions + byte size + payload digest. The decode is
+    the genuine dependency-free header parse inside mapInPandas
+    (operators/multimodal.py parse_image_header); the oracle re-derives
+    every value from the planting formulas — full hash row for what was
+    a rows-only entry (round-7 verdict ask 2)."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(f"unhex({_BMP_HEX})").alias("payload"),
+        F.lit("image/bmp").alias("ct"),
     )
+    decoded = M.decode_images(M.pack_media(planted, "payload", "ct"))
+    return decoded.select(
+        "doc_id",
+        F.col("image_info.width").cast("bigint").alias("width"),
+        F.col("image_info.height").cast("bigint").alias("height"),
+        F.col("image_info.channels").cast("bigint").alias("channels"),
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.sha2(F.hex("payload"), 256).alias("payload_digest"),
+    ).orderBy("doc_id")
+
+
+# ---- audio: planted 16-bit PCM WAV, real stdlib-wave decode ----
+
+_WAV_N = "50 + length(text) % 100"
+# two's-complement-unsigned sample value at 1-based index i
+_WAV_U = "(31 * length(text) + 7919 * i) % 65536"
+_WAV_SAMPLES_HEX = (
+    f"concat_ws('', transform(sequence(1, {_WAV_N}), i -> "
+    f"concat(substring(lpad(hex({_WAV_U}), 4, '0'), 3, 2), "
+    f"substring(lpad(hex({_WAV_U}), 4, '0'), 1, 2))))"
+)
+# canonical RIFF/WAVE: PCM, mono, 8 kHz, 16-bit
+_WAV_HEX = (
+    f"concat('52494646', {_le_hex(f'36 + 2 * ({_WAV_N})', 4)}, "
+    f"'57415645', '666D7420', {_le_hex('16', 4)}, {_le_hex('1', 2)}, "
+    f"{_le_hex('1', 2)}, {_le_hex('8000', 4)}, {_le_hex('16000', 4)}, "
+    f"{_le_hex('2', 2)}, {_le_hex('16', 2)}, '64617461', "
+    f"{_le_hex(f'2 * ({_WAV_N})', 4)}, {_WAV_SAMPLES_HEX})"
+)
+
+_AUDIO_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS INTEGER) AS L,
+         CAST({_WAV_N} AS INTEGER) AS n
+  FROM documents
+),
+idx AS (SELECT doc_id, L, n, unnest(generate_series(1, n)) AS i FROM d),
+u AS (SELECT doc_id, n, i, (31 * L + 7919 * i) % 65536 AS u FROM idx),
+s AS (
+  SELECT doc_id, n, i, u,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM u
+),
+lagged AS (
+  SELECT doc_id, n, i, u, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+),
+agg AS (
+  SELECT doc_id, any_value(n) AS n,
+    string_agg(
+      concat(substring(lpad(hex(u), 4, '0'), 3, 2),
+             substring(lpad(hex(u), 4, '0'), 1, 2)), '' ORDER BY i
+    ) AS shex,
+    CAST(count(*) AS BIGINT) AS n_samples,
+    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+    CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND ((s < 0) != (prev < 0))
+             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id, n_samples, sum_sq, peak_abs, zero_crossings,
+  sha256(hex(unhex(concat(
+    '52494646', {_le_hex("36 + 2 * n", 4)}, '57415645', '666D7420',
+    {_le_hex("16", 4)}, {_le_hex("1", 2)}, {_le_hex("1", 2)},
+    {_le_hex("8000", 4)}, {_le_hex("16000", 4)}, {_le_hex("2", 2)},
+    {_le_hex("16", 2)}, '64617461', {_le_hex("2 * n", 4)}, shex
+  )))) AS payload_digest
+FROM agg
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_audio_pcm_invariants", _AUDIO_ORACLE, tags=("multimodal",))
+def multimodal_audio_pcm_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a genuine 16-bit mono RIFF/WAVE file per document (sample
+    values are a deterministic integer recurrence in the text length),
+    decode it with the stdlib ``wave`` codec inside mapInPandas, and
+    emit exact-integer PCM invariants (count / Σs² / peak / sign
+    changes) plus the payload digest. The oracle replays the sample
+    formula and the container bytes without any codec — a wrong RIFF
+    header, endianness slip, or dropped frame all break the hash."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(f"unhex({_WAV_HEX})").alias("payload"),
+        F.lit("audio/wav").alias("ct"),
+    )
+    stats = M.audio_pcm_stats(M.pack_media(planted, "payload", "ct"))
+    return stats.select(
+        "doc_id",
+        F.col("pcm_stats.n_samples").alias("n_samples"),
+        F.col("pcm_stats.sum_sq").alias("sum_sq"),
+        F.col("pcm_stats.peak_abs").alias("peak_abs"),
+        F.col("pcm_stats.zero_crossings").alias("zero_crossings"),
+        F.sha2(F.hex("payload"), 256).alias("payload_digest"),
+    ).orderBy("doc_id")
 
 
 @register("multimodal_frame_sample", None, tags=("multimodal",))
@@ -79,7 +200,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent metadata carried along; aggregated to frames-per-video
     distribution so the result is small and stable.
     No oracle by design: frame extraction is Pandas-UDF binary
-    processing (no DuckDB analog); rows-only + unit-tested decoders."""
+    processing (no DuckDB analog, and unlike BMP/WAV there is no stdlib
+    video demuxer to plant real containers for); rows-only + unit-tested
+    decoders."""
     packed = M.pack_media(_payloads(spark, sf_dir, "video"), "payload", "ct")
     frames = M.sample_video_frames(packed)
     per_video = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))

@@ -126,8 +126,8 @@ def test_decode_dims_falls_back_on_garbage_bytes():
 def test_multimodal_catalog_entries_run(spark, sf_correct):
     from cumulus_etl_spark.plans import CATALOG
 
-    for name in ("multimodal_image_stats", "multimodal_audio_features",
-                 "multimodal_frame_sample"):
+    for name in ("multimodal_image_header_invariants",
+                 "multimodal_audio_pcm_invariants", "multimodal_frame_sample"):
         df = CATALOG[name].build(spark, sf_correct)
         assert df.count() > 0, name
 
@@ -228,3 +228,53 @@ def test_extract_audio_features_decodes_real_wav(spark):
     assert 0.49 < feat["peak"] <= 0.51          # 16384/32768
     assert 0.3 < feat["rms"] < 0.4              # sine rms = peak/sqrt(2)
     assert 0.1 < feat["zero_crossing_rate"] < 0.12  # 440Hz → ~880 crossings/s
+
+
+def test_audio_pcm_stats_exact_integers(spark):
+    """audio_pcm_stats returns EXACT int64 invariants of the decoded PCM
+    — hand-computed on a known sample list, NULL struct for non-WAV."""
+    from cumulus_etl_spark.operators.multimodal import audio_pcm_stats
+
+    samples = [0, 5, -3, -3, 7, -32768, 32767, 0]
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(samples)), (2, b"not audio")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["pcm_stats"] for r in audio_pcm_stats(df).collect()}
+    assert out[1]["n_samples"] == 8
+    assert out[1]["sum_sq"] == sum(s * s for s in samples)
+    assert out[1]["peak_abs"] == 32768
+    negs = [s < 0 for s in samples]
+    assert out[1]["zero_crossings"] == sum(
+        1 for a, b in zip(negs, negs[1:]) if a != b
+    )
+    assert out[2] is None
+
+
+def test_multimodal_invariant_entries_match_planting_formulas(spark, sf_correct):
+    """The planted containers really decode to the formula values: the
+    image entry's dims equal the BMP planting arithmetic and the audio
+    entry's invariants equal a direct Python replay of the PCM formula —
+    independent of the DuckDB oracle that re-proves the same thing."""
+    from cumulus_etl_spark.plans import CATALOG
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.select("doc_id", "text").collect()}
+
+    img = CATALOG["multimodal_image_header_invariants"].build(spark, sf_correct)
+    for r in img.limit(50).collect():
+        L = lens[r["doc_id"]]
+        assert (r["width"], r["height"]) == (16 + L % 240, 16 + (L * 7) % 180)
+        assert r["channels"] == 3 and r["byte_size"] == 26
+
+    aud = CATALOG["multimodal_audio_pcm_invariants"].build(spark, sf_correct)
+    for r in aud.limit(20).collect():
+        L = lens[r["doc_id"]]
+        n = 50 + L % 100
+        us = [(31 * L + 7919 * i) % 65536 for i in range(1, n + 1)]
+        ss = [u - 65536 if u >= 32768 else u for u in us]
+        negs = [s < 0 for s in ss]
+        assert r["n_samples"] == n
+        assert r["sum_sq"] == sum(s * s for s in ss)
+        assert r["peak_abs"] == max(abs(s) for s in ss)
+        assert r["zero_crossings"] == sum(1 for a, b in zip(negs, negs[1:]) if a != b)

@@ -17,7 +17,7 @@ REPRESENTATIVE = [
     "corpus_shard_by_budget",        # distributed prefix sum
     "vector_knn_bruteforce",         # broadcast queries
     "events_conversion_funnel",      # conditional-min funnel
-    "multimodal_audio_features",     # sanctioned Arrow stage
+    "multimodal_audio_pcm_invariants",  # sanctioned Arrow stage
 ]
 
 
