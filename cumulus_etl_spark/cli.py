@@ -133,6 +133,15 @@ def main(argv: list[str] | None = None) -> int:
                                "corpus-duplicated K-char span keeping its "
                                "first occurrence (Lee et al. substring "
                                "dedup) and stitch the remainders")
+    p_corpus.add_argument("--dedup-lines", type=int, default=None,
+                          metavar="MIN_DOCS",
+                          help="drop boilerplate lines (RefinedWeb style): "
+                               "a line found in >= MIN_DOCS docs of the "
+                               "same --source-col group is template chrome "
+                               "and is removed everywhere")
+    p_corpus.add_argument("--source-col", default="source",
+                          help="grouping column for --dedup-lines "
+                               "line-frequency counting")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -367,6 +376,46 @@ def main(argv: list[str] | None = None) -> int:
                 survivors.drop(args.text_col, "n_tokens")
                 .join(
                     cleaned.select(
+                        args.id_col, _F.col("clean_text").alias(args.text_col)
+                    ),
+                    args.id_col,
+                )
+                .withColumn(
+                    "n_tokens", _T.quality_features(_F.col(args.text_col))["n_tokens"]
+                )
+                .filter(_F.col("n_tokens") > 0)
+            )
+        if args.dedup_lines:
+            from pyspark.sql import functions as _F
+
+            from cumulus_etl_spark.operators.corpus import remove_boilerplate_lines
+            from cumulus_etl_spark.operators import textstats as _T
+
+            if args.source_col not in survivors.columns:
+                raise SystemExit(
+                    f"--dedup-lines needs column {args.source_col!r} in the input "
+                    "(set --source-col)"
+                )
+            cleaned_l = remove_boilerplate_lines(
+                survivors,
+                args.id_col,
+                args.text_col,
+                source_col=args.source_col,
+                min_docs=args.dedup_lines,
+            ).localCheckpoint(eager=True)  # feeds the stats agg AND the rejoin
+            lstats = cleaned_l.agg(
+                _F.sum(_F.col("n_lines") - _F.col("n_kept"))
+                .cast("bigint")
+                .alias("lines")
+            ).collect()[0]
+            report["line_dedup"] = {
+                "min_docs": args.dedup_lines,
+                "removed_lines": int(lstats["lines"] or 0),
+            }
+            survivors = (
+                survivors.drop(args.text_col, "n_tokens")
+                .join(
+                    cleaned_l.select(
                         args.id_col, _F.col("clean_text").alias(args.text_col)
                     ),
                     args.id_col,

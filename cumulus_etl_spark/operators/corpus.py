@@ -267,6 +267,95 @@ def passage_dedup(
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+    min_docs: int = 5,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb / CCNet style): a line
+    whose trimmed form appears in ≥ ``min_docs`` distinct documents of
+    the SAME source — or, when ``min_frac`` is set, in ≥ that fraction
+    of the source's documents — is template chrome (nav bars, cookie
+    banners, copyright footers) and is dropped from every document; each
+    document is rebuilt from its surviving lines in original order.
+    Natural sibling of ``passage_dedup``: that one keeps a repeated
+    passage's FIRST occurrence, this one drops high-document-frequency
+    lines EVERYWHERE — the right semantics for template chrome, which
+    is worthless even once.
+
+    Scale shape: explode to lines (narrow), one shuffle for the
+    per-(source, line) document frequency, one for the boilerplate
+    anti-join, one for the per-doc rebuild. The line frame is a narrow
+    projection of the (column-pruned) source scan, so it is recomputed
+    rather than materialized; at 100 TB hash the trimmed line for the
+    frequency/join key (raw strings kept here so the SQL oracle matches
+    byte-for-byte) and broadcast the boilerplate set, which is bounded
+    by templates-per-source, not corpus size.
+
+    Returns (id_col, n_lines, n_kept, clean_text); a doc whose every
+    line was chrome comes back with n_kept=0 and clean_text=''.
+    """
+    import re as _re
+
+    lines = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "idx", "line"
+        ),
+    )
+    freq = (
+        lines.select(source_col, F.trim("line").alias("__lk"), id_col)
+        .distinct()
+        .groupBy(source_col, "__lk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    )
+    if min_frac is not None:
+        per_source = docs.groupBy(source_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nsrc")
+        )
+        freq = freq.join(per_source, source_col)
+        # frac branch keeps an implicit >=2 floor: a line seen in a single
+        # document is never boilerplate, even in a single-doc source where
+        # its "fraction" is 100%
+        boiler = freq.filter(
+            (F.col("__df") >= min_docs)
+            | (
+                (F.col("__df") >= 2)
+                & (F.col("__df") >= F.col("__nsrc") * F.lit(min_frac))
+            )
+        )
+    else:
+        boiler = freq.filter(F.col("__df") >= min_docs)
+    boiler = boiler.select(source_col, "__lk")
+    kept = lines.withColumn("__lk", F.trim("line")).join(
+        boiler, [source_col, "__lk"], "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def remove_repeated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",

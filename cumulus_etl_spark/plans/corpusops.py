@@ -121,6 +121,72 @@ def corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.passage_dedup(d, "doc_id", "text", chunk_words=8)
 
 
+# Planted line structure for the boilerplate-line entry: the corpus has
+# no newlines, so the query synthesizes them deterministically — nav
+# chrome + a 10-word-chunk body split + a copyright footer per source,
+# plus a below-threshold PROMO line on every 8th doc that must SURVIVE.
+# Identical arithmetic runs in Spark SQL and DuckDB.
+_LINE_PLANT_SPARK = (
+    "concat('NAV HOME | ABOUT | ', source, chr(10), "
+    "array_join(transform(sequence(1, greatest((size(split(text, ' ')) + 9) div 10, 1)), "
+    "j -> array_join(slice(split(text, ' '), (j-1)*10 + 1, 10), ' ')), chr(10)), "
+    "chr(10), 'COPYRIGHT 2024 ', source, "
+    "CASE WHEN doc_id % 8 = 0 THEN concat(chr(10), 'PROMO ', source) ELSE '' END)"
+)
+
+_LINE_ORACLE = """
+WITH planted AS (
+  SELECT doc_id, source,
+    concat('NAV HOME | ABOUT | ', source, chr(10),
+      array_to_string(list_transform(generate_series(1, greatest((len(string_split(text,' ')) + 9) // 10, 1)),
+        j -> array_to_string(string_split(text,' ')[(j-1)*10+1:j*10], ' ')), chr(10)),
+      chr(10), 'COPYRIGHT 2024 ', source,
+      CASE WHEN doc_id % 8 = 0 THEN concat(chr(10), 'PROMO ', source) ELSE '' END) AS text
+  FROM documents
+),
+l0 AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
+l AS (SELECT doc_id, source, unnest(generate_series(1, len(ls))) AS i, ls FROM l0),
+lines AS (SELECT doc_id, source, i, ls[i] AS line FROM l),
+freq AS (SELECT source, trim(line) AS lk, count(DISTINCT doc_id) AS df
+         FROM lines GROUP BY 1, 2),
+boiler AS (SELECT source, lk FROM freq WHERE df >= 5),
+kept AS (SELECT doc_id, i, line FROM lines ll WHERE NOT EXISTS (
+    SELECT 1 FROM boiler b WHERE b.source = ll.source AND b.lk = trim(ll.line))),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY 1),
+reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        string_agg(line, chr(10) ORDER BY i) AS clean_text FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_lines, coalesce(r.n_kept, 0) AS n_kept,
+  CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS clean_len,
+  md5(coalesce(r.clean_text, '')) AS clean_digest
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("corpus_line_dedup", _LINE_ORACLE, tags=("text", "corpus", "dedup"))
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate-line removal (round-7 verdict
+    ask 7): lines appearing in ≥5 distinct docs of the same source are
+    template chrome and are dropped everywhere; docs are rebuilt from
+    surviving lines (operators/corpus.py:remove_boilerplate_lines).
+    The planted nav/footer chrome must vanish, the below-threshold
+    PROMO line must survive, and repeated body chunks from the
+    corpus's natural near-dup docs exercise the frequency logic on
+    real data. The oracle replays planting + thresholding + rebuild."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id", "source", F.expr(_LINE_PLANT_SPARK).alias("text")
+    )
+    out = C.remove_boilerplate_lines(planted, min_docs=5)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.md5("clean_text").alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
 # PII patterns: RE2- and Java-compatible (no lookaround/backrefs) so the
 # same literal works in Spark and the DuckDB oracle.
 _PII = (

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from cumulus_etl_spark.operators.corpus import (
@@ -872,3 +873,101 @@ def test_remove_repeated_spans_matches_bruteforce_reference(spark):
             for r in remove_repeated_spans(df, k=k).collect()
         }
         assert got == expect, f"trial {trial}"
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    """Within-source line-frequency dedup: chrome at/above min_docs is
+    dropped from EVERY doc (not first-kept), sub-threshold lines and
+    cross-source lookalikes survive, an all-chrome doc comes back empty."""
+    from cumulus_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    nav, foot = "NAV | HOME | ABOUT", "(c) 2024 example.org"
+    rows = []
+    for i in range(6):  # source A: chrome everywhere, promo in 3 docs
+        body = f"unique body line {i}\nsecond body {i * 13}"
+        promo = "\nSUBSCRIBE NOW" if i < 3 else ""
+        rows.append((i, f"{nav}\n{body}\n{foot}{promo}", "A"))
+    rows.append((100, f"{nav}\n{foot}", "A"))          # all-chrome doc
+    rows.append((200, f"{nav}\nlonely body", "B"))     # nav is rare in B
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(docs, min_docs=4).collect()}
+    for i in range(6):
+        t = out[i]["clean_text"]
+        assert nav not in t and foot not in t
+        assert f"unique body line {i}" in t and f"second body {i * 13}" in t
+        assert ("SUBSCRIBE NOW" in t) == (i < 3)  # 3 < min_docs → survives
+    assert out[100]["n_kept"] == 0 and out[100]["clean_text"] == ""
+    assert out[100]["n_lines"] == 2
+    assert nav in out[200]["clean_text"]  # same line, different source
+
+    # min_frac branch: 3/7 of source A ≥ 0.4 → promo now dropped too
+    frac = {r["doc_id"]: r["clean_text"] for r in
+            remove_boilerplate_lines(docs, min_docs=99, min_frac=0.4).collect()}
+    assert all("SUBSCRIBE NOW" not in frac[i] for i in range(3))
+    assert "lonely body" in frac[200]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_corpus_line_dedup_entry_planted_chrome(spark, sf_dir):
+    """The catalog entry's planted nav/footer chrome vanishes at both
+    SFs; the every-8th-doc PROMO line survives exactly where its
+    within-source document frequency stays below the threshold."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.plans.corpusops import _LINE_PLANT_SPARK
+    from cumulus_etl_spark.operators.corpus import remove_boilerplate_lines
+    from cumulus_etl_spark.sources import table
+
+    planted = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_LINE_PLANT_SPARK).alias("text")
+    )
+    out = remove_boilerplate_lines(planted, min_docs=5).localCheckpoint(eager=True)
+    n = out.count()
+    assert n == planted.count()
+    assert out.filter(F.col("clean_text").contains("NAV HOME")).count() == 0
+    assert out.filter(F.col("clean_text").contains("COPYRIGHT 2024")).count() == 0
+    # expected PROMO survivors from the planting arithmetic
+    promo_by_source = (
+        planted.filter(F.col("doc_id") % 8 == 0)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    )
+    expected = (
+        planted.filter(F.col("doc_id") % 8 == 0)
+        .join(promo_by_source.filter(F.col("c") < 5), "source")
+        .count()
+    )
+    assert out.filter(F.col("clean_text").contains("PROMO")).count() == expected
+
+
+def test_corpus_cli_line_dedup(spark, tmp_path, capsys):
+    """corpus --dedup-lines: per-source chrome is stripped from the
+    written shards and the summary reports the removed-line count."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs4.parquet")
+    out = str(tmp_path / "corpus-out4")
+    nav = "NAVBAR HOME PRODUCTS CONTACT LEGAL PRIVACY TERMS SITEMAP SEARCH LOGIN"
+    rows = [
+        (i, nav + "\n" + " ".join(f"w{i}x{j} tok{i * 37 + j}" for j in range(12))
+            + "\nfooter all rights reserved",
+         "en", "s")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500", "--lang", "any",
+               "--jaccard-threshold", "0.95", "--dedup-lines", "5"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["line_dedup"]["min_docs"] == 5
+    assert summary["line_dedup"]["removed_lines"] >= 24  # nav+footer x 12
+    texts = [r["text"] for r in spark.read.parquet(out).collect()]
+    assert texts and all(nav not in t and "footer all rights" not in t for t in texts)
+    assert all(f"w{r['doc_id']}x0" in r["text"]
+               for r in spark.read.parquet(out).collect())
