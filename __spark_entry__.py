@@ -25,67 +25,68 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- new round-7 entries, never gated: substring-span REMOVAL (the
-    #    Lee-et-al removal half), the windowed Count-Min ring, the
-    #    5-round exact-integer PageRank iteration, reciprocal-rank
-    #    fusion, content-defined chunking, exponential-decay activity
-    #    scoring, Apriori level-3 frequent triples, and inter-arrival
-    #    quantiles --
-    "text_substring_removal", "agg_countmin_windowed",
-    "graph_pagerank_integer", "vector_rrf_fusion", "text_cdc_chunks",
-    "events_decayed_counts", "agg_frequent_triples",
-    "events_interarrival_quantiles",
-    # -- changed this round, must re-prove: Apriori-pruned pair lattice
-    #    (output provably identical — the oracle re-proves it) and the
-    #    single-pass grouped-prefix-sum sorted-neighborhood rework
-    #    (18 → 4 shuffles). NOT re-queued: text_dedup_clusters — its
-    #    only upstream change is the PPJoin positional predicate swap
-    #    (candidate pruning only; the raw-token verify is unchanged and
-    #    the swap is proven over-prune-free in the docstring), its
-    #    oracle was re-checked green in-session at sf0.01, and its r6
-    #    row stays within the ≤2-round freshness SLA through r8 --
-    "agg_association_rules", "join_sorted_neighborhood",
-    # -- freshness rotation: ALL 40 entries whose last green row is r4
-    #    (the round-6 verdict's ask 1 — after this window nothing is
-    #    older than r5) --
-    "corpus_importance_rank", "corpus_prepare_pipeline",
-    "corpus_quality_percentile_cut", "corpus_split_leakage",
-    "corpus_train_val_split", "deid_year_generalize", "events_hourly_rollup",
-    "events_markov_transitions", "graph_pagerank_step", "ml_gram_matrix",
-    "profile_orders", "q11_important_parts", "q15_top_supplier",
-    "q1_pricing_summary", "q21_waiting_supplier", "q2_min_cost_supplier",
-    "q3_shipping_priority", "q4_priority_exists", "q5_local_supplier_volume",
-    "q9_profit_by_nation_year", "sample_hash_stratified",
-    "scalar_array_functions", "text_bigram_lm_score", "text_bpe_train_merges",
-    "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
-    "text_quality_score", "text_simhash_pairs", "text_token_stats",
-    "vector_ann_ivf", "vector_ann_ivf_int8", "vector_ann_lsh",
-    "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
-    "vector_pq_adc_topk", "vector_pq_recall", "vector_semdedup",
-    "window_session_native",
+    # -- new round-8 entries, never gated: RefinedWeb-style boilerplate
+    #    line dedup, and the two multimodal decode entries converted
+    #    from rows-only to full oracles via planted real BMP/WAV
+    #    containers + exact-integer decode invariants --
+    "corpus_line_dedup", "multimodal_image_header_invariants",
+    "multimodal_audio_pcm_invariants",
+    # -- freshness rotation: ALL 47 live entries whose last green row is
+    #    r5 (round-7 verdict ask 1; 49 were r5-stale, 2 of them —
+    #    vector_int8_quantize, set_intersect_status — were RETIRED this
+    #    round as subsumed by vector_int8_topk /
+    #    set_intersect_all_multiplicity, see the plans modules).
+    #    After this window no oracled entry's newest green row is older
+    #    than r6. NOT re-queued despite in-round changes (both
+    #    re-proven green in-session at sf0.01 on a vanilla session):
+    #    text_dedup_clusters (connected-components convergence count
+    #    moved into an observe metric — label propagation itself is
+    #    untouched; r6 row within SLA) and text_substring_removal (the
+    #    stitch fold now accumulates slice pairs instead of strings —
+    #    output byte-identical; r7 row fresh) --
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot_event_types",
+    "corpus_decontaminate", "corpus_domain_mixture", "corpus_pack_sequences",
+    "corpus_passage_dedup", "corpus_pii_scrub", "corpus_shard_by_budget",
+    "dedup_distinct_pairs", "dedup_last_wins", "join_anti_no_orders",
+    "join_asof_last_purchase", "join_brand_revenue",
+    "join_left_outer_nations", "join_range_activity_after_signup",
+    "join_semi_big_spenders", "q10_returned_items", "q14_type_share",
+    "q18_large_orders", "q19_bracket_filter", "q22_idle_rich_customers",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "scalar_case_bucketing", "scalar_date_functions", "scalar_json_extract",
+    "scalar_string_functions", "set_except_quiet_customers",
+    "set_intersect_all_multiplicity", "set_union_tagged", "sort_global_topk",
+    "text_bpe_merge_candidates", "text_doc_freq_topk", "text_gopher_quality",
+    "text_inverted_index", "text_repetition_stats", "text_tfidf_topk",
+    "vector_int8_topk", "vector_knn_bruteforce", "vector_neardup_cosine",
+    "vector_norm_stats", "window_lag_lead_events", "window_moving_average",
+    "window_running_total", "window_topk_per_customer",
 ]
 
-# Round-8 rotation queue (oldest rows first): the 49 entries whose last
-# green row is r5 —
-# "agg_grouping_sets", "agg_percentiles",
-# "agg_pivot_event_types", "corpus_decontaminate", "corpus_domain_mixture",
-# "corpus_pack_sequences", "corpus_passage_dedup", "corpus_pii_scrub",
-# "corpus_shard_by_budget", "dedup_distinct_pairs", "dedup_last_wins",
-# "join_anti_no_orders", "join_asof_last_purchase", "join_brand_revenue",
-# "join_left_outer_nations", "join_range_activity_after_signup",
-# "join_semi_big_spenders", "q10_returned_items", "q14_type_share",
-# "q18_large_orders", "q19_bracket_filter", "q22_idle_rich_customers",
-# "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-# "scalar_case_bucketing", "scalar_date_functions", "scalar_json_extract",
-# "scalar_string_functions", "set_except_quiet_customers",
-# "set_intersect_all_multiplicity", "set_intersect_status",
-# "set_union_tagged", "sort_global_topk", "text_bpe_merge_candidates",
-# "text_doc_freq_topk", "text_gopher_quality", "text_inverted_index",
-# "text_repetition_stats", "text_tfidf_topk", "vector_int8_quantize",
-# "vector_int8_topk", "vector_knn_bruteforce", "vector_neardup_cosine",
-# "vector_norm_stats", "window_lag_lead_events", "window_moving_average",
-# "window_running_total", "window_topk_per_customer" —
-# then the 50 r6 rows (oldest first).
+# Round-9 rotation queue (oldest rows first): the 48 entries whose last
+# green row is r6 —
+# "agg_approx_distinct_error", "agg_approx_quantile_bracket",
+# "agg_countmin_topk", "agg_cube_orders", "agg_distinct_counts",
+# "agg_histogram_totalprice", "agg_hll_rollup_invariant",
+# "agg_rollup_region_nation", "agg_salted_returnflag", "agg_stats_moments",
+# "agg_string_collect", "agg_unpivot_components", "cdc_snapshot_diff",
+# "corpus_chunk_overlap", "corpus_importance_resample",
+# "deid_anonymize_customers", "events_anomaly_zscore",
+# "events_attribution_last_touch", "events_conversion_funnel",
+# "events_daily_gapfill", "events_gini_diversity", "events_retention_cohort",
+# "graph_kcore", "graph_triangle_count", "join_bloom_pruned_revenue",
+# "join_full_outer_nation_wealth", "join_fuzzy_name_match",
+# "join_salted_bigkey", "ml_auc_rank", "ml_threshold_metrics",
+# "q12_priority_by_returnflag", "q13_customer_distribution",
+# "q16_supplier_cnt_by_part_class", "q17_small_quantity_revenue",
+# "q20_promotion_suppliers", "scalar_variant_semistructured",
+# "set_except_all_multiplicity", "text_bpe_encode", "text_dedup_clusters",
+# "text_ngram_jaccard_pairs", "text_repeated_substrings",
+# "text_winnow_fingerprints", "vector_matryoshka_recall",
+# "vector_mmr_select", "window_first_last_nth", "window_range_frame_rolling",
+# "window_rank_distribution", "window_sessionize" —
+# (fits the 50-slot window with 2 spare for changed/new entries; the 50
+# r7 rows rotate in r10).
 
 
 def _ordered() -> list[str]:

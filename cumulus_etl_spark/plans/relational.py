@@ -602,21 +602,11 @@ def set_except_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auto.exceptAll(big.distinct()).distinct()
 
 
-_INTERSECT_ORACLE = """
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-"""
-
-
-@register("set_intersect_status", _INTERSECT_ORACLE, tags=("setop",))
-def set_intersect_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of two filtered key sets."""
-    orders = table(spark, sf_dir, "orders")
-    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    return f.intersect(o)
-
+# RETIRED round 8 (gate-window capacity): plain-INTERSECT entry
+# `set_intersect_status` was subsumed by the strictly stronger
+# `set_intersect_all_multiplicity` (relational2.py, INTERSECT ALL with
+# multiplicity accounting); df.intersect() itself stays pytest-pinned
+# in test_sql_surface.py.
 
 _UNION_ORACLE = """
 SELECT DISTINCT c_custkey AS custkey, 'customer' AS src FROM customer WHERE c_acctbal > 9000

@@ -311,61 +311,12 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANT_ORACLE = """
-WITH ex AS (
-  SELECT vec_id,
-         CAST(UNNEST(range(len(embedding))) AS INTEGER) AS dim,
-         CAST(UNNEST(embedding) AS DOUBLE) AS x
-  FROM embeddings
-), am AS (
-  SELECT dim, MAX(ABS(x)) AS amax FROM ex GROUP BY dim
-), q AS (
-  SELECT ex.dim, am.amax,
-         GREATEST(-127, LEAST(127, CAST(ROUND(x / amax * 127.0) AS INTEGER))) AS code
-  FROM ex JOIN am ON ex.dim = am.dim
-)
-SELECT dim,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(amax, 6) AS amax,
-       CAST(SUM(code) AS BIGINT) AS sum_code,
-       CAST(SUM(code * code) AS BIGINT) AS sum_code_sq,
-       CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
-FROM q
-GROUP BY dim, amax
-"""
-
-
-@register("vector_int8_quantize", _QUANT_ORACLE, tags=("vector", "quantize"))
-def vector_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric per-dimension int8 quantization audit: code-distribution
-    power sums and saturation counts per dimension (the pre-flight check
-    before shipping a quantized ANN index — a skewed sum_code or high
-    n_saturated flags a dimension that needs asymmetric scales).
-
-    Determinism: codes are integers computed by identical double
-    arithmetic on both engines (float→double widening is exact; round()
-    is half-away-from-zero on both), so the integer power sums are exact
-    and order-independent — no float aggregation anywhere. Scale shape:
-    posexplode → one agg on dim (D groups, map-side combined) →
-    broadcast the D-row scale table → arithmetic projection; at 100TB
-    nothing shuffles except the D-row scale agg."""
-    from cumulus_etl_spark.operators.quantize import quantize_int8
-
-    emb = table(spark, sf_dir, "embeddings")
-    q = quantize_int8(emb)
-    code = F.col("code")
-    return (
-        q.groupBy("dim", "amax")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(code.cast("bigint")).alias("sum_code"),
-            F.sum((code * code).cast("bigint")).alias("sum_code_sq"),
-            F.sum(F.when(F.abs(code) == 127, 1).otherwise(0)).cast("bigint").alias("n_saturated"),
-        )
-        .select("dim", "n", F.round("amax", 6).alias("amax"),
-                "sum_code", "sum_code_sq", "n_saturated")
-    )
-
+# RETIRED round 8 (gate-window capacity): the `vector_int8_quantize`
+# audit entry was subsumed by `vector_int8_topk` below, whose oracle
+# re-derives the identical per-dimension amax/code arithmetic before
+# scoring — the quantization math stays hash-proven through that entry,
+# and operators/quantize.py:quantize_int8 stays pytest-pinned in
+# test_quantize.py.
 
 _INT8_TOPK_ORACLE = f"""
 WITH ex AS (

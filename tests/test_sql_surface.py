@@ -32,3 +32,31 @@ def test_view_predicates_push_into_scan(spark, sf_correct):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "doc_id" in plan
+
+
+def test_intersect_distinct_pin(spark, sf_correct):
+    """df.intersect() (INTERSECT DISTINCT) stays pinned after the
+    set_intersect_status catalog entry was retired in round 8: it must
+    equal intersectAll().distinct() and the DuckDB INTERSECT of the same
+    filtered key sets."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.sources import table
+
+    orders = table(spark, sf_correct, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    got = sorted(r[0] for r in f.intersect(o).collect())
+    via_all = sorted(r[0] for r in f.intersectAll(o).distinct().collect())
+    assert got == via_all
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_correct}/orders.parquet')"
+    )
+    oracle = sorted(r[0] for r in con.execute(
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+    ).fetchall())
+    assert got == oracle
