@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
     p_nlp.add_argument("--llm-url", default=None,
                        help="use a chat-completions HTTP endpoint instead of the stub model")
     p_nlp.add_argument("--llm-model", default="gpt-like", help="model name for --llm-url")
+    # provider dialects (ref nlp/models.py set_nlp_config + Model.__init__)
+    p_nlp.add_argument("--provider", choices=("azure", "bedrock", "local"), default=None,
+                       help="cloud/local LLM provider dialect (with --model)")
+    p_nlp.add_argument("--model", dest="model_id", default=None,
+                       help="model config id for --provider (e.g. gpt4o, claude-sonnet45)")
+    p_nlp.add_argument("--azure-deployment", default=None,
+                       help="Azure deployment name override (default: the model id)")
+    p_nlp.add_argument("--bedrock-endpoint", default=None,
+                       help="Bedrock runtime endpoint URL (or BEDROCK_ENDPOINT_URL)")
     p_nlp.add_argument("--batch-url", default=None,
                        help="batch-API base URL (submit/poll instead of synchronous calls)")
 
@@ -791,6 +800,26 @@ def _run_nlp_verb(spark, args) -> dict:
         wait_for_service(args.llm_url)
         if not args.task_config:  # toml tasks already carry their LLM models
             model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
+    elif args.provider:
+        # Cloud/local dialect path (ref models.py Model.__init__ selection):
+        # --provider picks the wire dialect, --model the registry entry.
+        from cumulus_etl_spark.nlp.dialects import DialectLlmModel, make_dialect
+        from cumulus_etl_spark.nlp.http_provider import HttpClient, wait_for_service
+
+        if not args.model_id:
+            raise SystemExit("--provider requires --model (a registry config id)")
+        dialect, _prices = make_dialect(
+            args.provider,
+            args.model_id,
+            deployment=args.azure_deployment,
+            bedrock_endpoint=args.bedrock_endpoint,
+        )
+        if args.provider == "local":
+            # pre-flight: server up AND serving our model id (ref
+            # post_init_check models.py:233-245)
+            wait_for_service(dialect.base_url)
+            dialect.post_init_check(HttpClient())
+        model = DialectLlmModel(dialect=dialect)
     batch_provider = None
     if args.batch_url:
         from cumulus_etl_spark.nlp.http_provider import HttpBatchProvider

@@ -91,6 +91,7 @@ class HttpClient:
 
     def _request(self, url: str, data: bytes | None, method: str) -> dict:
         last_err: Exception | None = None
+        retry_after: float | None = None
         for attempt in range(self.max_retries + 1):
             try:
                 req = urllib.request.Request(
@@ -106,10 +107,20 @@ class HttpClient:
                 if err.code not in RETRYABLE_STATUSES:
                     raise
                 last_err = err
+                # Honor Retry-After on 429/503 (delta-seconds form), the way
+                # the reference's SDKs do — but never past the backoff cap.
+                try:
+                    retry_after = float(err.headers.get("Retry-After", ""))
+                except (TypeError, ValueError):
+                    retry_after = None
             except (urllib.error.URLError, TimeoutError, ConnectionError) as err:
                 last_err = err
+                retry_after = None
             if attempt < self.max_retries:
-                time.sleep(self.backoff * (2**attempt))
+                delay = self.backoff * (2**attempt)
+                if retry_after is not None:
+                    delay = min(max(delay, retry_after), 30.0)
+                time.sleep(delay)
         raise RuntimeError(f"{method} {url} failed after {self.max_retries + 1} tries") from last_err
 
 
