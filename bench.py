@@ -32,6 +32,78 @@ def materialize(df) -> int:
     return int(row["n"])
 
 
+# ---- sf1 scale rig (round-7 verdict ask 3) ----
+#
+# No sf1 testdata exists, so the bench synthesizes one: a 10× key-shifted
+# replication of sf0.1 cached under the repo (gitignored). Every id/key
+# column gets +copy·1e7 so each copy joins only within itself (join
+# fan-outs preserved exactly); `source` is salted per copy (10× the
+# group count for per-source ops); embeddings are cyclically rotated per
+# copy (norms and within-copy geometry preserved, cross-copy cosine
+# decorrelated). Texts replicate VERBATIM — content-dedup ops therefore
+# see 10-sized exact-duplicate clusters, which is a dedup STRESS test on
+# top of the volume scale-up, not pure weak scaling; the scale block
+# says so.
+
+SCALE_COPIES = 10
+# Must exceed every sf0.1 key (max is l_orderkey 149,999) for copy
+# separation, while keeping shifted ids under 2^32 — the graph operators
+# pack node ids into the halves of a 64-bit degree-order key and fail
+# loudly past that (operators/graph.py id-range guard).
+SCALE_OFFSET = 10_000_000
+SCALE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_scale_sf1")
+_SCALE_KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def ensure_scale_dataset(spark, src_dir: str, dst_dir: str) -> bool:
+    """Build (once, cached) the synthetic sf1 replication. Returns True
+    when generation ran this call."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(dst_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return False
+    copies = spark.range(SCALE_COPIES).select(F.col("id").cast("int").alias("__c"))
+    for t in ("region", "nation"):  # dims: single copy
+        spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst_dir}/{t}.parquet"
+        )
+    for t, keys in _SCALE_KEYED.items():
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet").crossJoin(copies)
+        cols = []
+        for f in df.columns:
+            if f == "__c":
+                continue
+            if f in keys:
+                cols.append(
+                    (F.col(f) + F.col("__c").cast("long") * SCALE_OFFSET).alias(f)
+                )
+            elif t == "documents" and f == "source":
+                cols.append(F.concat("source", F.lit("~"), "__c").alias(f))
+            elif t == "embeddings" and f == "embedding":
+                cols.append(
+                    F.expr(
+                        "concat(slice(embedding, __c + 1, size(embedding) - __c),"
+                        " slice(embedding, 1, __c))"
+                    ).alias(f)
+                )
+            else:
+                cols.append(F.col(f))
+        df.select(cols).write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
+    with open(marker, "w") as fh:
+        fh.write(f"copies={SCALE_COPIES} src={src_dir}\n")
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -85,6 +157,68 @@ def main() -> None:
         "text_dedup_clusters", "vector_ann_lsh", "vector_semdedup",
     }
     r6_20 = round(sum(t for n, t in timings.items() if n in r6_set), 3)
+
+    # Regression attribution (round-7 verdict ask 4): r7 recorded
+    # join_asof_last_purchase +35% and q1_pricing_summary +23% vs r6
+    # with IDENTICAL plans. Re-time both with min-of-5 against the r6
+    # driver numbers — if the min recovers to within 15% of r6, the r7
+    # readings were scheduler/load noise, not code.
+    ab_ref_r6 = {"join_asof_last_purchase": 0.48, "q1_pricing_summary": 1.37}
+    ab_ref_r7 = {"join_asof_last_purchase": 0.65, "q1_pricing_summary": 1.68}
+    ab: dict[str, dict] = {}
+    for name, r6_val in ab_ref_r6.items():
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            materialize(CATALOG[name].build(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        verdict = "noise" if best <= r6_val * 1.15 else "real_regression"
+        ab[name] = {
+            "min_of_5": round(best, 3),
+            "r6_driver": r6_val,
+            "r7_driver": ab_ref_r7[name],
+            "verdict": verdict,
+        }
+
+    # sf1 scale block (round-7 verdict ask 3): each headline query once
+    # at the synthetic 10× replication; ratio vs this run's sf0.1
+    # min-of-2. Flag ratio > 15 as superlinear (10× the data should cost
+    # ~10× + shuffle log factors at worst).
+    scale_block = None
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        t0 = time.perf_counter()
+        generated = ensure_scale_dataset(spark, sf_dir, SCALE_DIR)
+        gen_s = round(time.perf_counter() - t0, 3)
+        scale_timings: dict[str, float] = {}
+        for name, q in sorted(bench_queries.items()):
+            t0 = time.perf_counter()
+            materialize(q.build(spark, SCALE_DIR))
+            scale_timings[name] = round(time.perf_counter() - t0, 3)
+        ratios = {
+            n: round(scale_timings[n] / max(timings[n], 1e-3), 1)
+            for n in scale_timings
+        }
+        scale_block = {
+            "sf": 1.0,
+            "mode": (
+                f"{SCALE_COPIES}x key-shifted replication of sf0.1 "
+                "(keys +copy*1e7 so copies join within themselves; "
+                "source salted per copy; embeddings rotated per copy; "
+                "texts verbatim -> content-dedup ops also absorb "
+                "10-sized exact-dup clusters, a dedup stress on top of "
+                "the volume)"
+            ),
+            "generated_this_run": generated,
+            "gen_seconds": gen_s,
+            "timing": "single run per query (sf0.1 side is min-of-2)",
+            "queries": scale_timings,
+            "total_seconds": round(sum(scale_timings.values()), 3),
+            "ratio_vs_sf0.1": ratios,
+            "superlinear_flagged": sorted(
+                n for n, r in ratios.items() if r > 15
+            ),
+        }
+
     print(
         json.dumps(
             {
@@ -95,6 +229,8 @@ def main() -> None:
                 "core14_r1r2_comparable_seconds": core14,
                 "r6_20query_comparable_seconds": r6_20,
                 "sf": sf,
+                "r7_regression_ab": ab,
+                "scale_block": scale_block,
                 "noise": {
                     "timing": "min_of_2_runs_per_query",
                     "loadavg_start": [round(x, 2) for x in load_start],
