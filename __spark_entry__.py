@@ -43,7 +43,13 @@ _GATE_PRIORITY = [
     #    moved into an observe metric — label propagation itself is
     #    untouched; r6 row within SLA) and text_substring_removal (the
     #    stitch fold now accumulates slice pairs instead of strings —
-    #    output byte-identical; r7 row fresh) --
+    #    output byte-identical; r7 row fresh). Also changed-but-not-
+    #    requeued (window full; re-proven green in-session at BOTH
+    #    sf0.01 AND sf0.1 on a vanilla session, queued first for r9):
+    #    vector_semdedup — k now scales max(32, n/64) with a two-level
+    #    IVF-style assignment (the r8 sf1 bench flagged flat fixed-k as
+    #    18x superlinear; sf1 wall 90s -> 18s), oracle rewritten to
+    #    replay the coarse/fine argmin --
     "agg_grouping_sets", "agg_percentiles", "agg_pivot_event_types",
     "corpus_decontaminate", "corpus_domain_mixture", "corpus_pack_sequences",
     "corpus_passage_dedup", "corpus_pii_scrub", "corpus_shard_by_budget",
@@ -63,8 +69,9 @@ _GATE_PRIORITY = [
     "window_running_total", "window_topk_per_customer",
 ]
 
-# Round-9 rotation queue (oldest rows first): the 48 entries whose last
-# green row is r6 —
+# Round-9 rotation queue (oldest rows first): FIRST the r8-changed
+# "vector_semdedup" (two-level assignment, new oracle — see above), then
+# the 48 entries whose last green row is r6 —
 # "agg_approx_distinct_error", "agg_approx_quantile_bracket",
 # "agg_countmin_topk", "agg_cube_orders", "agg_distinct_counts",
 # "agg_histogram_totalprice", "agg_hll_rollup_invariant",

@@ -190,9 +190,15 @@ def main() -> None:
         generated = ensure_scale_dataset(spark, sf_dir, SCALE_DIR)
         gen_s = round(time.perf_counter() - t0, 3)
         scale_timings: dict[str, float] = {}
+        scale_errors: dict[str, str] = {}
         for name, q in sorted(bench_queries.items()):
             t0 = time.perf_counter()
-            materialize(q.build(spark, SCALE_DIR))
+            try:
+                materialize(q.build(spark, SCALE_DIR))
+            except Exception as exc:  # noqa: BLE001 - one bad query must not
+                # cost the round its entire BENCH record
+                scale_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
             scale_timings[name] = round(time.perf_counter() - t0, 3)
         ratios = {
             n: round(scale_timings[n] / max(timings[n], 1e-3), 1)
@@ -217,6 +223,7 @@ def main() -> None:
             "superlinear_flagged": sorted(
                 n for n, r in ratios.items() if r > 15
             ),
+            "errors": scale_errors,
         }
 
     print(

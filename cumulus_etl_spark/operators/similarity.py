@@ -17,6 +17,7 @@ JVM-side; no Python per-row cost.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -416,6 +417,57 @@ def assign_clusters(
     return base.join(best, "id")
 
 
+def assign_clusters_two_level(
+    base: DataFrame,
+    k1: int,
+    k2: int,
+    literal_limit: int = _LITERAL_ASSIGN_LIMIT,
+) -> DataFrame:
+    """IVF-style hierarchical argmin: (id, v) → (id, v, cluster) with
+    cluster = coarse_cell · k2 + fine_rank, giving up to k1·k2 clusters
+    for n·(k1+k2) distance evaluations instead of flat assignment's
+    n·k1·k2.  This is what makes corpus-proportional cluster counts
+    affordable: with k ∝ n and k1 = k2 = ⌈√k⌉, assignment work is
+    O(n·√n) instead of O(n²) — the flat path at k=312 on the round-8
+    synthetic sf1 spent 60+ s in interpreted higher-order-function
+    distance lambdas; this path cuts the evaluation count ~17×.
+
+    Determinism: coarse centroids are the k1 lowest-id vectors; fine
+    centroids are the k2 lowest-id vectors WITHIN each coarse cell
+    (rank by id); both argmins tie-break lexicographically on
+    (distance, centroid index) — the same discipline as
+    ``assign_clusters``, so a SQL oracle replays it with two
+    ROW_NUMBER() windows.
+    """
+    c1 = [
+        r["v"] for r in base.orderBy("id").limit(k1).select("v").collect()
+    ]
+    # coarse cell per vector (literal argmin: k1 is ~√k, always small)
+    coarse = (
+        assign_clusters(base, c1, literal_limit=literal_limit)
+        .select("id", "v", F.col("cluster").alias("sup"))
+        # feeds the fine-centroid pick AND the fine-assign join
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("sup").orderBy("id")
+    cents2 = (
+        coarse.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("sup", (F.col("rn") - 1).alias("r"), F.col("v").alias("cv"))
+    )
+    # fine argmin: each vector meets only ITS cell's ≤k2 sub-centroids
+    scored = coarse.join(F.broadcast(cents2), "sup").select(
+        "id",
+        F.struct(
+            sq_l2(F.col("v"), F.col("cv")).alias("d"), F.col("r").alias("r")
+        ).alias("dc"),
+    )
+    best = scored.groupBy("id").agg(F.min("dc").alias("b"))
+    return coarse.join(best, "id").select(
+        "id", "v", (F.col("sup") * k2 + F.col("b.r")).alias("cluster")
+    )
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 8,
@@ -475,6 +527,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     literal_limit: int = _LITERAL_ASSIGN_LIMIT,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then within each cluster drop every vector that has a
@@ -484,21 +537,33 @@ def semdedup(
     Scale shape: the pairwise comparison is blocked per cluster —
     corpus²/k expected work, never a global cross product; at 100 TB k
     grows with the corpus so cluster populations stay bounded, and the
-    join shuffles once on the cluster id.
+    join shuffles once on the cluster id.  With ``two_level=True`` the
+    assignment itself also stays subquadratic: k1 = k2 = ⌈√k⌉
+    coarse/fine cells via ``assign_clusters_two_level`` (n·2√k distance
+    evals instead of n·k), which is what lets k track the corpus size
+    without the argmin becoming the new quadratic.
 
     Output: one row per vector — (id, cluster, keep).
     """
-    if centroids is None:
-        centroids = first_k_centroids(corpus, k, id_col=id_col, vec_col=vec_col)
     v = as_double_array(vec_col)
     # Normalize ONCE before the pairwise stage: cosine of pre-normalized
     # vectors is a plain dot product, so the O(cluster²) stage does half
     # the arithmetic (no per-pair norms/sqrt). The assignment still runs
     # on the raw vector — centroid distances are L2 in the original space.
     base = corpus.select(F.col(id_col).alias("id"), v.alias("v"))
+    if two_level:
+        if centroids is not None:
+            raise ValueError("two_level picks its own centroids; pass k only")
+        kk = math.isqrt(k - 1) + 1 if k > 1 else 1  # ⌈√k⌉, exact
+        flat_assigned = assign_clusters_two_level(
+            base, kk, kk, literal_limit=literal_limit
+        )
+    else:
+        if centroids is None:
+            centroids = first_k_centroids(corpus, k, id_col=id_col, vec_col=vec_col)
+        flat_assigned = assign_clusters(base, centroids, literal_limit=literal_limit)
     assigned = (
-        assign_clusters(base, centroids, literal_limit=literal_limit)
-        .select("id", "v", "cluster")
+        flat_assigned.select("id", "v", "cluster")
         .withColumn("n", l2_norm(F.col("v")))
         .select(
             "id",

@@ -187,3 +187,89 @@ def test_mmr_select_exact_python_replay(spark):
     assert got[3]["neighbor_id"] == 11
     # pick 3 penalty is max(sim to 10, sim to 12) = 999000
     assert got[3]["mmr_e7"] == 7 * 980_000 - 3 * 999_000
+
+
+def test_assign_clusters_two_level_matches_python_reference(spark, sf_smoke):
+    """Two-level IVF-style assignment: every id assigned exactly once,
+    cluster = sup*k2 + fine_rank, and the whole thing replays in plain
+    Python (coarse argmin over k1 lowest-id vectors, fine argmin over
+    the k2 lowest-id members of the coarse cell, (d, idx) tie-break)."""
+    from cumulus_etl_spark.operators.similarity import (
+        as_double_array,
+        assign_clusters_two_level,
+    )
+    from cumulus_etl_spark.sources import table
+    from pyspark.sql import functions as F
+
+    k1, k2 = 3, 3
+    emb = table(spark, sf_smoke, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), as_double_array("embedding").alias("v")
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters_two_level(base, k1, k2).collect()
+    }
+    vecs = dict(sorted((r["id"], r["v"]) for r in base.collect()))
+    assert len(got) == len(vecs)
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):  # sequential fold, same as the engine
+            acc += (x - y) * (x - y)
+        return acc
+
+    ids = sorted(vecs)
+    c1 = [vecs[i] for i in ids[:k1]]
+    sup = {i: min(range(k1), key=lambda c: (d2(vecs[i], c1[c]), c)) for i in ids}
+    cells: dict[int, list[int]] = {}
+    for i in ids:  # ids sorted -> per-cell lists are id-ordered
+        cells.setdefault(sup[i], []).append(i)
+    for i in ids:
+        subs = cells[sup[i]][:k2]
+        r = min(range(len(subs)), key=lambda j: (d2(vecs[i], vecs[subs[j]]), j))
+        assert got[i] == sup[i] * k2 + r, i
+
+
+def test_semdedup_two_level_same_keep_policy(spark, sf_smoke):
+    """semdedup(two_level=True): same keep-lowest-id-per-cluster policy,
+    just over hierarchical cells — verified against the plain-Python
+    cosine reference within each produced cluster."""
+    import math as _math
+
+    import pytest
+    from cumulus_etl_spark.operators.similarity import as_double_array, semdedup
+    from cumulus_etl_spark.sources import table
+
+    emb = table(spark, sf_smoke, "embeddings")
+    flags = semdedup(emb, k=9, threshold=0.93, two_level=True)
+    rows = {r["id"]: (r["cluster"], r["keep"]) for r in flags.collect()}
+    assert len(rows) == emb.count()
+    vecs = {
+        r["vec_id"]: r["v"]
+        for r in emb.select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cl, _) in rows.items():
+        by_cluster.setdefault(cl, []).append(vid)
+    assert len(by_cluster) <= 9  # k1*k2 = ceil(sqrt(9))^2 = 9 cells max
+    for cl, members in by_cluster.items():
+        assert rows[min(members)][1] is True  # lowest id always kept
+        for vid in members:
+            expect_drop = any(
+                other < vid and cos(vecs[other], vecs[vid]) >= 0.93 - 1e-12
+                for other in members
+            )
+            assert rows[vid][1] == (not expect_drop), (vid, cl)
+
+    with pytest.raises(ValueError, match="two_level picks its own"):
+        semdedup(emb, centroids=[[0.0] * 8], two_level=True)
