@@ -777,14 +777,9 @@ def _run_nlp_verb(spark, args) -> dict:
         if args.task_config
         else [COVID_SYMPTOM_TASK]
     )
-    if args.tasks:
-        wanted = set(args.tasks)
-        tasks = [t for t in tasks if t.name in wanted]
-        missing = wanted - {t.name for t in tasks}
-        if missing:
-            raise SystemExit(f"unknown nlp task(s): {sorted(missing)}")
 
     model = None
+    prebuilt_model_tasks: set = set()  # tasks carrying their own model
     if args.ctakes_url:
         from cumulus_etl_spark.nlp.http_provider import CtakesHttpModel, wait_for_service
 
@@ -820,6 +815,39 @@ def _run_nlp_verb(spark, args) -> dict:
             wait_for_service(dialect.base_url)
             dialect.post_init_check(HttpClient())
         model = DialectLlmModel(dialect=dialect)
+        if not args.task_config:
+            # Register the GPT covid-symptom variant alongside the match
+            # task (ref covid_tasks.py default task set); it carries its
+            # own prompt/schema-configured model.
+            from cumulus_etl_spark.nlp.dialects import openai_response_format
+            from cumulus_etl_spark.nlp.studies import (
+                COVID_GPT_SYSTEM_PROMPT,
+                COVID_GPT_USER_PROMPT,
+                COVID_SYMPTOMS_RESPONSE_SCHEMA,
+                covid_gpt_task,
+            )
+
+            gpt_task = covid_gpt_task(
+                DialectLlmModel(
+                    dialect=dialect,
+                    system_prompt=COVID_GPT_SYSTEM_PROMPT,
+                    user_prompt_template=COVID_GPT_USER_PROMPT,
+                    response_format=openai_response_format(
+                        "CovidSymptoms", COVID_SYMPTOMS_RESPONSE_SCHEMA
+                    ),
+                    unwrap=None,
+                ),
+                model_id=args.model_id,
+            )
+            tasks = tasks + [gpt_task]
+            prebuilt_model_tasks.add(gpt_task.name)
+    if args.tasks:
+        wanted = set(args.tasks)
+        tasks = [t for t in tasks if t.name in wanted]
+        missing = wanted - {t.name for t in tasks}
+        if missing:
+            raise SystemExit(f"unknown nlp task(s): {sorted(missing)}")
+
     batch_provider = None
     if args.batch_url:
         from cumulus_etl_spark.nlp.http_provider import HttpBatchProvider
@@ -839,7 +867,7 @@ def _run_nlp_verb(spark, args) -> dict:
     generated_on = datetime.now(timezone.utc).isoformat()
     summary: dict = {}
     for task in tasks:
-        if model is not None:
+        if model is not None and task.name not in prebuilt_model_tasks:
             task = dataclasses.replace(task, name=task.name, model=model)
         summary[task.name] = task.run(
             spark, docrefs, args.output_dir, args.phi_dir, generated_on,

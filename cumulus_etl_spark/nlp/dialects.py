@@ -581,6 +581,10 @@ class DialectLlmModel:
     system_prompt: str = "Extract symptom matches as a JSON list."
     user_prompt_template: str | None = None
     response_format: dict | None = None
+    # Dict answers: pull this key out (match-list tasks whose object
+    # schema wraps the list); None = return the dict as-is (boolean
+    # struct tasks like the GPT covid study).
+    unwrap: str | None = "matches"
     concurrency: int = 4
     client: HttpClient = field(default_factory=HttpClient)
     stats: TokenStats = field(default_factory=TokenStats)
@@ -617,7 +621,9 @@ class DialectLlmModel:
             call_stats.new_input_tokens + call_stats.cache_read_input_tokens,
             call_stats.output_tokens,
         )
-        return answer if isinstance(answer, list) else answer.get("matches", [])
+        if isinstance(answer, dict) and self.unwrap is not None:
+            return answer.get(self.unwrap, [])
+        return answer
 
     def __getstate__(self):
         # run_model pickles the model into its mapInPandas closure; locks

@@ -27,6 +27,11 @@ class StudyTask:
     # (system → codes) allow-list for note type/category; None = all notes
     note_codings: dict | None = None
     filter_fields: tuple[str, ...] = ("type", "category")
+    # JSON schema → structured-extraction envelope (one typed struct row
+    # per note in `result_col`) instead of the match explode; see
+    # run_nlp_task (ref BaseCovidGptTask covid_tasks.py:244-329)
+    response_schema: dict | None = None
+    result_col: str = "result"
 
     def run(
         self,
@@ -50,6 +55,8 @@ class StudyTask:
             phi_dir,
             generated_on,
             batch_provider=batch_provider,
+            response_schema=self.response_schema,
+            result_col=self.result_col,
         )
 
 
@@ -70,6 +77,103 @@ COVID_SYMPTOM_TASK = StudyTask(
     model=StubSymptomModel(),
     note_codings=ED_NOTE_CODINGS,
 )
+
+# --- GPT covid-symptom variant (ref covid_tasks.py:230-331) ---------------
+#
+# The reference's CovidSymptomNlpResultsGpt{35,4}Task asks a chat model
+# eleven yes/no symptom questions and lands one boolean-struct row per
+# note.  Field names and the symptom/synonym vocabulary below are the
+# study's public CDC symptom list as the reference encodes it
+# (CovidSymptoms pydantic model covid_tasks.py:230-242; prompt
+# covid_tasks.py:249-295) — config data required for output parity,
+# same stance as the deid zip/extension lists.
+
+COVID_SYMPTOM_FIELDS = (
+    "Congestion or runny nose",
+    "Cough",
+    "Diarrhea",
+    "Dyspnea",
+    "Fatigue",
+    "Fever or chills",
+    "Headache",
+    "Loss of taste or smell",
+    "Muscle or body aches",
+    "Nausea or vomiting",
+    "Sore throat",
+)
+
+COVID_SYMPTOMS_RESPONSE_SCHEMA = {
+    "type": "object",
+    "properties": {f: {"type": "boolean"} for f in COVID_SYMPTOM_FIELDS},
+    "required": list(COVID_SYMPTOM_FIELDS),
+    "additionalProperties": False,
+}
+
+COVID_GPT_SYSTEM_PROMPT = "You are a helpful assistant."
+
+# Condensed from the reference prompt (covid_tasks.py:249-295): same
+# instructions, section-heading rule, synonym rule, and JSON contract;
+# the full synonym expansion rides in through the response schema +
+# symptom list rather than a wall of quoted strings.
+COVID_GPT_USER_PROMPT = (
+    "### Instructions ###\n"
+    "You are a helpful assistant identifying symptoms from emergency "
+    "department notes that could relate to infectious respiratory "
+    "diseases.\nOutput positively documented symptoms, looking out "
+    "specifically for the following: " + ", ".join(COVID_SYMPTOM_FIELDS) + ".\n"
+    "Symptoms only need to be positively mentioned once to be included.\n"
+    "Do not mention symptoms that are not present in the note.\n"
+    "Rule (1): Symptoms must be positively documented and relevant to "
+    "the presenting illness or reason for visit.\n"
+    "Rule (2): Medical section headings must be specific to the present "
+    "emergency department encounter.\n"
+    "Rule (3): Positive symptom mentions must be a definite medical "
+    "synonym.\nYour reply must be parsable as JSON, one boolean per "
+    "symptom name. Never explain yourself, and only reply with JSON.\n"
+    "### Text ###\n"
+    "%CLINICAL-NOTE%"
+)
+
+
+class StubCovidBooleanModel:
+    """Deterministic offline stand-in for the GPT covid model: keyword
+    scan → the eleven-field boolean dict (same contract as the real
+    dialect model, so the struct envelope is testable without network)."""
+
+    _KEYWORDS = {
+        "Congestion or runny nose": ("congestion", "runny nose", "rhinorrhea"),
+        "Cough": ("cough",),
+        "Diarrhea": ("diarrhea",),
+        "Dyspnea": ("dyspnea", "shortness of breath", "sob"),
+        "Fatigue": ("fatigue", "tired", "malaise"),
+        "Fever or chills": ("fever", "chills", "pyrexia"),
+        "Headache": ("headache", "migraine"),
+        "Loss of taste or smell": ("anosmia", "loss of taste", "loss of smell"),
+        "Muscle or body aches": ("myalgia", "body aches", "muscle aches"),
+        "Nausea or vomiting": ("nausea", "vomiting", "emesis"),
+        "Sore throat": ("sore throat", "pharyngitis"),
+    }
+
+    def __call__(self, text: str | None) -> dict:
+        lower = (text or "").lower()
+        return {
+            f: any(k in lower for k in keys) for f, keys in self._KEYWORDS.items()
+        }
+
+
+def covid_gpt_task(model=None, model_id: str = "gpt4", version: int = 3) -> StudyTask:
+    """Build the GPT covid-symptom task for any chat model-callable
+    (ref CovidSymptomNlpResultsGpt4Task covid_tasks.py:348-360; version
+    3 is the reference's current serialized format).  ``model`` defaults
+    to the deterministic keyword stub for offline runs."""
+    return StudyTask(
+        name=f"covid_symptom__nlp_results_{model_id.replace('-', '_').replace('.', '')}",
+        task_version=version,
+        model=model or StubCovidBooleanModel(),
+        note_codings=ED_NOTE_CODINGS,
+        response_schema=COVID_SYMPTOMS_RESPONSE_SCHEMA,
+        result_col="symptoms",
+    )
 
 
 def load_study_tasks(
@@ -150,7 +254,14 @@ def load_study_tasks(
                     )
                 else:
                     model = StubSymptomModel()  # offline fallback, deterministic
-                out.append(StudyTask(name=task_name, task_version=version, model=model))
+                out.append(
+                    StudyTask(
+                        name=task_name,
+                        task_version=version,
+                        model=model,
+                        response_schema=response_schema,
+                    )
+                )
         return out
 
     out = []

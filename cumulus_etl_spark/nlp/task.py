@@ -37,6 +37,8 @@ def run_nlp_task(
     phi_dir: str,
     generated_on: str,
     batch_provider=None,
+    response_schema: dict | None = None,
+    result_col: str = "result",
 ) -> dict:
     """Run one NLP study task over DocumentReference rows. Returns funnel
     counters (A3: seen/with_text/from_cache/model_called).
@@ -46,6 +48,12 @@ def run_nlp_task(
     of synchronous mapInPandas calls — the reference's batch mode
     (nlp_task.py:199-222): results land in the cache first, then the
     normal cache-first flow proceeds.
+
+    With ``response_schema`` set (a JSON schema), the task is a
+    structured-extraction task (ref BaseCovidGptTask covid_tasks.py:
+    244-329 and the dynamic-TOML tasks): the model's JSON answer is
+    parsed against the compiled schema into ONE typed struct row per
+    note (column ``result_col``), instead of the match-explode envelope.
     """
     all_notes = extract_note_text(docrefs)
     # A3 funnel: one aggregate job for seen + with_text instead of two
@@ -105,37 +113,58 @@ def run_nlp_task(
     # as the replacement group key; anon is deterministic, so re-runs
     # still replace the same group.
     salt = Codebook(phi_dir).salt
-    result = scored.select(
+    envelope = scored.select(
         F.concat(F.lit("DocumentReference/"), anon_id(F.col("id"), salt)).alias("note_ref"),
         anon_ref(F.col("encounter_ref_src"), salt).alias("encounter_ref"),
         anon_ref(F.col("subject_ref_src"), salt).alias("subject_ref"),
         F.lit(generated_on).alias("generated_on"),
         F.lit(task_version).alias("task_version"),
-        F.from_json(F.col("result"), MATCH_SCHEMA).alias("matches"),
+        F.col("result"),
     )
-    # one row per match; a no-match note keeps one null row so "processed,
-    # found nothing" is distinguishable from "never processed"
-    # (ref covid_ctakes.py:141-147)
-    exploded = result.select(
-        "*", F.explode_outer("matches").alias("match")
-    ).drop("matches")
-    rows = exploded.select(
-        F.sha2(
-            F.concat_ws(
-                "|",
-                "note_ref",
-                F.coalesce(F.col("match.code"), F.lit("-")),
-                F.coalesce(F.col("match.begin").cast("string"), F.lit("-")),
+    if response_schema is not None:
+        # Structured-extraction envelope: one typed row per note, the
+        # anon docref id doubling as the row id (ref covid_tasks.py:
+        # 300-329 — id == docref_id, `symptoms` struct per note).
+        from cumulus_etl_spark.nlp.response_schema import compile_response_schema
+
+        rows = envelope.select(
+            F.regexp_replace("note_ref", "^DocumentReference/", "").alias("id"),
+            "note_ref",
+            "encounter_ref",
+            "subject_ref",
+            "generated_on",
+            "task_version",
+            F.from_json(F.col("result"), compile_response_schema(response_schema)).alias(
+                result_col
             ),
-            256,
-        ).alias("id"),
-        "note_ref",
-        "encounter_ref",
-        "subject_ref",
-        "generated_on",
-        "task_version",
-        "match",
-    )
+        )
+    else:
+        result = envelope.withColumn(
+            "matches", F.from_json(F.col("result"), MATCH_SCHEMA)
+        ).drop("result")
+        # one row per match; a no-match note keeps one null row so
+        # "processed, found nothing" is distinguishable from "never
+        # processed" (ref covid_ctakes.py:141-147)
+        exploded = result.select(
+            "*", F.explode_outer("matches").alias("match")
+        ).drop("matches")
+        rows = exploded.select(
+            F.sha2(
+                F.concat_ws(
+                    "|",
+                    "note_ref",
+                    F.coalesce(F.col("match.code"), F.lit("-")),
+                    F.coalesce(F.col("match.begin").cast("string"), F.lit("-")),
+                ),
+                256,
+            ).alias("id"),
+            "note_ref",
+            "encounter_ref",
+            "subject_ref",
+            "generated_on",
+            "task_version",
+            "match",
+        )
 
     table = ManagedTable(spark, output_dir, task_name)
     table.merge(rows, NLP_POLICY)

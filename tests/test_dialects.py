@@ -360,12 +360,25 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if "/chat/completions" in self.path:
             text = req["messages"][-1]["content"]
+            fmt_name = (
+                req.get("response_format", {}).get("json_schema", {}).get("name")
+            )
+            if fmt_name == "CovidSymptoms":
+                from cumulus_etl_spark.nlp.studies import StubCovidBooleanModel
+
+                # scan only the note body, not the instruction text that
+                # itself names every symptom (a real LLM reads instructions;
+                # a keyword stub must not)
+                note = text.split("### Text ###")[-1]
+                content = json.dumps(StubCovidBooleanModel()(note))
+            else:
+                content = json.dumps(_matches(text))
             self._json(
                 {
                     "choices": [
                         {
                             "finish_reason": "stop",
-                            "message": {"content": json.dumps(_matches(text))},
+                            "message": {"content": content},
                         }
                     ],
                     "usage": {"prompt_tokens": 11, "completion_tokens": 4},
@@ -498,3 +511,58 @@ def test_nlp_cli_end_to_end_with_local_provider(
     rows = ManagedTable(spark, out, "covid_symptom__nlp_results").read().collect()
     found = {r["match"]["text"] for r in rows if r["match"] is not None}
     assert found == {"cough"}
+
+    # the GPT covid variant ran alongside (ref covid study default task
+    # set) with its boolean-struct envelope: one typed row per note
+    assert summary["covid_symptom__nlp_results_gpt_oss_120b"]["model_called"] == 2
+    grows = ManagedTable(
+        spark, out, "covid_symptom__nlp_results_gpt_oss_120b"
+    ).read().collect()
+    assert len(grows) == 2
+    coughs = sorted(r["symptoms"]["Cough"] for r in grows)
+    assert coughs == [False, True]
+    assert all(r["symptoms"]["Diarrhea"] is False for r in grows)
+    assert all(r["id"] == r["note_ref"].split("/")[1] for r in grows)
+
+
+def test_covid_gpt_task_offline_stub(spark, tmp_path, capsys):
+    """covid_gpt_task with the deterministic keyword stub: struct
+    envelope lands without any HTTP model (offline parity of ref
+    covid_tasks.py:244-329)."""
+    from cumulus_etl_spark.nlp.studies import covid_gpt_task
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    in_dir = str(tmp_path / "in")
+    ed_type = {"coding": [{"system": "http://loinc.org", "code": "34111-5"}]}
+    docs = [
+        docref("n1", text="fever, myalgia and a dry cough"),
+        docref("n2", text="ankle sprain"),
+    ]
+    for d in docs:
+        d["type"] = ed_type
+    write_ndjson(in_dir, "docs.ndjson", docs)
+
+    from cumulus_etl_spark.sources import scan_resources
+
+    task = covid_gpt_task(model_id="gpt4")
+    assert task.name == "covid_symptom__nlp_results_gpt4"
+    assert task.task_version == 3
+    docrefs = scan_resources(spark, in_dir, ["DocumentReference"])
+    summary = task.run(
+        spark, docrefs, str(tmp_path / "out"), str(tmp_path / "phi"), "2026-01-01"
+    )
+    assert summary["model_called"] == 2
+    rows = ManagedTable(
+        spark, str(tmp_path / "out"), "covid_symptom__nlp_results_gpt4"
+    ).read().collect()
+    assert len(rows) == 2
+    by_fever = {r["symptoms"]["Fever or chills"]: r for r in rows}
+    assert by_fever[True]["symptoms"]["Muscle or body aches"] is True
+    assert by_fever[True]["symptoms"]["Sore throat"] is False
+    assert by_fever[False]["symptoms"]["Cough"] is False
+    # every field present and boolean-typed (schema-compiled struct)
+    from cumulus_etl_spark.nlp.studies import COVID_SYMPTOM_FIELDS
+
+    assert set(rows[0]["symptoms"].asDict()) == set(COVID_SYMPTOM_FIELDS)
