@@ -69,9 +69,11 @@ _GATE_PRIORITY = [
     "window_running_total", "window_topk_per_customer",
 ]
 
-# Round-9 rotation queue (oldest rows first): FIRST the r8-changed
-# "vector_semdedup" (two-level assignment, new oracle — see above), then
-# the 48 entries whose last green row is r6 —
+# Round-9 rotation queue (oldest rows first): FIRST the never-gated
+# r8 addition "text_lm_surprisal" (CCNet-style bigram-LM quality score,
+# integer-log2 surprisal) and the r8-changed "vector_semdedup"
+# (two-level assignment, new oracle — see above), then the 48 entries
+# whose last green row is r6 (2 + 48 = exactly the 50-slot window) —
 # "agg_approx_distinct_error", "agg_approx_quantile_bracket",
 # "agg_countmin_topk", "agg_cube_orders", "agg_distinct_counts",
 # "agg_histogram_totalprice", "agg_hll_rollup_invariant",

@@ -151,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--source-col", default="source",
                           help="grouping column for --dedup-lines "
                                "line-frequency counting")
+    p_corpus.add_argument("--drop-surprisal-permille", type=int, default=None,
+                          metavar="P",
+                          help="CCNet-style LM quality filter: score every "
+                               "doc by corpus-trained bigram surprisal and "
+                               "drop the most-surprising P per mille "
+                               "(threshold via approx percentile)")
 
     p_dedup = sub.add_parser(
         "dedup-index",
@@ -434,6 +440,32 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 .filter(_F.col("n_tokens") > 0)
             )
+        if args.drop_surprisal_permille:
+            from pyspark.sql import functions as _F
+
+            from cumulus_etl_spark.operators.textstats import lm_surprisal_scores
+
+            scores = lm_surprisal_scores(
+                survivors, id_col=args.id_col, text_col=args.text_col
+            ).localCheckpoint(eager=True)  # threshold quantile + filter join
+            # approx percentile threshold (CCNet buckets by perplexity the
+            # same way); P per mille of the SCORED docs drop
+            frac = 1.0 - args.drop_surprisal_permille / 1000.0
+            cut = scores.agg(
+                _F.percentile_approx("score_milli", frac).alias("t")
+            ).collect()[0]["t"]
+            # anti-join on the DROP set: docs too short to score (no
+            # bigrams) are not penalized
+            drop_ids = scores.filter(_F.col("score_milli") > _F.lit(cut)).select(
+                args.id_col
+            )
+            n_dropped = drop_ids.count()
+            survivors = survivors.join(drop_ids, args.id_col, "anti")
+            report["surprisal_filter"] = {
+                "permille": args.drop_surprisal_permille,
+                "score_milli_cutoff": int(cut),
+                "dropped": int(n_dropped),
+            }
         part_cols = ["shard_id"]
         if args.split:
             from cumulus_etl_spark.operators.corpus import hash_split

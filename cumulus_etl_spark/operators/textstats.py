@@ -383,3 +383,60 @@ def winnow_fingerprints(
             "pos"
         ),
     ).distinct()
+
+
+def lm_surprisal_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style bigram-LM quality scores (Wenzek et al. 2020 rank web
+    text by LM perplexity): train a bigram model ON the corpus, score
+    each document by its mean per-bigram surprisal. Returns one row per
+    scoreable doc: (id_col, n_bigrams, surprisal_sum, score_milli) —
+    higher score = more out-of-distribution (lower quality for a
+    corpus-conformity filter).
+
+    Surprisal is the INTEGER log2 — ilog2(x) = length(bin(x)) − 1 —
+    so surprisal(w1,w2) = ilog2(c(w1)+V) − ilog2(c(w1,w2)) with add-V
+    smoothing (V = distinct left contexts); exact in any engine, no
+    float log. score_milli = (sum·1000) div count stays integral.
+
+    Scale shape: explode → two counted groupBys (map-side partials) →
+    joins back on (w1,w2)/(w1) → per-doc agg; the bigram frame is
+    pinned once for its four consumers; V rides in as a broadcast
+    1-row frame. At 100 TB, threshold/cap the count tables (pruned-LM
+    practice; unseen bigrams score as c=1).
+    """
+    words = docs.filter(F.trim(text_col) != "").select(
+        F.col(id_col), F.split(F.lower(F.trim(text_col)), r"\s+").alias("w")
+    )
+    bi = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+        .localCheckpoint(eager=False)  # feeds c2, c1, vocab AND the scoring join
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bi.agg(F.countDistinct("w1").alias("v"))
+    s = (F.length(F.bin(F.col("c1") + F.col("v"))) - 1) - (
+        F.length(F.bin(F.col("c2"))) - 1
+    )
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, s.alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s").alias("surprisal_sum"),
+        F.expr("(sum(s) * 1000) div count(1)").alias("score_milli"),
+    )

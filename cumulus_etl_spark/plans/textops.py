@@ -547,6 +547,77 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SURPRISAL_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), bigrams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM words WHERE len(w) >= 2)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM bigrams
+), scored AS (
+  -- ilog2(x) = length(bin(x)) - 1, exact in both engines; surprisal of
+  -- (w1, w2) ~= ilog2(c(w1) + V) - ilog2(c(w1, w2))
+  SELECT b.doc_id,
+         (length(bin(c1.c1 + (SELECT v FROM vocab))) - 1)
+       - (length(bin(c2.c2)) - 1) AS s
+  FROM bigrams b
+  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+       CAST((SUM(s) * 1000) // COUNT(*) AS BIGINT) AS score_milli
+FROM scored GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id
+LIMIT 25
+"""
+
+
+@register(
+    "text_lm_surprisal", _LM_SURPRISAL_ORACLE, tags=("text", "quality"), bench=True
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality filter (Wenzek et al. 2020 rank
+    web text by LM perplexity; the reference pipeline has no analog —
+    this is part of the beyond-parity training-data suite): train a
+    bigram model ON the corpus, score every document by its mean
+    per-bigram surprisal, surface the 25 most-surprising (lowest-
+    quality / most out-of-distribution) docs.
+
+    Exactness: floating log is banned in hash-checked outputs, so
+    surprisal uses the INTEGER log2 — ilog2(x) = length(bin(x)) − 1 —
+    giving surprisal(w1,w2) = ilog2(c(w1)+V) − ilog2(c(w1,w2)) (add-V
+    smoothing in the denominator count; V = distinct left contexts).
+    Quantized to whole bits it still ranks burst-of-rare-bigrams text
+    far above templated text, and it replays bit-for-bit in DuckDB.
+    The per-doc mean is kept integral as (sum·1000) div count.
+
+    Scale shape: explode → two counted groupBys (map-side partials) →
+    two shuffle joins back on (w1,w2)/(w1) → per-doc agg; the bigram
+    frame is pinned once and feeds all four consumers. V rides in as a
+    broadcast 1-row frame, not a driver scalar. At 100 TB the model
+    tables get a min-count threshold / top-V vocabulary cap (standard
+    pruned-LM practice, keeps them broadcastable; unseen bigrams score
+    as c2=1) — at bench scale the exact unpruned model is used so the
+    oracle replays it. Library form: `operators/textstats.py:
+    lm_surprisal_scores` (the `corpus --drop-surprisal-permille`
+    cleaning stage)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        T.lm_surprisal_scores(d, id_col="doc_id", text_col="text")
+        .orderBy(F.desc("score_milli"), "doc_id")
+        .limit(25)
+    )
+
+
 _BPE_ORACLE = r"""
 WITH words AS (
   SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

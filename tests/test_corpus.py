@@ -971,3 +971,67 @@ def test_corpus_cli_line_dedup(spark, tmp_path, capsys):
     assert texts and all(nav not in t and "footer all rights" not in t for t in texts)
     assert all(f"w{r['doc_id']}x0" in r["text"]
                for r in spark.read.parquet(out).collect())
+
+
+def test_lm_surprisal_ranks_ood_doc_first(spark, tmp_path):
+    """Planted corpus: many templated docs sharing high-count bigrams +
+    one out-of-distribution gibberish doc. The bigram-LM surprisal
+    score must put the OOD doc first, templated docs last."""
+    from cumulus_etl_spark.plans import CATALOG
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, "web", template) for i in range(12)]
+    rows.append((100, "web", "zxq vrbl ktt plonk zxq gribble vrbl snork"))
+    # a half-templated doc should land between the two extremes
+    rows.append((101, "web", template + " zxq vrbl ktt plonk"))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = CATALOG["text_lm_surprisal"].build(spark, str(tmp_path)).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 100  # pure OOD doc is most surprising
+    assert ranked[1] == 101  # mixed doc second
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[100]["score_milli"] > by_id[101]["score_milli"]
+    assert by_id[101]["score_milli"] > by_id[0]["score_milli"]
+    # per-doc bigram accounting: template has 12 tokens -> 11 bigrams
+    assert by_id[0]["n_bigrams"] == 11
+
+
+def test_corpus_cli_surprisal_filter(spark, tmp_path, capsys):
+    """corpus --drop-surprisal-permille: the planted OOD doc (gibberish
+    bigrams) is dropped; templated docs survive; report carries the
+    cutoff + drop count."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "corpus-out")
+    # 40 docs share an 8-word template prefix (high-count bigrams -> low
+    # surprisal) + 12 unique-tail words each (Jaccard ~0.25 between docs,
+    # so exact AND fuzzy dedup keep them all); doc 99 is ALL unique
+    # bigrams -> strictly the highest mean surprisal.
+    prefix = "share this exact template prefix across docs now"
+    rows = [
+        (i, prefix + " " + " ".join(f"u{i}w{j}" for j in range(12)), "s")
+        for i in range(40)
+    ]
+    rows.append((99, " ".join(f"z{j}q z{j}r" for j in range(7)), "s"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main([
+        "corpus", src, out, "--shard-tokens", "400", "--lang", "any",
+        "--drop-surprisal-permille", "30",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["surprisal_filter"]["permille"] == 30
+    assert summary["surprisal_filter"]["dropped"] >= 1
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert 99 not in ids        # the OOD doc is gone
+    assert 0 in ids and 39 in ids  # templated docs survive
