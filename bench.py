@@ -179,6 +179,12 @@ def main() -> None:
             "r7_driver": ab_ref_r7[name],
             "verdict": verdict,
         }
+    if ab:
+        ab["note"] = (
+            "r6/r7 baselines are absolute seconds from the round driver's "
+            "host; the verdict is only meaningful there (loadavg recorded "
+            "in the noise block). One-shot r8 attribution rig."
+        )
 
     # sf1 scale block (round-7 verdict ask 3): each headline query once
     # at the synthetic 10× replication; ratio vs this run's sf0.1

@@ -454,18 +454,25 @@ def main(argv: list[str] | None = None) -> int:
             cut = scores.agg(
                 _F.percentile_approx("score_milli", frac).alias("t")
             ).collect()[0]["t"]
-            # anti-join on the DROP set: docs too short to score (no
-            # bigrams) are not penalized
-            drop_ids = scores.filter(_F.col("score_milli") > _F.lit(cut)).select(
-                args.id_col
-            )
-            n_dropped = drop_ids.count()
-            survivors = survivors.join(drop_ids, args.id_col, "anti")
-            report["surprisal_filter"] = {
-                "permille": args.drop_surprisal_permille,
-                "score_milli_cutoff": int(cut),
-                "dropped": int(n_dropped),
-            }
+            if cut is None:  # nothing scoreable (no doc has >= 2 tokens)
+                report["surprisal_filter"] = {
+                    "permille": args.drop_surprisal_permille,
+                    "score_milli_cutoff": None,
+                    "dropped": 0,
+                }
+            else:
+                # anti-join on the DROP set: docs too short to score (no
+                # bigrams) are not penalized
+                drop_ids = scores.filter(
+                    _F.col("score_milli") > _F.lit(cut)
+                ).select(args.id_col)
+                n_dropped = drop_ids.count()
+                survivors = survivors.join(drop_ids, args.id_col, "anti")
+                report["surprisal_filter"] = {
+                    "permille": args.drop_surprisal_permille,
+                    "score_milli_cutoff": int(cut),
+                    "dropped": int(n_dropped),
+                }
         part_cols = ["shard_id"]
         if args.split:
             from cumulus_etl_spark.operators.corpus import hash_split
@@ -804,8 +811,30 @@ def _run_nlp_verb(spark, args) -> dict:
     from cumulus_etl_spark.nlp.studies import COVID_SYMPTOM_TASK, load_study_tasks
     from cumulus_etl_spark.sources import scan_resources
 
+    # Resolve the provider dialect FIRST so TOML tasks can be built on it
+    # (each task keeps its own prompts/response format; ref models.py
+    # Model.__init__ selection).
+    dialect = None
+    if args.provider:
+        from cumulus_etl_spark.nlp.dialects import make_dialect
+        from cumulus_etl_spark.nlp.http_provider import HttpClient, wait_for_service
+
+        if not args.model_id:
+            raise SystemExit("--provider requires --model (a registry config id)")
+        dialect, _prices = make_dialect(
+            args.provider,
+            args.model_id,
+            deployment=args.azure_deployment,
+            bedrock_endpoint=args.bedrock_endpoint,
+        )
+        if args.provider == "local":
+            # pre-flight: server up AND serving our model id (ref
+            # post_init_check models.py:233-245)
+            wait_for_service(dialect.base_url)
+            dialect.post_init_check(HttpClient())
+
     tasks = (
-        load_study_tasks(args.task_config, llm_url=args.llm_url)
+        load_study_tasks(args.task_config, llm_url=args.llm_url, dialect=dialect)
         if args.task_config
         else [COVID_SYMPTOM_TASK]
     )
@@ -827,52 +856,37 @@ def _run_nlp_verb(spark, args) -> dict:
         wait_for_service(args.llm_url)
         if not args.task_config:  # toml tasks already carry their LLM models
             model = LlmHttpModel(url=args.llm_url, model_name=args.llm_model)
-    elif args.provider:
-        # Cloud/local dialect path (ref models.py Model.__init__ selection):
-        # --provider picks the wire dialect, --model the registry entry.
-        from cumulus_etl_spark.nlp.dialects import DialectLlmModel, make_dialect
-        from cumulus_etl_spark.nlp.http_provider import HttpClient, wait_for_service
-
-        if not args.model_id:
-            raise SystemExit("--provider requires --model (a registry config id)")
-        dialect, _prices = make_dialect(
-            args.provider,
-            args.model_id,
-            deployment=args.azure_deployment,
-            bedrock_endpoint=args.bedrock_endpoint,
+    elif dialect is not None and not args.task_config:
+        # toml tasks were already built ON the dialect above; the default
+        # covid study gets a generic dialect model for the match task plus
+        # the GPT covid-symptom variant with its own prompt/schema model
+        # (ref covid_tasks.py default task set).
+        from cumulus_etl_spark.nlp.dialects import (
+            DialectLlmModel,
+            openai_response_format,
         )
-        if args.provider == "local":
-            # pre-flight: server up AND serving our model id (ref
-            # post_init_check models.py:233-245)
-            wait_for_service(dialect.base_url)
-            dialect.post_init_check(HttpClient())
-        model = DialectLlmModel(dialect=dialect)
-        if not args.task_config:
-            # Register the GPT covid-symptom variant alongside the match
-            # task (ref covid_tasks.py default task set); it carries its
-            # own prompt/schema-configured model.
-            from cumulus_etl_spark.nlp.dialects import openai_response_format
-            from cumulus_etl_spark.nlp.studies import (
-                COVID_GPT_SYSTEM_PROMPT,
-                COVID_GPT_USER_PROMPT,
-                COVID_SYMPTOMS_RESPONSE_SCHEMA,
-                covid_gpt_task,
-            )
+        from cumulus_etl_spark.nlp.studies import (
+            COVID_GPT_SYSTEM_PROMPT,
+            COVID_GPT_USER_PROMPT,
+            COVID_SYMPTOMS_RESPONSE_SCHEMA,
+            covid_gpt_task,
+        )
 
-            gpt_task = covid_gpt_task(
-                DialectLlmModel(
-                    dialect=dialect,
-                    system_prompt=COVID_GPT_SYSTEM_PROMPT,
-                    user_prompt_template=COVID_GPT_USER_PROMPT,
-                    response_format=openai_response_format(
-                        "CovidSymptoms", COVID_SYMPTOMS_RESPONSE_SCHEMA
-                    ),
-                    unwrap=None,
+        model = DialectLlmModel(dialect=dialect)
+        gpt_task = covid_gpt_task(
+            DialectLlmModel(
+                dialect=dialect,
+                system_prompt=COVID_GPT_SYSTEM_PROMPT,
+                user_prompt_template=COVID_GPT_USER_PROMPT,
+                response_format=openai_response_format(
+                    "CovidSymptoms", COVID_SYMPTOMS_RESPONSE_SCHEMA
                 ),
-                model_id=args.model_id,
-            )
-            tasks = tasks + [gpt_task]
-            prebuilt_model_tasks.add(gpt_task.name)
+                unwrap=None,
+            ),
+            model_id=args.model_id,
+        )
+        tasks = tasks + [gpt_task]
+        prebuilt_model_tasks.add(gpt_task.name)
     if args.tasks:
         wanted = set(args.tasks)
         tasks = [t for t in tasks if t.name in wanted]

@@ -131,10 +131,6 @@ class OpenAICompatDialect:
     def request(
         self, system: str, user: str, response_format: dict | None
     ) -> tuple[str, dict, dict]:
-        if response_format and self.supports_schema:
-            fmt = response_format
-        else:
-            fmt = {"type": "json_object"}
         payload = {
             "model": self.deployment,
             "messages": [
@@ -143,8 +139,17 @@ class OpenAICompatDialect:
             ],
             "seed": 12345,  # arbitrary; pinned for reproducibility (ref :271)
             "temperature": 0,
-            "response_format": fmt,
         }
+        if response_format:
+            # schema-less servers degrade to plain json_object mode (ref
+            # models.py:262-265). With NO format requested, omit the key
+            # entirely — json_object mode forces a top-level object, which
+            # would make list-shaped answers (match envelopes) impossible.
+            payload["response_format"] = (
+                response_format
+                if self.supports_schema
+                else {"type": "json_object"}
+            )
         return self.completions_url(), self._headers(), payload
 
     # -- parse -------------------------------------------------------------

@@ -217,14 +217,17 @@ class LlmHttpModel:
             payload["response_format"] = self.response_format
         return self.client.post_json(self.url, payload)
 
-    def __call__(self, text: str | None) -> list[dict]:
+    def __call__(self, text: str | None) -> list | dict:
         if not text:
             return []
         resp = self._prompt(text)
         self._last_usage[text] = resp.get("usage") or {}
         content = resp["choices"][0]["message"]["content"]
-        matches = json.loads(content)
-        return matches if isinstance(matches, list) else []
+        answer = json.loads(content)
+        # Lists are match envelopes; dicts are structured-extraction
+        # answers (object response schemas) and must pass through whole —
+        # run_nlp_task parses them against the task's compiled schema.
+        return answer if isinstance(answer, (list, dict)) else []
 
     def usage(self, text: str | None) -> tuple[int, int]:
         u = self._last_usage.get(text) or {}

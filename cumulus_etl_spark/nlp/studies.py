@@ -181,6 +181,7 @@ def load_study_tasks(
     models: dict | None = None,
     llm_url: str | None = None,
     prefix: str | None = None,
+    dialect=None,
 ) -> list[StudyTask]:
     """Dynamic task loading from a study tasks.toml.
 
@@ -194,10 +195,11 @@ def load_study_tasks(
        serialized form replaces ``%JSON-SCHEMA%`` in the system prompt).
        One StudyTask is emitted per (task × model) as
        ``{prefix}__nlp[_{name}]_{model_id}`` — prefix defaults to the
-       toml's directory name (the study). With ``llm_url`` set each task
-       gets a chat-completions model carrying its prompts and response
-       format; without it, a deterministic stub stands in (offline runs,
-       CI).
+       toml's directory name (the study). With ``dialect`` set (the
+       ``--provider`` path) each task gets a provider-dialect model
+       carrying its prompts and response format; else with ``llm_url``
+       a plain chat-completions model; without either, a deterministic
+       stub stands in (offline runs, CI).
     2. The compact legacy form: ``[tasks.<name>]`` blocks with
        ``version`` / ``model`` / ``terms`` / ``note_codings``.
     """
@@ -241,6 +243,19 @@ def load_study_tasks(
                 task_name = f"{prefix}__nlp{suffix}_{model_id.replace('-', '_')}"
                 if model_id in registry:
                     model = registry[model_id]()
+                elif dialect is not None:
+                    from cumulus_etl_spark.nlp.dialects import DialectLlmModel
+
+                    model = DialectLlmModel(
+                        dialect=dialect,
+                        system_prompt=system_prompt,
+                        user_prompt_template=user_prompt and user_prompt.strip(),
+                        response_format={
+                            "type": "json_schema",
+                            "json_schema": {"name": name or "task", "schema": response_schema},
+                        },
+                        unwrap=None,  # schema tasks take the object whole
+                    )
                 elif llm_url:
                     model = LlmHttpModel(
                         url=llm_url,

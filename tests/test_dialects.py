@@ -65,6 +65,17 @@ def test_openai_compat_bearer_and_json_object_fallback():
     assert payload["response_format"] == {"type": "json_object"}
 
 
+def test_openai_compat_no_format_means_no_key():
+    # with NO response format requested, the key is omitted entirely —
+    # json_object mode would forbid list-shaped (match envelope) answers
+    d = OpenAICompatDialect("http://x/v1", "m")
+    _, _, payload = d.request("s", "u", None)
+    assert "response_format" not in payload
+    d2 = OpenAICompatDialect("http://x/v1", "m", supports_schema=False)
+    _, _, payload2 = d2.request("s", "u", None)
+    assert "response_format" not in payload2
+
+
 def test_azure_request_shape():
     d = AzureOpenAIDialect(
         "https://example.openai.azure.com",
@@ -363,6 +374,12 @@ class _Handler(BaseHTTPRequestHandler):
             fmt_name = (
                 req.get("response_format", {}).get("json_schema", {}).get("name")
             )
+            fmt_props = (
+                req.get("response_format", {})
+                .get("json_schema", {})
+                .get("schema", {})
+                .get("properties", {})
+            )
             if fmt_name == "CovidSymptoms":
                 from cumulus_etl_spark.nlp.studies import StubCovidBooleanModel
 
@@ -371,6 +388,9 @@ class _Handler(BaseHTTPRequestHandler):
                 # a keyword stub must not)
                 note = text.split("### Text ###")[-1]
                 content = json.dumps(StubCovidBooleanModel()(note))
+            elif set(fmt_props) == {"age"}:
+                # object-schema TOML task: answer the schema's shape
+                content = json.dumps({"age": len(text.split())})
             else:
                 content = json.dumps(_matches(text))
             self._json(
@@ -523,6 +543,62 @@ def test_nlp_cli_end_to_end_with_local_provider(
     assert coughs == [False, True]
     assert all(r["symptoms"]["Diarrhea"] is False for r in grows)
     assert all(r["id"] == r["note_ref"].split("/")[1] for r in grows)
+
+
+def test_toml_tasks_built_on_dialect_keep_their_prompts(
+    spark, dialect_server, tmp_path, capsys, monkeypatch
+):
+    """--provider + --task-config: every TOML task's model must be
+    dialect-backed AND keep the study's own prompts/response format
+    (review finding: the generic provider model used to stomp them).
+    End-to-end, the object-schema answer lands as a typed struct row."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.nlp.dialects import DialectLlmModel, OpenAICompatDialect
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    study = tmp_path / "my_study"
+    study.mkdir()
+    (study / "age.json").write_text(
+        _json.dumps({"type": "object", "properties": {"age": {"type": "integer"}}})
+    )
+    (study / "tasks.toml").write_text(
+        '[shared]\nsystem-prompt = "Extract.\\n%JSON-SCHEMA%"\n'
+        'user-prompt = "Doc:\\n%CLINICAL-NOTE%"\nmodels = ["gpt-4o"]\n\n'
+        '[[task]]\nname = "age"\nversion = 2\nresponse-schema = "age.json"\n'
+    )
+    d = OpenAICompatDialect(f"{_base(dialect_server)}/v1", "served-model")
+    tasks = load_study_tasks(str(study / "tasks.toml"), dialect=d)
+    assert len(tasks) == 1
+    m = tasks[0].model
+    assert isinstance(m, DialectLlmModel) and m.dialect is d
+    assert m.system_prompt.startswith("Extract.")  # study prompt kept
+    assert '"age"' in m.system_prompt  # %JSON-SCHEMA% substituted
+    assert m.unwrap is None  # object answers pass through whole
+    assert m.response_format["json_schema"]["schema"]["properties"]["age"]
+
+    # e2e through the CLI: dialect resolved first, TOML models built on it
+    monkeypatch.setenv("CUMULUS_GPT_OSS_120B_URL", f"{_base(dialect_server)}/v1")
+    in_dir = str(tmp_path / "in")
+    write_ndjson(in_dir, "docs.ndjson", [docref("n1", text="four tokens right here")])
+    rc = cli_main([
+        "nlp", in_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "--task-config", str(study / "tasks.toml"),
+        "--provider", "local", "--model", "gpt-oss-120b",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rows = ManagedTable(
+        spark, str(tmp_path / "out"), "my_study__nlp_age_gpt_4o"
+    ).read().collect()
+    assert len(rows) == 1
+    # struct parsed against the compiled schema; fake server answers
+    # {"age": token count of the full templated prompt}
+    assert rows[0]["result"]["age"] > 0
 
 
 def test_covid_gpt_task_offline_stub(spark, tmp_path, capsys):

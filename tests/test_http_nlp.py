@@ -77,13 +77,25 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/chat":
             req = json.loads(body)
             text = req["messages"][-1]["content"]
-            matches = [
-                {"text": m["text"], "code": m["conceptAttributes"][0]["cui"],
-                 "polarity": "positive", "begin": m["begin"], "end": m["end"]}
-                for m in _keyword_matches(text)
-            ]
+            fmt_props = (
+                req.get("response_format", {})
+                .get("json_schema", {})
+                .get("schema", {})
+                .get("properties", {})
+            )
+            if set(fmt_props) == {"age"}:
+                # object-schema task: answer in the schema's shape so the
+                # struct envelope path is exercised end-to-end
+                content = json.dumps({"age": len(text.split())})
+            else:
+                matches = [
+                    {"text": m["text"], "code": m["conceptAttributes"][0]["cui"],
+                     "polarity": "positive", "begin": m["begin"], "end": m["end"]}
+                    for m in _keyword_matches(text)
+                ]
+                content = json.dumps(matches)
             self._json({
-                "choices": [{"message": {"content": json.dumps(matches)}}],
+                "choices": [{"message": {"content": content}}],
                 "usage": {"prompt_tokens": len(text.split()), "completion_tokens": 7},
             })
         elif self.path == "/batches":
@@ -379,6 +391,9 @@ models = ["gpt-like"]
     assert rc == 0
     rows = ManagedTable(spark, str(tmp_path / "out"), "my_study__nlp_age_gpt_like").read().collect()
     assert len(rows) == 1 and rows[0]["task_version"] == 3
+    # object-schema answer lands as a TYPED struct (review finding: dict
+    # answers used to be discarded by LlmHttpModel -> null structs)
+    assert rows[0]["result"]["age"] > 0
 
 
 def test_http_batch_provider_full_lifecycle(spark, fake_server, tmp_path):
