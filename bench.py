@@ -70,8 +70,15 @@ def ensure_scale_dataset(spark, src_dir: str, dst_dir: str) -> bool:
     from pyspark.sql import functions as F
 
     marker = os.path.join(dst_dir, "_COMPLETE")
+    stamp = f"copies={SCALE_COPIES} offset={SCALE_OFFSET} src={src_dir}\n"
     if os.path.exists(marker):
-        return False
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return False
+        # parameters changed since the cache was built — regenerate
+        import shutil
+
+        shutil.rmtree(dst_dir, ignore_errors=True)
     copies = spark.range(SCALE_COPIES).select(F.col("id").cast("int").alias("__c"))
     for t in ("region", "nation"):  # dims: single copy
         spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode("overwrite").parquet(
@@ -100,7 +107,7 @@ def ensure_scale_dataset(spark, src_dir: str, dst_dir: str) -> bool:
                 cols.append(F.col(f))
         df.select(cols).write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
     with open(marker, "w") as fh:
-        fh.write(f"copies={SCALE_COPIES} src={src_dir}\n")
+        fh.write(stamp)
     return True
 
 
