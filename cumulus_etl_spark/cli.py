@@ -189,6 +189,24 @@ def main(argv: list[str] | None = None) -> int:
                            "micro-batches (ring of N mergeable sketches); "
                            "0 = all-time")
 
+    p_qtl = sub.add_parser(
+        "quantiles",
+        help="fold an NDJSON landing dir into a persistent HDR-style "
+        "log-bucket histogram; report running quantiles",
+    )
+    p_qtl.add_argument("input_dir", help="landing directory of *.ndjson files")
+    p_qtl.add_argument("sketch_dir", help="where the histogram table lives")
+    p_qtl.add_argument("value_col", help="non-negative integer column to track")
+    p_qtl.add_argument("--checkpoint", default=None,
+                       help="stream checkpoint dir (default: <sketch_dir>/_checkpoint)")
+    p_qtl.add_argument("--schema", required=True,
+                       help="input schema, e.g. 'latency_us long, route string'")
+    p_qtl.add_argument("--sub-bits", type=int, default=5,
+                       help="sub-buckets per octave as a power of two; "
+                            "relative error <= 2^-sub_bits (default 5 -> ~3%%)")
+    p_qtl.add_argument("--q", default="0.5,0.9,0.99",
+                       help="comma-separated quantiles to report")
+
     p_opt = sub.add_parser(
         "optimize",
         help="drop superseded table versions (the finalize/vacuum analog; "
@@ -632,6 +650,29 @@ def main(argv: list[str] | None = None) -> int:
             else [{"key": r["k"], "estimate": r["estimate"]} for r in hh.collect()]
         )
         print(json.dumps({"heavy_hitters": top, "sketch": args.sketch_dir}))
+        return 0
+    if args.verb == "quantiles":
+        import os as _os
+
+        from cumulus_etl_spark.streaming.quantiles import streaming_quantiles
+
+        hdr = streaming_quantiles(
+            spark,
+            args.input_dir,
+            args.sketch_dir,
+            args.checkpoint or _os.path.join(args.sketch_dir, "_checkpoint"),
+            args.value_col,
+            args.schema,
+            sub_bits=args.sub_bits,
+        )
+        qs = [float(x) for x in args.q.split(",") if x.strip()]
+        out = hdr.quantiles(qs)
+        rep = (
+            []
+            if out is None
+            else [{"q": r["q"], "value": r["value"]} for r in out.collect()]
+        )
+        print(json.dumps({"quantiles": rep, "sketch": args.sketch_dir}))
         return 0
     if args.verb == "optimize":
         import os as _os

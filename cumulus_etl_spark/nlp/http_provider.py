@@ -183,10 +183,19 @@ class LlmHttpModel:
     """U4 (sync path): chat-completions-style structured extraction.
 
     POSTs ``{model, messages, response_format}`` and expects the standard
-    completion envelope; the message content must be a JSON match list
-    (the response-schema compile in nlp/response_schema.py builds the
-    format object). Token usage comes from the response ``usage`` block
-    (ref nlp/models.py:283-311).
+    completion envelope; the message content must be JSON — a match list
+    or an object-schema answer (the response-schema compile in
+    nlp/response_schema.py builds the format object). Token usage comes
+    from the response ``usage`` block (ref nlp/models.py:283-311).
+
+    NOTE: ``nlp/dialects.py:DialectLlmModel`` over ``OpenAICompatDialect``
+    is the generalized form (per-provider URLs/headers/parsing, thread-
+    safe token stats). This class predates it and differs in two ways a
+    unification must preserve: ``url`` here is the COMPLETE endpoint
+    (not a base that gets ``/chat/completions`` appended), and
+    ``usage()`` reads the raw response usage dict rather than stats
+    deltas. Behavioral fixes must land in BOTH (cf. the dict-answer
+    pass-through in __call__ and DialectLlmModel.unwrap).
     """
 
     url: str

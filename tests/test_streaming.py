@@ -1029,3 +1029,121 @@ def test_windowed_countmin_reopened_with_smaller_window(spark, tmp_path):
     # slots were never overwritten by the smaller ring
     assert est["old"] == 0
     assert est["new"] == 8
+
+
+# ---- streaming HDR-histogram quantiles (streaming/quantiles.py) ----
+
+
+def test_hdr_bucket_round_trip_and_error_bound(spark):
+    """lower_bound(bucket(v)) <= v and the relative error of the bound
+    is <= 2^-sub_bits, across the linear region, octave boundaries, and
+    large values."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.streaming.quantiles import (
+        hdr_bucket,
+        hdr_bucket_lower_bound,
+    )
+
+    s = 5
+    vals = [0, 1, 2, 31, 32, 33, 63, 64, 65, 1000, 12345,
+            2**20 - 1, 2**20, 2**20 + 7, 2**40 + 123456789, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v",
+        hdr_bucket(F.col("v"), s).alias("b"),
+    ).select("v", "b", hdr_bucket_lower_bound(F.col("b"), s).alias("lb"))
+    for r in df.collect():
+        v, b, lb = r["v"], r["b"], r["lb"]
+        assert lb <= v, (v, b, lb)
+        if v < 2**s:
+            assert lb == v, (v, b, lb)  # exact linear region
+        else:
+            assert v - lb <= lb / (1 << s) + 1, (v, b, lb)  # <=2^-s rel err
+    # bucket ids are monotone in v
+    buckets = [r["b"] for r in df.orderBy("v").collect()]
+    assert buckets == sorted(buckets)
+
+
+def test_streaming_hdr_equals_batch_and_replay_safe(spark, tmp_path):
+    """After any batch sequence the stored histogram EQUALS the
+    batch-built histogram over the concatenated data; a replayed
+    batch_id is skipped, not double-counted."""
+    from cumulus_etl_spark.streaming.quantiles import (
+        StreamingHdrHistogram,
+        hdr_histogram,
+    )
+
+    hdr = StreamingHdrHistogram(spark, str(tmp_path / "hdr"))
+    b1 = spark.createDataFrame([(v,) for v in [1, 5, 90, 90, 4000]], "lat long")
+    b2 = spark.createDataFrame([(v,) for v in [2, 90, 70000]], "lat long")
+    hdr.ingest_batch(b1, "lat", batch_id=0)
+    hdr.ingest_batch(b2, "lat", batch_id=1)
+    hdr.ingest_batch(b2, "lat", batch_id=1)  # replay: must be a no-op
+
+    stored = {(r["bucket"], r["n"]) for r in hdr.histogram().select("bucket", "n").collect()}
+    batch = {
+        (r["bucket"], r["n"])
+        for r in hdr_histogram(b1.unionByName(b2), "lat").collect()
+    }
+    assert stored == batch
+
+
+def test_hdr_quantiles_within_resolution(spark, tmp_path):
+    """Reported quantiles match the exact rank statistic within the
+    bucket resolution, and are monotone in q."""
+    from cumulus_etl_spark.streaming.quantiles import StreamingHdrHistogram
+
+    vals = sorted([7, 12, 55, 100, 250, 900, 901, 3000, 50000, 50001,
+                   123456, 2**21, 13, 77, 1024, 4096, 65535, 9, 300, 888])
+    hdr = StreamingHdrHistogram(spark, str(tmp_path / "hdr"))
+    hdr.ingest_batch(
+        spark.createDataFrame([(v,) for v in vals], "lat long"), "lat"
+    )
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {r["q"]: r["value"] for r in hdr.quantiles(qs).collect()}
+    import math
+
+    for q in qs:
+        exact = vals[max(1, math.ceil(q * len(vals))) - 1]
+        assert got[q] <= exact, (q, got[q], exact)
+        assert exact - got[q] <= exact / 32 + 1, (q, got[q], exact)
+    assert [got[q] for q in qs] == sorted(got[q] for q in qs)
+
+
+def test_hdr_negative_value_fails_loudly(spark, tmp_path):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from cumulus_etl_spark.streaming.quantiles import hdr_histogram
+
+    df = spark.createDataFrame([(5,), (-1,)], "lat long")
+    with pytest.raises(Exception, match="negative value|raise_error|USER_RAISED"):
+        hdr_histogram(df, "lat").collect()
+
+
+def test_quantiles_cli_verb(spark, tmp_path, capsys):
+    """`quantiles` verb: NDJSON landing dir -> persistent histogram ->
+    JSON report; second run folds new files in and shifts the tail."""
+    import json as _json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "landing")
+    root = str(tmp_path / "hdr")
+    write_ndjson(src, "b1.ndjson", [{"lat": v} for v in [10] * 90 + [500] * 10])
+    rc = main(["quantiles", src, root, "lat",
+               "--schema", "lat long", "--q", "0.5,0.99"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {d["q"]: d["value"] for d in rep["quantiles"]}
+    assert got[0.5] == 10
+    assert 480 <= got[0.99] <= 500  # bucket lower bound within 2^-5
+
+    # second run: a flood of large values drags the median up
+    write_ndjson(src, "b2.ndjson", [{"lat": 100000}] * 900)
+    rc = main(["quantiles", src, root, "lat",
+               "--schema", "lat long", "--q", "0.5,0.99"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {d["q"]: d["value"] for d in rep["quantiles"]}
+    assert got[0.5] >= 96000 and got[0.99] >= 96000
