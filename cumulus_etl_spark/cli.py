@@ -206,6 +206,9 @@ def main(argv: list[str] | None = None) -> int:
                             "relative error <= 2^-sub_bits (default 5 -> ~3%%)")
     p_qtl.add_argument("--q", default="0.5,0.9,0.99",
                        help="comma-separated quantiles to report")
+    p_qtl.add_argument("--key-col", default=None,
+                       help="report per-key quantiles (e.g. per route); "
+                            "state grows with key cardinality")
 
     p_opt = sub.add_parser(
         "optimize",
@@ -664,13 +667,14 @@ def main(argv: list[str] | None = None) -> int:
             args.value_col,
             args.schema,
             sub_bits=args.sub_bits,
+            key_col=args.key_col,
         )
         qs = [float(x) for x in args.q.split(",") if x.strip()]
         out = hdr.quantiles(qs)
         rep = (
             []
             if out is None
-            else [{"q": r["q"], "value": r["value"]} for r in out.collect()]
+            else [r.asDict() for r in out.collect()]
         )
         print(json.dumps({"quantiles": rep, "sketch": args.sketch_dir}))
         return 0

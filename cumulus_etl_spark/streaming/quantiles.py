@@ -76,30 +76,67 @@ def hdr_bucket_lower_bound(bucket: Column, sub_bits: int = 5) -> Column:
     )
 
 
-def hdr_histogram(rows: DataFrame, value_col: str, sub_bits: int = 5) -> DataFrame:
-    """Batch histogram: (bucket, n) over non-negative bigint values.
-    Negative values fail loudly — silently bucketing them would corrupt
-    every quantile downstream."""
+def hdr_histogram(
+    rows: DataFrame,
+    value_col: str,
+    sub_bits: int = 5,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Batch histogram: (bucket, n) — or (key, bucket, n) with
+    ``key_col`` — over non-negative bigint values. Negative values fail
+    loudly — silently bucketing them would corrupt every quantile
+    downstream."""
     v = F.col(value_col).cast("bigint")
-    flagged = rows.select(
+    bucket = (
         F.when(v < 0, F.raise_error(F.lit(
             f"hdr_histogram: negative value in {value_col!r}; "
             "quantile sketches cover [0, 2^63) only"
         ))).otherwise(hdr_bucket(v, sub_bits)).alias("bucket")
     )
-    return flagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    if key_col is None:
+        return rows.select(bucket).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    return (
+        rows.select(F.col(key_col).cast("string").alias("key"), bucket)
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 class StreamingHdrHistogram:
-    """Persistent mergeable histogram under ``root``; quantiles on demand."""
+    """Persistent mergeable histogram under ``root``; quantiles on demand.
 
-    def __init__(self, spark: SparkSession, root: str, sub_bits: int = 5):
+    ``key_col`` selects the per-key variant (per-route latency
+    percentiles): cells become (key, bucket, n), state is bounded by
+    ``#distinct keys × ~1,900`` — the caller owns the key cardinality,
+    the same contract as the Count-Min candidate set. A root must be
+    reopened in the mode it was created with (loud guard, mirroring the
+    windowed-CMS mode guard)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        sub_bits: int = 5,
+        key_col: str | None = None,
+    ):
         self.spark = spark
         self.sub_bits = sub_bits
+        self.key_col = key_col
         self.cells = ManagedTable(spark, root, HDR_CELLS_TABLE)
+        keys = ("key", "bucket") if key_col is not None else ("bucket",)
         self._policy = MergePolicy(
-            keys=("bucket",), last_updated_field=None, num_buckets=4
+            keys=keys, last_updated_field=None, num_buckets=4
         )
+        prior = self.cells.read()
+        if prior is not None and ("key" in prior.columns) != (key_col is not None):
+            stored = "per-key" if "key" in prior.columns else "global"
+            asked = "per-key" if key_col is not None else "global"
+            raise ValueError(
+                f"histogram root {root!r} holds {stored} state but was "
+                f"opened in {asked} mode; reopen it the way it was created"
+            )
 
     # ---- ingest ----
 
@@ -118,12 +155,13 @@ class StreamingHdrHistogram:
             batch_id = prior_batch + 1
         if batch_id <= prior_batch:
             return  # already folded; nothing derived to refresh
-        delta = hdr_histogram(rows, value_col, self.sub_bits)
+        delta = hdr_histogram(rows, value_col, self.sub_bits, key_col=self.key_col)
+        cell_keys = list(self._policy.keys)
         summed = (
             delta
             if prior is None
-            else delta.unionByName(prior.select("bucket", "n"))
-            .groupBy("bucket")
+            else delta.unionByName(prior.select(*cell_keys, "n"))
+            .groupBy(*cell_keys)
             .agg(F.sum("n").cast("bigint").alias("n"))
         )
         cells = summed.withColumn(
@@ -140,12 +178,12 @@ class StreamingHdrHistogram:
     # ---- queries ----
 
     def histogram(self) -> DataFrame | None:
-        """(bucket, n, lower_bound) as stored; None before first ingest."""
+        """Stored cells + bucket lower bound; None before first ingest."""
         cells = self.cells.read()
         if cells is None:
             return None
         return cells.select(
-            "bucket",
+            *self._policy.keys,
             "n",
             hdr_bucket_lower_bound(F.col("bucket"), self.sub_bits).alias(
                 "lower_bound"
@@ -153,35 +191,47 @@ class StreamingHdrHistogram:
         )
 
     def quantiles(self, qs: list[float]) -> DataFrame | None:
-        """(q, value) for each requested quantile; value is the bucket
-        lower bound of the rank-⌈q·total⌉ element (one-sided, within
-        2^-sub_bits relative error). None before first ingest.
+        """(q, value) — or (key, q, value) in per-key mode — where value
+        is the bucket lower bound of the rank-⌈q·total⌉ element
+        (one-sided, within 2^-sub_bits relative error). None before
+        first ingest.
 
         The cumulative walk is a window over the CELLS table — bounded
-        at ~1,900 rows regardless of streamed volume, so the single
-        partition sort is metadata-sized, never data-sized."""
+        at ~1,900 rows per key regardless of streamed volume, so the
+        per-partition sort is metadata-sized, never data-sized; in
+        per-key mode the window partitions by key, so no single-
+        partition global sort appears at any key cardinality."""
         cells = self.cells.read()
         if cells is None:
             return None
         from pyspark.sql import Window
 
-        cum = cells.select("bucket", "n").withColumn(
-            "cum", F.sum("n").over(Window.orderBy("bucket"))
+        group = ["key"] if self.key_col is not None else []
+        cum = cells.select(*group, "bucket", "n").withColumn(
+            "cum", F.sum("n").over(Window.partitionBy(*group).orderBy("bucket"))
         )
-        total = cum.agg(F.max("cum").alias("t"))
+        totals = cum.groupBy(*group).agg(F.max("cum").alias("t"))
         want = self.spark.createDataFrame([(float(q),) for q in qs], "q double")
-        ranked = want.crossJoin(F.broadcast(total)).select(
-            "q", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("t"))).alias("rank")
+        ranked = totals.crossJoin(F.broadcast(want)).select(
+            *group,
+            "q",
+            F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("t"))).alias("rank"),
         )
         hit = (
-            ranked.join(F.broadcast(cum), F.col("cum") >= F.col("rank"))
-            .groupBy("q", "rank")
+            ranked.join(cum, group + [], "inner")
+            if group
+            else ranked.crossJoin(cum)
+        )
+        hit = (
+            hit.filter(F.col("cum") >= F.col("rank"))
+            .groupBy(*group, "q", "rank")
             .agg(F.min("bucket").alias("bucket"))
         )
         return hit.select(
+            *group,
             "q",
             hdr_bucket_lower_bound(F.col("bucket"), self.sub_bits).alias("value"),
-        ).orderBy("q")
+        ).orderBy(*group, "q")
 
 
 def streaming_quantiles(
@@ -192,12 +242,15 @@ def streaming_quantiles(
     value_col: str,
     schema: str,
     sub_bits: int = 5,
+    key_col: str | None = None,
 ) -> StreamingHdrHistogram:
     """Checkpointed ingest: NDJSON rows landing in ``input_dir`` fold
     into the persistent histogram batch by batch; each run processes
     exactly the files that arrived since the last one (same shape as
     streaming_heavy_hitters)."""
-    hdr = StreamingHdrHistogram(spark, sketch_root, sub_bits=sub_bits)
+    hdr = StreamingHdrHistogram(
+        spark, sketch_root, sub_bits=sub_bits, key_col=key_col
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.ndjson")

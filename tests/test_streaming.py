@@ -1147,3 +1147,52 @@ def test_quantiles_cli_verb(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     got = {d["q"]: d["value"] for d in rep["quantiles"]}
     assert got[0.5] >= 96000 and got[0.99] >= 96000
+
+
+def test_hdr_per_key_quantiles_and_mode_guard(spark, tmp_path):
+    """Per-key mode: independent quantiles per key, streaming == batch
+    per (key, bucket), and a loud guard on reopening in the other mode."""
+    import pytest
+
+    from cumulus_etl_spark.streaming.quantiles import (
+        StreamingHdrHistogram,
+        hdr_histogram,
+    )
+
+    root = str(tmp_path / "hdr")
+    hdr = StreamingHdrHistogram(spark, root, key_col="route")
+    b1 = spark.createDataFrame(
+        [("a", v) for v in [10] * 9 + [800]] + [("b", v) for v in [3000] * 10],
+        "route string, lat long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 12), ("b", 3100), ("c", 7)], "route string, lat long"
+    )
+    hdr.ingest_batch(b1, "lat", batch_id=0)
+    hdr.ingest_batch(b2, "lat", batch_id=1)
+    hdr.ingest_batch(b2, "lat", batch_id=1)  # replay no-op
+
+    stored = {
+        (r["key"], r["bucket"], r["n"])
+        for r in hdr.cells.read().select("key", "bucket", "n").collect()
+    }
+    batch = {
+        (r["key"], r["bucket"], r["n"])
+        for r in hdr_histogram(
+            b1.unionByName(b2), "lat", key_col="route"
+        ).collect()
+    }
+    assert stored == batch
+
+    got = {
+        (r["key"], r["q"]): r["value"]
+        for r in hdr.quantiles([0.5, 1.0]).collect()
+    }
+    assert got[("a", 0.5)] == 10          # route a median unaffected by b
+    assert 768 <= got[("a", 1.0)] <= 800  # route a max bucket bound
+    assert got[("b", 0.5)] >= 2900        # route b lives in the thousands
+    assert got[("c", 0.5)] == 7           # singleton key exact (linear region)
+
+    # reopening the same root WITHOUT key_col must fail loudly
+    with pytest.raises(ValueError, match="per-key state.*global mode"):
+        StreamingHdrHistogram(spark, root)
