@@ -281,11 +281,16 @@ def main(argv: list[str] | None = None) -> int:
                        help="comma-separated vec_ids to use as queries")
     p_ann.add_argument("--k", type=int, default=5)
     p_ann.add_argument("--method", default="lsh",
-                       choices=["brute", "lsh", "ivf", "pq", "rrf"],
+                       choices=["brute", "lsh", "ivf", "pq", "rrf", "negatives"],
                        help="brute=exact cosine; lsh/ivf=bucketed cosine ANN; "
                             "pq=product-quantized L2 ADC; rrf=hybrid "
                             "reciprocal-rank fusion of exact cosine + "
-                            "int8 MIPS rankings")
+                            "int8 MIPS rankings; negatives=hard-negative "
+                            "mining (top-k similar but sub-duplicate)")
+    p_ann.add_argument("--dup-threshold", type=float, default=0.93,
+                       help="for --method negatives: cosine at/above this "
+                            "is a near-duplicate (false negative) and is "
+                            "excluded")
     p_ann.add_argument("--id-col", default="vec_id")
     p_ann.add_argument("--vec-col", default="embedding")
 
@@ -781,6 +786,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.method == "ivf":
             out = S.ann_ivf(emb, queries, **kw)
+        elif args.method == "negatives":
+            out = S.mine_hard_negatives(
+                emb, queries, dup_threshold=args.dup_threshold, **kw
+            )
         elif args.method == "rrf":
             from cumulus_etl_spark.operators.quantize import int8_topk
 

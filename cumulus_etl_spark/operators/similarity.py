@@ -780,3 +780,53 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "rank_a", "rank_b", "rrf_units")
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    dup_threshold: float = 0.93,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors that are NOT near-duplicates — similar
+    enough to be informative negatives, dissimilar enough (< the
+    SemDeDup duplicate threshold) not to be false negatives. This is
+    the standard dense-retrieval negative-mining recipe (e.g. DPR /
+    ANCE mine from the nearest non-positive neighbors).
+
+    Output: (query_id, rank, neighbor_id, score), rank 1 = hardest
+    surviving negative; anchors whose whole neighborhood is duplicates
+    yield fewer (possibly zero) rows rather than fabricated negatives.
+
+    Scale shape: identical to knn_bruteforce (broadcast queries over a
+    corpus scan, one window per anchor) with the duplicate band
+    filtered BEFORE the rank window — the filter is on the scored pair
+    stream, so no extra shuffle. For corpus-scale anchor sets, feed
+    the LSH/IVF candidate streams through the same filter instead of
+    the exact scorer.
+    """
+    q = (queries if queries is not None else corpus).select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+        .filter(F.col("score") < dup_threshold)  # drop near-dup false negatives
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

@@ -273,3 +273,54 @@ def test_semdedup_two_level_same_keep_policy(spark, sf_smoke):
 
     with pytest.raises(ValueError, match="two_level picks its own"):
         semdedup(emb, centroids=[[0.0] * 8], two_level=True)
+
+
+def test_mine_hard_negatives_excludes_duplicate_band(spark):
+    """Planted geometry: per anchor, near-duplicates (cos >= 0.93) and
+    self are excluded; survivors are the exact knn order minus that
+    band; an anchor whose whole neighborhood is duplicates yields no
+    fabricated rows."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.similarity import (
+        as_double_array,
+        knn_bruteforce,
+        mine_hard_negatives,
+    )
+
+    def unit(theta):
+        return [float(_math.cos(theta)), float(_math.sin(theta)), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),           # anchor
+        (1, unit(0.05)),          # near-dup of 0 (cos ~0.9988)
+        (2, unit(0.6)),           # hard negative (cos ~0.825)
+        (3, unit(1.2)),           # easier negative (cos ~0.362)
+        (4, [0.0, 0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") == 0)
+
+    got = mine_hard_negatives(emb, anchors, k=2).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (1, 2), (2, 3)
+    ]
+    assert all(r["score"] < 0.93 for r in got)
+
+    # consistency: survivors == exact knn stream minus the duplicate band
+    knn = knn_bruteforce(emb, anchors, k=4).collect()
+    expected = [r["neighbor_id"] for r in sorted(knn, key=lambda r: r["rank"])
+                if r["score"] < 0.93][:2]
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == expected
+
+    # an anchor surrounded ONLY by duplicates yields zero rows
+    dup_corpus = spark.createDataFrame(
+        [(0, unit(0.0)), (1, unit(0.01)), (2, unit(0.02))],
+        "vec_id long, embedding array<double>",
+    )
+    lonely = mine_hard_negatives(
+        dup_corpus, dup_corpus.filter(F.col("vec_id") == 0), k=5
+    )
+    assert lonely.count() == 0

@@ -250,7 +250,7 @@ def test_ann_cli_verb_all_methods(spark, sf_smoke, capsys):
 
     from cumulus_etl_spark.cli import main as cli_main
 
-    for method in ("brute", "lsh", "ivf", "pq", "rrf"):
+    for method in ("brute", "lsh", "ivf", "pq", "rrf", "negatives"):
         rc = cli_main(["ann", f"{sf_smoke}/embeddings.parquet",
                        "--method", method, "--k", "3", "--query-ids", "0,1"])
         assert rc == 0
@@ -259,6 +259,8 @@ def test_ann_cli_verb_all_methods(spark, sf_smoke, capsys):
         assert set(out["neighbors"]) == {"0", "1"}
         for ranks in out["neighbors"].values():
             assert [r["rank"] for r in ranks] == [1, 2, 3]
+            if method == "negatives":  # everything at/above 0.93 excluded
+                assert all(r["score"] < 0.93 for r in ranks)
 
 
 def test_rollup_cli_verb(spark, tmp_path, capsys):
