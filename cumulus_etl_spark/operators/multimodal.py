@@ -225,18 +225,78 @@ def resize_images(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+VIDEO_INFO = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("declared_frames", IntegerType(), True),
+        StructField("usec_per_frame", IntegerType(), True),
+    ]
+)
+
+
+def parse_avi(payload: bytes) -> dict | None:
+    """Real, dependency-free RIFF/AVI demux: validates the RIFF/'AVI '
+    container, reads the ``avih`` main header (dimensions, declared frame
+    count, frame period) out of the ``hdrl`` LIST, and walks the ``movi``
+    LIST's sub-chunks collecting every video frame chunk (fourcc suffix
+    ``db``/``dc``) as (byte offset of the frame data, size). Honors the
+    RIFF odd-size pad byte. Returns None for non-AVI bytes — the caller
+    falls back to the stub chunker, so a mixed corpus never crashes."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    info: dict = {"width": None, "height": None, "declared_frames": None,
+                  "usec_per_frame": None, "frames": []}
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        data = pos + 8
+        if fourcc == b"LIST" and data + 4 <= end:
+            list_type = payload[data : data + 4]
+            sub, sub_end = data + 4, min(end, data + size)
+            while sub + 8 <= sub_end:
+                sc = payload[sub : sub + 4]
+                ssz = struct.unpack("<I", payload[sub + 4 : sub + 8])[0]
+                if list_type == b"hdrl" and sc == b"avih" and ssz >= 40:
+                    a = payload[sub + 8 : sub + 8 + ssz]
+                    info["usec_per_frame"] = struct.unpack("<I", a[0:4])[0]
+                    info["declared_frames"] = struct.unpack("<I", a[16:20])[0]
+                    info["width"] = struct.unpack("<I", a[32:36])[0]
+                    info["height"] = struct.unpack("<I", a[36:40])[0]
+                elif list_type == b"movi" and sc[2:4] in (b"db", b"dc"):
+                    info["frames"].append((sub + 8, ssz))
+                sub += 8 + ssz + (ssz & 1)
+        pos = data + size + (size & 1)
+    if not info["frames"] and info["declared_frames"] is None:
+        return None
+    return info
+
+
 def sample_video_frames(
     df: DataFrame, every_n_seconds: float = 1.0, payload_col: str = "payload"
 ) -> DataFrame:
-    """Frame-sampling stage: one output row per sampled frame (fake:
-    frame count derived from byte_size; real impl = ffmpeg demux).
-    Output schema: input columns + frame_index int + frame_payload binary.
+    """Frame-sampling stage: one output row per sampled frame.
+
+    Tiered like the image/audio decoders: RIFF/AVI payloads get a REAL
+    demux (``parse_avi`` — container walk, no codec dependency) emitting
+    the actual frame chunk bytes, their true byte offsets in the file,
+    and a ``video_info`` struct from the ``avih`` header; the sampling
+    stride comes from the declared frame period (``every_n_seconds <= 0``
+    keeps every frame). Unrecognized payloads keep the deterministic
+    stub chunker (fixed-size slices, NULL video_info) with the identical
+    output schema. Output: input columns + frame_index int (position in
+    the original stream) + frame_offset long + frame_payload binary +
+    video_info struct.
     """
     out_schema = StructType(
         list(df.schema.fields)
         + [
             StructField("frame_index", IntegerType(), True),
+            StructField("frame_offset", LongType(), True),
             StructField("frame_payload", BinaryType(), True),
+            StructField("video_info", VIDEO_INFO, True),
         ]
     )
 
@@ -247,12 +307,39 @@ def sample_video_frames(
                 payload = row[payload_col]
                 if payload is None:
                     continue
+                payload = bytes(payload)
+                avi = parse_avi(payload)
+                if avi is not None:
+                    usec = avi["usec_per_frame"] or 1_000_000
+                    step = (
+                        max(1, int(every_n_seconds * 1_000_000 / usec))
+                        if every_n_seconds > 0
+                        else 1
+                    )
+                    vinfo = {
+                        "width": avi["width"],
+                        "height": avi["height"],
+                        "declared_frames": avi["declared_frames"],
+                        "usec_per_frame": avi["usec_per_frame"],
+                    }
+                    for i, (off, sz) in enumerate(avi["frames"]):
+                        if i % step:
+                            continue
+                        d = row.to_dict()
+                        d["frame_index"] = i
+                        d["frame_offset"] = off
+                        d["frame_payload"] = payload[off : off + sz]
+                        d["video_info"] = vinfo
+                        rows.append(d)
+                    continue
                 n_frames = max(1, min(8, len(payload) // 1024))
                 chunk = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
                     d = row.to_dict()
                     d["frame_index"] = i
-                    d["frame_payload"] = bytes(payload)[i * chunk : (i + 1) * chunk]
+                    d["frame_offset"] = i * chunk
+                    d["frame_payload"] = payload[i * chunk : (i + 1) * chunk]
+                    d["video_info"] = None
                     rows.append(d)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

@@ -11,8 +11,10 @@ the real stdlib codecs (struct header parse / ``wave`` module) inside
 the Arrow batch stage, and emits EXACT INTEGER decode invariants that
 DuckDB re-derives from the same formulas without ever touching a byte.
 A wrong container build, a wrong parse, or a wrong batch shape all
-break the hash.  Only the video frame-sampler stays rows-only (no
-stdlib video demuxer exists to decode against).
+break the hash.  Round 9 closes the set: the video frame-sampler gets
+the same treatment via planted RIFF/AVI containers walked by the
+dependency-free demuxer in operators/multimodal.py:parse_avi — no
+rows-only multimodal entries remain.
 
 Byte-level identity is pinned too: both engines hash the canonical hex
 of the payload (DuckDB's sha256 is VARCHAR-only, so the digest is over
@@ -194,16 +196,143 @@ def multimodal_audio_pcm_invariants(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("doc_id")
 
 
-@register("multimodal_frame_sample", None, tags=("multimodal",))
+# ---- video: planted RIFF/AVI, real dependency-free demux ----
+
+# frames per video (3..8) and per-frame chunk sizes (8..32 bytes, even —
+# no RIFF pad byte in the planted files; parse_avi handles padding anyway)
+_AVI_N = "3 + length(text) % 6"
+_AVI_W = "16 + length(text) % 304"
+_AVI_H = "16 + (length(text) * 5) % 224"
+_AVI_LEN_I = "8 * (1 + (length(text) + i) % 4)"
+# Knuth-hash 32-bit word j of frame i
+_AVI_WORD = "(2654435761 * (length(text) + 1000 * i + j)) % 4294967296"
+# all movi sub-chunks: '00db' fourcc + LE size + data words
+_AVI_FRAMES_HEX = (
+    f"concat_ws('', transform(sequence(1, {_AVI_N}), i -> "
+    f"concat('30306462', {_le_hex(_AVI_LEN_I, 4)}, "
+    f"concat_ws('', transform(sequence(1, 2 * (1 + (length(text) + i) % 4)), "
+    f"j -> {_le_hex(_AVI_WORD, 4)})))))"
+)
+_AVI_SUM_CHUNKS = (
+    f"aggregate(sequence(1, {_AVI_N}), cast(0 as bigint), "
+    f"(acc, i) -> acc + 8 + {_AVI_LEN_I})"
+)
+_AVI_MOVI_DATA = f"(4 + {_AVI_SUM_CHUNKS})"  # 'movi' tag + chunks
+# 56-byte avih: usec/frame=33333 (30fps), totalframes, streams=1, W, H
+_AVI_AVIH = (
+    f"concat({_le_hex('33333', 4)}, {_le_hex('0', 4)}, {_le_hex('0', 4)}, "
+    f"{_le_hex('0', 4)}, {_le_hex(_AVI_N, 4)}, {_le_hex('0', 4)}, "
+    f"{_le_hex('1', 4)}, {_le_hex('0', 4)}, {_le_hex(_AVI_W, 4)}, "
+    f"{_le_hex(_AVI_H, 4)}, repeat('00', 16))"
+)
+# RIFF('AVI ' + LIST hdrl(avih) + LIST movi(frames)); hdrl LIST data is
+# 'hdrl'+avih chunk = 4+8+56 = 68 bytes, so movi's LIST header lands at
+# byte 88 and the first frame's data at byte 108.
+_AVI_HEX = (
+    f"concat('52494646', {_le_hex(f'88 + {_AVI_MOVI_DATA}', 4)}, '41564920', "
+    f"'4C495354', {_le_hex('68', 4)}, '6864726C', "
+    f"'61766968', {_le_hex('56', 4)}, {_AVI_AVIH}, "
+    f"'4C495354', {_le_hex(_AVI_MOVI_DATA, 4)}, '6D6F7669', {_AVI_FRAMES_HEX})"
+)
+
+_FRAME_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+         CAST({_AVI_N} AS BIGINT) AS n
+  FROM documents
+),
+f AS (SELECT doc_id, L, n, unnest(generate_series(1, n)) AS i FROM d),
+fl AS (SELECT doc_id, L, n, i, 8 * (1 + (L + i) % 4) AS len FROM f),
+off AS (
+  SELECT doc_id, L, n, i, len,
+         100 + COALESCE(SUM(8 + len) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 8
+         AS data_off
+  FROM fl
+),
+words AS (
+  SELECT doc_id, L, i, len, unnest(generate_series(1, len // 4)) AS j
+  FROM fl
+),
+fh AS (
+  SELECT doc_id, i,
+         string_agg({_le_hex('(2654435761 * (L + 1000 * i + j)) % 4294967296', 4)},
+                    '' ORDER BY j) AS hx
+  FROM words GROUP BY doc_id, i
+),
+agg AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(any_value(o.n) AS BIGINT) AS declared_frames,
+         CAST(SUM(o.len) AS BIGINT) AS total_frame_bytes,
+         CAST(MIN(o.data_off) AS BIGINT) AS first_frame_offset,
+         CAST(MAX(o.data_off) AS BIGINT) AS last_frame_offset,
+         string_agg(fh.hx, '' ORDER BY o.i) AS all_hex
+  FROM off o JOIN fh ON o.doc_id = fh.doc_id AND o.i = fh.i
+  GROUP BY o.doc_id
+)
+SELECT a.doc_id, a.n_frames, a.declared_frames,
+       CAST(16 + d.L % 304 AS BIGINT) AS width,
+       CAST(16 + (d.L * 5) % 224 AS BIGINT) AS height,
+       a.total_frame_bytes, a.first_frame_offset, a.last_frame_offset,
+       sha256(hex(unhex(a.all_hex))) AS frames_digest
+FROM agg a JOIN d ON a.doc_id = d.doc_id
+ORDER BY a.doc_id
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE, tags=("multimodal",))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out: one row per sampled frame with the
-    parent metadata carried along; aggregated to frames-per-video
-    distribution so the result is small and stable.
-    No oracle by design: frame extraction is Pandas-UDF binary
-    processing (no DuckDB analog, and unlike BMP/WAV there is no stdlib
-    video demuxer to plant real containers for); rows-only + unit-tested
-    decoders."""
-    packed = M.pack_media(_payloads(spark, sf_dir, "video"), "payload", "ct")
-    frames = M.sample_video_frames(packed)
-    per_video = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-    return per_video.groupBy("n_frames").agg(F.count(F.lit(1)).alias("n_videos"))
+    """Video frame sampling with a REAL demux, fully oracled (round-8
+    verdict ask 4 — the last rows-only multimodal entry): plant a genuine
+    RIFF/AVI container per document ('hdrl' LIST with a 56-byte avih
+    main header + 'movi' LIST with 3-8 '00db' frame chunks, every byte a
+    deterministic function of the text length), demux it with the
+    dependency-free container walk in operators/multimodal.py:parse_avi
+    inside mapInPandas, and emit exact integer invariants per video:
+    demuxed frame count vs the avih-declared count, avih dimensions,
+    total frame bytes, the DEMUXER-DISCOVERED byte offsets of the first
+    and last frames (the oracle recomputes them arithmetically from the
+    RIFF layout — a wrong chunk walk, pad-byte slip, or header size
+    error breaks the match), and a digest over the concatenated frame
+    payloads in stream order. The per-doc collect_list is bounded at 8
+    frames; the demux fan-out itself is the scale path (one Arrow batch
+    row per frame, no driver involvement)."""
+    d = table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.expr(f"unhex({_AVI_HEX})").alias("payload"),
+        F.lit("video/avi").alias("ct"),
+    )
+    frames = M.sample_video_frames(
+        M.pack_media(planted, "payload", "ct"), every_n_seconds=0.0
+    )
+    per_video = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min("video_info.declared_frames").cast("bigint").alias("declared_frames"),
+        F.min("video_info.width").cast("bigint").alias("width"),
+        F.min("video_info.height").cast("bigint").alias("height"),
+        F.sum(F.length("frame_payload")).cast("bigint").alias("total_frame_bytes"),
+        F.min("frame_offset").alias("first_frame_offset"),
+        F.max("frame_offset").alias("last_frame_offset"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("frame_index").alias("i"),
+                            F.hex("frame_payload").alias("hx"),
+                        )
+                    )
+                ),
+                lambda x: x["hx"],
+            ),
+            "",
+        ).alias("all_hex"),
+    )
+    return per_video.select(
+        "doc_id", "n_frames", "declared_frames", "width", "height",
+        "total_frame_bytes", "first_frame_offset", "last_frame_offset",
+        F.sha2("all_hex", 256).alias("frames_digest"),
+    ).orderBy("doc_id")

@@ -665,89 +665,19 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BIGRAM_LM_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-  FROM documents WHERE trim(text) <> ''
-),
-bg AS (
-  SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
-  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
-  WHERE len(w) >= 2
-),
-bc AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY prev, cur),
-uc AS (SELECT prev, COUNT(*) AS cu FROM bg GROUP BY prev),
-vocab AS (SELECT COUNT(DISTINCT word) AS v
-          FROM (SELECT UNNEST(w) AS word FROM toks)),
-terms AS (
-  SELECT bg.doc_id,
-         round(CAST(bc.cb + 1 AS DOUBLE) / (uc.cu + vocab.v), 6) AS p
-  FROM bg JOIN bc USING (prev, cur) JOIN uc USING (prev) CROSS JOIN vocab
-),
-scored AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_p
-  FROM terms GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams, round(mean_p, 6) AS mean_transition_prob
-FROM scored
-ORDER BY mean_p DESC, doc_id
-LIMIT 20
-"""
-
-
-@register("text_bigram_lm_score", _BIGRAM_LM_ORACLE, tags=("text", "quality"))
-def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained Laplace-smoothed bigram LM fluency score: per doc,
-    the mean smoothed transition probability (cb+1)/(cu+V) over its
-    bigrams — a monotone fluency proxy for perplexity-style filtering
-    (CCNet trains a KenLM for the same decision; the true log-prob sum is
-    barred by the catalog's no-libm-log rule, and the per-term rounding +
-    decimal sum keeps the mean hash-exact across engines). Plan: one
-    (prev,cur) count shuffle, one prev count shuffle, then a join back to
-    the exploded bigrams — the model tables are vocabulary-sized, so at
-    100 TB both broadcast."""
-    d = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    toks = d.select(
-        "doc_id", T.words_array(F.lower(F.col("text"))).alias("w")
-    ).filter(F.size("w") >= 2)
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.size("w") - 1),
-                F.slice(F.col("w"), 2, F.size("w") - 1),
-                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
-            )
-        ).alias("b"),
-    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    uc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cu"))
-    # Vocabulary over ALL tokens (not just bigram participants) — matches
-    # the oracle's UNNEST over every token array.
-    docs_all = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
-    v = (
-        docs_all.select(F.explode(T.words_array(F.lower(F.col("text")))).alias("word"))
-        .agg(F.countDistinct("word").alias("v"))
-    )
-    terms = (
-        bg.join(bc, ["prev", "cur"])
-        .join(uc, "prev")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "doc_id",
-            F.round((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")), 6).alias("p"),
-        )
-    )
-    scored = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum(F.col("p").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("mean_p"),
-    )
-    return (
-        scored.orderBy(F.desc("mean_p"), F.asc("doc_id"))
-        .limit(20)
-        .select("doc_id", "n_bigrams", F.round("mean_p", 6).alias("mean_transition_prob"))
-    )
+# RETIRED round 9 (gate-window capacity, round-8 verdict ask 7): the
+# `text_bigram_lm_score` entry (Laplace-smoothed mean transition
+# probability over the corpus-trained bigram model, last green r7) was
+# subsumed by the strictly stronger `text_lm_surprisal` above — the same
+# model training shape (two counted groupBys + join back on (w1,w2)/(w1),
+# same lower(trim()) case folding, same add-V smoothing) but with the
+# integer-log2 surprisal score that the `corpus
+# --drop-surprisal-permille` cleaning stage actually uses, a bench slot,
+# and a hash-exact oracle free of the per-term DECIMAL rounding dance the
+# probability form needed. Its case-folding regression pin moved to
+# text_lm_surprisal (tests/test_round4_fixes.py). Retirement freed the
+# oracle slot that multimodal_frame_sample's new full oracle occupies —
+# net-zero gate-window demand for the round.
 
 
 _INVINDEX_ORACLE = r"""

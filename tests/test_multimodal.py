@@ -278,3 +278,88 @@ def test_multimodal_invariant_entries_match_planting_formulas(spark, sf_correct)
         assert r["sum_sq"] == sum(s * s for s in ss)
         assert r["peak_abs"] == max(abs(s) for s in ss)
         assert r["zero_crossings"] == sum(1 for a, b in zip(negs, negs[1:]) if a != b)
+
+
+def _avi_bytes(frames, w=320, h=240, usec=33333, declared=None):
+    """Real minimal RIFF/AVI via struct: hdrl(avih) + movi(00db chunks),
+    honoring the RIFF odd-size pad byte."""
+    import struct as _struct
+
+    avih = _struct.pack(
+        "<IIIIIIIIII16s", usec, 0, 0, 0,
+        declared if declared is not None else len(frames),
+        0, 1, 0, w, h, b"\x00" * 16,
+    )
+    hdrl = b"hdrl" + b"avih" + _struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    for data in frames:
+        movi += b"00db" + _struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            movi += b"\x00"  # RIFF pad byte
+    body = (
+        b"AVI "
+        + b"LIST" + _struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + _struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_parse_avi_real_container_walk():
+    """The dependency-free AVI demux finds every frame chunk at its true
+    byte offset, reads the avih header, and skips RIFF pad bytes."""
+    from cumulus_etl_spark.operators.multimodal import parse_avi
+
+    frames = [b"AAAA", b"BBBBB", b"CC"]  # odd middle size → pad byte
+    payload = _avi_bytes(frames, w=123, h=77, usec=40000)
+    info = parse_avi(payload)
+    assert (info["width"], info["height"]) == (123, 77)
+    assert info["declared_frames"] == 3 and info["usec_per_frame"] == 40000
+    assert [payload[o : o + s] for o, s in info["frames"]] == frames
+    # offsets are positions in the file, monotonically increasing
+    offs = [o for o, _ in info["frames"]]
+    assert offs == sorted(offs) and offs[0] > 0
+
+    assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_avi(b"plainly not a container") is None
+
+
+def test_sample_video_frames_real_demux_and_stride(spark):
+    """AVI payloads take the real-demux tier: true frame bytes + offsets
+    + video_info; every_n_seconds sets the stride from the declared
+    frame period; non-AVI payloads keep the stub chunker (NULL info)."""
+    frames = [bytes([i] * 6) for i in range(6)]
+    avi = _avi_bytes(frames, usec=500_000)  # 2 fps
+    df = spark.createDataFrame(
+        [("v1", avi), ("v2", b"x" * 2048)], "id string, payload binary"
+    )
+    out = {(r["id"], r["frame_index"]): r for r in
+           sample_video_frames(df, every_n_seconds=1.0).collect()}
+    # stride = 1s / 0.5s-per-frame = every 2nd frame
+    assert sorted(i for (v, i) in out if v == "v1") == [0, 2, 4]
+    r = out[("v1", 2)]
+    assert bytes(r["frame_payload"]) == frames[2]
+    assert r["video_info"]["width"] == 320
+    assert bytes(avi)[r["frame_offset"] : r["frame_offset"] + 6] == frames[2]
+    # stub path: fixed-size slices, NULL video_info, offsets = slice starts
+    stub = [r for (v, i), r in sorted(out.items()) if v == "v2"]
+    assert len(stub) == 2 and all(r["video_info"] is None for r in stub)
+    assert [r["frame_offset"] for r in stub] == [0, 1024]
+
+
+def test_frame_sample_entry_matches_planting_formulas(spark, sf_correct):
+    """The planted AVIs really demux to the formula values — a direct
+    Python replay independent of the DuckDB oracle."""
+    from cumulus_etl_spark.plans import CATALOG
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    out = CATALOG["multimodal_frame_sample"].build(spark, sf_correct)
+    for r in out.limit(30).collect():
+        L = lens[r["doc_id"]]
+        n = 3 + L % 6
+        sizes = [8 * (1 + (L + i) % 4) for i in range(1, n + 1)]
+        assert r["n_frames"] == n == r["declared_frames"]
+        assert (r["width"], r["height"]) == (16 + L % 304, 16 + (L * 5) % 224)
+        assert r["total_frame_bytes"] == sum(sizes)
+        assert r["first_frame_offset"] == 108
+        assert r["last_frame_offset"] == 100 + sum(8 + s for s in sizes[:-1]) + 8

@@ -167,7 +167,10 @@ def test_logreg_ignores_null_rows_consistently(spark):
 def test_bigram_lm_score_case_folds_like_its_oracle(spark, tmp_path):
     """ADVICE r3: mixed-case text must produce oracle-identical scores —
     parity previously held only because the generated corpus is all
-    lowercase."""
+    lowercase. (Originally pinned text_bigram_lm_score; that entry was
+    retired in r9 as subsumed by text_lm_surprisal — the same
+    corpus-trained bigram model with the same lower(trim()) folding —
+    so the pin moved with it.)"""
     from cumulus_etl_spark.plans import CATALOG
     from tests.oracle_harness import compare
 
@@ -188,8 +191,8 @@ def test_bigram_lm_score_case_folds_like_its_oracle(spark, tmp_path):
     pq.write_table(
         upper.toArrow(), os.path.join(sf_dir, "documents.parquet")
     )
-    entry = CATALOG["text_bigram_lm_score"]
-    result = compare(spark, sf_dir, "text_bigram_lm_score", entry.build, entry.oracle)
+    entry = CATALOG["text_lm_surprisal"]
+    result = compare(spark, sf_dir, "text_lm_surprisal", entry.build, entry.oracle)
     assert result["ok"], result
 
 
