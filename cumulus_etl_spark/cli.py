@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--highlight-by-regex", action="append", dest="highlight_regexes")
     p_up.add_argument("--select-by-word", action="append", dest="select_words")
     p_up.add_argument("--select-by-regex", dest="select_regex", default=None)
+    p_up.add_argument("--select-by-csv", dest="select_by_csv", default=None,
+                      help="CSV with note_ref/docref_id/patient_id columns — "
+                      "a prior session's uploaded_notes.csv works as-is")
+    p_up.add_argument("--export-to", dest="export_to", default=None,
+                      help="keep the export folder; writes uploaded_notes.csv "
+                      "manifest there")
     p_up.add_argument("--overwrite", action="store_true")
 
     p_corpus = sub.add_parser(
@@ -362,6 +368,8 @@ def main(argv: list[str] | None = None) -> int:
             client,
             select_words=args.select_words,
             select_regex=args.select_regex,
+            select_by_csv=args.select_by_csv,
+            export_to=args.export_to,
             highlight_words=args.highlight_words,
             highlight_regexes=args.highlight_regexes,
             philter_mode=args.philter,

@@ -131,6 +131,57 @@ def order_charts(charts: DataFrame) -> DataFrame:
     return charts.orderBy(F.col("chart_date").asc_nulls_last(), F.col("chart_id"))
 
 
+# ---- upload manifest (ref upload_notes/manifest.py:14-31) ----
+
+MANIFEST_FILENAME = "uploaded_notes.csv"
+# `note_ref` matches what --select-by-csv expects, so the manifest can be
+# fed straight back in as a selection input on the next session.
+MANIFEST_COLUMNS = [
+    "note_ref",
+    "anon_note_ref",
+    "patient_id",
+    "anon_patient_id",
+    "encounter_id",
+    "anon_encounter_id",
+    "unique_id",
+]
+
+
+def write_upload_manifest(notes, export_to: str | None) -> str | None:
+    """Write ``uploaded_notes.csv`` into the export folder: one row per
+    REAL note uploaded (a grouped chart contributes one row per merged
+    note, from its doc_mappings), with real+anon refs and ids (ref
+    upload_notes/manifest.py:14-31). Only written when the user asked to
+    keep the export via --export-to; returns the path, or None when no
+    export folder was requested. The chart list is already a bounded
+    driver-side structure at this point (it just went to Label Studio),
+    so this is plain csv.writer, not a Spark write."""
+    if not export_to:
+        return None
+    import csv
+    import os
+
+    os.makedirs(export_to, exist_ok=True)
+    path = os.path.join(export_to, MANIFEST_FILENAME)
+    with open(path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(MANIFEST_COLUMNS)
+        for note in notes:
+            for note_id, anon_note_id in note.doc_mappings.items():
+                writer.writerow(
+                    [
+                        f"DocumentReference/{note_id}",
+                        f"DocumentReference/{anon_note_id}" if anon_note_id else "",
+                        note.patient_id or "",
+                        note.anon_patient_id or "",
+                        note.encounter_id or "",
+                        note.anon_encounter_id or "",
+                        note.unique_id,
+                    ]
+                )
+    return path
+
+
 def run_upload_notes(
     spark,
     input_dir: str,
@@ -139,6 +190,8 @@ def run_upload_notes(
     *,
     select_words: list[str] | None = None,
     select_regex: str | None = None,
+    select_by_csv: str | None = None,
+    export_to: str | None = None,
     highlight_words: list[str] | None = None,
     highlight_regexes: list[str] | None = None,
     philter_mode: str = "redact",  # disable | redact | label
@@ -156,11 +209,17 @@ def run_upload_notes(
     from cumulus_etl_spark.deid.philter import philter_udf, scrub_text
     from cumulus_etl_spark.etl.labelstudio import LabelStudioNote, find_highlights
     from cumulus_etl_spark.nlp import extract_note_text
-    from cumulus_etl_spark.nlp.selection import filter_by_regex, filter_by_words
+    from cumulus_etl_spark.nlp.selection import (
+        filter_by_note_csv,
+        filter_by_regex,
+        filter_by_words,
+    )
     from cumulus_etl_spark.sources import scan_resources
 
     docrefs = scan_resources(spark, input_dir, ["DocumentReference"])
     notes = extract_note_text(docrefs).filter(F.col("note_text").isNotNull())
+    if select_by_csv:
+        notes = filter_by_note_csv(spark, notes, select_by_csv)
     if select_words:
         # ref: words may repeat the flag or come comma-separated
         words = [w.strip() for arg in select_words for w in arg.split(",") if w.strip()]
@@ -241,4 +300,7 @@ def run_upload_notes(
         )
     summary = ls_client.push_tasks(ls_notes, overwrite=overwrite)
     summary["charts"] = len(ls_notes)
+    manifest_path = write_upload_manifest(ls_notes, export_to)
+    if manifest_path:
+        summary["manifest"] = manifest_path
     return summary

@@ -65,6 +65,66 @@ def filter_by_coding(
     return notes.filter(keep)
 
 
+def filter_by_note_csv(
+    spark,
+    notes: DataFrame,
+    csv_path: str,
+    id_col: str = "id",
+    resource_type: str = "DocumentReference",
+) -> DataFrame:
+    """--select-by-csv: keep notes named in a selection CSV (ref
+    nlp/selection.py:104-126 scans the CSV's columns for note refs and
+    patient ids; upload_notes/manifest.py writes ``uploaded_notes.csv``
+    in exactly this shape so a chart-review session can re-select the
+    notes it uploaded last time).
+
+    Recognized columns (case-insensitive): ``note_ref`` (``Type/id``
+    values), ``docref_id`` (bare DocumentReference ids), ``patient_id``
+    (bare ids). A note passes when its own ref OR its patient matches —
+    the reference's NoteFilter OR-semantics. Cohort CSVs are small, so
+    matching is broadcast joins against the distinct ref/patient sets;
+    the note scan never collects."""
+    cohort = spark.read.option("header", True).csv(csv_path)
+    cols = {c.lower(): c for c in cohort.columns}
+
+    ref_exprs = []
+    if "note_ref" in cols:
+        ref_exprs.append(F.col(cols["note_ref"]))
+    if "docref_id" in cols:
+        ref_exprs.append(F.concat(F.lit("DocumentReference/"), F.col(cols["docref_id"])))
+    patient_col = cols.get("patient_id")
+    if not ref_exprs and not patient_col:
+        raise ValueError(
+            f"{csv_path}: no note_ref / docref_id / patient_id column "
+            f"(found {list(cohort.columns)})"
+        )
+
+    own_ref = F.concat(F.lit(f"{resource_type}/"), F.col(id_col))
+    n = notes.withColumn("__own_ref", own_ref)
+    if "subject" in notes.columns:
+        pat_id = F.element_at(F.split(F.col("subject")["reference"], "/"), -1)
+    else:
+        pat_id = F.lit(None).cast("string")
+    n = n.withColumn("__own_pat", pat_id)
+
+    keep = F.lit(False)
+    if ref_exprs:
+        refs = cohort.select(
+            F.explode(F.array(*ref_exprs)).alias("__sel_ref")
+        ).filter(F.col("__sel_ref").isNotNull()).distinct()
+        n = n.join(F.broadcast(refs), n["__own_ref"] == F.col("__sel_ref"), "left")
+        keep = keep | F.col("__sel_ref").isNotNull()
+    if patient_col:
+        pats = (
+            cohort.select(F.col(patient_col).alias("__sel_pat"))
+            .filter(F.col("__sel_pat").isNotNull() & (F.col("__sel_pat") != ""))
+            .distinct()
+        )
+        n = n.join(F.broadcast(pats), n["__own_pat"] == F.col("__sel_pat"), "left")
+        keep = keep | F.col("__sel_pat").isNotNull()
+    return n.filter(keep).drop("__own_ref", "__own_pat", "__sel_ref", "__sel_pat")
+
+
 def filter_by_cohort(
     notes: DataFrame,
     cohort: DataFrame,

@@ -90,3 +90,121 @@ def test_order_charts_nulls_last(spark, tmp_path):
     notes = extract_note_text(scan_resources(spark, str(tmp_path), ["DocumentReference"]))
     ordered = [r["chart_id"] for r in order_charts(group_notes_by_encounter(notes)).collect()]
     assert ordered == ["Encounter/e3", "Encounter/e1", "Encounter/e2"]
+
+
+class _FakeLsClient:
+    """Duck-typed Label Studio client: records pushed notes."""
+
+    def __init__(self):
+        self.pushed = []
+
+    def push_tasks(self, notes, overwrite=False):
+        self.pushed = list(notes)
+        return {"new": len(notes), "updated": 0, "skipped": 0}
+
+
+def test_upload_manifest_round_trip(spark, tmp_path):
+    """Round-8 verdict ask 5 (ref upload_notes/manifest.py:14-31):
+    upload writes uploaded_notes.csv into --export-to, one row per REAL
+    note with real+anon refs; feeding that manifest back through
+    --select-by-csv re-selects exactly the uploaded notes."""
+    import csv
+    import os
+
+    from cumulus_etl_spark.etl.upload_notes import (
+        MANIFEST_COLUMNS,
+        run_upload_notes,
+    )
+    from cumulus_etl_spark.nlp.selection import filter_by_note_csv
+
+    docs = [
+        docref("n1", text="fever and cough", enc="e1", patient="pA"),
+        docref("n2", text="follow-up visit", enc="e1", patient="pA"),
+        docref("n3", text="sprained ankle", enc="e2", patient="pB"),
+        docref("n4", text="unrelated note", enc="e3", patient="pC"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", docs)
+    phi_dir = str(tmp_path / "phi")
+    export_to = str(tmp_path / "export")
+    client = _FakeLsClient()
+
+    summary = run_upload_notes(
+        spark, in_dir, phi_dir, client,
+        select_words=["fever", "follow-up", "ankle"],  # n4 filtered out
+        philter_mode="disable",
+        export_to=export_to,
+    )
+    assert summary["charts"] == 2  # e1 (n1+n2 merged) and e2
+    manifest = summary["manifest"]
+    assert manifest == os.path.join(export_to, "uploaded_notes.csv")
+
+    with open(manifest, newline="") as fh:
+        rows = list(csv.DictReader(fh))
+    assert [r["note_ref"] for r in rows] == [
+        "DocumentReference/n1", "DocumentReference/n2", "DocumentReference/n3",
+    ]
+    assert set(rows[0]) == set(MANIFEST_COLUMNS)
+    r1 = rows[0]
+    assert r1["patient_id"] == "pA" and r1["encounter_id"] == "e1"
+    assert r1["unique_id"] == "Encounter/e1"
+    # anon ids are the codebook HMAC pseudonyms — present and stable
+    assert r1["anon_note_ref"].startswith("DocumentReference/")
+    assert len(r1["anon_patient_id"]) == 64  # hex sha256-hmac width
+    from cumulus_etl_spark.deid import Codebook
+    from cumulus_etl_spark.functions.scalars import anon_id_py
+
+    salt = Codebook(phi_dir).salt
+    assert r1["anon_patient_id"] == anon_id_py(salt, "pA")
+    assert r1["anon_note_ref"] == "DocumentReference/" + anon_id_py(salt, "n1")
+
+    # ---- feed the manifest straight back in as the selection ----
+    notes = extract_note_text(scan_resources(spark, in_dir, ["DocumentReference"]))
+    reselected = filter_by_note_csv(spark, notes, manifest)
+    assert sorted(r["id"] for r in reselected.select("id").collect()) == [
+        "n1", "n2", "n3",
+    ]
+    # full verb round trip too: second session selects by the manifest
+    client2 = _FakeLsClient()
+    summary2 = run_upload_notes(
+        spark, in_dir, phi_dir, client2,
+        select_by_csv=manifest, philter_mode="disable",
+    )
+    assert summary2["charts"] == 2
+    uploaded2 = sorted(
+        nid for note in client2.pushed for nid in note.doc_mappings
+    )
+    assert uploaded2 == ["n1", "n2", "n3"]
+
+
+def test_filter_by_note_csv_patient_and_bare_id_columns(spark, tmp_path):
+    """The CSV scanner's OR-semantics: a note passes if its own ref OR
+    its patient is listed; bare docref_id columns work too."""
+    import os
+
+    from cumulus_etl_spark.nlp.selection import filter_by_note_csv
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", [
+        docref("n1", text="a", patient="pA"),
+        docref("n2", text="b", patient="pB"),
+        docref("n3", text="c", patient="pC"),
+    ])
+    notes = extract_note_text(scan_resources(spark, in_dir, ["DocumentReference"]))
+
+    p = str(tmp_path / "sel.csv")
+    with open(p, "w") as fh:
+        fh.write("docref_id,patient_id\nn1,\n,pC\n")
+    got = sorted(r["id"] for r in
+                 filter_by_note_csv(spark, notes, p).select("id").collect())
+    assert got == ["n1", "n3"]  # n1 by ref, n3 by patient
+
+    import pytest
+
+    bad = str(tmp_path / "bad.csv")
+    with open(bad, "w") as fh:
+        fh.write("something_else\nx\n")
+    with pytest.raises(ValueError, match="no note_ref"):
+        filter_by_note_csv(spark, notes, bad)
