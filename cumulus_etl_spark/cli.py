@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     p_nlp.add_argument("--ctakes-url", default=None,
                        help="use a cTAKES HTTP endpoint instead of the stub model")
     p_nlp.add_argument("--cnlp-url", default=None, help="cNLP negation endpoint")
+    p_nlp.add_argument("--ctakes-bsv", default=None,
+                       help="custom symptom dictionary (4- or 6-column BSV) "
+                       "for the cTAKES server")
+    p_nlp.add_argument("--ctakes-overrides", default=None,
+                       help="cTAKES overrides folder the server watches for "
+                       "dictionary swaps (ref docker setup: /ctakes-overrides)")
     p_nlp.add_argument("--llm-url", default=None,
                        help="use a chat-completions HTTP endpoint instead of the stub model")
     p_nlp.add_argument("--llm-model", default="gpt-like", help="model name for --llm-url")
@@ -911,7 +917,16 @@ def _run_nlp_verb(spark, args) -> dict:
         wait_for_service(args.ctakes_url)
         if args.cnlp_url:
             wait_for_service(args.cnlp_url)
-        model = CtakesHttpModel(url=args.ctakes_url, cnlp_url=args.cnlp_url)
+        model = CtakesHttpModel(
+            url=args.ctakes_url,
+            cnlp_url=args.cnlp_url,
+            bsv_path=args.ctakes_bsv,
+            overrides_dir=args.ctakes_overrides,
+        )
+        # Study vocabulary swap BEFORE any extraction request (ref
+        # nlp/watcher.py:134-170); the post-install ping is the offline
+        # analog of wait_for_ctakes_restart.
+        model.install_dictionary(ready_check=lambda: wait_for_service(args.ctakes_url))
     elif args.llm_url:
         from cumulus_etl_spark.nlp.http_provider import LlmHttpModel, wait_for_service
 

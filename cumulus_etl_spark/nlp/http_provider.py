@@ -143,12 +143,34 @@ class CtakesHttpModel:
     [[begin,end],…]} → {"statuses": [-1|1,…]}``), mirroring the
     reference's two-stage extract (covid_ctakes.py:86-118,
     nlp/extract.py:38-66).
+
+    Custom vocabulary (ref nlp/watcher.py:107-170): a study can attach
+    its own BSV symptom dictionary via ``bsv_path`` + ``overrides_dir``
+    — ``install_dictionary()`` converts it to cTAKES 4-column form and
+    drops it into the overrides folder the server watches, and MUST run
+    (the CLI runs it) before the first request so every extraction
+    queries the study vocabulary, not the server default. Driver-side
+    only: executors just POST text.
     """
 
     url: str
     cnlp_url: str | None = None
     concurrency: int = 8
     client: HttpClient = field(default_factory=HttpClient)
+    bsv_path: str | None = None
+    overrides_dir: str | None = None
+
+    def install_dictionary(self, ready_check=None) -> bool:
+        """Install the study BSV into the cTAKES overrides folder; no-op
+        False (with a warning, never an error) when the model carries no
+        custom dictionary or no overrides folder is configured."""
+        if not self.bsv_path:
+            return False
+        from cumulus_etl_spark.nlp.ctakes_dict import install_ctakes_dictionary
+
+        return install_ctakes_dictionary(
+            self.overrides_dir, self.bsv_path, ready_check=ready_check
+        )
 
     def __call__(self, text: str | None) -> list[dict]:
         if not text:

@@ -66,6 +66,32 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/ctakes":
             # cTAKES takes the raw note text in the body
             self._json({"matches": _keyword_matches(body)})
+        elif self.path == "/ctakes-dict":
+            # dictionary-respecting cTAKES: matches come ONLY from the
+            # symptoms.bsv installed in the overrides folder, and the
+            # server insists on the 4-column layout cTAKES expects — a
+            # 6-column file (conversion skipped) is a hard error.
+            bsv = os.path.join(state["overrides_dir"], "symptoms.bsv")
+            if not os.path.exists(bsv):
+                self._json({"matches": []})  # server default: empty vocab
+                return
+            lower = body.lower()
+            matches = []
+            with open(bsv) as fh:
+                for line in fh:
+                    cols = line.rstrip("\n").split("|")
+                    if len(cols) != 4:
+                        self.send_error(500, "dictionary is not 4-column BSV")
+                        return
+                    cui, _tui, term, _pref = cols
+                    idx = lower.find(term.lower())
+                    if idx != -1:
+                        matches.append({
+                            "text": term,
+                            "conceptAttributes": [{"cui": cui}],
+                            "begin": idx, "end": idx + len(term),
+                        })
+            self._json({"matches": matches})
         elif self.path == "/negation":
             req = json.loads(body)
             text = req["doc_text"].lower()
@@ -226,6 +252,91 @@ def test_ctakes_model_with_negation_via_run_model(spark, fake_server):
         {"text": "fever", "code": "C-fever", "polarity": "negated", "begin": 7, "end": 12}
     ]
     assert rows["n3"] == []
+
+
+def test_ctakes_custom_bsv_dictionary_reaches_request_path(
+    spark, fake_server, tmp_path
+):
+    """Round-8 verdict ask 6 (ref nlp/watcher.py:107-170): a NON-covid
+    study's custom BSV vocabulary must reach the cTAKES request path —
+    install_dictionary converts the 6-column ctakesclient form to the
+    4-column cTAKES layout and drops symptoms.bsv into the overrides
+    folder; the dictionary-respecting fake server then matches ONLY
+    those terms (and hard-errors on a non-converted 6-column file)."""
+    srv, base = fake_server
+    overrides = tmp_path / "ctakes-overrides"
+    overrides.mkdir()
+    srv.state["overrides_dir"] = str(overrides)
+
+    # 6-column ctakesclient-style BSV for a sleep study (non-covid
+    # vocabulary: neither term is in the fake's default TERMS)
+    bsv = tmp_path / "sleep.bsv"
+    bsv.write_text(
+        "# sleep study vocabulary\n"
+        "C0917801|T184|52702003|SNOMEDCT_US|insomnia|Insomnia\n"
+        "C0018681|T184|25064002|SNOMEDCT_US|headache|Headache\n"
+    )
+    model = CtakesHttpModel(
+        url=f"{base}/ctakes-dict", client=HttpClient(backoff=0.01),
+        bsv_path=str(bsv), overrides_dir=str(overrides),
+    )
+    notes = spark.createDataFrame(
+        [("n1", "chronic insomnia with morning headache"), ("n2", "cough only")],
+        "id string, note_text string",
+    )
+
+    # before install: server vocabulary is empty -> no matches
+    rows = {r["id"]: json.loads(r["result"]) for r in run_model(notes, model).collect()}
+    assert rows["n1"] == [] and rows["n2"] == []
+
+    pinged = []
+    assert model.install_dictionary(ready_check=lambda: pinged.append(1)) is True
+    assert pinged == [1]  # offline analog of wait_for_ctakes_restart ran
+    installed = (overrides / "symptoms.bsv").read_text()
+    assert "C0917801|T184|insomnia|Insomnia" in installed  # 6 -> 4 columns
+    assert "SNOMEDCT_US" not in installed
+
+    rows = {r["id"]: json.loads(r["result"]) for r in run_model(notes, model).collect()}
+    # model output is sorted by (code, begin)
+    assert [(m["code"], m["text"]) for m in rows["n1"]] == [
+        ("C0018681", "headache"), ("C0917801", "insomnia"),
+    ]
+    assert rows["n2"] == []  # 'cough' is NOT in the study vocabulary
+
+
+def test_install_dictionary_graceful_skips(tmp_path, caplog):
+    """Reference behavior: missing/unset overrides folder warns and
+    returns False — never an error (nlp/watcher.py:155-166)."""
+    import logging
+
+    bsv = tmp_path / "d.bsv"
+    bsv.write_text("C1|T1|term|Term\n")
+    model = CtakesHttpModel(url="http://unused.invalid", bsv_path=str(bsv))
+    with caplog.at_level(logging.WARNING):
+        assert model.install_dictionary() is False  # no overrides_dir
+        model.overrides_dir = str(tmp_path / "nope")
+        assert model.install_dictionary() is False  # folder doesn't exist
+    assert "ctakes-overrides" in caplog.text
+    # and a model with no custom vocabulary is a silent no-op
+    assert CtakesHttpModel(url="http://unused.invalid").install_dictionary() is False
+
+
+def test_convert_bsv_text_column_rules():
+    from cumulus_etl_spark.nlp.ctakes_dict import convert_bsv_text, parse_bsv_rows
+
+    text = (
+        "# comment\n"
+        "\n"
+        "C1|T1|CODE|SAB|string one|Pref One\n"   # 6 cols -> first2 + last2
+        "C2|T2|string two|Pref Two\n"            # 4 cols pass through
+        "C3|T3|too-short\n"                      # dropped
+    )
+    assert convert_bsv_text(text) == (
+        "C1|T1|string one|Pref One\nC2|T2|string two|Pref Two"
+    )
+    rows = parse_bsv_rows(text)
+    assert rows[0] == {"cui": "C1", "tui": "T1", "text": "string one", "pref": "Pref One"}
+    assert len(rows) == 2
 
 
 def test_llm_model_reports_usage(spark, fake_server):
