@@ -57,15 +57,21 @@ _GATE_PRIORITY = [
 ]
 
 # Round-10 rotation queue (verdict-r8 ask 3 — changed-after-last-green
-# entries lead): FIRST "text_dedup_clusters" (r7: connected-components
-# convergence folded into an observe metric; its r9 row above covers the
-# change, but the judge asked it named here) and "text_substring_removal"
-# (r8: stitch fold rewritten to O(doc_len) slice pairs after its last
-# green row — the one remaining driver-unproven change), then the
-# 50 entries whose last green row is r7 (CORRECTNESS_r07.json's window),
-# minus any that land in the r9 window above, to fill the 50 slots.
-# Note text_dedup_clusters IS in the r9 window (r6-stale), so the r10
-# window = text_substring_removal + the 49 stalest r7 rows.
+# and never-gated entries lead). Post-r9 freshness, computed from
+# CORRECTNESS_r01..r08 + this window: 50 entries green r9, 50 green r8,
+# 48 stale at r7, and ONE never-gated. The r10 window is therefore:
+#   1. "multimodal_frame_sample" — oracled in r9 (planted RIFF/AVI +
+#      real demux, verdict-r8 ask 4) AFTER the r9 window was already
+#      committed to the staged rotation; never driver-gated.
+#   2. "text_substring_removal" — r8 rewrote the stitch fold to
+#      O(doc_len) slice pairs after its last green row (r7); the one
+#      remaining driver-unproven change. (text_dedup_clusters, the
+#      other r7/r8-changed entry the judge named, is ALREADY in the r9
+#      window above as r6-stale — its new code gets blessed this round.)
+#   3. the remaining 47 r7-stale entries (everything green r7 and not
+#      retired; text_bigram_lm_score's retirement freed its slot).
+# Total demand 49 of 50 slots — one spare for anything r9 changes.
+# The 50 r8 rows rotate in r11.
 
 
 def _ordered() -> list[str]:
