@@ -141,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--seq-len", type=int, default=None,
                           help="also emit fixed-length packed training sequences "
                                "of this many tokens under <output>/sequences")
+    p_corpus.add_argument("--pack-mode", choices=("cut", "atomic"), default="cut",
+                          help="sequence packing layout for --seq-len: 'cut' "
+                               "concatenates and cuts (docs straddle, zero "
+                               "padding), 'atomic' keeps each doc intact in one "
+                               "sequence via first-fit-decreasing bin packing")
     p_corpus.add_argument("--split", default=None, metavar="TRAIN,VAL",
                           help="deterministic train/val/test percentages, e.g. "
                                "'98,1' (test gets the remainder); adds a split "
@@ -559,18 +564,38 @@ def main(argv: list[str] | None = None) -> int:
         if args.seq_len:
             import os as _os
 
-            from cumulus_etl_spark.operators.corpus import pack_sequences
-
-            seqs = pack_sequences(
-                sharded, seq_len=args.seq_len, id_col=args.id_col, text_col=args.text_col
+            from cumulus_etl_spark.operators.corpus import (
+                pack_sequences,
+                pack_sequences_atomic,
             )
+
+            if args.pack_mode == "atomic":
+                seqs = pack_sequences_atomic(
+                    sharded, seq_len=args.seq_len,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+            else:
+                seqs = pack_sequences(
+                    sharded, seq_len=args.seq_len,
+                    id_col=args.id_col, text_col=args.text_col,
+                )
             seq_dir = _os.path.join(args.output_dir, "sequences")
             seqs.write.mode("overwrite").parquet(seq_dir)
+            written = spark.read.parquet(seq_dir)
             report["sequences"] = {
                 "seq_len": args.seq_len,
-                "n_sequences": spark.read.parquet(seq_dir).count(),
+                "pack_mode": args.pack_mode,
+                "n_sequences": written.count(),
                 "output": seq_dir,
             }
+            if args.pack_mode == "atomic":
+                from pyspark.sql import functions as _F
+
+                pad = written.agg(
+                    _F.sum("pad_tokens").alias("p"), _F.sum("n_tokens").alias("t")
+                ).collect()[0]
+                report["sequences"]["pad_tokens"] = int(pad["p"] or 0)
+                report["sequences"]["packed_tokens"] = int(pad["t"] or 0)
         stats = token_budget_summary(sharded).orderBy("shard_id").collect()
         report.update(
             {

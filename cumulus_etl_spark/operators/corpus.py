@@ -179,19 +179,31 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 8,
+    method: str = "broadcast",
+    bloom_bits: int = 1 << 16,
 ) -> DataFrame:
     """Benchmark decontamination: per corpus doc, count distinct word
     ``ngram``-grams that also appear in the benchmark/eval set (the
     standard train/test-overlap check for LLM training corpora).
 
-    Scale shape: the benchmark gram set is tiny relative to the corpus
-    (eval suites are thousands of docs), so it is ``broadcast`` — the
-    corpus side never shuffles its exploded grams; only the matching
-    (doc, gram) pairs (rare at 100 TB) reach the per-doc count shuffle.
-    Grams are deduped per doc BEFORE the explode so the join input is
-    minimal. Result is exact — hashing grams (xxhash64) is a further
-    bandwidth optimization at scale, skipped here so the oracle can
-    join on the same strings.
+    Scale shape, ``method="broadcast"`` (default): the benchmark gram
+    set is tiny relative to the corpus (eval suites are thousands of
+    docs), so it is ``broadcast`` — the corpus side never shuffles its
+    exploded grams; only the matching (doc, gram) pairs (rare at
+    100 TB) reach the per-doc count shuffle. Grams are deduped per doc
+    BEFORE the explode so the join input is minimal. Result is exact —
+    hashing grams (xxhash64) is a further bandwidth optimization at
+    scale, skipped here so the oracle can join on the same strings.
+
+    ``method="bloom"`` is the LARGE-benchmark path (decontaminating
+    against a full held-out split, not a small eval suite — too many
+    grams to broadcast as a hash table): the benchmark grams build a
+    bloom bitmask (``bloom_bits`` sized ~10 bits/gram at scale,
+    operators/bloom.py), the corpus's exploded grams are pruned by a
+    pure codegen bit-test BEFORE any join, and only the tiny surviving
+    subset reaches an exact shuffle join that eliminates the bloom's
+    false positives — SAME exact result, no broadcast of the gram set,
+    and the gram shuffle shrinks from |corpus grams| to |near-hits|.
     """
     bench_grams = (
         benchmark.select(
@@ -205,8 +217,18 @@ def decontaminate(
             "gram"
         ),
     )
+    if method == "bloom":
+        from cumulus_etl_spark.operators.bloom import bloom_prune, build_bloom
+
+        words = build_bloom(bench_grams, "gram", m_bits=bloom_bits)
+        pruned = bloom_prune(corpus_grams, "gram", words)
+        matched = pruned.join(bench_grams, "gram")  # exact: kills false positives
+    elif method == "broadcast":
+        matched = corpus_grams.join(F.broadcast(bench_grams), "gram")
+    else:
+        raise ValueError(f"unknown decontamination method: {method!r}")
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        matched
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
@@ -529,6 +551,125 @@ def pack_sequences(
             ).alias("text"),
         )
     )
+
+
+def pack_sequences_atomic(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Document-ATOMIC sequence packing with first-fit-decreasing.
+
+    ``pack_sequences`` is concat-and-cut: documents straddle sequence
+    boundaries, which maximizes token utilization but forces the
+    trainer to mask attention across mid-sequence document changes.
+    This packer is the other canonical layout (SFT / contrastive /
+    example-isolated pretraining): each document lands INTACT inside
+    exactly one sequence, and padding waste is minimized by first-fit-
+    decreasing bin packing (FFD uses at most 11/9·OPT + 1 bins).
+    Documents longer than ``seq_len`` are pre-split into seq_len-token
+    atomic chunks first — the only unavoidable splits, flagged via
+    ``n_docs`` counting chunks.
+
+    Scale shape: packing has no cross-bin dependency, so it runs
+    per-partition — chunks hash-repartition by doc id (one shuffle) and
+    each partition FFD-packs its own chunks inside an Arrow stage
+    (``mapInPandas``, the sanctioned imperative tier). The stage
+    accumulates its partition before packing so results are
+    deterministic regardless of shuffle fetch order (rows re-sorted by
+    (tokens desc, chunk id)); a partition's CHUNK METADATA must fit in
+    executor memory — size ``partitions`` to the corpus like any
+    applyInPandas group. pack_ids are unique across partitions
+    (partition id in the high 32 bits). No driver data, no global sort.
+
+    Returns (pack_id, n_docs, n_tokens, pad_tokens, text) where
+    ``text`` is the packed documents joined by single spaces, so
+    whitespace-retokenizing ``text`` yields exactly ``n_tokens``.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        LongType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    L = int(seq_len)
+    tok = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.split(F.lower(F.trim(text_col)), r"\s+").alias("t"),
+    ).filter(F.trim(text_col) != "")
+    # pre-split over-length docs into atomic <= L chunks
+    chunks = tok.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.size("t") - 1) / L).cast("int"))
+        ).alias("ci"),
+        "t",
+    ).select(
+        F.concat_ws("#", "doc_id", "ci").alias("chunk_id"),
+        F.slice("t", F.col("ci") * L + 1, L).alias("t"),
+    ).select(
+        "chunk_id",
+        F.array_join("t", " ").alias("chunk_text"),
+        F.size("t").cast("long").alias("n"),
+    )
+    chunks = chunks.repartition(
+        partitions if partitions is not None else chunks.rdd.getNumPartitions(),
+        "chunk_id",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("pack_id", LongType()),
+            StructField("n_docs", IntegerType()),
+            StructField("n_tokens", LongType()),
+            StructField("pad_tokens", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def pack_partition(batches):
+        parts = [pdf for pdf in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["n", "chunk_id"], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[list] = []  # [remaining, [texts], [ns]]
+        for text, n in zip(pdf["chunk_text"], pdf["n"]):
+            n = int(n)
+            placed = False
+            for b in bins:
+                if b[0] >= n:
+                    b[0] -= n
+                    b[1].append(text)
+                    b[2].append(n)
+                    placed = True
+                    break
+            if not placed:
+                bins.append([L - n, [text], [n]])
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for i, (rem, texts, ns) in enumerate(bins):
+            total = sum(ns)
+            rows.append(
+                {
+                    "pack_id": (pid << 32) | i,
+                    "n_docs": len(texts),
+                    "n_tokens": total,
+                    "pad_tokens": L - total,
+                    "text": " ".join(texts),
+                }
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return chunks.mapInPandas(pack_partition, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

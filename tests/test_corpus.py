@@ -1035,3 +1035,125 @@ def test_corpus_cli_surprisal_filter(spark, tmp_path, capsys):
     ids = {r["doc_id"] for r in back.select("doc_id").collect()}
     assert 99 not in ids        # the OOD doc is gone
     assert 0 in ids and 39 in ids  # templated docs survive
+
+
+def test_decontaminate_bloom_method_matches_broadcast_exactly(spark):
+    """The bloom path is an exact pre-prune: identical output to the
+    broadcast path on every doc (false positives die in the exact
+    join), and unknown methods fail loudly."""
+    import pytest
+
+    from cumulus_etl_spark.operators.corpus import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "three four five six seven eight nine ten extra")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, decontaminate(corpus, bench, ngram=8).collect()))
+    b = sorted(map(tuple, decontaminate(
+        corpus, bench, ngram=8, method="bloom", bloom_bits=1 << 12).collect()))
+    assert a == b
+    byid = {r[0]: r for r in b}
+    assert byid[1][2] is True and byid[3][2] is False
+    with pytest.raises(ValueError, match="unknown decontamination method"):
+        decontaminate(corpus, bench, method="nope")
+
+
+def test_pack_sequences_atomic_invariants(spark):
+    """Doc-atomic FFD packing: every pack fits seq_len, every (short)
+    doc lands intact in exactly one pack, long docs split into atomic
+    chunks, tokens are conserved, and the layout is deterministic."""
+    from cumulus_etl_spark.operators.corpus import pack_sequences_atomic
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d e f g"),          # 7 tokens
+            ("d2", "h i j"),                   # 3
+            ("d3", "k l m n"),                 # 4
+            ("d4", "o p"),                     # 2
+            ("d5", " ".join(f"w{i}" for i in range(23))),  # 23 -> 3 chunks @ 10
+            ("d6", ""),                        # dropped
+        ],
+        "doc_id string, text string",
+    )
+    out = pack_sequences_atomic(docs, seq_len=10, partitions=2).collect()
+    # capacity + padding accounting
+    assert all(r["n_tokens"] <= 10 for r in out)
+    assert all(r["pad_tokens"] == 10 - r["n_tokens"] for r in out)
+    # token conservation: 7+3+4+2+23 = 39
+    assert sum(r["n_tokens"] for r in out) == 39
+    # retokenizing the packed text yields exactly n_tokens
+    assert all(len(r["text"].split()) == r["n_tokens"] for r in out)
+    # every short doc appears intact (contiguous token run) in ONE pack
+    packed_texts = [r["text"] for r in out]
+    for intact in ("a b c d e f g", "h i j", "k l m n", "o p"):
+        assert sum(1 for t in packed_texts if intact in t) == 1
+    # the long doc split into ceil(23/10)=3 atomic chunks, each <= 10
+    w_chunks = [t for t in packed_texts if "w0 " in t or "w10" in t or "w20" in t]
+    assert "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9" in " || ".join(packed_texts)
+    # pack_ids unique
+    ids = [r["pack_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    # deterministic across runs
+    again = pack_sequences_atomic(docs, seq_len=10, partitions=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_atomic_beats_one_doc_per_sequence(spark):
+    """FFD padding waste must beat the naive one-doc-per-sequence
+    layout on a skewed corpus (the whole point of bin packing)."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.corpus import pack_sequences_atomic
+
+    rows = [(f"d{i}", " ".join(["tok"] * (3 + i % 5))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences_atomic(docs, seq_len=16, partitions=2).collect()
+    total_tokens = sum(3 + i % 5 for i in range(40))
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    ffd_pad = sum(r["pad_tokens"] for r in out)
+    naive_pad = sum(16 - (3 + i % 5) for i in range(40))
+    assert ffd_pad < naive_pad / 3  # FFD packs several docs per sequence
+
+
+def test_corpus_cli_atomic_pack_mode(spark, tmp_path, capsys):
+    """corpus --seq-len --pack-mode atomic emits doc-atomic FFD packs
+    with padding accounting in the report."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    src = str(tmp_path / "docs3.parquet")
+    out = str(tmp_path / "corpus-out3")
+    rows = [
+        (i,
+         "every document here has a shared twelve token prefix before "
+         + " ".join(f"unique{i}x{j}" for j in range(3 + i % 7)),
+         "en", "s")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    rc = main(["corpus", src, out, "--shard-tokens", "500",
+               "--jaccard-threshold", "0.99",
+               "--seq-len", "32", "--pack-mode", "atomic"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    blk = summary["sequences"]
+    assert blk["pack_mode"] == "atomic"
+    assert blk["packed_tokens"] > 0 and blk["pad_tokens"] >= 0
+    seqs = spark.read.parquet(blk["output"])
+    rows_out = seqs.collect()
+    assert all(r["n_tokens"] + r["pad_tokens"] == 32 for r in rows_out)
+    assert sum(r["n_tokens"] for r in rows_out) == blk["packed_tokens"]
