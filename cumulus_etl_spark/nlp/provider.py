@@ -56,6 +56,24 @@ class StubSymptomModel:
     """
 
     terms: tuple[str, ...] = ("cough", "fever", "headache", "nausea", "congestion")
+    # optional real CUIs per term (from a study BSV dictionary); terms
+    # without an entry keep the deterministic md5 fake
+    cuis: tuple[tuple[str, str], ...] = ()
+
+    @classmethod
+    def from_bsv(cls, bsv_path: str) -> "StubSymptomModel":
+        """Build the stub from a study BSV dictionary (4- or 6-column,
+        nlp/ctakes_dict.py) so an offline non-covid study matches its
+        OWN vocabulary with its real CUIs — the no-server analog of
+        CtakesHttpModel.install_dictionary."""
+        from cumulus_etl_spark.nlp.ctakes_dict import parse_bsv_rows
+
+        with open(bsv_path) as fh:
+            rows = parse_bsv_rows(fh.read())
+        return cls(
+            terms=tuple(r["text"].lower() for r in rows),
+            cuis=tuple((r["text"].lower(), r["cui"]) for r in rows),
+        )
 
     def usage(self, text: str | None) -> tuple[int, int]:
         """(input_tokens, output_tokens) accounting — a whitespace proxy
@@ -73,6 +91,9 @@ class StubSymptomModel:
         # digest per (model, term) regardless of corpus size.
         import hashlib
 
+        for t, cui in self.cuis:  # study BSV vocabulary wins
+            if t == term:
+                return cui
         code_n = int(hashlib.md5(term.encode()).hexdigest()[:6], 16)
         return f"C{code_n % 10_000_000:07d}"
 

@@ -285,12 +285,22 @@ def load_study_tasks(
         kwargs = {}
         if "terms" in spec and model_cls is StubSymptomModel:
             kwargs["terms"] = tuple(spec["terms"])
+        if "bsv" in spec and model_cls is StubSymptomModel:
+            # study BSV vocabulary (ref nlp/watcher.py custom-dictionary
+            # mechanism): the task matches its own dictionary with its
+            # real CUIs — path relative to the toml
+            bsv_path = os.path.join(
+                os.path.dirname(os.path.abspath(toml_path)), spec["bsv"]
+            )
+            model = StubSymptomModel.from_bsv(bsv_path)
+        else:
+            model = model_cls(**kwargs)
         codings = spec.get("note_codings")
         out.append(
             StudyTask(
                 name=name,
                 task_version=int(spec.get("version", 1)),
-                model=model_cls(**kwargs),
+                model=model,
                 note_codings={k: set(v) for k, v in codings.items()} if codings else None,
             )
         )

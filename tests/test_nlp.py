@@ -189,3 +189,39 @@ def test_covid_symptom_study_task(spark, tmp_path):
     assert summary["seen"] == 1  # non-ED note filtered before the funnel
     tbl = ManagedTable(spark, str(tmp_path / "out"), "covid_symptom__nlp_results").read()
     assert {r["match"]["text"] for r in tbl.collect()} == {"cough", "fever"}
+
+
+def test_stub_model_from_bsv_uses_study_vocabulary(tmp_path):
+    """A study BSV gives the offline stub its own vocabulary with REAL
+    CUIs — the no-server analog of CtakesHttpModel.install_dictionary."""
+    from cumulus_etl_spark.nlp.provider import StubSymptomModel
+
+    bsv = tmp_path / "sleep.bsv"
+    bsv.write_text(
+        "# non-covid sleep vocabulary\n"
+        "C0917801|T184|52702003|SNOMEDCT_US|Insomnia|Insomnia\n"
+        "C0018681|T184|headache|Headache\n"  # 4-column row passes through
+    )
+    model = StubSymptomModel.from_bsv(str(bsv))
+    out = model("Chronic insomnia; denies headache today.")
+    by_term = {m["text"]: m for m in out}
+    assert by_term["insomnia"]["code"] == "C0917801"  # real CUI, not md5 fake
+    assert by_term["insomnia"]["polarity"] == "positive"
+    assert by_term["headache"]["polarity"] == "negated"
+    # default model knows nothing about this vocabulary
+    assert StubSymptomModel()("Chronic insomnia today.") == []
+
+
+def test_legacy_toml_task_with_bsv_vocabulary(tmp_path):
+    """[tasks.X] bsv = 'file.bsv' builds the task's model from the study
+    dictionary (path relative to the toml)."""
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+
+    (tmp_path / "sleep.bsv").write_text("C0917801|T184|insomnia|Insomnia\n")
+    toml = tmp_path / "tasks.toml"
+    toml.write_text(
+        '[tasks.sleep_study]\nversion = 2\nbsv = "sleep.bsv"\n'
+    )
+    (task,) = load_study_tasks(str(toml))
+    assert task.name == "sleep_study" and task.task_version == 2
+    assert task.model("insomnia noted")[0]["code"] == "C0917801"

@@ -220,3 +220,43 @@ def test_chunk_overlap_window_math_covers_every_word(n_words, size, data):
     for s1, s2 in zip(starts, starts[1:]):
         if s1 + size <= n_words:
             assert min(s1 + size, n_words) - s2 == max(0, size - stride) or s2 + size > n_words
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parse_avi_never_crashes_on_arbitrary_bytes(payload):
+    """The AVI demux is total: arbitrary bytes either parse to a
+    well-formed info dict (frames inside the payload) or return None —
+    never an exception (a mixed 100-TB corpus WILL contain garbage)."""
+    from cumulus_etl_spark.operators.multimodal import parse_avi
+
+    info = parse_avi(payload)
+    if info is not None:
+        for off, sz in info["frames"]:
+            assert 0 <= off <= len(payload) and sz >= 0
+
+
+@given(st.binary(min_size=12, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_parse_avi_never_crashes_on_riff_prefixed_bytes(payload):
+    """Same totality with an adversarial valid magic prefix."""
+    import struct
+
+    from cumulus_etl_spark.operators.multimodal import parse_avi
+
+    forged = b"RIFF" + struct.pack("<I", len(payload)) + b"AVI " + payload
+    info = parse_avi(forged)
+    if info is not None:
+        for off, sz in info["frames"]:
+            assert 0 <= off <= len(forged) and sz >= 0
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_convert_bsv_text_is_total_and_4_column(text):
+    """BSV conversion never crashes and only ever emits 4-column rows."""
+    from cumulus_etl_spark.nlp.ctakes_dict import convert_bsv_text
+
+    out = convert_bsv_text(text)
+    for line in out.splitlines():
+        assert len(line.split("|")) == 4
