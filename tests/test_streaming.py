@@ -1196,3 +1196,99 @@ def test_hdr_per_key_quantiles_and_mode_guard(spark, tmp_path):
     # reopening the same root WITHOUT key_col must fail loudly
     with pytest.raises(ValueError, match="per-key state.*global mode"):
         StreamingHdrHistogram(spark, root)
+
+
+def test_streaming_reservoir_equals_batch_and_is_replay_safe(spark, tmp_path):
+    """The streaming fold over any batch split EQUALS the batch top-k
+    over the concatenated data (A-ES with deterministic md5 scores),
+    and re-folding a batch changes nothing (idempotent by math, no
+    watermark needed)."""
+    from cumulus_etl_spark.streaming.reservoir import (
+        StreamingReservoir,
+        reservoir_top_k,
+    )
+
+    rows = [(f"id{i}",) for i in range(60)]
+    all_df = spark.createDataFrame(rows, "doc_id string")
+    b1 = spark.createDataFrame(rows[:25], "doc_id string")
+    b2 = spark.createDataFrame(rows[25:40], "doc_id string")
+    b3 = spark.createDataFrame(rows[40:], "doc_id string")
+
+    res = StreamingReservoir(spark, str(tmp_path / "res"), k=10)
+    assert res.sample() is None
+    res.ingest_batch(b1, "doc_id")
+    res.ingest_batch(b2, "doc_id")
+    res.ingest_batch(b2, "doc_id")  # replay: identical scores, no-op
+    res.ingest_batch(b3, "doc_id")
+
+    streamed = [tuple(r) for r in res.sample().collect()]
+    batch = [tuple(r) for r in reservoir_top_k(all_df, 10, "doc_id").collect()]
+    assert streamed == batch
+    assert len(streamed) == 10
+    scores = [s for _, _, s in streamed]
+    assert scores == sorted(scores, reverse=True)
+
+    # reopening with a different k fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="k=10"):
+        StreamingReservoir(spark, str(tmp_path / "res"), k=5)
+    # reopening with the SAME k resumes the state
+    again = StreamingReservoir(spark, str(tmp_path / "res"), k=10)
+    assert [tuple(r) for r in again.sample().collect()] == streamed
+
+
+def test_reservoir_weights_bias_inclusion(spark, tmp_path):
+    """Weighted A-ES: heavy rows must be sampled (far) more often. With
+    deterministic md5 scores this is a fixed arithmetic fact for a
+    fixed id population, not a flaky statistical test."""
+    from cumulus_etl_spark.streaming.reservoir import reservoir_top_k
+
+    rows = [(f"h{i}", 50.0) for i in range(50)] + [
+        (f"l{i}", 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    top = reservoir_top_k(df, 20, "doc_id", weight_col="w").collect()
+    heavy = sum(1 for r in top if r["rid"].startswith("h"))
+    assert heavy >= 16  # 50x weight dominates the sample
+    # and every selected row keeps its weight for downstream reweighting
+    assert all(r["weight"] in (50.0, 1.0) for r in top)
+
+
+def test_streaming_reservoir_checkpointed_ndjson(spark, tmp_path):
+    """availableNow end-to-end: files landing between runs fold in
+    exactly once; the sample matches the batch construction."""
+    import json
+    import os
+
+    from cumulus_etl_spark.streaming.reservoir import (
+        reservoir_top_k,
+        streaming_reservoir,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def drop(name, ids):
+        with open(os.path.join(in_dir, name), "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"doc_id": f"id{i}"}) + "\n")
+
+    drop("a.ndjson", range(0, 30))
+    res = streaming_reservoir(
+        spark, in_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        id_col="doc_id", schema="doc_id string", k=8,
+    )
+    first = [r["rid"] for r in res.sample().collect()]
+    assert len(first) == 8
+
+    drop("b.ndjson", range(30, 50))
+    res = streaming_reservoir(
+        spark, in_dir, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        id_col="doc_id", schema="doc_id string", k=8,
+    )
+    all_df = spark.createDataFrame(
+        [(f"id{i}",) for i in range(50)], "doc_id string"
+    )
+    expect = [r["rid"] for r in reservoir_top_k(all_df, 8, "doc_id").collect()]
+    assert [r["rid"] for r in res.sample().collect()] == expect
