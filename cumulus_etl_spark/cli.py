@@ -227,6 +227,23 @@ def main(argv: list[str] | None = None) -> int:
                        help="report per-key quantiles (e.g. per route); "
                             "state grows with key cardinality")
 
+    p_res = sub.add_parser(
+        "reservoir",
+        help="fold an NDJSON landing dir into a persistent fixed-size "
+        "weighted sample (Efraimidis-Spirakis, deterministic scores)",
+    )
+    p_res.add_argument("input_dir", help="landing directory of *.ndjson files")
+    p_res.add_argument("sketch_dir", help="where the reservoir table lives")
+    p_res.add_argument("id_col", help="row id column (drives the md5 score)")
+    p_res.add_argument("--k", type=int, default=100, help="sample size")
+    p_res.add_argument("--weight-col", default=None,
+                       help="weight column: inclusion probability scales "
+                            "with weight (A-ES u^(1/w))")
+    p_res.add_argument("--checkpoint", default=None,
+                       help="stream checkpoint dir (default: <sketch_dir>/_checkpoint)")
+    p_res.add_argument("--schema", required=True,
+                       help="input schema, e.g. 'doc_id string, w double'")
+
     p_opt = sub.add_parser(
         "optimize",
         help="drop superseded table versions (the finalize/vacuum analog; "
@@ -721,6 +738,25 @@ def main(argv: list[str] | None = None) -> int:
             else [r.asDict() for r in out.collect()]
         )
         print(json.dumps({"quantiles": rep, "sketch": args.sketch_dir}))
+        return 0
+    if args.verb == "reservoir":
+        import os as _os
+
+        from cumulus_etl_spark.streaming.reservoir import streaming_reservoir
+
+        res = streaming_reservoir(
+            spark,
+            args.input_dir,
+            args.sketch_dir,
+            args.checkpoint or _os.path.join(args.sketch_dir, "_checkpoint"),
+            args.id_col,
+            args.schema,
+            k=args.k,
+            weight_col=args.weight_col,
+        )
+        out = res.sample()
+        rep = [] if out is None else [r.asDict() for r in out.collect()]
+        print(json.dumps({"sample": rep, "k": args.k, "sketch": args.sketch_dir}))
         return 0
     if args.verb == "optimize":
         import os as _os

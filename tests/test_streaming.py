@@ -1292,3 +1292,26 @@ def test_streaming_reservoir_checkpointed_ndjson(spark, tmp_path):
     )
     expect = [r["rid"] for r in reservoir_top_k(all_df, 8, "doc_id").collect()]
     assert [r["rid"] for r in res.sample().collect()] == expect
+
+
+def test_reservoir_cli_end_to_end(spark, tmp_path, capsys):
+    """reservoir verb: fold a landing dir, print the sample JSON."""
+    import json
+    import os
+
+    from cumulus_etl_spark.cli import main
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "a.ndjson"), "w") as fh:
+        for i in range(30):
+            fh.write(json.dumps({"doc_id": f"id{i}", "w": 1.0 + i % 3}) + "\n")
+
+    rc = main(["reservoir", in_dir, str(tmp_path / "state"), "doc_id",
+               "--k", "5", "--weight-col", "w",
+               "--schema", "doc_id string, w double"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["k"] == 5 and len(rep["sample"]) == 5
+    scores = [r["score"] for r in rep["sample"]]
+    assert scores == sorted(scores, reverse=True)
