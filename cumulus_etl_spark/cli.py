@@ -121,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--select-by-csv", dest="select_by_csv", default=None,
                       help="CSV with note_ref/docref_id/patient_id columns — "
                       "a prior session's uploaded_notes.csv works as-is")
+    p_up.add_argument("--label-by-csv", dest="label_by_csv", default=None,
+                      help="pre-label charts from a CSV with note id, label, "
+                      "and span (begin:end) columns — e.g. a previous NLP "
+                      "run's match table")
     p_up.add_argument("--export-to", dest="export_to", default=None,
                       help="keep the export folder; writes uploaded_notes.csv "
                       "manifest there")
@@ -398,6 +402,7 @@ def main(argv: list[str] | None = None) -> int:
             select_regex=args.select_regex,
             select_by_csv=args.select_by_csv,
             export_to=args.export_to,
+            label_by_csv=args.label_by_csv,
             highlight_words=args.highlight_words,
             highlight_regexes=args.highlight_regexes,
             philter_mode=args.philter,

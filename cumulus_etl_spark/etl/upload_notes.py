@@ -131,6 +131,49 @@ def order_charts(charts: DataFrame) -> DataFrame:
     return charts.orderBy(F.col("chart_date").asc_nulls_last(), F.col("chart_id"))
 
 
+def load_label_csv(spark, csv_path: str, note_ids: list[str]) -> dict:
+    """--label-by-csv (ref upload_notes/labeling.py:66-113): read a
+    labeling CSV — typically a previous NLP run's match table — and
+    return {note_id: [(label, begin, end), ...]} for the uploaded notes.
+
+    Recognized columns (case-insensitive): ``note_ref`` (``Type/id``) or
+    ``docref_id`` (bare id) to name the note, ``label``, and ``span`` as
+    ``begin:end`` note-relative offsets. Rows with a missing label or a
+    malformed span are skipped (the reference's guard). The CSV can be
+    NLP-output-sized, so it is FILTERED to the uploaded note ids in
+    Spark before the bounded collect — only rows for this session's
+    charts ever reach the driver."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("header", True).csv(csv_path)
+    cols = {c.lower(): c for c in df.columns}
+    if "note_ref" in cols:
+        nid = F.element_at(F.split(F.col(cols["note_ref"]), "/"), -1)
+    elif "docref_id" in cols:
+        nid = F.col(cols["docref_id"])
+    else:
+        raise ValueError(
+            f"{csv_path}: no note_ref / docref_id column (found {list(df.columns)})"
+        )
+    if "label" not in cols or "span" not in cols:
+        raise ValueError(f"{csv_path}: label and span columns are required")
+    picked = (
+        df.select(
+            nid.alias("nid"),
+            F.col(cols["label"]).alias("label"),
+            F.col(cols["span"]).alias("span"),
+        )
+        .filter(F.col("nid").isin(note_ids))
+        .filter(F.col("label").isNotNull() & F.col("span").rlike(r"^\d+:\d+$"))
+        .collect()
+    )
+    out: dict[str, list[tuple[str, int, int]]] = {}
+    for r in picked:
+        begin, end = r["span"].split(":", 1)
+        out.setdefault(r["nid"], []).append((r["label"], int(begin), int(end)))
+    return out
+
+
 # ---- upload manifest (ref upload_notes/manifest.py:14-31) ----
 
 MANIFEST_FILENAME = "uploaded_notes.csv"
@@ -192,6 +235,7 @@ def run_upload_notes(
     select_regex: str | None = None,
     select_by_csv: str | None = None,
     export_to: str | None = None,
+    label_by_csv: str | None = None,
     highlight_words: list[str] | None = None,
     highlight_regexes: list[str] | None = None,
     philter_mode: str = "redact",  # disable | redact | label
@@ -252,6 +296,17 @@ def run_upload_notes(
         charts = charts.orderBy(F.xxhash64(F.col("chart_id"), F.lit(seed))).limit(count)
     rows = order_charts(charts).collect()
 
+    # --label-by-csv vs word/regex highlights are mutually exclusive,
+    # matching the reference's labeling-args guard (labeling.py:30-36)
+    if label_by_csv and (highlight_words or highlight_regexes):
+        raise ValueError(
+            "Multiple labeling arguments provided. Please specify just one."
+        )
+    csv_labels: dict = {}
+    if label_by_csv:
+        uploaded_ids = [n["note_id"] for r in rows for n in r["notes"]]
+        csv_labels = load_label_csv(spark, label_by_csv, uploaded_ids)
+
     salt = Codebook(phi_dir).salt
 
     def anon(ref: str | None) -> str | None:
@@ -266,6 +321,15 @@ def run_upload_notes(
     for r in rows:
         text = r["chart_text"]
         highlights = find_highlights(text, highlight_words, highlight_regexes)
+        if csv_labels:
+            # note-relative spans re-anchor into the merged chart text by
+            # each note's offset (ref labeling.py:92-113)
+            for n in r["notes"]:
+                for label, begin, end in csv_labels.get(n["note_id"], []):
+                    highlights.append(
+                        (label, begin + n["offset_start"], end + n["offset_start"])
+                    )
+            highlights.sort(key=lambda h: (h[1], h[2]))
         if philter_mode == "label":
             # tag PHI spans instead of redacting (ref labelstudio.py:317-338)
             masked = scrub_text(text)

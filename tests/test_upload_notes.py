@@ -208,3 +208,54 @@ def test_filter_by_note_csv_patient_and_bare_id_columns(spark, tmp_path):
         fh.write("something_else\nx\n")
     with pytest.raises(ValueError, match="no note_ref"):
         filter_by_note_csv(spark, notes, bad)
+
+
+def test_label_by_csv_reanchors_spans_into_charts(spark, tmp_path):
+    """--label-by-csv (ref upload_notes/labeling.py:66-113): a previous
+    NLP run's (note id, label, span) rows become chart highlights with
+    note-relative spans re-anchored by each note's offset in the merged
+    chart text; malformed rows are skipped; word-highlight args are
+    mutually exclusive."""
+    import os
+
+    import pytest
+
+    from cumulus_etl_spark.etl.upload_notes import run_upload_notes
+
+    docs = [
+        docref("n1", text="fever noted", enc="e1", patient="pA"),
+        docref("n2", text="cough heavy today", enc="e1", patient="pA"),
+    ]
+    docs[0]["date"] = "2021-01-01T00:00:00Z"
+    docs[1]["date"] = "2021-01-02T00:00:00Z"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", docs)
+
+    labels = tmp_path / "labels.csv"
+    labels.write_text(
+        "note_ref,label,span\n"
+        "DocumentReference/n1,Fever,0:5\n"        # 'fever' in note 1
+        "DocumentReference/n2,Cough,0:5\n"        # 'cough' in note 2
+        "DocumentReference/n2,Bad,notaspan\n"     # malformed: skipped
+        "DocumentReference/n2,,3:5\n"             # no label: skipped
+        "DocumentReference/zz,Ghost,0:2\n"        # not uploaded: ignored
+    )
+    client = _FakeLsClient()
+    summary = run_upload_notes(
+        spark, in_dir, str(tmp_path / "phi"), client,
+        philter_mode="disable", label_by_csv=str(labels),
+    )
+    assert summary["charts"] == 1
+    note = client.pushed[0]
+    # chart text is 'fever noted\n\ncough heavy today'; n2 starts at 13
+    assert note.doc_spans["n2"][0] == 13
+    assert note.highlights == [("Fever", 0, 5), ("Cough", 13, 18)]
+    assert note.text[13:18] == "cough"
+
+    with pytest.raises(ValueError, match="just one"):
+        run_upload_notes(
+            spark, in_dir, str(tmp_path / "phi"), client,
+            philter_mode="disable", label_by_csv=str(labels),
+            highlight_words=["fever"],
+        )
