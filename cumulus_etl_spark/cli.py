@@ -121,6 +121,10 @@ def main(argv: list[str] | None = None) -> int:
     p_up.add_argument("--select-by-csv", dest="select_by_csv", default=None,
                       help="CSV with note_ref/docref_id/patient_id columns — "
                       "a prior session's uploaded_notes.csv works as-is")
+    p_up.add_argument("--select-by-anon-csv", dest="select_by_anon_csv", default=None,
+                      help="like --select-by-csv but with anon_note_ref/"
+                      "anon_docref_id/anon_patient_id columns (codebook "
+                      "pseudonyms, e.g. from Athena query results)")
     p_up.add_argument("--label-by-csv", dest="label_by_csv", default=None,
                       help="pre-label charts from a CSV with note id, label, "
                       "and span (begin:end) columns — e.g. a previous NLP "
@@ -401,6 +405,7 @@ def main(argv: list[str] | None = None) -> int:
             select_words=args.select_words,
             select_regex=args.select_regex,
             select_by_csv=args.select_by_csv,
+            select_by_anon_csv=args.select_by_anon_csv,
             export_to=args.export_to,
             label_by_csv=args.label_by_csv,
             highlight_words=args.highlight_words,

@@ -234,6 +234,7 @@ def run_upload_notes(
     select_words: list[str] | None = None,
     select_regex: str | None = None,
     select_by_csv: str | None = None,
+    select_by_anon_csv: str | None = None,
     export_to: str | None = None,
     label_by_csv: str | None = None,
     highlight_words: list[str] | None = None,
@@ -260,10 +261,20 @@ def run_upload_notes(
     )
     from cumulus_etl_spark.sources import scan_resources
 
+    if select_by_csv and select_by_anon_csv:
+        raise ValueError(
+            "Multiple selection arguments provided. Please specify just one."
+        )
+    salt = Codebook(phi_dir).salt
+
     docrefs = scan_resources(spark, input_dir, ["DocumentReference"])
     notes = extract_note_text(docrefs).filter(F.col("note_text").isNotNull())
     if select_by_csv:
         notes = filter_by_note_csv(spark, notes, select_by_csv)
+    if select_by_anon_csv:
+        notes = filter_by_note_csv(
+            spark, notes, select_by_anon_csv, is_anon=True, salt=salt
+        )
     if select_words:
         # ref: words may repeat the flag or come comma-separated
         words = [w.strip() for arg in select_words for w in arg.split(",") if w.strip()]
@@ -306,8 +317,6 @@ def run_upload_notes(
     if label_by_csv:
         uploaded_ids = [n["note_id"] for r in rows for n in r["notes"]]
         csv_labels = load_label_csv(spark, label_by_csv, uploaded_ids)
-
-    salt = Codebook(phi_dir).salt
 
     def anon(ref: str | None) -> str | None:
         # Same HMAC pseudonyms as the de-id engine (functions/scalars.py

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -71,40 +71,59 @@ def filter_by_note_csv(
     csv_path: str,
     id_col: str = "id",
     resource_type: str = "DocumentReference",
+    is_anon: bool = False,
+    salt: str | None = None,
 ) -> DataFrame:
-    """--select-by-csv: keep notes named in a selection CSV (ref
-    nlp/selection.py:104-126 scans the CSV's columns for note refs and
-    patient ids; upload_notes/manifest.py writes ``uploaded_notes.csv``
-    in exactly this shape so a chart-review session can re-select the
-    notes it uploaded last time).
+    """--select-by-csv / --select-by-anon-csv: keep notes named in a
+    selection CSV (ref nlp/selection.py:104-126 scans the CSV's columns
+    for note refs and patient ids; upload_notes/manifest.py writes
+    ``uploaded_notes.csv`` in exactly this shape — real AND anon columns
+    — so a chart-review session can re-select the notes it uploaded
+    last time with either flag).
 
-    Recognized columns (case-insensitive): ``note_ref`` (``Type/id``
-    values), ``docref_id`` (bare DocumentReference ids), ``patient_id``
-    (bare ids). A note passes when its own ref OR its patient matches —
+    Recognized columns (case-insensitive) — real mode: ``note_ref``
+    (``Type/id`` values), ``docref_id`` (bare DocumentReference ids),
+    ``patient_id``; anon mode (``is_anon=True``, requires the codebook
+    ``salt``): ``anon_note_ref`` / ``anon_docref_id`` / ``anon_patient_id``,
+    matched by anonymizing the notes' OWN ids on the fly — pseudonyms
+    are a pure HMAC of (salt, id), so no reverse lookup is needed (the
+    reference's ``codebook.fake_id`` membership check, run as a column
+    expression). A note passes when its own ref OR its patient matches —
     the reference's NoteFilter OR-semantics. Cohort CSVs are small, so
     matching is broadcast joins against the distinct ref/patient sets;
     the note scan never collects."""
     cohort = spark.read.option("header", True).csv(csv_path)
     cols = {c.lower(): c for c in cohort.columns}
 
+    prefix = "anon_" if is_anon else ""
+    if is_anon and not salt:
+        raise ValueError("anon-CSV selection requires the codebook salt")
     ref_exprs = []
-    if "note_ref" in cols:
-        ref_exprs.append(F.col(cols["note_ref"]))
-    if "docref_id" in cols:
-        ref_exprs.append(F.concat(F.lit("DocumentReference/"), F.col(cols["docref_id"])))
-    patient_col = cols.get("patient_id")
+    if f"{prefix}note_ref" in cols:
+        ref_exprs.append(F.col(cols[f"{prefix}note_ref"]))
+    if f"{prefix}docref_id" in cols:
+        ref_exprs.append(
+            F.concat(F.lit("DocumentReference/"), F.col(cols[f"{prefix}docref_id"]))
+        )
+    patient_col = cols.get(f"{prefix}patient_id")
     if not ref_exprs and not patient_col:
         raise ValueError(
-            f"{csv_path}: no note_ref / docref_id / patient_id column "
-            f"(found {list(cohort.columns)})"
+            f"{csv_path}: no {prefix}note_ref / {prefix}docref_id / "
+            f"{prefix}patient_id column (found {list(cohort.columns)})"
         )
 
-    own_ref = F.concat(F.lit(f"{resource_type}/"), F.col(id_col))
-    n = notes.withColumn("__own_ref", own_ref)
+    own_id: Column = F.col(id_col)
     if "subject" in notes.columns:
         pat_id = F.element_at(F.split(F.col("subject")["reference"], "/"), -1)
     else:
         pat_id = F.lit(None).cast("string")
+    if is_anon:
+        from cumulus_etl_spark.functions import anon_id
+
+        own_id = anon_id(own_id, salt)
+        pat_id = F.when(pat_id.isNotNull(), anon_id(pat_id, salt))
+    own_ref = F.concat(F.lit(f"{resource_type}/"), own_id)
+    n = notes.withColumn("__own_ref", own_ref)
     n = n.withColumn("__own_pat", pat_id)
 
     keep = F.lit(False)

@@ -259,3 +259,67 @@ def test_label_by_csv_reanchors_spans_into_charts(spark, tmp_path):
             philter_mode="disable", label_by_csv=str(labels),
             highlight_words=["fever"],
         )
+
+
+def test_select_by_anon_csv_round_trips_the_manifest(spark, tmp_path):
+    """The manifest's ANON columns feed back through --select-by-anon-csv:
+    pseudonyms are a pure HMAC of (salt, id), so membership is checked by
+    anonymizing the notes' own ids on the fly — no reverse lookup."""
+    import os
+
+    import pytest
+
+    from cumulus_etl_spark.etl.upload_notes import run_upload_notes
+    from cumulus_etl_spark.nlp.selection import filter_by_note_csv
+
+    docs = [
+        docref("n1", text="fever noted", enc="e1", patient="pA"),
+        docref("n2", text="sprain noted", enc="e2", patient="pB"),
+        docref("n3", text="other note", enc="e3", patient="pC"),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", docs)
+    phi_dir = str(tmp_path / "phi")
+    export_to = str(tmp_path / "export")
+
+    client = _FakeLsClient()
+    summary = run_upload_notes(
+        spark, in_dir, phi_dir, client,
+        select_words=["fever", "sprain"], philter_mode="disable",
+        export_to=export_to,
+    )
+    assert summary["charts"] == 2
+
+    # second session: select by the manifest's ANON columns only
+    import csv
+
+    with open(summary["manifest"], newline="") as fh:
+        rows = list(csv.DictReader(fh))
+    anon_csv = str(tmp_path / "anon_sel.csv")
+    with open(anon_csv, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["anon_note_ref"])
+        for r in rows:
+            w.writerow([r["anon_note_ref"]])
+
+    client2 = _FakeLsClient()
+    summary2 = run_upload_notes(
+        spark, in_dir, phi_dir, client2,
+        select_by_anon_csv=anon_csv, philter_mode="disable",
+    )
+    uploaded2 = sorted(nid for note in client2.pushed for nid in note.doc_mappings)
+    assert uploaded2 == ["n1", "n2"]
+
+    # anon selection without a salt fails loudly; both flags at once too
+    from cumulus_etl_spark.nlp import extract_note_text
+    from cumulus_etl_spark.sources import scan_resources
+
+    notes = extract_note_text(scan_resources(spark, in_dir, ["DocumentReference"]))
+    with pytest.raises(ValueError, match="codebook salt"):
+        filter_by_note_csv(spark, notes, anon_csv, is_anon=True)
+    with pytest.raises(ValueError, match="just one"):
+        run_upload_notes(
+            spark, in_dir, phi_dir, client2, philter_mode="disable",
+            select_by_csv=anon_csv, select_by_anon_csv=anon_csv,
+        )
