@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
                        help="tasks.toml defining dynamic study tasks")
     p_nlp.add_argument("--select-by-word", action="append", dest="select_words")
     p_nlp.add_argument("--select-by-regex", dest="select_regex", default=None)
+    p_nlp.add_argument("--select-by-csv", dest="select_by_csv", default=None,
+                       help="CSV with note_ref/docref_id/patient_id columns "
+                       "(e.g. a chart-review session's uploaded_notes.csv)")
+    p_nlp.add_argument("--select-by-anon-csv", dest="select_by_anon_csv",
+                       default=None,
+                       help="like --select-by-csv but with anon_* columns "
+                       "(codebook pseudonyms, e.g. Athena query results)")
     p_nlp.add_argument("--ctakes-url", default=None,
                        help="use a cTAKES HTTP endpoint instead of the stub model")
     p_nlp.add_argument("--cnlp-url", default=None, help="cNLP negation endpoint")
@@ -1049,6 +1056,23 @@ def _run_nlp_verb(spark, args) -> dict:
         batch_provider = HttpBatchProvider(args.batch_url)
 
     docrefs = scan_resources(spark, args.input_dir, ["DocumentReference"])
+    sel_csv = getattr(args, "select_by_csv", None)
+    sel_anon = getattr(args, "select_by_anon_csv", None)
+    if sel_csv and sel_anon:
+        raise ValueError(
+            "Multiple selection arguments provided. Please specify just one."
+        )
+    if sel_csv or sel_anon:
+        from cumulus_etl_spark.deid import Codebook
+        from cumulus_etl_spark.nlp.selection import filter_by_note_csv
+
+        if sel_csv:
+            docrefs = filter_by_note_csv(spark, docrefs, sel_csv)
+        else:
+            docrefs = filter_by_note_csv(
+                spark, docrefs, sel_anon, is_anon=True,
+                salt=Codebook(args.phi_dir).salt,
+            )
     if args.select_words or args.select_regex:
         notes = extract_note_text(docrefs)
         if args.select_words:

@@ -574,3 +574,33 @@ def test_loads_every_reference_study_toml(study):
         # span rewrite: textual spans → index pairs (ref nlp_task.py:470-475)
         assert isinstance(fields["spans"], ArrayType)
         assert isinstance(fields["spans"].elementType, ArrayType)
+
+
+def test_nlp_verb_select_by_csv_limits_notes(spark, tmp_path, capsys, fake_server):
+    """The nlp verb shares the CSV selection surface with upload-notes
+    (ref nlp.add_note_selection is one group used by both CLIs): only
+    CSV-named notes reach the model."""
+    from cumulus_etl_spark.cli import main as cli_main
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    _, base = fake_server
+    in_dir = str(tmp_path / "in")
+    ed_type = {"coding": [{"system": "http://loinc.org", "code": "34111-5"}]}
+    docs = [docref("n1", text="bad cough today"),
+            docref("n2", text="fever too"),
+            docref("n3", text="cough and fever")]
+    for d in docs:
+        d["type"] = ed_type
+    write_ndjson(in_dir, "docs.ndjson", docs)
+    sel = tmp_path / "sel.csv"
+    sel.write_text("docref_id\nn1\nn3\n")
+
+    rc = cli_main([
+        "nlp", in_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "--ctakes-url", f"{base}/ctakes",
+        "--select-by-csv", str(sel),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["covid_symptom__nlp_results"]["seen"] == 2  # n2 excluded
