@@ -67,6 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("count", type=int)
     p_sample.add_argument("--seed", type=int, default=42)
     p_sample.add_argument("--out", default=None, help="write NDJSON here instead of stdout count")
+    p_sample.add_argument("--columns", default=None,
+                          help="print a CSV of sampled refs with these columns "
+                          "(note, subject, encounter — comma-separated); the "
+                          "note_ref column feeds --select-by-csv downstream")
+    p_sample.add_argument("--output", default="-",
+                          help="where to write the --columns CSV (default stdout)")
+    p_sample.add_argument("--export-to", dest="export_to", default=None,
+                          help="also copy the sampled documents here as NDJSON")
+    p_sample.add_argument("--phi-dir", dest="phi_dir", default=None,
+                          help="PHI folder (required for --select-by-anon-csv)")
+    p_sample.add_argument("--select-by-word", action="append", dest="select_words")
+    p_sample.add_argument("--select-by-regex", dest="select_regex", default=None)
+    p_sample.add_argument("--select-by-csv", dest="select_by_csv", default=None)
+    p_sample.add_argument("--select-by-anon-csv", dest="select_by_anon_csv", default=None)
 
     # nlp verb (ref etl/nlp/cli.py:219-294)
     p_nlp = sub.add_parser("nlp", help="run NLP study tasks over clinical notes")
@@ -384,10 +398,34 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary, indent=2))
         return 0 if summary["success"] else 1
     if args.verb == "sample":
-        from cumulus_etl_spark.etl.sample import sample_notes
+        from cumulus_etl_spark.etl.sample import sample_notes, sample_refs_frame
 
-        sampled = sample_notes(spark, args.input_dir, args.count, seed=args.seed)
-        if args.out:
+        sampled = sample_notes(
+            spark, args.input_dir, args.count, seed=args.seed,
+            select_words=args.select_words, select_regex=args.select_regex,
+            select_by_csv=args.select_by_csv,
+            select_by_anon_csv=args.select_by_anon_csv,
+            phi_dir=args.phi_dir,
+        )
+        if args.columns or args.export_to:
+            # bounded by --count: the sample is chart-review sized
+            sampled = sampled.localCheckpoint(eager=True)
+        if args.export_to:
+            sampled.drop("note_text").write.mode("overwrite").json(args.export_to)
+        if args.columns:
+            cols = set(args.columns.split(",")) & {"note", "subject", "encounter"}
+            refs = sample_refs_frame(sampled, cols)
+            header = ",".join(refs.columns)
+            lines = [header] + [
+                ",".join("" if v is None else str(v) for v in r) for r in refs.collect()
+            ]
+            if args.output == "-":
+                print("\n".join(lines))
+            else:
+                with open(args.output, "w") as fh:
+                    fh.write("\n".join(lines) + "\n")
+                print(json.dumps({"csv": args.output, "rows": len(lines) - 1}))
+        elif args.out:
             sampled.write.mode("overwrite").json(args.out)
             print(json.dumps({"written": args.out}))
         else:

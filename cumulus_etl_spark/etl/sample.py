@@ -23,14 +23,72 @@ def sample_notes(
     input_dir: str,
     n: int,
     seed: int = 42,
+    select_words: list[str] | None = None,
+    select_regex: str | None = None,
+    select_by_csv: str | None = None,
+    select_by_anon_csv: str | None = None,
+    phi_dir: str | None = None,
 ) -> DataFrame:
     """N uniformly-sampled DocumentReferences that have inline text.
 
     F5 duplicate suppression (dropDuplicates on resourceType+id) and F7
     has-text predicate applied before sampling, like the reference's
-    seen-set + text filter (sample/cli.py:159-170).
-    """
+    seen-set + text filter (sample/cli.py:159-170). The note-selection
+    surface the reference shares across its note CLIs
+    (nlp.add_note_selection) applies BEFORE the draw, so the sample is
+    uniform over the selected population."""
+    if select_by_csv and select_by_anon_csv:
+        raise ValueError(
+            "Multiple selection arguments provided. Please specify just one."
+        )
     docs = scan_resources(spark, input_dir, ["DocumentReference"])
     docs = docs.dropDuplicates(["resourceType", "id"])
     notes = extract_note_text(docs).filter(F.col("note_text").isNotNull())
+    if select_by_csv or select_by_anon_csv:
+        from cumulus_etl_spark.nlp.selection import filter_by_note_csv
+
+        if select_by_csv:
+            notes = filter_by_note_csv(spark, notes, select_by_csv)
+        else:
+            if not phi_dir:
+                raise ValueError("--select-by-anon-csv requires the PHI dir")
+            from cumulus_etl_spark.deid import Codebook
+
+            notes = filter_by_note_csv(
+                spark, notes, select_by_anon_csv,
+                is_anon=True, salt=Codebook(phi_dir).salt,
+            )
+    if select_words:
+        from cumulus_etl_spark.nlp.selection import filter_by_words
+
+        words = [w.strip() for a in select_words for w in a.split(",") if w.strip()]
+        notes = filter_by_words(notes, words)
+    if select_regex:
+        from cumulus_etl_spark.nlp.selection import filter_by_regex
+
+        notes = filter_by_regex(notes, select_regex)
     return reservoir_sample(notes, n, seed=seed, tiebreak=["id"])
+
+
+def sample_refs_frame(sampled: DataFrame, columns: set[str]) -> DataFrame:
+    """The reference's CSV projection of a sample (sample/cli.py:96-116):
+    note_ref / subject_ref / encounter_id, in that column order."""
+    out = []
+    if "note" in columns:
+        out.append(
+            F.concat(F.col("resourceType"), F.lit("/"), F.col("id")).alias("note_ref")
+        )
+    if "subject" in columns:
+        out.append(F.col("subject")["reference"].alias("subject_ref"))
+    if "encounter" in columns:
+        out.append(
+            F.element_at(
+                F.split(
+                    F.element_at(F.col("context.encounter"), 1)["reference"], "/"
+                ),
+                -1,
+            ).alias("encounter_id")
+        )
+    if not out:
+        raise ValueError("No valid columns selected")
+    return sampled.select(*out)

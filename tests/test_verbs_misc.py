@@ -355,3 +355,46 @@ def test_cli_retention_then_rollup_e2e(spark, tmp_path, capsys):
     assert cli_main(roll_argv) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"applied_commits": 1, "at_version": 4}
+
+
+def test_sample_verb_csv_columns_and_select_round_trip(spark, tmp_path, capsys):
+    """The sample verb's reference surface (sample/cli.py:43-116): a CSV
+    of sampled refs with selectable columns, note selection before the
+    draw, --export-to copies, and the note_ref column feeding straight
+    back into --select-by-csv."""
+    import json
+    import os
+
+    from cumulus_etl_spark.cli import main
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    docs = [docref(f"n{i}", text=f"note {i} fever" if i % 2 else f"note {i}",
+                   patient=f"p{i}", enc=f"e{i}") for i in range(10)]
+    write_ndjson(in_dir, "d.ndjson", docs)
+
+    csv_path = str(tmp_path / "refs.csv")
+    rc = main(["sample", in_dir, "3", "--select-by-word", "fever",
+               "--columns", "note,subject,encounter", "--output", csv_path,
+               "--export-to", str(tmp_path / "export")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 3
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "note_ref,subject_ref,encounter_id"
+    for line in lines[1:]:
+        ref, subj, enc = line.split(",")
+        i = int(ref.split("/n")[-1])
+        assert i % 2 == 1  # only 'fever' notes were sampled
+        assert subj == f"Patient/p{i}" and enc == f"e{i}"
+    # export holds exactly the sampled documents
+    exported = spark.read.json(str(tmp_path / "export"))
+    assert exported.count() == 3
+
+    # the CSV feeds straight back in as a selection
+    rc = main(["sample", in_dir, "10", "--select-by-csv", csv_path])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sampled"] == 3
