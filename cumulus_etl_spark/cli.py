@@ -336,6 +336,18 @@ def main(argv: list[str] | None = None) -> int:
     p_tok.add_argument("--out", default=None,
                        help="also write the merge table as parquet here")
 
+    p_search = sub.add_parser(
+        "search", help="BM25 sparse retrieval over a documents parquet"
+    )
+    p_search.add_argument("input_path", help="parquet with doc_id/text columns")
+    p_search.add_argument("--query", action="append", required=True,
+                          help="query text (repeatable; query_id = its index)")
+    p_search.add_argument("--k", type=int, default=10)
+    p_search.add_argument("--id-col", default="doc_id")
+    p_search.add_argument("--text-col", default="text")
+    p_search.add_argument("--k1", type=float, default=1.2)
+    p_search.add_argument("--b", type=float, default=0.75)
+
     p_ann = sub.add_parser(
         "ann", help="approximate-nearest-neighbor search over an embeddings parquet"
     )
@@ -893,6 +905,21 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             ],
         }))
+        return 0
+    if args.verb == "search":
+        from cumulus_etl_spark.operators.textstats import bm25_topk
+
+        docs = spark.read.parquet(args.input_path)
+        qdf = spark.createDataFrame(
+            [(str(i), q) for i, q in enumerate(args.query)],
+            "query_id string, query string",
+        )
+        out = bm25_topk(
+            docs, qdf, k=args.k, id_col=args.id_col, text_col=args.text_col,
+            k1=args.k1, b=args.b,
+        )
+        hits = [r.asDict() for r in out.collect()]
+        print(json.dumps({"hits": hits, "queries": args.query}))
         return 0
     if args.verb == "ann":
         from pyspark.sql import functions as F

@@ -440,3 +440,77 @@ def lm_surprisal_scores(
         F.sum("s").alias("surprisal_sum"),
         F.expr("(sum(s) * 1000) div count(1)").alias("score_milli"),
     )
+
+
+def bm25_topk(
+    docs,
+    queries,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 sparse retrieval: top-k documents per query (Okapi BM25,
+    Robertson idf with the standard +1 floor so common terms can't go
+    negative). The retrieval baseline every curation pipeline needs —
+    nearest neighbors for DSIR-style targeting, contamination lookups,
+    eval-set retrieval — complementing the dense kNN/ANN family.
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: one (doc, term, tf) aggregation over the corpus (the
+    inverted-index build — map-side combine absorbs the explode), df
+    and avgdl as corpus-bounded aggregates, and the QUERY side — tiny
+    by construction — broadcast onto the postings, so the corpus
+    shuffles once and only postings matching some query term reach the
+    scoring agg. Top-k per query is a window over candidates,
+    partitioned by query. Returns (query_id, doc_id, score, rank),
+    score-desc with doc-id tiebreak so results are a total order.
+    """
+    from pyspark.sql import Window
+
+    tokens = docs.filter(F.trim(text_col) != "").select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds dl, df AND the scoring join
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(query_text_col)), r"\s+"))
+        ).alias("term"),
+    )
+    cand = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(idf * tf_part).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1157,3 +1157,57 @@ def test_corpus_cli_atomic_pack_mode(spark, tmp_path, capsys):
     rows_out = seqs.collect()
     assert all(r["n_tokens"] + r["pad_tokens"] == 32 for r in rows_out)
     assert sum(r["n_tokens"] for r in rows_out) == blk["packed_tokens"]
+
+
+def test_bm25_topk_matches_pure_python_replay(spark):
+    """BM25 scores match an exact from-scratch Python computation on a
+    small corpus (idf floor, length normalization, tf saturation all
+    pinned), and ranking is a total order."""
+    import math
+
+    from cumulus_etl_spark.operators.textstats import bm25_topk
+
+    corpus = {
+        "d1": "the quick brown fox jumps over the lazy dog",
+        "d2": "the fast brown fox",
+        "d3": "lazy dogs sleep all day long every single day",
+        "d4": "quick quick quick fox",
+        "d5": "an entirely unrelated document about spark sql",
+    }
+    queries = {"q1": "quick fox", "q2": "lazy day", "q3": "zzz-no-hits"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    qdf = spark.createDataFrame(list(queries.items()), "query_id string, query string")
+
+    got = bm25_topk(docs, qdf, k=3)
+    rows = [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in got.collect()]
+
+    # pure-python BM25 replay
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def score(q, d):
+        s = 0.0
+        for term in set(queries[q].split()):
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return s
+
+    for q in queries:
+        expect = sorted(
+            ((score(q, d), d) for d in corpus if score(q, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        mine = [(s, d) for (qq, d, s, _) in rows if qq == q]
+        assert [d for _, d in expect] == [d for _, d in mine], (q, expect, mine)
+        for (es, _), (gs, _) in zip(expect, mine):
+            assert abs(es - gs) < 1e-9
+    # no-hit query returns nothing rather than zero-score noise
+    assert not [r for r in rows if r[0] == "q3"]
+    # ranks are 1..n per query
+    assert [r[3] for r in rows if r[0] == "q1"] == list(range(1, len([r for r in rows if r[0] == "q1"]) + 1))

@@ -398,3 +398,25 @@ def test_sample_verb_csv_columns_and_select_round_trip(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["sampled"] == 3
+
+
+def test_search_verb_bm25(spark, tmp_path, capsys, sf_correct):
+    """search verb: BM25 retrieval over a docs parquet, ranked JSON."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    rc = main(["search", f"{sf_correct}/documents.parquet",
+               "--query", "the data pipeline", "--query", "spark sql",
+               "--k", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["queries"] == ["the data pipeline", "spark sql"]
+    by_q = {}
+    for h in rep["hits"]:
+        by_q.setdefault(h["query_id"], []).append(h)
+    for q, hits in by_q.items():
+        assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert len(hits) <= 4
