@@ -146,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
                       help="like --select-by-csv but with anon_note_ref/"
                       "anon_docref_id/anon_patient_id columns (codebook "
                       "pseudonyms, e.g. from Athena query results)")
+    p_up.add_argument("--select-by-athena-table", dest="select_by_athena_table",
+                      default=None,
+                      help="catalog table with anon_* id columns (the Athena "
+                      "surface registered by sinks/catalog_ddl.py)")
     p_up.add_argument("--label-by-csv", dest="label_by_csv", default=None,
                       help="pre-label charts from a CSV with note id, label, "
                       "and span (begin:end) columns — e.g. a previous NLP "
@@ -463,6 +467,7 @@ def main(argv: list[str] | None = None) -> int:
             select_regex=args.select_regex,
             select_by_csv=args.select_by_csv,
             select_by_anon_csv=args.select_by_anon_csv,
+            select_by_athena_table=args.select_by_athena_table,
             export_to=args.export_to,
             label_by_csv=args.label_by_csv,
             highlight_words=args.highlight_words,

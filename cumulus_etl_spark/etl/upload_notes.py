@@ -235,6 +235,7 @@ def run_upload_notes(
     select_regex: str | None = None,
     select_by_csv: str | None = None,
     select_by_anon_csv: str | None = None,
+    select_by_athena_table: str | None = None,
     export_to: str | None = None,
     label_by_csv: str | None = None,
     highlight_words: list[str] | None = None,
@@ -261,7 +262,7 @@ def run_upload_notes(
     )
     from cumulus_etl_spark.sources import scan_resources
 
-    if select_by_csv and select_by_anon_csv:
+    if sum(map(bool, (select_by_csv, select_by_anon_csv, select_by_athena_table))) > 1:
         raise ValueError(
             "Multiple selection arguments provided. Please specify just one."
         )
@@ -274,6 +275,12 @@ def run_upload_notes(
     if select_by_anon_csv:
         notes = filter_by_note_csv(
             spark, notes, select_by_anon_csv, is_anon=True, salt=salt
+        )
+    if select_by_athena_table:
+        from cumulus_etl_spark.nlp.selection import filter_by_note_table
+
+        notes = filter_by_note_table(
+            spark, notes, select_by_athena_table, salt=salt
         )
     if select_words:
         # ref: words may repeat the flag or come comma-separated

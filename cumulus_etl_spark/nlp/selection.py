@@ -93,6 +93,42 @@ def filter_by_note_csv(
     matching is broadcast joins against the distinct ref/patient sets;
     the note scan never collects."""
     cohort = spark.read.option("header", True).csv(csv_path)
+    return filter_by_cohort_frame(
+        notes, cohort, source=csv_path, id_col=id_col,
+        resource_type=resource_type, is_anon=is_anon, salt=salt,
+    )
+
+
+def filter_by_note_table(
+    spark,
+    notes: DataFrame,
+    table_name: str,
+    id_col: str = "id",
+    resource_type: str = "DocumentReference",
+    salt: str | None = None,
+) -> DataFrame:
+    """--select-by-athena-table: keep notes named in a catalog table —
+    the reference queries Athena and treats the result as ANON ids
+    (nlp/selection.py:146-149); here the table comes from the Spark
+    catalog (our Athena surface, sinks/catalog_ddl.py) and the same
+    anon-membership check applies. The table's anon_* columns are the
+    contract, exactly like --select-by-anon-csv."""
+    return filter_by_cohort_frame(
+        notes, spark.table(table_name), source=table_name, id_col=id_col,
+        resource_type=resource_type, is_anon=True, salt=salt,
+    )
+
+
+def filter_by_cohort_frame(
+    notes: DataFrame,
+    cohort: DataFrame,
+    source: str = "cohort",
+    id_col: str = "id",
+    resource_type: str = "DocumentReference",
+    is_anon: bool = False,
+    salt: str | None = None,
+) -> DataFrame:
+    """The shared matching core for CSV/table note selection."""
     cols = {c.lower(): c for c in cohort.columns}
 
     prefix = "anon_" if is_anon else ""
@@ -108,7 +144,7 @@ def filter_by_note_csv(
     patient_col = cols.get(f"{prefix}patient_id")
     if not ref_exprs and not patient_col:
         raise ValueError(
-            f"{csv_path}: no {prefix}note_ref / {prefix}docref_id / "
+            f"{source}: no {prefix}note_ref / {prefix}docref_id / "
             f"{prefix}patient_id column (found {list(cohort.columns)})"
         )
 

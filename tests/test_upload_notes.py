@@ -323,3 +323,37 @@ def test_select_by_anon_csv_round_trips_the_manifest(spark, tmp_path):
             spark, in_dir, phi_dir, client2, philter_mode="disable",
             select_by_csv=anon_csv, select_by_anon_csv=anon_csv,
         )
+
+
+def test_select_by_athena_table(spark, tmp_path):
+    """--select-by-athena-table: a catalog table of anon ids (the Athena
+    surface) drives selection — same anon-membership check as anon-CSV
+    (ref nlp/selection.py:146-149 treats Athena results as anon)."""
+    import os
+
+    from cumulus_etl_spark.deid import Codebook
+    from cumulus_etl_spark.etl.upload_notes import run_upload_notes
+    from cumulus_etl_spark.functions.scalars import anon_id_py
+
+    docs = [docref(f"n{i}", text=f"note {i}", patient=f"p{i}", enc=f"e{i}")
+            for i in range(4)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", docs)
+    phi_dir = str(tmp_path / "phi")
+    salt = Codebook(phi_dir).salt
+
+    spark.createDataFrame(
+        [(f"DocumentReference/{anon_id_py(salt, i)}",) for i in ("n1", "n3")],
+        "anon_note_ref string",
+    ).createOrReplaceTempView("study__selected_notes")
+    try:
+        client = _FakeLsClient()
+        run_upload_notes(
+            spark, in_dir, phi_dir, client, philter_mode="disable",
+            select_by_athena_table="study__selected_notes",
+        )
+        uploaded = sorted(nid for note in client.pushed for nid in note.doc_mappings)
+        assert uploaded == ["n1", "n3"]
+    finally:
+        spark.catalog.dropTempView("study__selected_notes")
