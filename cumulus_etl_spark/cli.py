@@ -183,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
                           help="deterministic train/val/test percentages, e.g. "
                                "'98,1' (test gets the remainder); adds a split "
                                "column and partitions the output by it")
+    p_corpus.add_argument("--decontaminate", default=None, metavar="BENCH.parquet",
+                          help="drop docs sharing word n-grams with this "
+                               "benchmark/eval parquet (same id/text columns)")
+    p_corpus.add_argument("--decontaminate-ngram", type=int, default=8)
+    p_corpus.add_argument("--decontaminate-method", default="broadcast",
+                          choices=("broadcast", "bloom"),
+                          help="bloom = large benchmarks: bit-test prune before "
+                               "the exact join, no gram-set broadcast")
     p_corpus.add_argument("--check-leakage", action="store_true",
                           help="with --split: report how many held-out docs "
                                "share an 8-word gram with the train split")
@@ -574,6 +582,25 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 .filter(_F.col("n_tokens") > 0)
             )
+        if args.decontaminate:
+            from pyspark.sql import functions as _F
+
+            from cumulus_etl_spark.operators.corpus import decontaminate
+
+            bench = spark.read.parquet(args.decontaminate)
+            flags = decontaminate(
+                survivors, bench, id_col=args.id_col, text_col=args.text_col,
+                ngram=args.decontaminate_ngram, method=args.decontaminate_method,
+            )
+            drop_ids = flags.filter(_F.col("contaminated")).select(args.id_col)
+            n_dropped = drop_ids.count()
+            survivors = survivors.join(drop_ids, args.id_col, "anti")
+            report["decontamination"] = {
+                "benchmark": args.decontaminate,
+                "ngram": args.decontaminate_ngram,
+                "method": args.decontaminate_method,
+                "dropped": int(n_dropped),
+            }
         if args.drop_surprisal_permille:
             from pyspark.sql import functions as _F
 

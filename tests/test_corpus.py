@@ -1211,3 +1211,37 @@ def test_bm25_topk_matches_pure_python_replay(spark):
     assert not [r for r in rows if r[0] == "q3"]
     # ranks are 1..n per query
     assert [r[3] for r in rows if r[0] == "q1"] == list(range(1, len([r for r in rows if r[0] == "q1"]) + 1))
+
+
+def test_corpus_cli_decontaminate(spark, tmp_path, capsys):
+    """corpus --decontaminate drops benchmark-overlapping docs before
+    sharding (both methods), reported in the summary."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    contaminated = ("alpha beta gamma delta epsilon zeta eta theta "
+                    "plus some extra tail words for length and quality")
+    rows = [(1, contaminated, "en", "s"),
+            (2, "a completely clean document with plenty of ordinary "
+                "words that overlap nothing in the benchmark suite", "en", "s")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(bench)
+
+    for method in ("broadcast", "bloom"):
+        out = str(tmp_path / f"out-{method}")
+        rc = main(["corpus", src, out, "--jaccard-threshold", "0.99",
+                   "--min-tokens", "5",
+                   "--decontaminate", bench, "--decontaminate-method", method])
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["decontamination"]["dropped"] == 1
+        assert rep["decontamination"]["method"] == method
+        assert rep["surviving_docs"] == 1
