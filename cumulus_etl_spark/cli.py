@@ -169,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
     p_corpus.add_argument("--lang", default="en", help="keep this language ('any' disables)")
     p_corpus.add_argument("--min-tokens", type=int, default=10)
     p_corpus.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p_corpus.add_argument("--dedup-survivor", default="min-id",
+                          choices=("min-id", "best"),
+                          help="fuzzy-dedup survivor policy: min-id (pairwise "
+                               "drop) or best (cluster-canonical keep-longest "
+                               "via connected components)")
     p_corpus.add_argument("--shard-tokens", type=int, default=1_000_000,
                           help="token budget per output shard")
     p_corpus.add_argument("--seq-len", type=int, default=None,
@@ -503,6 +508,7 @@ def main(argv: list[str] | None = None) -> int:
             lang=None if args.lang == "any" else args.lang,
             min_tokens=args.min_tokens,
             jaccard_threshold=args.jaccard_threshold,
+            survivor=args.dedup_survivor.replace("-", "_"),
         )
         report = {}
         if args.dedup_substrings:

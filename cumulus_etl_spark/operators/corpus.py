@@ -39,10 +39,16 @@ def prepare_corpus(
     lang: str | None = "en",
     min_tokens: int = 10,
     jaccard_threshold: float = 0.7,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """Clean a document corpus for training: quality-band filter,
     language filter, exact-fingerprint dedup (min-id survivor), then
-    MinHash-LSH fuzzy dedup. Returns surviving rows + n_tokens."""
+    MinHash-LSH fuzzy dedup. Returns surviving rows + n_tokens.
+
+    ``survivor`` picks the fuzzy-dedup policy: ``min_id`` (pairwise
+    drop, the oracled default) or ``best`` (cluster-canonical
+    keep-longest via connected components —
+    dedup.ngram_jaccard_dedup_keep_best)."""
     feats = T.quality_features(F.col(text_col))
     scored = docs.withColumn("n_tokens", feats["n_tokens"]).withColumn(
         "punct_ratio", feats["punct_ratio"]
@@ -67,7 +73,14 @@ def prepare_corpus(
     # IS the standard persisted "cleaned corpus" intermediate table that
     # every downstream stage (dedup, sharding, mixture) reads.
     exact = exact.localCheckpoint(eager=True)
-    # fuzzy dedup: LSH candidates → Jaccard verify → min-id survivors
+    # fuzzy dedup: LSH candidates → Jaccard verify → survivors
+    if survivor == "best":
+        return D.ngram_jaccard_dedup_keep_best(
+            exact, id_col, text_col, score_col="n_tokens",
+            threshold=jaccard_threshold,
+        )
+    if survivor != "min_id":
+        raise ValueError(f"unknown survivor policy: {survivor!r}")
     return D.ngram_jaccard_dedup(
         exact, id_col, text_col, threshold=jaccard_threshold
     )

@@ -279,13 +279,25 @@ def ngram_jaccard_dedup(
     sh = df.select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
     ).withColumn("sz", F.size("sh")).cache()
+    j = _jaccard_verified_pairs(sh, threshold, **lsh_kwargs)
+    # Materialize the (tiny: ids only) loser set eagerly so the shingle
+    # cache can be released here instead of leaking for the session's
+    # lifetime — the returned frame then depends only on the checkpoint.
+    losers = j.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
+    sh.unpersist()
+    return df.join(losers, id_col, "left_anti")
+
+
+def _jaccard_verified_pairs(sh, threshold: float, **lsh_kwargs) -> DataFrame:
+    """LSH candidates → exact Jaccard verify over a (id, sh, sz) shingle
+    frame; returns the verified pairs (id_a < id_b, jaccard)."""
     cands = _lsh_candidates_from_shingles(sh, **lsh_kwargs)
     # |A∪B| from sizes (one array op per pair, not two), with a cheap
     # size-ratio pre-filter: J ≥ t needs min/max ≥ t, and the conjunct
     # ordering short-circuits the intersect for pairs that can't qualify.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     size_ok = F.least("sz_a", "sz_b") >= threshold * F.greatest("sz_a", "sz_b")
-    j = (
+    return (
         cands.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
             "id_a",
@@ -303,11 +315,67 @@ def ngram_jaccard_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # Materialize the (tiny: ids only) loser set eagerly so the shingle
-    # cache can be released here instead of leaking for the session's
-    # lifetime — the returned frame then depends only on the checkpoint.
-    losers = j.select(F.col("id_b").alias(id_col)).distinct().localCheckpoint(eager=True)
+
+
+def ngram_jaccard_dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str | None = None,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cluster-CANONICAL fuzzy dedup: keep the best-scored row per
+    transitive duplicate cluster (RefinedWeb-style keep-longest /
+    keep-cleanest), instead of the pairwise min-id drop.
+
+    The pairwise policy (``ngram_jaccard_dedup``) drops every row that
+    ever loses a pair — along a chain a~b~c it keeps only ``a`` even
+    though a and c were never verified as duplicates. This variant runs
+    connected components over the VERIFIED pairs and keeps exactly one
+    representative per component: max ``score_col`` (ties → min id);
+    ``score_col=None`` scores by text length. Costs the CC iteration on
+    the dup-incident subgraph only — the same bounded frame
+    text_dedup_clusters iterates, tiny relative to the corpus.
+    """
+    from cumulus_etl_spark.operators.graph import connected_components
+
+    score = (
+        F.col(score_col).cast("double")
+        if score_col
+        else F.length(F.col(text_col)).cast("double")
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
+    ).withColumn("sz", F.size("sh")).cache()
+    pairs = _jaccard_verified_pairs(sh, threshold, **lsh_kwargs).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
     sh.unpersist()
+    touched = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(touched, pairs, id_col="id", src_col="id_a", dst_col="id_b")
+    ranked = (
+        df.select(F.col(id_col).alias("id"), score.alias("__score"))
+        .join(comp, "id")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("__score"), F.asc("id")
+                )
+            ),
+        )
+    )
+    losers = (
+        ranked.filter(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint(eager=True)
+    )
     return df.join(losers, id_col, "left_anti")
 
 

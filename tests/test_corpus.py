@@ -1245,3 +1245,63 @@ def test_corpus_cli_decontaminate(spark, tmp_path, capsys):
         assert rep["decontamination"]["dropped"] == 1
         assert rep["decontamination"]["method"] == method
         assert rep["surviving_docs"] == 1
+
+
+def test_keep_best_dedup_is_cluster_canonical(spark):
+    """Keep-best dedup: exactly one representative per transitive dup
+    cluster, chosen by score (ties -> min id) — vs the pairwise min-id
+    policy which over-drops along chains."""
+    from cumulus_etl_spark.operators.dedup import (
+        ngram_jaccard_dedup,
+        ngram_jaccard_dedup_keep_best,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest before nightfall comes")
+    rows = [
+        (1, base),                                  # cluster A
+        (2, base + " extra"),                       # cluster A (longer!)
+        (3, base + " extra words"),                 # cluster A (longest)
+        (10, "a completely different document about query planning in "
+             "distributed analytical engines with columnar storage"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    best = ngram_jaccard_dedup_keep_best(docs, threshold=0.6)
+    kept = sorted(r["doc_id"] for r in best.select("doc_id").collect())
+    assert kept == [3, 10]  # longest cluster member + the singleton
+
+    # explicit score column wins over length
+    scored = docs.withColumn(
+        "q", F.when(F.col("doc_id") == 1, 99.0).otherwise(1.0)
+    )
+    best_q = ngram_jaccard_dedup_keep_best(scored, score_col="q", threshold=0.6)
+    assert sorted(r["doc_id"] for r in best_q.select("doc_id").collect()) == [1, 10]
+
+    # the pairwise policy keeps the MIN id instead
+    pairwise = ngram_jaccard_dedup(docs, threshold=0.6)
+    assert sorted(r["doc_id"] for r in pairwise.select("doc_id").collect()) == [1, 10]
+
+
+def test_corpus_cli_dedup_survivor_best(spark, tmp_path, capsys):
+    """corpus --dedup-survivor best keeps the longest cluster member."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest before nightfall comes")
+    rows = [(1, base, "en", "s"), (2, base + " extra tail words here", "en", "s")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out")
+    rc = main(["corpus", src, out, "--jaccard-threshold", "0.6",
+               "--dedup-survivor", "best"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["surviving_docs"] == 1
+    kept = spark.read.parquet(out).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [2]  # the longer one
