@@ -826,3 +826,55 @@ def gram_leakage_hits(
         .groupBy(split_col, id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def domain_temperature_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-based domain mixture (the multilingual/multi-domain
+    balancing rule mT5/UniMax popularized): target share of domain i is
+    share_i^(1/T) renormalized — T=1 keeps natural proportions, T→∞
+    approaches uniform (the corpus_domain_mixture entry's fixed target).
+    Returns per-source token shares, target shares, and the per-doc
+    sampling weight (target/natural, capped at 1 so no domain is
+    oversampled without replacement; pair with
+    importance resampling's md5-uniform draw to execute).
+
+    Shape: one per-source agg (domain-bounded), totals broadcast back —
+    the corpus itself never shuffles."""
+    from cumulus_etl_spark.operators import textstats as T
+
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.token_count(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_tokens") / F.col("total_tokens")
+    powed = F.pow(share, F.lit(1.0 / temperature))
+    # renormalize share^(1/T) across sources: window-free via a second
+    # broadcast of the powered sum (domain-bounded frame, trivial)
+    psum = (
+        j.select(powed.alias("p"))
+        .agg(F.sum("p").alias("p_total"))
+    )
+    out = j.crossJoin(F.broadcast(psum)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        (powed / F.col("p_total")).alias("target_share"),
+    )
+    weight = F.when(
+        F.col("token_share") > 0, F.col("target_share") / F.col("token_share")
+    )
+    capped = F.when(F.col("token_share") > 0, F.least(weight, F.lit(1.0)))
+    return out.select(
+        source_col, "n_docs", "n_tokens", "token_share", "target_share",
+        weight.alias("sample_weight"),
+        capped.alias("capped_weight"),
+        F.floor(F.col("n_tokens") * capped).cast("bigint").alias("expected_tokens"),
+    )

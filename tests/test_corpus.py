@@ -1305,3 +1305,36 @@ def test_corpus_cli_dedup_survivor_best(spark, tmp_path, capsys):
     assert rep["surviving_docs"] == 1
     kept = spark.read.parquet(out).select("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [2]  # the longer one
+
+
+def test_domain_temperature_weights_math(spark):
+    """Temperature mixture: T=1 reproduces natural shares (all weights
+    1), higher T pulls targets toward uniform — exact Python replay."""
+    from cumulus_etl_spark.operators.corpus import domain_temperature_weights
+
+    rows = (
+        [(f"a{i}", "big", "tok " * 20) for i in range(8)]
+        + [(f"b{i}", "mid", "tok " * 10) for i in range(4)]
+        + [(f"c{i}", "small", "tok " * 5) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+
+    t1 = {r["source"]: r for r in domain_temperature_weights(docs, temperature=1.0).collect()}
+    for r in t1.values():
+        assert abs(r["target_share"] - r["token_share"]) < 1e-12
+        assert abs(r["sample_weight"] - 1.0) < 1e-12
+
+    t5 = {r["source"]: r for r in domain_temperature_weights(docs, temperature=5.0).collect()}
+    shares = {s: t5[s]["token_share"] for s in t5}
+    import math
+
+    p = {s: shares[s] ** (1 / 5.0) for s in shares}
+    tot = sum(p.values())
+    for s in t5:
+        assert abs(t5[s]["target_share"] - p[s] / tot) < 1e-12
+    # higher T boosts small domains, damps big ones
+    assert t5["small"]["target_share"] > shares["small"]
+    assert t5["big"]["target_share"] < shares["big"]
+    assert t5["big"]["capped_weight"] < 1.0 and t5["small"]["sample_weight"] > 1.0
+    # targets sum to 1
+    assert abs(sum(r["target_share"] for r in t5.values()) - 1.0) < 1e-12
