@@ -225,3 +225,41 @@ def test_legacy_toml_task_with_bsv_vocabulary(tmp_path):
     (task,) = load_study_tasks(str(toml))
     assert task.name == "sleep_study" and task.task_version == 2
     assert task.model("insomnia noted")[0]["code"] == "C0917801"
+
+
+def test_bundled_sleep_example_study_end_to_end(spark, tmp_path):
+    """The bundled non-covid sleep study runs offline end-to-end: its
+    BSV vocabulary (real UMLS CUIs) drives the stub model through
+    run_nlp_task, producing match rows with the study's codes."""
+    import os
+
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+    from cumulus_etl_spark.sources import scan_resources
+
+    toml = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "cumulus_etl_spark", "studies", "sleep_example", "tasks.toml",
+    )
+    (task,) = load_study_tasks(toml)
+    assert task.name == "sleep_example__nlp_symptoms"
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", [
+        docref("n1", text="Chronic insomnia and loud snoring; denies dyspnea."),
+        docref("n2", text="No sleep complaints at all."),
+    ])
+    docrefs = scan_resources(spark, in_dir, ["DocumentReference"])
+    summary = task.run(
+        spark, docrefs, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "2026-08-15T00:00:00Z",
+    )
+    assert summary["seen"] == 2
+
+    from cumulus_etl_spark.sinks import ManagedTable
+
+    rows = ManagedTable(spark, str(tmp_path / "out"), task.name).read().collect()
+    matches = {r["match"]["text"]: r["match"] for r in rows if r["match"]}
+    assert matches["insomnia"]["code"] == "C0917801"
+    assert matches["snoring"]["code"] == "C0037384"
+    assert matches["dyspnea"]["polarity"] == "negated"
