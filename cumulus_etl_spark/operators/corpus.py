@@ -631,10 +631,14 @@ def pack_sequences_atomic(
         F.array_join("t", " ").alias("chunk_text"),
         F.size("t").cast("long").alias("n"),
     )
-    chunks = chunks.repartition(
-        partitions if partitions is not None else chunks.rdd.getNumPartitions(),
-        "chunk_id",
-    )
+    if partitions is None:
+        # NOT the input's partition count: a single-file scan reports 1,
+        # which would collapse the pack into ONE task (caught by the
+        # plan pin below — an Exchange SinglePartition at 100 TB).
+        partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    chunks = chunks.repartition(partitions, "chunk_id")
 
     out_schema = StructType(
         [

@@ -1338,3 +1338,20 @@ def test_domain_temperature_weights_math(spark):
     assert t5["big"]["capped_weight"] < 1.0 and t5["small"]["sample_weight"] > 1.0
     # targets sum to 1
     assert abs(sum(r["target_share"] for r in t5.values()) - 1.0) < 1e-12
+
+
+def test_pack_sequences_atomic_default_fans_out(spark):
+    """Regression pin: the default partition count comes from
+    spark.sql.shuffle.partitions, NOT the input scan (a single-file
+    scan reports 1 partition, which would collapse the pack into one
+    task — Exchange SinglePartition — at any data size)."""
+    from cumulus_etl_spark.operators.corpus import pack_sequences_atomic
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "tok " * 5) for i in range(20)], "doc_id string, text string"
+    ).coalesce(1)  # the single-file-scan shape
+    out = pack_sequences_atomic(docs, seq_len=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(chunk_id" in plan
+    assert "SinglePartition" not in plan
+    assert sum(r["n_tokens"] for r in out.collect()) == 100
