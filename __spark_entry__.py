@@ -72,6 +72,15 @@ _GATE_PRIORITY = [
 #      retired; text_bigram_lm_score's retirement freed its slot).
 # Total demand 49 of 50 slots — one spare for anything r9 changes.
 # The 50 r8 rows rotate in r11.
+#
+# Oracle-capacity staging for r10 (net-zero rule, verdict-r8 ask 7):
+# the r9-added BM25 retrieval (operators/textstats.py:bm25_topk,
+# currently pytest-pinned against an exact Python replay) is the next
+# candidate for a full oracle row — fund its slot by retiring
+# "text_doc_freq_topk", whose (word, df) ranking is subsumed by the
+# strictly richer "text_inverted_index" (word, df, tf, capped
+# postings). Do the retirement AFTER text_doc_freq_topk's r9 green row
+# lands (it is in the window above), so the swap costs nothing.
 
 
 def _ordered() -> list[str]:
