@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sample.add_argument("--select-by-regex", dest="select_regex", default=None)
     p_sample.add_argument("--select-by-csv", dest="select_by_csv", default=None)
     p_sample.add_argument("--select-by-anon-csv", dest="select_by_anon_csv", default=None)
+    p_sample.add_argument("--type", dest="resource_types",
+                          default="DiagnosticReport,DocumentReference",
+                          help="which FHIR note types to consider "
+                          "(comma-separated; reference default)")
 
     # nlp verb (ref etl/nlp/cli.py:219-294)
     p_nlp = sub.add_parser("nlp", help="run NLP study tasks over clinical notes")
@@ -435,6 +439,9 @@ def main(argv: list[str] | None = None) -> int:
             select_by_csv=args.select_by_csv,
             select_by_anon_csv=args.select_by_anon_csv,
             phi_dir=args.phi_dir,
+            resource_types=tuple(
+                t.strip() for t in args.resource_types.split(",") if t.strip()
+            ),
         )
         if args.columns or args.export_to:
             # bounded by --count: the sample is chart-review sized

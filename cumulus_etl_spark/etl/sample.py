@@ -28,8 +28,11 @@ def sample_notes(
     select_by_csv: str | None = None,
     select_by_anon_csv: str | None = None,
     phi_dir: str | None = None,
+    resource_types: tuple[str, ...] = ("DiagnosticReport", "DocumentReference"),
 ) -> DataFrame:
-    """N uniformly-sampled DocumentReferences that have inline text.
+    """N uniformly-sampled clinical notes that have inline text — over
+    BOTH note resource types by default, like the reference's sample
+    verb (sample/cli.py:89-94 --type default).
 
     F5 duplicate suppression (dropDuplicates on resourceType+id) and F7
     has-text predicate applied before sampling, like the reference's
@@ -41,7 +44,7 @@ def sample_notes(
         raise ValueError(
             "Multiple selection arguments provided. Please specify just one."
         )
-    docs = scan_resources(spark, input_dir, ["DocumentReference"])
+    docs = scan_resources(spark, input_dir, list(resource_types))
     docs = docs.dropDuplicates(["resourceType", "id"])
     notes = extract_note_text(docs).filter(F.col("note_text").isNotNull())
     if select_by_csv or select_by_anon_csv:
@@ -81,13 +84,14 @@ def sample_refs_frame(sampled: DataFrame, columns: set[str]) -> DataFrame:
     if "subject" in columns:
         out.append(F.col("subject")["reference"].alias("subject_ref"))
     if "encounter" in columns:
+        enc_refs = []
+        if "context" in sampled.columns:  # DocumentReference
+            enc_refs.append(F.element_at(F.col("context.encounter"), 1)["reference"])
+        if "encounter" in sampled.columns:  # DiagnosticReport single ref
+            enc_refs.append(F.col("encounter.reference"))
+        enc = F.coalesce(*enc_refs) if enc_refs else F.lit(None).cast("string")
         out.append(
-            F.element_at(
-                F.split(
-                    F.element_at(F.col("context.encounter"), 1)["reference"], "/"
-                ),
-                -1,
-            ).alias("encounter_id")
+            F.element_at(F.split(enc, "/"), -1).alias("encounter_id")
         )
     if not out:
         raise ValueError("No valid columns selected")

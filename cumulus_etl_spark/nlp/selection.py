@@ -158,7 +158,13 @@ def filter_by_cohort_frame(
 
         own_id = anon_id(own_id, salt)
         pat_id = F.when(pat_id.isNotNull(), anon_id(pat_id, salt))
-    own_ref = F.concat(F.lit(f"{resource_type}/"), own_id)
+    # mixed multi-type note frames ref by their own resourceType
+    rtype = (
+        F.coalesce(F.col("resourceType"), F.lit(resource_type))
+        if "resourceType" in notes.columns
+        else F.lit(resource_type)
+    )
+    own_ref = F.concat(rtype, F.lit("/"), own_id)
     n = notes.withColumn("__own_ref", own_ref)
     n = n.withColumn("__own_pat", pat_id)
 

@@ -68,15 +68,34 @@ def run_nlp_task(
     # segfaults Arrow's deep-struct conversion at sandbox scale and would
     # serialize megabytes per row through Python at cluster scale.  The
     # envelope only ever needs these five scalars.
+    # DocumentReference carries its encounter in context.encounter[];
+    # DiagnosticReport as a single `encounter` Reference — take whichever
+    # the frame has (both, per row, on a mixed multi-type scan).
+    enc_candidates = []
+    if "context" in docrefs.columns:
+        enc_candidates.append(
+            F.element_at(F.col("context.encounter"), 1)["reference"]
+        )
+    if "encounter" in docrefs.columns:
+        enc_candidates.append(F.col("encounter.reference"))
+    enc_src = (
+        F.coalesce(*enc_candidates)
+        if enc_candidates
+        else F.lit(None).cast("string")
+    )
+    rtype = (
+        F.col("resourceType")
+        if "resourceType" in docrefs.columns
+        else F.lit("DocumentReference")
+    )
     notes = (
         all_notes.filter(F.col("note_text").isNotNull())
         .withColumn("checksum", note_checksum())
         .select(
             "id",
+            F.coalesce(rtype, F.lit("DocumentReference")).alias("note_rtype"),
             F.col("subject.reference").alias("subject_ref_src"),
-            F.element_at(F.col("context.encounter"), 1)["reference"].alias(
-                "encounter_ref_src"
-            ),
+            enc_src.alias("encounter_ref_src"),
             "note_text",
             "checksum",
         )
@@ -114,7 +133,9 @@ def run_nlp_task(
     # still replace the same group.
     salt = Codebook(phi_dir).salt
     envelope = scored.select(
-        F.concat(F.lit("DocumentReference/"), anon_id(F.col("id"), salt)).alias("note_ref"),
+        # resourceType-prefixed so DiagnosticReport notes keep their type
+        # in the ref (DocumentReference rows unchanged — goldens stable)
+        F.concat(F.col("note_rtype"), F.lit("/"), anon_id(F.col("id"), salt)).alias("note_ref"),
         anon_ref(F.col("encounter_ref_src"), salt).alias("encounter_ref"),
         anon_ref(F.col("subject_ref_src"), salt).alias("subject_ref"),
         F.lit(generated_on).alias("generated_on"),
@@ -128,7 +149,7 @@ def run_nlp_task(
         from cumulus_etl_spark.nlp.response_schema import compile_response_schema
 
         rows = envelope.select(
-            F.regexp_replace("note_ref", "^DocumentReference/", "").alias("id"),
+            F.regexp_replace("note_ref", "^[A-Za-z]+/", "").alias("id"),
             "note_ref",
             "encounter_ref",
             "subject_ref",

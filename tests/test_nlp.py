@@ -263,3 +263,61 @@ def test_bundled_sleep_example_study_end_to_end(spark, tmp_path):
     assert matches["insomnia"]["code"] == "C0917801"
     assert matches["snoring"]["code"] == "C0037384"
     assert matches["dyspnea"]["polarity"] == "negated"
+
+
+def diagreport(rid, text=None, patient="p1", enc="e1"):
+    """Minimal DiagnosticReport note: text rides in presentedForm[]."""
+    pf = []
+    if text is not None:
+        pf.append({"contentType": "text/plain", "data": b64(text)})
+    return {
+        "resourceType": "DiagnosticReport",
+        "id": rid,
+        "status": "final",
+        "subject": {"reference": f"Patient/{patient}"},
+        "encounter": {"reference": f"Encounter/{enc}"},
+        "presentedForm": pf,
+    }
+
+
+def test_extract_note_text_diagnostic_report(spark, tmp_path):
+    """DiagnosticReport notes decode from presentedForm[] — including in
+    a MIXED multi-type scan where rows dispatch on resourceType (ref
+    cfs.get_text_from_note_res handles both note types)."""
+    write_ndjson(str(tmp_path), "d.ndjson", [
+        diagreport("r1", text="CBC shows anemia."),
+        diagreport("r2"),  # no presentedForm text
+        docref("d1", text="a plain docref note"),
+    ])
+    df = scan_resources(spark, str(tmp_path),
+                        ["DiagnosticReport", "DocumentReference"])
+    out = {r["id"]: r for r in extract_note_text(df).collect()}
+    assert out["r1"]["note_text"] == "CBC shows anemia."
+    assert out["r2"]["note_text"] is None
+    assert out["r2"]["note_missing_reason"] == "no text attachment"
+    assert out["d1"]["note_text"] == "a plain docref note"
+
+
+def test_run_nlp_task_diagnostic_reports(spark, tmp_path):
+    """The NLP envelope handles DiagnosticReport notes: note_ref keeps
+    the resource type, encounter comes from the single `encounter`
+    reference, and DocumentReference refs are unchanged (goldens)."""
+    out_dir = str(tmp_path / "out")
+    phi_dir = str(tmp_path / "phi")
+    write_ndjson(str(tmp_path / "in"), "d.ndjson", [
+        diagreport("r1", text="fever found on exam", enc="e9"),
+        docref("d1", text="cough noted"),
+    ])
+    df = scan_resources(spark, str(tmp_path / "in"),
+                        ["DiagnosticReport", "DocumentReference"])
+    s = run_nlp_task(spark, df, StubSymptomModel(), "study__mixed", 1,
+                     out_dir, phi_dir, generated_on="2021-01-01T00:00:00Z")
+    assert s["seen"] == 2 and s["with_text"] == 2
+
+    tbl = ManagedTable(spark, out_dir, "study__mixed").read().collect()
+    refs = {r["note_ref"].split("/")[0] for r in tbl}
+    assert refs == {"DiagnosticReport", "DocumentReference"}
+    dr = [r for r in tbl if r["note_ref"].startswith("DiagnosticReport/")][0]
+    assert dr["match"]["text"] == "fever"
+    assert dr["note_ref"].split("/")[1] == _anon(phi_dir, "r1")
+    assert dr["encounter_ref"] == f"Encounter/{_anon(phi_dir, 'e9')}"

@@ -420,3 +420,35 @@ def test_search_verb_bm25(spark, tmp_path, capsys, sf_correct):
         scores = [h["score"] for h in hits]
         assert scores == sorted(scores, reverse=True)
         assert len(hits) <= 4
+
+
+def test_sample_verb_covers_both_note_types(spark, tmp_path, capsys):
+    """The sample verb's --type default spans DiagnosticReport AND
+    DocumentReference (reference sample/cli.py:89-94), with refs typed
+    per row in the --columns CSV."""
+    import json
+    import os
+
+    from cumulus_etl_spark.cli import main
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import diagreport, docref
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", [
+        diagreport("r1", text="report one"),
+        docref("d1", text="docref one"),
+        docref("d2", text="docref two"),
+    ])
+    csv_path = str(tmp_path / "refs.csv")
+    rc = main(["sample", in_dir, "3", "--columns", "note", "--output", csv_path])
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    refs = sorted(open(csv_path).read().strip().splitlines()[1:])
+    assert refs == ["DiagnosticReport/r1", "DocumentReference/d1",
+                    "DocumentReference/d2"]
+    # --type narrows the scan
+    rc = main(["sample", in_dir, "5", "--type", "DocumentReference"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sampled"] == 2
