@@ -38,6 +38,7 @@ class LabelStudioNote:
     text: str = ""
     date: str | None = None
     doc_mappings: dict = field(default_factory=dict)
+    doc_types: dict = field(default_factory=dict)  # note_id → resourceType
     doc_spans: dict = field(default_factory=dict)
     highlights: list = field(default_factory=list)  # (label, begin, end)
 

@@ -88,13 +88,29 @@ def group_notes_by_encounter(
     Fallback grouping key is the note's own reference (a note without an
     encounter becomes its own chart), matching upload_notes/cli.py:50-74.
     Offsets come from a prefix-sum window over (chart, date) — the merged
-    text is then one concat_ws; no quadratic string building.
+    text is then one concat_ws; no quadratic string building. Handles
+    both note types: encounter refs come from ``context.encounter[]``
+    (DocumentReference) or the single ``encounter`` reference
+    (DiagnosticReport), and each collected note carries its
+    ``note_rtype`` so downstream refs stay typed.
     """
     sep = "\n\n"
-    enc_ref = F.element_at(F.col("context.encounter"), 1)["reference"]
-    own_ref = F.concat(F.lit("DocumentReference/"), F.col(id_col))
-    keyed = notes.withColumn("chart_id", F.coalesce(enc_ref, own_ref)).filter(
-        F.col(text_col).isNotNull()
+    enc_refs = []
+    if "context" in notes.columns:
+        enc_refs.append(F.element_at(F.col("context.encounter"), 1)["reference"])
+    if "encounter" in notes.columns:
+        enc_refs.append(F.col("encounter.reference"))
+    enc_ref = F.coalesce(*enc_refs) if enc_refs else F.lit(None).cast("string")
+    rtype = (
+        F.coalesce(F.col("resourceType"), F.lit("DocumentReference"))
+        if "resourceType" in notes.columns
+        else F.lit("DocumentReference")
+    )
+    own_ref = F.concat(rtype, F.lit("/"), F.col(id_col))
+    keyed = (
+        notes.withColumn("__note_rtype", rtype)
+        .withColumn("chart_id", F.coalesce(enc_ref, own_ref))
+        .filter(F.col(text_col).isNotNull())
     )
     w = (
         Window.partitionBy("chart_id")
@@ -116,6 +132,7 @@ def group_notes_by_encounter(
                         F.col(id_col).alias("note_id"),
                         F.col(date_col).alias("note_date"),
                         F.col(text_col).alias("note_text"),
+                        F.col("__note_rtype").alias("note_rtype"),
                     )
                 )
             ).alias("notes"),
@@ -211,10 +228,11 @@ def write_upload_manifest(notes, export_to: str | None) -> str | None:
         writer.writerow(MANIFEST_COLUMNS)
         for note in notes:
             for note_id, anon_note_id in note.doc_mappings.items():
+                rtype = note.doc_types.get(note_id, "DocumentReference")
                 writer.writerow(
                     [
-                        f"DocumentReference/{note_id}",
-                        f"DocumentReference/{anon_note_id}" if anon_note_id else "",
+                        f"{rtype}/{note_id}",
+                        f"{rtype}/{anon_note_id}" if anon_note_id else "",
                         note.patient_id or "",
                         note.anon_patient_id or "",
                         note.encounter_id or "",
@@ -268,7 +286,12 @@ def run_upload_notes(
         )
     salt = Codebook(phi_dir).salt
 
-    docrefs = scan_resources(spark, input_dir, ["DocumentReference"])
+    # both note resource types, like the reference's selector
+    # (upload_notes/selector.py:17-18 processes DiagnosticReport AND
+    # DocumentReference)
+    docrefs = scan_resources(
+        spark, input_dir, ["DiagnosticReport", "DocumentReference"]
+    )
     notes = extract_note_text(docrefs).filter(F.col("note_text").isNotNull())
     if select_by_csv:
         notes = filter_by_note_csv(spark, notes, select_by_csv)
@@ -299,11 +322,24 @@ def run_upload_notes(
     if grouping == "none":
         # each note is its own chart: blank the encounter context so the
         # grouping key falls back to the note's own reference
-        notes = notes.withColumn("context", F.lit(None).cast(notes.schema["context"].dataType))
+        for c in ("context", "encounter"):
+            if c in notes.columns:
+                notes = notes.withColumn(
+                    c, F.lit(None).cast(notes.schema[c].dataType)
+                )
+    enc_refs = []
+    if "context" in notes.columns:
+        enc_refs.append(F.element_at(F.col("context.encounter"), 1)["reference"])
+    if "encounter" in notes.columns:
+        enc_refs.append(F.col("encounter.reference"))
+    rtype = (
+        F.coalesce(F.col("resourceType"), F.lit("DocumentReference"))
+        if "resourceType" in notes.columns
+        else F.lit("DocumentReference")
+    )
     patients = notes.select(
         F.coalesce(
-            F.element_at(F.col("context.encounter"), 1)["reference"],
-            F.concat(F.lit("DocumentReference/"), F.col("id")),
+            *enc_refs, F.concat(rtype, F.lit("/"), F.col("id"))
         ).alias("chart_id"),
         F.col("__patient_ref"),
     ).groupBy("chart_id").agg(F.first("__patient_ref", ignorenulls=True).alias("patient_ref"))
@@ -372,6 +408,7 @@ def run_upload_notes(
                 text=text,
                 date=str(r["chart_date"]) if r["chart_date"] is not None else None,
                 doc_mappings={n["note_id"]: anon(n["note_id"]) for n in r["notes"]},
+                doc_types={n["note_id"]: n["note_rtype"] for n in r["notes"]},
                 doc_spans={
                     n["note_id"]: (n["offset_start"], n["offset_end"]) for n in r["notes"]
                 },

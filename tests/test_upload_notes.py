@@ -357,3 +357,53 @@ def test_select_by_athena_table(spark, tmp_path):
         assert uploaded == ["n1", "n3"]
     finally:
         spark.catalog.dropTempView("study__selected_notes")
+
+
+def test_upload_notes_covers_diagnostic_reports(spark, tmp_path):
+    """Chart review spans both note types (ref upload_notes/selector.py
+    processes DiagnosticReport AND DocumentReference): a report and a
+    docref sharing an encounter merge into one chart, refs stay typed in
+    the manifest, and the manifest round-trips through selection."""
+    import csv
+    import os
+
+    from cumulus_etl_spark.etl.upload_notes import run_upload_notes
+    from tests.test_nlp import diagreport
+
+    docs = [
+        docref("d1", text="clinic visit note", enc="e1", patient="pA"),
+        diagreport("r1", text="lab report text", enc="e1", patient="pA"),
+        diagreport("r2", text="solo report", enc="e2", patient="pB"),
+    ]
+    docs[0]["date"] = "2021-01-01T00:00:00Z"
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", docs)
+    export_to = str(tmp_path / "export")
+
+    client = _FakeLsClient()
+    summary = run_upload_notes(
+        spark, in_dir, str(tmp_path / "phi"), client,
+        philter_mode="disable", export_to=export_to,
+    )
+    assert summary["charts"] == 2  # e1 (d1+r1 merged) and e2
+    e1 = next(n for n in client.pushed if n.unique_id == "Encounter/e1")
+    assert set(e1.doc_mappings) == {"d1", "r1"}
+    assert e1.doc_types == {"d1": "DocumentReference", "r1": "DiagnosticReport"}
+    # both texts merged with correct spans
+    s = e1.doc_spans["r1"]
+    assert e1.text[s[0]:s[1]] == "lab report text"
+
+    with open(summary["manifest"], newline="") as fh:
+        rows = {r["note_ref"]: r for r in csv.DictReader(fh)}
+    assert set(rows) == {"DocumentReference/d1", "DiagnosticReport/r1",
+                         "DiagnosticReport/r2"}
+    assert rows["DiagnosticReport/r1"]["anon_note_ref"].startswith("DiagnosticReport/")
+
+    # typed manifest feeds straight back in
+    client2 = _FakeLsClient()
+    summary2 = run_upload_notes(
+        spark, in_dir, str(tmp_path / "phi"), client2,
+        philter_mode="disable", select_by_csv=summary["manifest"],
+    )
+    assert summary2["charts"] == 2
