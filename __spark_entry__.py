@@ -25,62 +25,52 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- ROUND-9 WINDOW (verdict-r8 ask 1, exactly as staged last round):
-    #    FIRST the never-gated r8 addition text_lm_surprisal (CCNet-style
-    #    bigram-LM quality score, integer-log2 surprisal) and the
-    #    r8-rewritten vector_semdedup (corpus-proportional k +
-    #    two-level IVF-style assignment, oracle rewritten to replay the
-    #    coarse/fine argmin — driver has never blessed the new code) --
-    "text_lm_surprisal", "vector_semdedup",
-    # -- then ALL 48 entries whose last green row is r6
-    #    (2 + 48 = exactly the 50-slot window) --
-    "agg_approx_distinct_error", "agg_approx_quantile_bracket",
-    "agg_countmin_topk", "agg_cube_orders", "agg_distinct_counts",
-    "agg_histogram_totalprice", "agg_hll_rollup_invariant",
-    "agg_rollup_region_nation", "agg_salted_returnflag", "agg_stats_moments",
-    "agg_string_collect", "agg_unpivot_components", "cdc_snapshot_diff",
-    "corpus_chunk_overlap", "corpus_importance_resample",
-    "deid_anonymize_customers", "events_anomaly_zscore",
-    "events_attribution_last_touch", "events_conversion_funnel",
-    "events_daily_gapfill", "events_gini_diversity", "events_retention_cohort",
-    "graph_kcore", "graph_triangle_count", "join_bloom_pruned_revenue",
-    "join_full_outer_nation_wealth", "join_fuzzy_name_match",
-    "join_salted_bigkey", "ml_auc_rank", "ml_threshold_metrics",
-    "q12_priority_by_returnflag", "q13_customer_distribution",
-    "q16_supplier_cnt_by_part_class", "q17_small_quantity_revenue",
-    "q20_promotion_suppliers", "scalar_variant_semistructured",
-    "set_except_all_multiplicity", "text_bpe_encode", "text_dedup_clusters",
-    "text_ngram_jaccard_pairs", "text_repeated_substrings",
-    "text_winnow_fingerprints", "vector_matryoshka_recall",
-    "vector_mmr_select", "window_first_last_nth", "window_range_frame_rolling",
-    "window_rank_distribution", "window_sessionize",
+    # -- ROUND-10 WINDOW (verdict-r9 ask 1, exactly as staged last
+    #    round, plus the two staged oracle swaps from asks 3/6):
+    #    FIRST the three never-driver-gated oracles —
+    #    multimodal_frame_sample (oracled r9 via planted RIFF/AVI +
+    #    real demux, added after the r9 window was committed),
+    #    bm25_topk (the r9 pytest-pinned BM25 retrieval, oracled this
+    #    round; slot funded by retiring text_doc_freq_topk, subsumed
+    #    by text_inverted_index — ledger note in plans/analytics.py),
+    #    and sample_weighted_reservoir (batch form of the r9 streaming
+    #    A-ES reservoir; slot funded by retiring graph_pagerank_step,
+    #    subsumed by graph_pagerank_integer) --
+    "multimodal_frame_sample", "bm25_topk", "sample_weighted_reservoir",
+    # -- then text_substring_removal (r8 rewrote the stitch fold to
+    #    O(doc_len) slice pairs AFTER its last green row r7 — the one
+    #    remaining driver-unproven rewrite) --
+    "text_substring_removal",
+    # -- then the remaining 46 r7-stale entries (everything whose last
+    #    green row is r7 and that was not retired; 4 + 46 = exactly the
+    #    50-slot window) --
+    "agg_association_rules", "agg_countmin_windowed", "agg_frequent_triples",
+    "corpus_importance_rank", "corpus_prepare_pipeline",
+    "corpus_quality_percentile_cut", "corpus_split_leakage",
+    "corpus_train_val_split", "deid_year_generalize", "events_decayed_counts",
+    "events_hourly_rollup", "events_interarrival_quantiles",
+    "events_markov_transitions", "graph_pagerank_integer",
+    "join_sorted_neighborhood", "ml_gram_matrix", "profile_orders",
+    "q11_important_parts", "q15_top_supplier", "q1_pricing_summary",
+    "q21_waiting_supplier", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_priority_exists", "q5_local_supplier_volume",
+    "q9_profit_by_nation_year", "sample_hash_stratified",
+    "scalar_array_functions", "text_bpe_train_merges", "text_cdc_chunks",
+    "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
+    "text_quality_score", "text_simhash_pairs", "text_token_stats",
+    "vector_ann_ivf", "vector_ann_ivf_int8", "vector_ann_lsh",
+    "vector_ann_lsh_recall", "vector_cluster_quality", "vector_kmeans_assign",
+    "vector_pq_adc_topk", "vector_pq_recall", "vector_rrf_fusion",
+    "window_session_native",
 ]
 
-# Round-10 rotation queue (verdict-r8 ask 3 — changed-after-last-green
-# and never-gated entries lead). Post-r9 freshness, computed from
-# CORRECTNESS_r01..r08 + this window: 50 entries green r9, 50 green r8,
-# 48 stale at r7, and ONE never-gated. The r10 window is therefore:
-#   1. "multimodal_frame_sample" — oracled in r9 (planted RIFF/AVI +
-#      real demux, verdict-r8 ask 4) AFTER the r9 window was already
-#      committed to the staged rotation; never driver-gated.
-#   2. "text_substring_removal" — r8 rewrote the stitch fold to
-#      O(doc_len) slice pairs after its last green row (r7); the one
-#      remaining driver-unproven change. (text_dedup_clusters, the
-#      other r7/r8-changed entry the judge named, is ALREADY in the r9
-#      window above as r6-stale — its new code gets blessed this round.)
-#   3. the remaining 47 r7-stale entries (everything green r7 and not
-#      retired; text_bigram_lm_score's retirement freed its slot).
-# Total demand 49 of 50 slots — one spare for anything r9 changes.
-# The 50 r8 rows rotate in r11.
-#
-# Oracle-capacity staging for r10 (net-zero rule, verdict-r8 ask 7):
-# the r9-added BM25 retrieval (operators/textstats.py:bm25_topk,
-# currently pytest-pinned against an exact Python replay) is the next
-# candidate for a full oracle row — fund its slot by retiring
-# "text_doc_freq_topk", whose (word, df) ranking is subsumed by the
-# strictly richer "text_inverted_index" (word, df, tf, capped
-# postings). Do the retirement AFTER text_doc_freq_topk's r9 green row
-# lands (it is in the window above), so the swap costs nothing.
+# Round-11 rotation queue: after this window lands, freshness is
+# r10:50, r9:50, r8:49 (the 50 r8-green entries minus the retired
+# text_doc_freq_topk), and nothing older — the 3-round SLA holds. The
+# r11 window is therefore the 49 r8-stale entries (+1 spare), led by
+# anything r10 work changes after its last green row. No oracle-capacity
+# staging is pending: both swaps queued in r9 (BM25⇄doc_freq_topk,
+# reservoir⇄pagerank_step) executed this round, net-zero (153/149).
 
 
 def _ordered() -> list[str]:

@@ -449,7 +449,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_to:
             sampled.drop("note_text").write.mode("overwrite").json(args.export_to)
         if args.columns:
-            cols = set(args.columns.split(",")) & {"note", "subject", "encounter"}
+            # Strict parse: strip whitespace, reject unknown names —
+            # '--columns note, subject' must mean {note, subject}, and a
+            # typo must error instead of silently shrinking the CSV.
+            requested = [t.strip() for t in args.columns.split(",") if t.strip()]
+            allowed = {"note", "subject", "encounter"}
+            unknown = [t for t in requested if t not in allowed]
+            if unknown:
+                raise SystemExit(
+                    f"unknown --columns name(s) {unknown}; "
+                    f"choose from {sorted(allowed)}"
+                )
+            cols = set(requested)
             refs = sample_refs_frame(sampled, cols)
             header = ",".join(refs.columns)
             lines = [header] + [
@@ -605,7 +616,15 @@ def main(argv: list[str] | None = None) -> int:
                 survivors, bench, id_col=args.id_col, text_col=args.text_col,
                 ngram=args.decontaminate_ngram, method=args.decontaminate_method,
             )
-            drop_ids = flags.filter(_F.col("contaminated")).select(args.id_col)
+            # Pin the (tiny, ids-only) drop list: the count() and the
+            # anti-join below would otherwise BOTH re-derive the flags —
+            # re-exploding corpus grams and, with method=bloom,
+            # rebuilding the bloom filter a second time.
+            drop_ids = (
+                flags.filter(_F.col("contaminated"))
+                .select(args.id_col)
+                .localCheckpoint(eager=True)
+            )
             n_dropped = drop_ids.count()
             survivors = survivors.join(drop_ids, args.id_col, "anti")
             report["decontamination"] = {
@@ -1165,7 +1184,13 @@ def _run_nlp_verb(spark, args) -> dict:
 
         batch_provider = HttpBatchProvider(args.batch_url)
 
-    docrefs = scan_resources(spark, args.input_dir, ["DocumentReference"])
+    # Both note types, like the reference nlp CLI (etl/nlp/cli.py reads
+    # DiagnosticReport alongside DocumentReference): extract_note_text /
+    # run_nlp_task dispatch per-row on resourceType, so DiagnosticReport
+    # presentedForm[] notes flow through the same tasks.
+    docrefs = scan_resources(
+        spark, args.input_dir, ["DiagnosticReport", "DocumentReference"]
+    )
     sel_csv = getattr(args, "select_by_csv", None)
     sel_anon = getattr(args, "select_by_anon_csv", None)
     if sel_csv and sel_anon:

@@ -452,6 +452,7 @@ def bm25_topk(
     query_text_col: str = "query",
     k1: float = 1.2,
     b: float = 0.75,
+    exact: bool = False,
 ):
     """BM25 sparse retrieval: top-k documents per query (Okapi BM25,
     Robertson idf with the standard +1 floor so common terms can't go
@@ -462,12 +463,29 @@ def bm25_topk(
     score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
 
+    ``exact=True`` switches to the cross-engine hash-exact form the
+    oracle catalog row uses: the idf becomes the INTEGER log2 of the
+    same Robertson ratio — ilog2(1 + (2N−2df+1) div (2df+1)), every
+    step exact integer arithmetic (the (N−df+0.5)/(df+0.5) ratio times
+    2/2), the `text_lm_surprisal` discipline — and per-term
+    contributions are rounded to 6 decimals then summed as
+    DECIMAL(28,6) so the aggregation is order-independent. The tf/dl
+    saturation term stays the genuine float BM25 expression: it is a
+    chain of single correctly-rounded IEEE ops on exactly-represented
+    integers, bit-identical across engines. Whole-bit idf still
+    separates rare from common terms; ranking quality is the replay-
+    pinned float path's to keep.
+
     Scale shape: one (doc, term, tf) aggregation over the corpus (the
     inverted-index build — map-side combine absorbs the explode), df
     and avgdl as corpus-bounded aggregates, and the QUERY side — tiny
     by construction — broadcast onto the postings, so the corpus
     shuffles once and only postings matching some query term reach the
-    scoring agg. Top-k per query is a window over candidates,
+    scoring agg. The (term, df) table is semi-joined to the distinct
+    query terms BEFORE its broadcast — at web scale the full
+    vocabulary is 10^8+ terms and broadcasting it would OOM every
+    executor; only the |query vocabulary| rows ever ship (round-9
+    verdict fix). Top-k per query is a window over candidates,
     partitioned by query. Returns (query_id, doc_id, score, rank),
     score-desc with doc-id tiebreak so results are a total order.
     """
@@ -492,22 +510,44 @@ def bm25_topk(
             F.array_distinct(F.split(F.lower(F.trim(query_text_col)), r"\s+"))
         ).alias("term"),
     )
+    # Prune the full-vocabulary (term, df) table to the query terms
+    # BEFORE broadcasting it: df is |vocab|-sized (10^8+ at corpus
+    # scale) while q_terms is tiny, so the semi-join runs as a
+    # broadcast of q_terms onto df and only query-term df rows reach
+    # the (still tiny) broadcast below.
+    df_q = df.join(F.broadcast(q_terms.select("term").distinct()), "term", "semi")
     cand = (
         tf.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(df), "term")
+        .join(F.broadcast(df_q), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    if exact:
+        # ilog2(1 + (N - df + 0.5)/(df + 0.5)) via the integer ratio
+        # (2N - 2df + 1) div (2df + 1); ilog2(x) = length(bin(x)) - 1.
+        # The float division + floor is exact here: the quotient is at
+        # least 1/den away from any integer unless den divides num, and
+        # 1/den >> double ulp at corpus-countable magnitudes.
+        num = (2 * F.col("n_docs").cast("bigint") - 2 * F.col("df") + 1).cast("bigint")
+        den = (2 * F.col("df") + 1).cast("bigint")
+        idf = (F.length(F.bin(F.lit(1) + F.floor(num / den))) - 1).cast("double")
+    else:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    scored = cand.groupBy("query_id", "doc_id").agg(
-        F.sum(idf * tf_part).alias("score")
-    )
+    if exact:
+        contrib = F.round(idf * tf_part, 6).cast("decimal(28,6)")
+        scored = cand.groupBy("query_id", "doc_id").agg(
+            F.sum(contrib).cast("double").alias("score")
+        )
+    else:
+        scored = cand.groupBy("query_id", "doc_id").agg(
+            F.sum(idf * tf_part).alias("score")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

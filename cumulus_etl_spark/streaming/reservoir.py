@@ -71,12 +71,30 @@ def reservoir_top_k(
     so engine ties can't flap the sample. TakeOrdered(k): no global
     sort materializes."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    score = aes_score(F.col(id_col), F.col(weight_col) if weight_col else None)
+    if weight_col is not None:
+        # A-ES is defined only for w > 0: u^(1/w) with w <= 0 (or null)
+        # yields inf/NaN scores that would silently sit at the top of —
+        # and permanently corrupt — the persistent reservoir state.
+        # Fail loudly, in the SAME pass (assert_true rides the score
+        # projection — no extra scan of the batch).
+        guard = F.assert_true(
+            w.isNotNull() & (w > 0.0),
+            F.concat(
+                F.lit(
+                    f"reservoir weight column {weight_col!r} must be > 0 "
+                    "(A-ES score is u^(1/w)); got "
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+                F.lit(" for id "),
+                F.col(id_col).cast("string"),
+            ),
+        )
+        score = F.when(guard.isNull(), score)
     scored = rows.select(
         F.col(id_col).cast("string").alias("rid"),
         w.alias("weight"),
-        aes_score(F.col(id_col), F.col(weight_col) if weight_col else None).alias(
-            "score"
-        ),
+        score.alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("rid")).limit(k)
 

@@ -278,7 +278,7 @@ def test_make_dialect_selection_and_errors():
     with pytest.raises(ValueError, match="Unknown model"):
         make_dialect("local", "nope", env={})
     with pytest.raises(ValueError, match="Unknown provider"):
-        make_dialect("anthropic-direct", "gpt4o", env=env)
+        make_dialect("no-such-provider", "gpt4o", env=env)
 
     d, prices = make_dialect(
         "bedrock", "llama4-scout", env={"BEDROCK_ENDPOINT_URL": "http://b"}
