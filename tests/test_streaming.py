@@ -1315,3 +1315,24 @@ def test_reservoir_cli_end_to_end(spark, tmp_path, capsys):
     assert rep["k"] == 5 and len(rep["sample"]) == 5
     scores = [r["score"] for r in rep["sample"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_reservoir_rejects_nonpositive_weights(spark):
+    """A-ES is defined only for w > 0: a null/zero/negative weight would
+    give inf/NaN u^(1/w) scores that silently pin themselves to the top
+    of the persistent reservoir. The guard fails loudly in the scoring
+    pass instead (round-9 advice)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cumulus_etl_spark.streaming.reservoir import reservoir_top_k
+
+    for bad in (0.0, -2.5, None):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", bad)], "doc_id string, w double"
+        )
+        with pytest.raises(SparkRuntimeException, match="must be > 0"):
+            reservoir_top_k(df, 5, "doc_id", weight_col="w").collect()
+    # positive weights still flow
+    ok = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "doc_id string, w double")
+    assert reservoir_top_k(ok, 5, "doc_id", weight_col="w").count() == 2

@@ -452,3 +452,32 @@ def test_sample_verb_covers_both_note_types(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["sampled"] == 2
+
+
+def test_sample_verb_columns_strict_parse(spark, tmp_path, capsys):
+    """--columns strips whitespace and hard-errors on unknown names —
+    '--columns note, subject' must mean {note, subject}, and a typo must
+    not silently shrink the CSV (round-9 advice)."""
+    import json
+    import os
+
+    import pytest
+
+    from cumulus_etl_spark.cli import main
+    from tests.fhir_fixtures import write_ndjson
+    from tests.test_nlp import docref
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    write_ndjson(in_dir, "d.ndjson", [docref("n1", text="hello")])
+
+    csv_path = str(tmp_path / "refs.csv")
+    rc = main(["sample", in_dir, "1",
+               "--columns", " note, subject ", "--output", csv_path])
+    assert rc == 0
+    header = open(csv_path).read().strip().splitlines()[0]
+    assert header == "note_ref,subject_ref"
+    capsys.readouterr()
+
+    with pytest.raises(SystemExit, match="unknown --columns"):
+        main(["sample", in_dir, "1", "--columns", "note,subjcet"])
