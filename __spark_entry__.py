@@ -65,12 +65,18 @@ _GATE_PRIORITY = [
 ]
 
 # Round-11 rotation queue: after this window lands, freshness is
-# r10:50, r9:50, r8:49 (the 50 r8-green entries minus the retired
-# text_doc_freq_topk), and nothing older — the 3-round SLA holds. The
-# r11 window is therefore the 49 r8-stale entries (+1 spare), led by
-# anything r10 work changes after its last green row. No oracle-capacity
-# staging is pending: both swaps queued in r9 (BM25⇄doc_freq_topk,
-# reservoir⇄pagerank_step) executed this round, net-zero (153/149).
+# r10:50, r9:50, r8:48 (the 50 r8-green entries minus the retired
+# text_doc_freq_topk and text_bpe_merge_candidates), plus ONE
+# never-gated oracle — deid_k_anonymity, added r10 (small-cell
+# suppression release; slot funded by retiring text_bpe_merge_candidates,
+# whose ranking the text_bpe_train_merges oracle re-derives every
+# round — ledger note in plans/textops.py). The r11 window is therefore
+# deid_k_anonymity FIRST, then the 48 r8-stale entries (+1 spare), led
+# additionally by anything r10 work changes after its last green row.
+# No oracle-capacity staging is pending beyond that: the two swaps
+# queued in r9 (BM25⇄doc_freq_topk, reservoir⇄pagerank_step) executed
+# this round and the k-anonymity swap keeps the catalog net-zero
+# (153/149).
 
 
 def _ordered() -> list[str]:

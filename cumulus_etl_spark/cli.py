@@ -327,6 +327,21 @@ def main(argv: list[str] | None = None) -> int:
     p_prof.add_argument("--approx", action="store_true",
                         help="HLL-approximate distinct counts (single-pass at any width)")
 
+    p_kanon = sub.add_parser(
+        "audit-k",
+        help="k-anonymity audit + small-cell-suppressed count release "
+        "over quasi-identifier columns of a parquet path",
+    )
+    p_kanon.add_argument("input_path")
+    p_kanon.add_argument("--quasi", required=True,
+                         help="comma-separated quasi-identifier columns")
+    p_kanon.add_argument("--k", type=int, default=10,
+                         help="suppression threshold (cells below this pool "
+                         "into one <suppressed> row; default 10)")
+    p_kanon.add_argument("--release-to", default=None,
+                         help="also write the suppressed count table as "
+                         "parquet here")
+
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
     )
@@ -931,6 +946,37 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows
             },
             "approx_distinct": bool(args.approx),
+        }))
+        return 0
+    if args.verb == "audit-k":
+        from cumulus_etl_spark.operators.privacy import (
+            k_anonymity_histogram,
+            small_cell_release,
+        )
+
+        df = spark.read.parquet(args.input_path)
+        qi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+        unknown = [c for c in qi if c not in df.columns]
+        if unknown:
+            raise SystemExit(f"audit-k: unknown quasi-identifier columns {unknown}; "
+                             f"table has {df.columns}")
+        hist = k_anonymity_histogram(df, qi).collect()
+        release = small_cell_release(df, qi, k=args.k)
+        if args.release_to:
+            release.write.mode("overwrite").parquet(args.release_to)
+        rel_rows = release.collect()
+        pooled = [r for r in rel_rows if r["n_classes"] > 1 or r["min_class_size"] < args.k]
+        print(json.dumps({
+            "quasi_identifiers": qi,
+            "k_threshold": args.k,
+            "achieved_k": min((r["class_size"] for r in hist), default=0),
+            "n_classes": sum(r["n_classes"] for r in hist),
+            "n_individuals": sum(r["n_individuals"] for r in hist),
+            "class_size_histogram": {str(r["class_size"]): r["n_classes"] for r in hist},
+            "released_cells": len(rel_rows) - len(pooled),
+            "suppressed_classes": sum(r["n_classes"] for r in pooled),
+            "suppressed_individuals": sum(r["n_individuals"] for r in pooled),
+            "release_written_to": args.release_to,
         }))
         return 0
     if args.verb == "rollup":

@@ -92,6 +92,46 @@ def deid_year_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_K_ANON_ORACLE = """
+WITH classes AS (
+  SELECT n_name, c_mktsegment AS segment, COUNT(*) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT
+  CASE WHEN n >= 10 THEN n_name ELSE '<suppressed>' END AS nation_name,
+  CASE WHEN n >= 10 THEN segment ELSE '<suppressed>' END AS segment,
+  CAST(SUM(n) AS BIGINT) AS n_individuals,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(MIN(n) AS BIGINT) AS min_class_size
+FROM classes
+GROUP BY 1, 2
+"""
+
+
+@register("deid_k_anonymity", _K_ANON_ORACLE, tags=("deid", "privacy"))
+def deid_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit + small-cell suppression over quasi-identifiers
+    (nation, market segment): equivalence classes of at least 10
+    individuals release their exact counts; smaller classes pool into
+    one `<suppressed>` row whose totals still reconcile (sum of
+    n_individuals over the release equals the customer row count) —
+    the public Cumulus release convention (count cells below 10 are
+    censored before results leave a site) as a distributed operator
+    (operators/privacy.py:small_cell_release). Two hash aggregates:
+    QI-space-bounded classes, then |classes|-row pooling — map-side
+    combine keeps the first shuffle at QI cardinality, not row count."""
+    from cumulus_etl_spark.operators.privacy import small_cell_release
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    qi = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return small_cell_release(qi, ["nation_name", "segment"], k=10)
+
+
 @register("deid_scrub_throughput", None, tags=("deid", "bench"), bench_only=True)
 def deid_scrub_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CORE workload as a bench entry: the full compiled

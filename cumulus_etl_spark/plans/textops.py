@@ -738,51 +738,20 @@ def text_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_ORACLE = r"""
-WITH words AS (
-  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-  FROM documents
-  WHERE trim(text) <> ''
-), pairs AS (
-  SELECT UNNEST(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
-  FROM words
-  WHERE len(w) >= 2
-)
-SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
-FROM pairs
-GROUP BY pair
-ORDER BY n DESC, pair
-LIMIT 20
-"""
-
-
-@register("text_bpe_merge_candidates", _BPE_ORACLE, tags=("text", "tokenizer"))
-def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first step of BPE vocabulary induction: corpus-wide frequency
-    of adjacent character pairs inside words, top-20 (count desc, pair
-    tiebreak). Each occurrence counts — the ranking that picks the next
-    BPE merge.
-
-    Shape: explode words → explode per-word adjacent pairs (a transform
-    over a sequence, all expressions) → one hash agg on pair (map-side
-    partial absorbs the explosion: the distinct-pair space is tiny) →
-    TakeOrdered(20). At 100TB the only shuffle is |distinct pairs|."""
-    d = table(spark, sf_dir, "documents")
-    w = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
-    words = d.filter(F.trim("text") != "").select(w).filter(F.length("w") >= 2)
-    pair = F.explode(
-        F.transform(
-            F.sequence(F.lit(1), F.length("w") - 1),
-            lambda i: F.col("w").substr(i, F.lit(2)),
-        )
-    ).alias("pair")
-    return (
-        words.select(pair)
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(20)
-    )
+# RETIRED round 10 (gate-window capacity, net-zero funding for the new
+# `deid_k_anonymity` release-suppression oracle): the
+# `text_bpe_merge_candidates` entry (top-20 adjacent-character-pair
+# frequencies — merge #0's candidate ranking, last green r8) was
+# subsumed by the strictly stronger `text_bpe_train_merges` below,
+# whose per-round oracle CTEs re-derive the identical pair-frequency
+# ranking to SELECT each of five successive merges (round 1 IS the
+# retired entry's argmax, rounds 2-5 re-rank after each merge — a
+# harder check than one static top-20). The pair-counting plan shape
+# (explode words → per-word adjacent-pair transform → one map-side-
+# combined hash agg) lives on verbatim inside
+# operators/textstats.py:bpe_train_merges and stays hash-proven through
+# that entry's gate rows; its r8 green row blesses the retirement
+# because this code never changed after that row landed.
 
 
 # RETIRED round 9 (gate-window capacity, round-8 verdict ask 7): the
@@ -944,9 +913,11 @@ w{r} AS (
 @register("text_bpe_train_merges", _bpe_train_oracle(), tags=("text", "tokenizer"))
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The iterative BPE trainer (first 5 merges), hash-checked round by
-    round: text_bpe_merge_candidates is only merge #0's ranking — this
-    runs the actual loop (vocabulary-bounded per-round work; one corpus
-    scan total; one scalar row to the driver per round)."""
+    round: each round's oracle CTE re-derives the full pair-frequency
+    ranking to pick that merge (the retired text_bpe_merge_candidates
+    entry was only round #1's static ranking) — the actual loop, with
+    vocabulary-bounded per-round work, one corpus scan total, and one
+    scalar row to the driver per round."""
     from cumulus_etl_spark.operators.textstats import bpe_train_merges
 
     d = table(spark, sf_dir, "documents")

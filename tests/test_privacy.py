@@ -1,0 +1,152 @@
+"""k-anonymity audit + small-cell suppression (operators/privacy.py).
+
+The oracle-checked release shape is plans/deid_queries.py:deid_k_anonymity
+(pre-flighted with every other catalog entry by test_oracle_parity); these
+tests pin the operator semantics on crafted rows where the right answer is
+countable by hand, the reconciliation invariant on real tables, and the
+audit-k CLI verb end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.privacy import (
+    SUPPRESSED,
+    k_anonymity_classes,
+    k_anonymity_histogram,
+    small_cell_release,
+)
+
+
+def _people(spark):
+    # 12 in (A, x), 3 in (A, y), 1 in (B, x), 2 with NULL city.
+    rows = (
+        [("A", "x")] * 12 + [("A", "y")] * 3 + [("B", "x")] + [(None, "x")] * 2
+    )
+    return spark.createDataFrame(rows, "city string, segment string")
+
+
+def test_classes_and_histogram(spark):
+    df = _people(spark)
+    classes = {
+        (r["city"], r["segment"]): r["class_size"]
+        for r in k_anonymity_classes(df, ["city", "segment"]).collect()
+    }
+    assert classes == {("A", "x"): 12, ("A", "y"): 3, ("B", "x"): 1, (None, "x"): 2}
+
+    hist = k_anonymity_histogram(df, ["city", "segment"]).collect()
+    assert [(r["class_size"], r["n_classes"], r["n_individuals"]) for r in hist] == [
+        (1, 1, 1),
+        (2, 1, 2),
+        (3, 1, 3),
+        (12, 1, 12),
+    ]
+    # the k this dataset actually achieves is min(class_size)
+    assert min(r["class_size"] for r in hist) == 1
+
+
+def test_small_cell_release_pools_below_k(spark):
+    df = _people(spark)
+    rel = {
+        (r["city"], r["segment"]): (
+            r["n_individuals"], r["n_classes"], r["min_class_size"]
+        )
+        for r in small_cell_release(df, ["city", "segment"], k=10).collect()
+    }
+    # one released cell, everything else pooled into a single row
+    assert rel == {
+        ("A", "x"): (12, 1, 12),
+        (SUPPRESSED, SUPPRESSED): (6, 3, 1),
+    }
+
+
+def test_threshold_boundary_exactly_k_is_released(spark):
+    df = _people(spark)
+    rel = {
+        (r["city"], r["segment"]): r["n_individuals"]
+        for r in small_cell_release(df, ["city", "segment"], k=3).collect()
+    }
+    # class of exactly 3 is kept (>= k), sizes 1 and 2 pool
+    assert rel == {
+        ("A", "x"): 12,
+        ("A", "y"): 3,
+        (SUPPRESSED, SUPPRESSED): 3,
+    }
+
+
+def test_release_reconciles_totals(spark, sf_smoke):
+    """Suppression pools, never deletes: the release's individual total
+    equals the input row count, on a real table."""
+    cust = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    rel = small_cell_release(cust, ["c_mktsegment", "c_nationkey"], k=10)
+    got = rel.agg(F.sum("n_individuals").alias("s")).collect()[0]["s"]
+    assert got == cust.count()
+
+
+def test_release_matches_dict_model_random_cases(spark):
+    """Seeded random-data model test (the merge-sink model-test pattern):
+    pool-below-k semantics replayed against a dict-based reference model."""
+    import collections
+    import random
+
+    rng = random.Random(100)
+    for case in range(4):
+        k = rng.choice([2, 3, 10])
+        rows = [
+            (rng.choice(["A", "B", "C", None]), rng.choice(["x", "y"]))
+            for _ in range(rng.randint(1, 120))
+        ]
+        classes = collections.Counter(rows)
+        model: dict[tuple, list] = {}
+        for (city, seg), n in classes.items():
+            key = (
+                (city, seg)
+                if n >= k
+                else (SUPPRESSED, SUPPRESSED)
+            )
+            agg = model.setdefault(key, [0, 0, None])
+            agg[0] += n
+            agg[1] += 1
+            agg[2] = n if agg[2] is None else min(agg[2], n)
+        df = spark.createDataFrame(rows, "city string, segment string")
+        got = {
+            (r["city"], r["segment"]): [
+                r["n_individuals"], r["n_classes"], r["min_class_size"]
+            ]
+            for r in small_cell_release(df, ["city", "segment"], k=k).collect()
+        }
+        assert got == model, f"case {case} (k={k})"
+
+
+def test_audit_k_cli_verb(spark, sf_smoke, tmp_path, capsys):
+    from cumulus_etl_spark.cli import main
+
+    out_dir = str(tmp_path / "release")
+    rc = main([
+        "audit-k", f"{sf_smoke}/customer.parquet",
+        "--quasi", "c_mktsegment,c_nationkey", "--k", "10",
+        "--release-to", out_dir,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quasi_identifiers"] == ["c_mktsegment", "c_nationkey"]
+    assert rep["k_threshold"] == 10
+    assert rep["n_individuals"] == spark.read.parquet(
+        f"{sf_smoke}/customer.parquet"
+    ).count()
+    assert rep["achieved_k"] >= 1
+    assert rep["released_cells"] + rep["suppressed_classes"] == rep["n_classes"]
+    # the written release matches the reported accounting
+    written = spark.read.parquet(out_dir)
+    assert written.agg(F.sum("n_individuals").alias("s")).collect()[0]["s"] == (
+        rep["n_individuals"]
+    )
+
+    # unknown quasi-identifier fails loudly, not silently
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["audit-k", f"{sf_smoke}/customer.parquet", "--quasi", "nope"])
