@@ -341,6 +341,13 @@ def main(argv: list[str] | None = None) -> int:
     p_kanon.add_argument("--release-to", default=None,
                          help="also write the suppressed count table as "
                          "parquet here")
+    p_kanon.add_argument("--sensitive", default=None,
+                         help="sensitive column for the l-diversity audit "
+                         "(reports achieved l = min distinct sensitive "
+                         "values per class)")
+    p_kanon.add_argument("--dp-epsilon", type=float, default=None,
+                         help="add a deterministic Laplace(1/epsilon) "
+                         "n_noised column to the released cells")
 
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
@@ -949,24 +956,29 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
     if args.verb == "audit-k":
+        from pyspark.sql import functions as F
+
         from cumulus_etl_spark.operators.privacy import (
             k_anonymity_histogram,
+            l_diversity,
             small_cell_release,
         )
 
         df = spark.read.parquet(args.input_path)
         qi = [c.strip() for c in args.quasi.split(",") if c.strip()]
         unknown = [c for c in qi if c not in df.columns]
+        if args.sensitive and args.sensitive not in df.columns:
+            unknown.append(args.sensitive)
         if unknown:
-            raise SystemExit(f"audit-k: unknown quasi-identifier columns {unknown}; "
+            raise SystemExit(f"audit-k: unknown columns {unknown}; "
                              f"table has {df.columns}")
         hist = k_anonymity_histogram(df, qi).collect()
-        release = small_cell_release(df, qi, k=args.k)
+        release = small_cell_release(df, qi, k=args.k, epsilon=args.dp_epsilon)
         if args.release_to:
             release.write.mode("overwrite").parquet(args.release_to)
         rel_rows = release.collect()
         pooled = [r for r in rel_rows if r["n_classes"] > 1 or r["min_class_size"] < args.k]
-        print(json.dumps({
+        report = {
             "quasi_identifiers": qi,
             "k_threshold": args.k,
             "achieved_k": min((r["class_size"] for r in hist), default=0),
@@ -977,7 +989,15 @@ def main(argv: list[str] | None = None) -> int:
             "suppressed_classes": sum(r["n_classes"] for r in pooled),
             "suppressed_individuals": sum(r["n_individuals"] for r in pooled),
             "release_written_to": args.release_to,
-        }))
+        }
+        if args.sensitive:
+            ldf = l_diversity(df, qi, args.sensitive)
+            lrow = ldf.agg(F.min("l").alias("lmin")).collect()[0]
+            report["sensitive_column"] = args.sensitive
+            report["achieved_l"] = lrow["lmin"]
+        if args.dp_epsilon is not None:
+            report["dp_epsilon"] = args.dp_epsilon
+        print(json.dumps(report))
         return 0
     if args.verb == "rollup":
         from cumulus_etl_spark.sinks import ManagedTable

@@ -17,6 +17,8 @@ from cumulus_etl_spark.operators.privacy import (
     SUPPRESSED,
     k_anonymity_classes,
     k_anonymity_histogram,
+    l_diversity,
+    laplace_noise,
     small_cell_release,
 )
 
@@ -86,6 +88,83 @@ def test_release_reconciles_totals(spark, sf_smoke):
     assert got == cust.count()
 
 
+def test_l_diversity_flags_homogeneous_class(spark):
+    rows = (
+        [("A", "flu")] * 5          # k-anonymous but l=1: leaks the diagnosis
+        + [("B", "flu"), ("B", "cold"), ("B", "covid")]
+        + [("C", None), ("C", "flu")]
+    )
+    df = spark.createDataFrame(rows, "city string, dx string")
+    got = {
+        r["city"]: (r["class_size"], r["l"])
+        for r in l_diversity(df, ["city"], "dx").collect()
+    }
+    # count_distinct ignores NULL (SQL semantics in both engines)
+    assert got == {"A": (5, 1), "B": (3, 3), "C": (2, 1)}
+    assert min(v[1] for v in got.values()) == 1
+
+
+def test_laplace_noise_exact_python_replay_and_properties(spark):
+    """The md5-keyed noise is a pure function of (seed, key): replay the
+    formula in Python bit-for-bit, and sanity-check Laplace shape
+    (mean |noise| ~= b = sensitivity/epsilon) over 2000 keys."""
+    import hashlib
+    import math
+
+    import pytest
+
+    epsilon = 0.5
+    b = 1.0 / epsilon
+    df = spark.range(2000).select(F.col("id").cast("string").alias("key"))
+    got = {
+        r["key"]: r["noise"]
+        for r in df.select(
+            "key", laplace_noise(F.col("key"), epsilon).alias("noise")
+        ).collect()
+    }
+
+    def replay(key: str) -> float:
+        h = int(hashlib.md5(f"dp\x1f{key}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 16**15 - 0.5
+        return -b * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+
+    for key in ("0", "1", "42", "1999"):
+        assert got[key] == pytest.approx(replay(key), abs=1e-12)
+    mean_abs = sum(abs(v) for v in got.values()) / len(got)
+    assert mean_abs == pytest.approx(b, rel=0.15)  # E|Laplace(b)| = b
+    # determinism: a second evaluation releases the SAME noise
+    again = {
+        r["key"]: r["noise"]
+        for r in df.select(
+            "key", laplace_noise(F.col("key"), epsilon).alias("noise")
+        ).collect()
+    }
+    assert again == got
+
+    with pytest.raises(ValueError):
+        laplace_noise(F.col("key"), 0.0)
+
+
+def test_release_with_dp_epsilon_adds_bounded_noised_counts(spark):
+    df = _people(spark)
+    rel = small_cell_release(df, ["city", "segment"], k=3, epsilon=1.0)
+    rows = {
+        (r["city"], r["segment"]): r for r in rel.collect()
+    }
+    assert all(r["n_noised"] >= 0 for r in rows.values())
+    # noise is keyed by the QI tuple -> re-running releases identical counts
+    rows2 = {
+        (r["city"], r["segment"]): r["n_noised"]
+        for r in small_cell_release(
+            df, ["city", "segment"], k=3, epsilon=1.0
+        ).collect()
+    }
+    assert rows2 == {k: r["n_noised"] for k, r in rows.items()}
+    # with epsilon=1 and counts >= 3, the noised count is within a few b of truth
+    for key, r in rows.items():
+        assert abs(r["n_noised"] - r["n_individuals"]) < 15, key
+
+
 def test_release_matches_dict_model_random_cases(spark):
     """Seeded random-data model test (the merge-sink model-test pattern):
     pool-below-k semantics replayed against a dict-based reference model."""
@@ -150,3 +229,15 @@ def test_audit_k_cli_verb(spark, sf_smoke, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["audit-k", f"{sf_smoke}/customer.parquet", "--quasi", "nope"])
+
+    # l-diversity + DP flags
+    rc = main([
+        "audit-k", f"{sf_smoke}/customer.parquet",
+        "--quasi", "c_mktsegment", "--k", "10",
+        "--sensitive", "c_nationkey", "--dp-epsilon", "1.0",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sensitive_column"] == "c_nationkey"
+    assert rep["achieved_l"] >= 1
+    assert rep["dp_epsilon"] == 1.0
