@@ -391,6 +391,25 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("--k1", type=float, default=1.2)
     p_search.add_argument("--b", type=float, default=0.75)
 
+    p_annix = sub.add_parser(
+        "ann-index",
+        help="persistent partition-pruned IVF index: build centroids, "
+        "ingest a landing dir incrementally, search probed lists only",
+    )
+    p_annix.add_argument("action", choices=["build", "ingest", "search"])
+    p_annix.add_argument("index_dir", help="index root (centroids + lists)")
+    p_annix.add_argument("--input", default=None,
+                         help="build: corpus parquet to train on; "
+                         "ingest: landing dir to tail")
+    p_annix.add_argument("--centroids", type=int, default=16)
+    p_annix.add_argument("--query-ids", default="0,1,2,3,4",
+                         help="search: comma-separated ids (looked up in "
+                         "the index's own lists)")
+    p_annix.add_argument("--k", type=int, default=5)
+    p_annix.add_argument("--n-probe", type=int, default=4)
+    p_annix.add_argument("--id-col", default="vec_id")
+    p_annix.add_argument("--vec-col", default="embedding")
+
     p_ann = sub.add_parser(
         "ann", help="approximate-nearest-neighbor search over an embeddings parquet"
     )
@@ -1050,6 +1069,43 @@ def main(argv: list[str] | None = None) -> int:
         )
         hits = [r.asDict() for r in out.collect()]
         print(json.dumps({"hits": hits, "queries": args.query}))
+        return 0
+    if args.verb == "ann-index":
+        from pyspark.sql import functions as F
+
+        from cumulus_etl_spark.streaming.ann_index import IvfIndex
+
+        idx = IvfIndex(spark, args.index_dir, id_col=args.id_col, vec_col=args.vec_col)
+        if args.action == "build":
+            if not args.input:
+                raise SystemExit("ann-index build needs --input (corpus parquet)")
+            n = idx.build(spark.read.parquet(args.input), n_centroids=args.centroids)
+            print(json.dumps({"built": args.index_dir, "n_centroids": n}))
+        elif args.action == "ingest":
+            if not args.input:
+                raise SystemExit("ann-index ingest needs --input (landing dir)")
+            idx.ingest(args.input)
+            n = spark.read.parquet(idx.lists_dir).count()
+            print(json.dumps({"ingested_from": args.input, "index_rows": n}))
+        else:  # search
+            qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+            queries = (
+                spark.read.parquet(idx.lists_dir)
+                .filter(F.col("neighbor_id").isin(qids))
+                .select(
+                    F.col("neighbor_id").alias(args.id_col),
+                    F.col("cvec").alias(args.vec_col),
+                )
+            )
+            rows = idx.search(queries, k=args.k, n_probe=args.n_probe).collect()
+            print(json.dumps({
+                "neighbors": [
+                    {"query_id": r["query_id"], "rank": r["rank"],
+                     "neighbor_id": r["neighbor_id"],
+                     "score": round(r["score"], 6)}
+                    for r in rows
+                ]
+            }))
         return 0
     if args.verb == "ann":
         from pyspark.sql import functions as F

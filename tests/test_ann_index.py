@@ -1,0 +1,146 @@
+"""Persistent partition-pruned IVF index (streaming/ann_index.py):
+batch-equality, streaming exactly-once, and the physical pruning pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.similarity import ann_ivf
+from cumulus_etl_spark.streaming.ann_index import IvfIndex
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_search_equals_batch_ann_ivf(spark, sf_smoke, tmp_path):
+    emb = _embeddings(spark, sf_smoke)
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, root)
+    n = idx.build(emb, n_centroids=8, seed=7)
+    assert n == 8
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+    idx.ingest(landing)
+
+    queries = emb.limit(10)
+    got = idx.search(queries, k=5, n_probe=3).collect()
+    want = ann_ivf(
+        emb, queries, k=5, n_probe=3, centroids=idx.centroids()
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got_m = {key(r): (r["neighbor_id"], round(r["score"], 9)) for r in got}
+    want_m = {key(r): (r["neighbor_id"], round(r["score"], 9)) for r in want}
+    assert got_m == want_m
+
+
+def test_ingest_waves_accumulate_and_replay_is_noop(spark, sf_smoke, tmp_path):
+    """New data arrives as new files in the SAME landing dir; each
+    ingest() call picks up exactly the unprocessed files."""
+    emb = _embeddings(spark, sf_smoke)
+    landing = str(tmp_path / "landing")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    first.write.mode("append").parquet(landing)
+
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, root)
+    idx.build(emb, n_centroids=8)
+
+    idx.ingest(landing)
+    n_after_first = spark.read.parquet(idx.lists_dir).count()
+    assert n_after_first == first.count()
+
+    # replay with no new files: no-op
+    idx.ingest(landing)
+    assert spark.read.parquet(idx.lists_dir).count() == n_after_first
+
+    # second wave lands as new files in the same dir
+    second.write.mode("append").parquet(landing)
+    idx.ingest(landing)
+    assert spark.read.parquet(idx.lists_dir).count() == emb.count()
+
+    # search over the fully-ingested index still equals batch IVF
+    queries = emb.limit(5)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in idx.search(queries, k=3, n_probe=2).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf(
+            emb, queries, k=3, n_probe=2, centroids=idx.centroids()
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ann_index_cli_verb(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    root = str(tmp_path / "ivf")
+    landing = str(tmp_path / "landing")
+    _embeddings(spark, sf_smoke).write.parquet(landing)
+
+    assert main(["ann-index", "build", root, "--input", landing,
+                 "--centroids", "8"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_centroids"] == 8
+
+    assert main(["ann-index", "ingest", root, "--input", landing]) == 0
+    ing = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ing["index_rows"] == _embeddings(spark, sf_smoke).count()
+
+    assert main(["ann-index", "search", root, "--query-ids", "0,1",
+                 "--k", "3", "--n-probe", "2"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_q = {}
+    for n in res["neighbors"]:
+        by_q.setdefault(n["query_id"], []).append(n)
+    assert set(by_q) == {0, 1}
+    assert all(len(v) == 3 for v in by_q.values())
+    assert all(n["neighbor_id"] != n["query_id"] for n in res["neighbors"])
+
+
+def test_search_scan_reads_only_probed_partitions(spark, sf_smoke, tmp_path):
+    """The pruning pin: the filtered lists scan touches only
+    list_id=<probed>/ files, and strictly fewer files than a full scan."""
+    emb = _embeddings(spark, sf_smoke)
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, root)
+    idx.build(emb, n_centroids=8)
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+    idx.ingest(landing)
+
+    probed = [0, 1]  # literal probe set, as search() constructs it
+    pruned = spark.read.parquet(idx.lists_dir).filter(F.col("list_id").isin(probed))
+
+    # the filter lands as a PARTITION filter on the scan (pruned before
+    # any file is opened), not a post-scan data filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "list_id" in part_lines[0], plan
+
+    # and the files actually opened at execution are exclusively the
+    # probed partitions' files (strictly fewer than a full scan's)
+    read = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read == {"0", "1"}, read
+    all_parts = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in spark.read.parquet(idx.lists_dir)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert len(all_parts) > len(read)
