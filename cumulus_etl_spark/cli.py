@@ -409,6 +409,15 @@ def main(argv: list[str] | None = None) -> int:
     p_annix.add_argument("--n-probe", type=int, default=4)
     p_annix.add_argument("--id-col", default="vec_id")
     p_annix.add_argument("--vec-col", default="embedding")
+    p_annix.add_argument("--pq-sub", type=int, default=None,
+                         help="build: store PQ codes instead of raw "
+                         "vectors (subspace count; IVFPQ)")
+    p_annix.add_argument("--pq-k", type=int, default=32,
+                         help="build: codewords per PQ subspace")
+    p_annix.add_argument("--vectors", default=None,
+                         help="search: parquet with the original vectors "
+                         "(REQUIRED for a PQ index: query lookup + exact "
+                         "re-rank of the ADC shortlist)")
 
     p_ann = sub.add_parser(
         "ann", help="approximate-nearest-neighbor search over an embeddings parquet"
@@ -1079,8 +1088,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "build":
             if not args.input:
                 raise SystemExit("ann-index build needs --input (corpus parquet)")
-            n = idx.build(spark.read.parquet(args.input), n_centroids=args.centroids)
-            print(json.dumps({"built": args.index_dir, "n_centroids": n}))
+            n = idx.build(
+                spark.read.parquet(args.input), n_centroids=args.centroids,
+                pq_sub=args.pq_sub, pq_k=args.pq_k,
+            )
+            print(json.dumps({"built": args.index_dir, "n_centroids": n,
+                              "pq_sub": args.pq_sub}))
         elif args.action == "ingest":
             if not args.input:
                 raise SystemExit("ann-index ingest needs --input (landing dir)")
@@ -1089,16 +1102,31 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"ingested_from": args.input, "index_rows": n}))
         else:  # search
             qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
-            queries = (
-                spark.read.parquet(idx.lists_dir)
-                .filter(F.col("neighbor_id").isin(qids))
-                .select(
-                    F.col("neighbor_id").alias(args.id_col),
-                    F.col("cvec").alias(args.vec_col),
+            is_pq = idx.codebooks() is not None
+            if is_pq and not args.vectors:
+                raise SystemExit(
+                    "ann-index search on a PQ index needs --vectors "
+                    "(the lists hold codes, not raw vectors)"
                 )
-            )
-            rows = idx.search(queries, k=args.k, n_probe=args.n_probe).collect()
+            if args.vectors:
+                lake = spark.read.parquet(args.vectors)
+                queries = lake.filter(F.col(args.id_col).isin(qids))
+            else:
+                lake = None
+                queries = (
+                    spark.read.parquet(idx.lists_dir)
+                    .filter(F.col("neighbor_id").isin(qids))
+                    .select(
+                        F.col("neighbor_id").alias(args.id_col),
+                        F.col("cvec").alias(args.vec_col),
+                    )
+                )
+            rows = idx.search(
+                queries, k=args.k, n_probe=args.n_probe,
+                refine_with=lake if is_pq else None,
+            ).collect()
             print(json.dumps({
+                "pq": is_pq,
                 "neighbors": [
                     {"query_id": r["query_id"], "rank": r["rank"],
                      "neighbor_id": r["neighbor_id"],

@@ -27,6 +27,15 @@ ingest, laid out so a search only reads the lists it probes:
 
 Search results equal ann_ivf over the same rows and centroids
 (pytest-pinned): the index changes WHERE bytes live, not the math.
+
+With ``pq_sub`` set at build time the index is IVFPQ (Jégou et al.,
+the FAISS IVFPQ layout): lists store ``n_sub`` small-int codes per
+vector INSTEAD of the raw floats (the 100 TB index shrinks to codes +
+ids), ``search`` scores candidates by asymmetric distance — each query
+precomputes its per-subspace distance table once, a candidate costs
+n_sub array lookups — and an optional ``refine_with`` corpus re-ranks
+the ADC shortlist with exact cosine (candidates × k rows join back to
+the lake by id, broadcast-sized).
 """
 
 from __future__ import annotations
@@ -66,31 +75,55 @@ class IvfIndex:
     def _centroids_path(self) -> str:
         return os.path.join(self.root, _CENTROIDS_FILE)
 
-    def centroids(self) -> list[list[float]]:
+    def _state(self) -> dict:
         with open(self._centroids_path) as fh:
-            return json.load(fh)["centroids"]
+            return json.load(fh)
+
+    def centroids(self) -> list[list[float]]:
+        return self._state()["centroids"]
+
+    def codebooks(self) -> list[list[list[float]]] | None:
+        return self._state().get("pq_codebooks")
 
     # -- build / ingest ----------------------------------------------------
-    def _assigned(self, vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    def _assigned(self, vecs: DataFrame, centroids: list[list[float]],
+                  codebooks: list[list[list[float]]] | None) -> DataFrame:
+        from cumulus_etl_spark.operators.quantize import _pq_codes_expr
+
         v = as_double_array(self.vec_col)
+        payload = (
+            _pq_codes_expr(v, codebooks).alias("codes")
+            if codebooks is not None
+            else v.alias("cvec")
+        )
         return vecs.select(
             F.col(self.id_col).alias("neighbor_id"),
-            v.alias("cvec"),
+            payload,
             F.element_at(_nearest_centroids(v, centroids, 1), 1).alias("list_id"),
         )
 
     def build(self, corpus: DataFrame, n_centroids: int = 16,
-              seed: int = 42, sample_rows: int = 10_000) -> int:
-        """Train and freeze the coarse centroids (no data is written —
-        load the corpus itself via ``ingest``). Returns the number of
-        centroids."""
+              seed: int = 42, sample_rows: int = 10_000,
+              pq_sub: int | None = None, pq_k: int = 32) -> int:
+        """Train and freeze the coarse centroids — and, with ``pq_sub``,
+        the per-subspace PQ codebooks (``pq_sub`` subspaces × ``pq_k``
+        codewords each) — no data is written; load the corpus itself via
+        ``ingest``. Returns the number of centroids."""
+        from cumulus_etl_spark.operators.quantize import pq_codebooks_trained
+
         cents = train_ivf_centroids(
             corpus, n_centroids=n_centroids, vec_col=self.vec_col,
             sample_rows=sample_rows, seed=seed,
         )
+        state: dict = {"centroids": cents, "seed": seed}
+        if pq_sub is not None:
+            state["pq_codebooks"] = pq_codebooks_trained(
+                corpus, n_sub=pq_sub, k=pq_k, vec_col=self.vec_col,
+                id_col=self.id_col, sample_rows=sample_rows, seed=seed,
+            )
         os.makedirs(self.root, exist_ok=True)
         with open(self._centroids_path, "w") as fh:
-            json.dump({"centroids": cents, "seed": seed}, fh)
+            json.dump(state, fh)
         return len(cents)
 
     def ingest(self, landing_dir: str) -> None:
@@ -107,11 +140,11 @@ class IvfIndex:
         New data therefore arrives as new FILES in the same landing
         directory — exactly the lake layout a 100 TB embedding feed
         already has."""
-        cents = self.centroids()
+        state = self._state()
         schema = self.spark.read.parquet(landing_dir).schema
         stream = self.spark.readStream.schema(schema).parquet(landing_dir)
         q = (
-            self._assigned(stream, cents)
+            self._assigned(stream, state["centroids"], state.get("pq_codebooks"))
             .writeStream.trigger(availableNow=True)
             .option("checkpointLocation", os.path.join(self.root, "_checkpoint"))
             .partitionBy("list_id")
@@ -122,36 +155,113 @@ class IvfIndex:
         q.awaitTermination()
 
     # -- search --------------------------------------------------------------
-    def search(self, queries: DataFrame, k: int = 5, n_probe: int = 4,
-               exclude_self: bool = True) -> DataFrame:
-        """Top-k cosine neighbors per query over the probed lists only.
-        Output: (query_id, rank, neighbor_id, score) — identical to
-        operators/similarity.py:ann_ivf over the same rows/centroids."""
+    def _pruned_candidates(self, queries: DataFrame, n_probe: int,
+                           extra_q: list) -> DataFrame:
+        """Probed-partition candidate pairs: explode each query's n_probe
+        nearest centroids, collect the probe ids (bounded: ≤ n_centroids
+        ints) into a LITERAL isin so partition pruning happens at the
+        scan, then broadcast-join queries onto the surviving lists."""
         cents = self.centroids()
         qv = as_double_array(self.vec_col)
         probes = queries.select(
             F.col(self.id_col).alias("query_id"),
-            qv.alias("qvec"),
+            *extra_q,
             F.explode(_nearest_centroids(qv, cents, n_probe)).alias("list_id"),
         )
-        # Bounded collect (≤ n_centroids ints): the probed ids must be
-        # LITERALS for partition pruning to happen at the scan.
         probed = sorted(
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         )
         lists = self.spark.read.parquet(self.lists_dir).filter(
             F.col("list_id").isin(probed)
         )
-        cands = lists.join(F.broadcast(probes), "list_id")
+        return lists.join(F.broadcast(probes), "list_id")
+
+    def search(self, queries: DataFrame, k: int = 5, n_probe: int = 4,
+               exclude_self: bool = True,
+               refine_with: DataFrame | None = None,
+               refine_factor: int = 4) -> DataFrame:
+        """Top-k neighbors per query over the probed lists only.
+
+        Raw-vector index → exact cosine over probed lists, output
+        (query_id, rank, neighbor_id, score) — identical to
+        operators/similarity.py:ann_ivf over the same rows/centroids.
+
+        PQ index → asymmetric distance over the stored codes, output
+        (query_id, rank, neighbor_id, approx_sq_dist). With
+        ``refine_with`` (the lake table holding the original vectors)
+        the ADC shortlist of k × refine_factor is re-ranked by exact
+        cosine — output (query_id, rank, neighbor_id, score); only the
+        shortlist's ids join back to the lake."""
+        books = self.codebooks()
+        qv = as_double_array(self.vec_col)
+        if books is None:
+            cands = self._pruned_candidates(queries, n_probe, [qv.alias("qvec")])
+            if exclude_self:
+                cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+            scored = cands.select(
+                "query_id", "neighbor_id",
+                cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("neighbor_id")
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "neighbor_id", "score")
+            )
+
+        from cumulus_etl_spark.operators.quantize import _pq_subspace_dists
+
+        n_sub = len(books)
+        sub = len(books[0][0])
+        dts = [
+            _pq_subspace_dists(qv, m, sub, book).alias(f"dt{m}")
+            for m, book in enumerate(books)
+        ]
+        cands = self._pruned_candidates(queries, n_probe, dts)
         if exclude_self:
             cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+        # fixed-order fold m=0..n_sub-1, same arithmetic as pq_adc_topk
+        d = F.element_at(F.col("dt0"), F.element_at("codes", 1) + 1)
+        for m in range(1, n_sub):
+            d = d + F.element_at(F.col(f"dt{m}"), F.element_at("codes", m + 1) + 1)
         scored = cands.select(
-            "query_id", "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            "query_id", "neighbor_id", d.alias("approx_sq_dist")
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-        return (
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_sq_dist"), F.asc("neighbor_id")
+        )
+        shortlist_k = k * refine_factor if refine_with is not None else k
+        shortlist = (
             scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= shortlist_k)
+        )
+        if refine_with is None:
+            return shortlist.select(
+                "query_id", "rank", "neighbor_id", "approx_sq_dist"
+            )
+        lake = refine_with.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            as_double_array(self.vec_col).alias("nvec"),
+        )
+        qside = queries.select(
+            F.col(self.id_col).alias("query_id"), qv.alias("qvec")
+        )
+        exact = (
+            shortlist.select("query_id", "neighbor_id")
+            .join(lake, "neighbor_id")
+            .join(F.broadcast(qside), "query_id")
+            .select(
+                "query_id", "neighbor_id",
+                cosine(F.col("qvec"), F.col("nvec")).alias("score"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "score")
         )

@@ -76,6 +76,65 @@ def test_ingest_waves_accumulate_and_replay_is_noop(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_pq_index_stores_codes_and_matches_full_adc(spark, sf_smoke, tmp_path):
+    """IVFPQ: lists hold codes (no raw vectors); with every list probed,
+    ADC search equals the full-corpus pq_adc_topk over the same
+    codebooks."""
+    from cumulus_etl_spark.operators.quantize import pq_adc_topk
+
+    emb = _embeddings(spark, sf_smoke)
+    root = str(tmp_path / "ivfpq")
+    idx = IvfIndex(spark, root)
+    idx.build(emb, n_centroids=4, pq_sub=4, pq_k=8)
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+    idx.ingest(landing)
+
+    cols = set(spark.read.parquet(idx.lists_dir).columns)
+    assert cols == {"neighbor_id", "codes", "list_id"}  # compressed: no cvec
+
+    queries = emb.limit(5)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["approx_sq_dist"], 9))
+        for r in idx.search(queries, k=4, n_probe=4).collect()  # probe ALL lists
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["approx_sq_dist"], 9))
+        for r in pq_adc_topk(emb, queries, idx.codebooks(), k=4).collect()
+    }
+    assert got == want
+
+
+def test_pq_refine_recovers_exact_ranking(spark, sf_smoke, tmp_path):
+    """ADC shortlist + exact re-rank against the lake: with every list
+    probed and a shortlist covering the corpus, the refined output IS
+    the brute-force exact ranking."""
+    from cumulus_etl_spark.operators.similarity import knn_bruteforce
+
+    emb = _embeddings(spark, sf_smoke).filter(F.col("vec_id") < 60)
+    root = str(tmp_path / "ivfpq")
+    idx = IvfIndex(spark, root)
+    idx.build(emb, n_centroids=4, pq_sub=4, pq_k=8)
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+    idx.ingest(landing)
+
+    queries = emb.limit(4)
+    k = 3
+    refined = idx.search(
+        queries, k=k, n_probe=4, refine_with=emb, refine_factor=100
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in refined.collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_bruteforce(emb, queries, k=k).collect()
+    }
+    assert got == want
+    assert set(refined.columns) == {"query_id", "rank", "neighbor_id", "score"}
+
+
 def test_ann_index_cli_verb(spark, sf_smoke, tmp_path, capsys):
     import json
 
@@ -103,6 +162,39 @@ def test_ann_index_cli_verb(spark, sf_smoke, tmp_path, capsys):
     assert set(by_q) == {0, 1}
     assert all(len(v) == 3 for v in by_q.values())
     assert all(n["neighbor_id"] != n["query_id"] for n in res["neighbors"])
+
+
+def test_ann_index_cli_pq_roundtrip(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    import pytest
+
+    from cumulus_etl_spark.cli import main
+
+    root = str(tmp_path / "ivfpq")
+    landing = str(tmp_path / "landing")
+    _embeddings(spark, sf_smoke).write.parquet(landing)
+
+    assert main(["ann-index", "build", root, "--input", landing,
+                 "--centroids", "4", "--pq-sub", "4", "--pq-k", "8"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["pq_sub"] == 4
+    assert main(["ann-index", "ingest", root, "--input", landing]) == 0
+    capsys.readouterr()
+
+    # PQ search without the vector lake fails loudly
+    with pytest.raises(SystemExit):
+        main(["ann-index", "search", root, "--query-ids", "0"])
+
+    assert main(["ann-index", "search", root, "--query-ids", "0,1",
+                 "--k", "3", "--n-probe", "2", "--vectors", landing]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["pq"] is True
+    assert {n["query_id"] for n in res["neighbors"]} == {0, 1}
+    # refined output is exact-cosine scored (descending per query)
+    for q in (0, 1):
+        scores = [n["score"] for n in res["neighbors"] if n["query_id"] == q]
+        assert scores == sorted(scores, reverse=True)
 
 
 def test_search_scan_reads_only_probed_partitions(spark, sf_smoke, tmp_path):
