@@ -9,6 +9,7 @@ from cumulus_etl_spark.plans import analytics  # noqa: F401
 from cumulus_etl_spark.plans import multimodalops  # noqa: F401
 from cumulus_etl_spark.plans import corpusops  # noqa: F401
 from cumulus_etl_spark.plans import deid_queries  # noqa: F401
+from cumulus_etl_spark.plans import sink_rigs  # noqa: F401
 from cumulus_etl_spark.plans import textops  # noqa: F401
 from cumulus_etl_spark.plans import vectorops  # noqa: F401
 

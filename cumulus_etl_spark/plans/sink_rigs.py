@@ -1,0 +1,89 @@
+"""Bench-only rigs for the merge sink — the reference's CORE write path.
+
+The bench measured the de-id scrub (deid_scrub_throughput) but never the
+MERGE upsert itself, which is what the reference's published cost model
+is actually about (BASELINE.md: per-batch Delta MERGE overhead must stay
+amortized; "bigger batches are better", docs/performance.md:22-24,
+formats/deltalake.py:92-132). This rig runs the real ManagedTable merge
+lifecycle at bench scale so regressions in the sink's shuffle budget
+show up as numbers, not code review.
+
+Bench-only (round-6 verdict ask 3 rule): merge SEMANTICS are proven by
+the oracled `dedup_last_wins` entry, the reference Delta behavior matrix
+and the model fuzz in tests/test_merge_sink.py; this entry exists to put
+a WALL-CLOCK on the write path, and a DuckDB oracle cannot observe a
+sink write anyway.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.plans.catalog import register
+from cumulus_etl_spark.sources import table
+
+
+@register("merge_upsert_throughput", None, tags=("sink", "bench"), bench_only=True)
+def merge_upsert_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-refresh-shaped merge workload: load `orders` as the base
+    table, MERGE an update batch (1% of rows with a bumped timestamp and
+    changed status + 1% brand-new keys), then bulk-delete 1% of ids —
+    insert/update/delete, the full RF1/RF2-style lifecycle on the
+    versioned-parquet backend. Returns one summary row (row counts per
+    phase) so bench.py's materialize() forces every phase.
+
+    The tmp table is deleted afterwards; timing includes the sink's own
+    shuffle (ONE hash-partition of existing ∪ updates per merge — see
+    SCALE.md 'Merge sink')."""
+    from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.struct(
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'").alias(
+                "lastUpdated"
+            )
+        ).alias("meta"),
+    )
+    n = orders.count()
+    updates = (
+        orders.filter(F.col("id").cast("long") % 100 == 0)
+        .withColumn("status", F.lit("U"))
+        .withColumn(
+            "meta", F.struct(F.lit("2099-01-01T00:00:00Z").alias("lastUpdated"))
+        )
+    )
+    inserts = updates.select(
+        F.concat(F.lit("new-"), "id").alias("id"),
+        F.lit("N").alias("status"),
+        "total",
+        "meta",
+    )
+    delete_ids = [
+        r["id"] for r in orders.filter(F.col("id").cast("long") % 100 == 1)
+        .select("id").collect()
+    ]
+
+    root = tempfile.mkdtemp(prefix="merge_bench_")
+    try:
+        tbl = ManagedTable(spark, root, "orders_bench")
+        pol = MergePolicy(keys=("id",))
+        tbl.merge(orders, pol)                               # initial load
+        tbl.merge(updates.unionByName(inserts), pol)         # RF1-style upsert
+        tbl.delete_ids(delete_ids)                           # RF2-style delete
+        final = tbl.read()
+        out = final.agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum((F.col("status") == "U").cast("bigint")).alias("n_updated"),
+            F.sum((F.col("status") == "N").cast("bigint")).alias("n_inserted"),
+        ).withColumn("n_base", F.lit(n).cast("bigint"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -772,3 +772,21 @@ def test_reference_delta_matrix_delete_records(spark, tmp_path, backend):
     # deleting unknown ids is a no-op, not an error (ref :492)
     t.delete_ids(["nope"])
     assert t.read().count() == 50
+
+
+def test_merge_upsert_throughput_rig_accounting(spark):
+    """The bench-only merge rig (plans/sink_rigs.py) must exercise the
+    full insert/update/delete lifecycle with reconciling counts, and
+    clean its tmp table up."""
+    import glob
+
+    from cumulus_etl_spark.plans.catalog import BENCH_RIGS
+
+    before = set(glob.glob("/tmp/merge_bench_*"))
+    row = BENCH_RIGS["merge_upsert_throughput"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    # base +1% inserts -1% deletes => final == base; 1% rows updated
+    assert row["n_final"] == row["n_base"]
+    assert row["n_updated"] == row["n_inserted"] > 0
+    assert set(glob.glob("/tmp/merge_bench_*")) == before  # tmp cleaned
