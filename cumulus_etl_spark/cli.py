@@ -383,13 +383,22 @@ def main(argv: list[str] | None = None) -> int:
         "search", help="BM25 sparse retrieval over a documents parquet"
     )
     p_search.add_argument("input_path", help="parquet with doc_id/text columns")
-    p_search.add_argument("--query", action="append", required=True,
+    p_search.add_argument("--query", action="append", default=None,
                           help="query text (repeatable; query_id = its index)")
     p_search.add_argument("--k", type=int, default=10)
     p_search.add_argument("--id-col", default="doc_id")
     p_search.add_argument("--text-col", default="text")
     p_search.add_argument("--k1", type=float, default=1.2)
     p_search.add_argument("--b", type=float, default=0.75)
+    p_search.add_argument("--more-like-this", default=None,
+                          help="comma-separated doc ids: hybrid "
+                          "query-by-example (BM25 on the doc's text "
+                          "fused with its embedding's cosine neighbors "
+                          "via RRF; needs --embeddings)")
+    p_search.add_argument("--embeddings", default=None,
+                          help="embeddings parquet for --more-like-this")
+    p_search.add_argument("--depth", type=int, default=20,
+                          help="per-retriever list depth before fusion")
 
     p_annix = sub.add_parser(
         "ann-index",
@@ -1067,7 +1076,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "search":
         from cumulus_etl_spark.operators.textstats import bm25_topk
 
+        if bool(args.query) == bool(args.more_like_this):
+            raise SystemExit("search: pass exactly one of --query / --more-like-this")
         docs = spark.read.parquet(args.input_path)
+        if args.more_like_this:
+            if not args.embeddings:
+                raise SystemExit("search --more-like-this needs --embeddings")
+            from cumulus_etl_spark.operators.retrieval import hybrid_more_like_this
+
+            qids = [int(x) for x in args.more_like_this.split(",") if x.strip()]
+            out = hybrid_more_like_this(
+                docs, spark.read.parquet(args.embeddings), qids,
+                k=args.k, depth=args.depth,
+                doc_id_col=args.id_col, text_col=args.text_col,
+            )
+            hits = [r.asDict() for r in out.collect()]
+            print(json.dumps({"hits": hits, "mode": "hybrid_more_like_this"}))
+            return 0
         qdf = spark.createDataFrame(
             [(str(i), q) for i, q in enumerate(args.query)],
             "query_id string, query string",

@@ -1,0 +1,91 @@
+"""Hybrid query-by-example retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import json
+
+from cumulus_etl_spark.operators.retrieval import hybrid_more_like_this
+
+
+def _crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),          # the query
+            (1, "alpha beta gamma delta zeta"),              # lexical twin
+            (2, "completely different words entirely here"), # semantic twin
+            (3, "unrelated noise tokens nothing shared"),    # neither
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to the query vector
+            (2, [0.99, 0.1, 0.0, 0.0]),  # nearly parallel to it
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return docs, embs
+
+
+def test_hybrid_catches_both_match_kinds(spark):
+    docs, embs = _crafted(spark)
+    out = hybrid_more_like_this(docs, embs, [0], k=3, depth=3).collect()
+    by_neighbor = {r["neighbor_id"]: r for r in out}
+    # the query doc itself never appears
+    assert 0 not in by_neighbor
+    # lexical twin leads the sparse list, semantic twin leads the dense list
+    assert by_neighbor[1]["rank_a"] == 1
+    assert by_neighbor[2]["rank_b"] == 1
+    # both twins outrank the unrelated doc in the fusion
+    ranks = {n: r["rank"] for n, r in by_neighbor.items()}
+    assert ranks[1] < ranks.get(3, 99)
+    assert ranks[2] < ranks.get(3, 99)
+
+
+def test_hybrid_rank_accounting_zero_for_missed_side(spark):
+    docs, embs = _crafted(spark)
+    out = hybrid_more_like_this(docs, embs, [0], k=3, depth=1).collect()
+    by_neighbor = {r["neighbor_id"]: r for r in out}
+    # depth=1: each side contributes exactly its #1; the other side's
+    # rank surfaces as 0 (rrf_fuse's absent marker), never NULL
+    assert by_neighbor[1]["rank_a"] == 1 and by_neighbor[1]["rank_b"] == 0
+    assert by_neighbor[2]["rank_b"] == 1 and by_neighbor[2]["rank_a"] == 0
+
+
+def test_hybrid_on_real_tables_gapfree_and_deterministic(spark, sf_smoke):
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    run = lambda: hybrid_more_like_this(docs, embs, [0, 7], k=5).collect()  # noqa: E731
+    a, b = run(), run()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {0, 7}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert all(r["neighbor_id"] != r["query_id"] for r in a)
+
+
+def test_search_cli_more_like_this(spark, sf_smoke, capsys):
+    import pytest
+
+    from cumulus_etl_spark.cli import main
+
+    rc = main([
+        "search", f"{sf_smoke}/documents.parquet",
+        "--more-like-this", "0,7", "--k", "3",
+        "--embeddings", f"{sf_smoke}/embeddings.parquet",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "hybrid_more_like_this"
+    assert {h["query_id"] for h in rep["hits"]} == {0, 7}
+
+    with pytest.raises(SystemExit):  # exactly one mode
+        main(["search", f"{sf_smoke}/documents.parquet"])
+    with pytest.raises(SystemExit):  # hybrid needs the embeddings table
+        main(["search", f"{sf_smoke}/documents.parquet",
+              "--more-like-this", "0"])
