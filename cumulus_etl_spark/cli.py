@@ -399,6 +399,12 @@ def main(argv: list[str] | None = None) -> int:
                           help="embeddings parquet for --more-like-this")
     p_search.add_argument("--depth", type=int, default=20,
                           help="per-retriever list depth before fusion")
+    p_search.add_argument("--ann-index", default=None,
+                          help="serve the dense side of --more-like-this "
+                          "from a persistent ann-index root instead of "
+                          "brute force (partition-pruned probes)")
+    p_search.add_argument("--n-probe", type=int, default=4,
+                          help="probes per query when --ann-index is used")
 
     p_annix = sub.add_parser(
         "ann-index",
@@ -1085,10 +1091,21 @@ def main(argv: list[str] | None = None) -> int:
             from cumulus_etl_spark.operators.retrieval import hybrid_more_like_this
 
             qids = [int(x) for x in args.more_like_this.split(",") if x.strip()]
+            embs = spark.read.parquet(args.embeddings)
+            dense = None
+            if args.ann_index:
+                from cumulus_etl_spark.streaming.ann_index import IvfIndex
+
+                idx = IvfIndex(spark, args.ann_index)
+                lake = embs if idx.codebooks() is not None else None
+                dense = lambda qv, d: idx.search(  # noqa: E731
+                    qv, k=d, n_probe=args.n_probe, refine_with=lake
+                )
             out = hybrid_more_like_this(
-                docs, spark.read.parquet(args.embeddings), qids,
+                docs, embs, qids,
                 k=args.k, depth=args.depth,
                 doc_id_col=args.id_col, text_col=args.text_col,
+                dense_retriever=dense,
             )
             hits = [r.asDict() for r in out.collect()]
             print(json.dumps({"hits": hits, "mode": "hybrid_more_like_this"}))

@@ -42,6 +42,7 @@ def hybrid_more_like_this(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     rrf_const: int = 60,
+    dense_retriever=None,
 ) -> DataFrame:
     """Top-k "more like this" per query document: BM25 over the query
     doc's own text, fused with cosine neighbors of its stored embedding.
@@ -70,7 +71,15 @@ def hybrid_more_like_this(
         .select("query_id", "neighbor_id", "rank")
     )
     q_vecs = embs.filter(F.col(vec_id_col).isin(query_ids))
-    dense = knn_bruteforce(
-        embs, q_vecs, k=depth, id_col=vec_id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", "rank")
-    return rrf_fuse(sparse, dense, k=k, const=rrf_const)
+    if dense_retriever is None:
+        dense = knn_bruteforce(
+            embs, q_vecs, k=depth, id_col=vec_id_col, vec_col=vec_col
+        )
+    else:
+        # any retriever emitting (query_id, neighbor_id, rank) plugs in —
+        # e.g. the persistent partition-pruned IVF index's search():
+        # lambda qv, d: index.search(qv, k=d, n_probe=...)
+        dense = dense_retriever(q_vecs, depth)
+    return rrf_fuse(
+        sparse, dense.select("query_id", "neighbor_id", "rank"), k=k, const=rrf_const
+    )

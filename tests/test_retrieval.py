@@ -69,6 +69,27 @@ def test_hybrid_on_real_tables_gapfree_and_deterministic(spark, sf_smoke):
     assert all(r["neighbor_id"] != r["query_id"] for r in a)
 
 
+def test_hybrid_dense_side_from_ann_index(spark, sf_smoke, tmp_path):
+    """With every list probed, the index-served dense side reproduces
+    the brute-force hybrid exactly."""
+    from cumulus_etl_spark.streaming.ann_index import IvfIndex
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(embs, n_centroids=4)
+    landing = str(tmp_path / "landing")
+    embs.write.parquet(landing)
+    idx.ingest(landing)
+
+    dense = lambda qv, d: idx.search(qv, k=d, n_probe=4)  # noqa: E731
+    got = hybrid_more_like_this(
+        docs, embs, [0, 7], k=5, dense_retriever=dense
+    ).collect()
+    want = hybrid_more_like_this(docs, embs, [0, 7], k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_search_cli_more_like_this(spark, sf_smoke, capsys):
     import pytest
 
