@@ -411,7 +411,7 @@ def main(argv: list[str] | None = None) -> int:
         help="persistent partition-pruned IVF index: build centroids, "
         "ingest a landing dir incrementally, search probed lists only",
     )
-    p_annix.add_argument("action", choices=["build", "ingest", "search"])
+    p_annix.add_argument("action", choices=["build", "ingest", "search", "stats"])
     p_annix.add_argument("index_dir", help="index root (centroids + lists)")
     p_annix.add_argument("--input", default=None,
                          help="build: corpus parquet to train on; "
@@ -1142,6 +1142,8 @@ def main(argv: list[str] | None = None) -> int:
             idx.ingest(args.input)
             n = spark.read.parquet(idx.lists_dir).count()
             print(json.dumps({"ingested_from": args.input, "index_rows": n}))
+        elif args.action == "stats":
+            print(json.dumps(idx.stats()))
         else:  # search
             qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
             is_pq = idx.codebooks() is not None

@@ -154,6 +154,42 @@ class IvfIndex:
         )
         q.awaitTermination()
 
+    def stats(self) -> dict:
+        """Index-health report: per-list row counts, imbalance factor
+        (max/mean — probe cost at search time is proportional to the
+        probed lists' sizes, so a hot list is a hot probe), and file
+        counts per list (ingest waves append files; a high file:row
+        ratio says the index wants a rebuild). One aggregate over the
+        lists' (list_id, file) metadata — the vectors/codes columns are
+        never read."""
+        lists = self.spark.read.parquet(self.lists_dir).select(
+            "list_id",
+            # projected BEFORE the agg: non-deterministic expressions are
+            # not allowed inside aggregate functions
+            F.input_file_name().alias("__file"),
+        )
+        per = (
+            lists.groupBy("list_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("__file").alias("files"),
+            )
+            .orderBy("list_id")
+            .collect()
+        )
+        rows = [r["rows"] for r in per]
+        n_centroids = len(self.centroids())
+        mean = sum(rows) / max(len(rows), 1)
+        return {
+            "n_centroids": n_centroids,
+            "n_lists_nonempty": len(per),
+            "n_rows": sum(rows),
+            "n_files": sum(r["files"] for r in per),
+            "pq": self.codebooks() is not None,
+            "list_rows": {str(r["list_id"]): r["rows"] for r in per},
+            "imbalance_max_over_mean": round(max(rows) / mean, 3) if rows else None,
+        }
+
     # -- search --------------------------------------------------------------
     def _pruned_candidates(self, queries: DataFrame, n_probe: int,
                            extra_q: list) -> DataFrame:

@@ -76,6 +76,36 @@ def test_ingest_waves_accumulate_and_replay_is_noop(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+def test_index_stats_reports_balance_and_files(spark, sf_smoke, tmp_path, capsys):
+    import json as _json
+
+    from cumulus_etl_spark.cli import main
+
+    emb = _embeddings(spark, sf_smoke)
+    landing = str(tmp_path / "landing")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(landing)
+
+    root = str(tmp_path / "ivf")
+    idx = IvfIndex(spark, root)
+    idx.build(emb, n_centroids=8)
+    idx.ingest(landing)
+    s1 = idx.stats()
+    assert s1["n_rows"] == emb.filter(F.col("vec_id") % 2 == 0).count()
+    assert s1["pq"] is False
+    assert s1["imbalance_max_over_mean"] >= 1.0
+    # a second wave appends files: rows AND file counts grow
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(landing)
+    idx.ingest(landing)
+    s2 = idx.stats()
+    assert s2["n_rows"] == emb.count()
+    assert s2["n_files"] > s1["n_files"]
+    assert sum(s2["list_rows"].values()) == s2["n_rows"]
+
+    assert main(["ann-index", "stats", root]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] == s2["n_rows"]
+
+
 def test_pq_index_stores_codes_and_matches_full_adc(spark, sf_smoke, tmp_path):
     """IVFPQ: lists hold codes (no raw vectors); with every list probed,
     ADC search equals the full-corpus pq_adc_topk over the same
