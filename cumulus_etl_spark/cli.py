@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from cumulus_etl_spark.session import get_spark
@@ -349,6 +350,18 @@ def main(argv: list[str] | None = None) -> int:
                          help="add a deterministic Laplace(1/epsilon) "
                          "n_noised column to the released cells")
 
+    p_sql = sub.add_parser(
+        "sql",
+        help="ad-hoc Spark SQL over a directory of parquet tables "
+        "(each <name>.parquet registers as view <name>)",
+    )
+    p_sql.add_argument("tables_dir")
+    p_sql.add_argument("query", help="ANSI SQL; views are the dir's table names")
+    p_sql.add_argument("--limit", type=int, default=100,
+                       help="max rows printed (the full result still computes)")
+    p_sql.add_argument("--explain", action="store_true",
+                       help="also print the formatted physical plan")
+
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
     )
@@ -411,7 +424,8 @@ def main(argv: list[str] | None = None) -> int:
         help="persistent partition-pruned IVF index: build centroids, "
         "ingest a landing dir incrementally, search probed lists only",
     )
-    p_annix.add_argument("action", choices=["build", "ingest", "search", "stats"])
+    p_annix.add_argument("action",
+                         choices=["build", "ingest", "search", "stats", "rebuild"])
     p_annix.add_argument("index_dir", help="index root (centroids + lists)")
     p_annix.add_argument("--input", default=None,
                          help="build: corpus parquet to train on; "
@@ -433,6 +447,9 @@ def main(argv: list[str] | None = None) -> int:
                          help="search: parquet with the original vectors "
                          "(REQUIRED for a PQ index: query lookup + exact "
                          "re-rank of the ADC shortlist)")
+    p_annix.add_argument("--into", default=None,
+                         help="rebuild: fresh index root to compact into "
+                         "(same centroids, one-pass re-ingest of --input)")
 
     p_ann = sub.add_parser(
         "ann", help="approximate-nearest-neighbor search over an embeddings parquet"
@@ -1042,6 +1059,28 @@ def main(argv: list[str] | None = None) -> int:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
         return 0
+    if args.verb == "sql":
+        import glob as _glob
+
+        registered = []
+        for p in sorted(_glob.glob(os.path.join(args.tables_dir, "*.parquet"))):
+            name = os.path.basename(p)[: -len(".parquet")]
+            if name.isidentifier():
+                spark.read.parquet(p).createOrReplaceTempView(name)
+                registered.append(name)
+        if not registered:
+            raise SystemExit(f"sql: no <name>.parquet tables under {args.tables_dir}")
+        out = spark.sql(args.query)
+        if args.explain:
+            out.explain("formatted")
+        rows = out.limit(args.limit).collect()
+        print(json.dumps({
+            "tables": registered,
+            "columns": out.columns,
+            "rows": [[None if v is None else str(v) for v in r] for r in rows],
+            "row_limit": args.limit,
+        }))
+        return 0
     if args.verb == "rollup":
         from cumulus_etl_spark.sinks import ManagedTable
         from cumulus_etl_spark.sinks.incremental_view import IncrementalRollup
@@ -1144,6 +1183,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"ingested_from": args.input, "index_rows": n}))
         elif args.action == "stats":
             print(json.dumps(idx.stats()))
+        elif args.action == "rebuild":
+            if not args.into or not args.input:
+                raise SystemExit(
+                    "ann-index rebuild needs --into (new root) and "
+                    "--input (landing dir)"
+                )
+            new = idx.rebuild_into(args.into, args.input)
+            print(json.dumps({
+                "rebuilt_into": args.into,
+                "stats": new.stats(),
+            }))
         else:  # search
             qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
             is_pq = idx.codebooks() is not None

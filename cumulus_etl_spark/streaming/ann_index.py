@@ -126,7 +126,7 @@ class IvfIndex:
             json.dump(state, fh)
         return len(cents)
 
-    def ingest(self, landing_dir: str) -> None:
+    def ingest(self, landing_dir: str, compact: bool = False) -> None:
         """Append every not-yet-ingested vector under ``landing_dir`` to
         its centroid's list partition. The checkpoint lives under the
         index root, so re-running after a crash (or on a landing dir
@@ -143,8 +143,14 @@ class IvfIndex:
         state = self._state()
         schema = self.spark.read.parquet(landing_dir).schema
         stream = self.spark.readStream.schema(schema).parquet(landing_dir)
+        assigned = self._assigned(stream, state["centroids"], state.get("pq_codebooks"))
+        if compact:
+            # one file per list per batch: the rebuild path trades one
+            # shuffle for the compacted layout (normal ingest stays
+            # shuffle-free — output files then follow input partitions)
+            assigned = assigned.repartition("list_id")
         q = (
-            self._assigned(stream, state["centroids"], state.get("pq_codebooks"))
+            assigned
             .writeStream.trigger(availableNow=True)
             .option("checkpointLocation", os.path.join(self.root, "_checkpoint"))
             .partitionBy("list_id")
@@ -153,6 +159,24 @@ class IvfIndex:
             .start()
         )
         q.awaitTermination()
+
+    def rebuild_into(self, new_root: str, landing_dir: str) -> "IvfIndex":
+        """The compaction posture SCALE.md documents: a FRESH index root
+        re-ingested from the landing zone in one pass. Centroids (and PQ
+        codebooks) are copied verbatim — a rebuild compacts the file
+        layout, it never re-trains, so search results are unchanged by
+        construction. The new root gets its own checkpoint/sink lineage;
+        the old root is left untouched for the caller to delete after
+        cutover. Re-assignment cost is one expression-only scan of the
+        landing zone — no shuffle beyond the partitioned write."""
+        if os.path.exists(new_root):
+            raise ValueError(f"rebuild target {new_root} already exists")
+        os.makedirs(new_root)
+        with open(os.path.join(new_root, _CENTROIDS_FILE), "w") as fh:
+            json.dump(self._state(), fh)
+        new = IvfIndex(self.spark, new_root, id_col=self.id_col, vec_col=self.vec_col)
+        new.ingest(landing_dir, compact=True)
+        return new
 
     def stats(self) -> dict:
         """Index-health report: per-list row counts, imbalance factor

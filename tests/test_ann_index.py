@@ -106,6 +106,37 @@ def test_index_stats_reports_balance_and_files(spark, sf_smoke, tmp_path, capsys
     assert rep["n_rows"] == s2["n_rows"]
 
 
+def test_rebuild_compacts_files_and_preserves_results(spark, sf_smoke, tmp_path):
+    """Rebuild = fresh root, copied centroids, one-pass re-ingest: same
+    search results, fewer files after many small waves."""
+    emb = _embeddings(spark, sf_smoke)
+    landing = str(tmp_path / "landing")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, n_centroids=8)
+    # five ingest waves -> five appends' worth of files per touched list
+    for w in range(5):
+        emb.filter(F.col("vec_id") % 5 == w).write.mode("append").parquet(landing)
+        idx.ingest(landing)
+
+    s_old = idx.stats()
+    queries = emb.limit(5)
+    before = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in idx.search(queries, k=3, n_probe=3).collect()}
+
+    new = idx.rebuild_into(str(tmp_path / "ivf2"), landing)
+    s_new = new.stats()
+    assert s_new["n_rows"] == s_old["n_rows"]
+    assert s_new["n_files"] < s_old["n_files"]  # one wave vs five
+    after = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in new.search(queries, k=3, n_probe=3).collect()}
+    assert after == before  # same centroids -> identical results
+
+    import pytest
+
+    with pytest.raises(ValueError):  # refuses to clobber an existing root
+        idx.rebuild_into(str(tmp_path / "ivf2"), landing)
+
+
 def test_pq_index_stores_codes_and_matches_full_adc(spark, sf_smoke, tmp_path):
     """IVFPQ: lists hold codes (no raw vectors); with every list probed,
     ADC search equals the full-corpus pq_adc_topk over the same

@@ -481,3 +481,26 @@ def test_sample_verb_columns_strict_parse(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="unknown --columns"):
         main(["sample", in_dir, "1", "--columns", "note,subjcet"])
+
+
+def test_sql_verb_ad_hoc_query(spark, sf_smoke, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    rc = main([
+        "sql", sf_smoke,
+        "SELECT r_name, COUNT(*) AS n FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name ORDER BY r_name",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "region" in out["tables"] and "lineitem" in out["tables"]
+    assert out["columns"] == ["r_name", "n"]
+    assert len(out["rows"]) == 5  # five regions
+    assert sum(int(r[1]) for r in out["rows"]) == 25  # 25 nations
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["sql", "/nonexistent-dir", "SELECT 1"])
