@@ -362,6 +362,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--explain", action="store_true",
                        help="also print the formatted physical plan")
 
+    p_doc = sub.add_parser(
+        "doctor",
+        help="read-only lake integrity check: pointer/version/change-feed "
+        "invariants per table",
+    )
+    p_doc.add_argument("lake_dir")
+
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
     )
@@ -1059,6 +1066,12 @@ def main(argv: list[str] | None = None) -> int:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
         return 0
+    if args.verb == "doctor":
+        from cumulus_etl_spark.sinks.doctor import diagnose_lake
+
+        report = diagnose_lake(args.lake_dir)
+        print(json.dumps(report))
+        return 0 if report["status"] != "critical" else 2
     if args.verb == "sql":
         import glob as _glob
 

@@ -1,0 +1,77 @@
+"""Lake integrity doctor (sinks/doctor.py) — read-only invariant checks."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+from cumulus_etl_spark.sinks.doctor import diagnose_lake, diagnose_table
+
+
+def _mk(spark, root, name="t", feed=False, merges=1):
+    tbl = ManagedTable(spark, root, name)
+    pol = MergePolicy(keys=("id",), last_updated_field=None, change_feed=feed)
+    for i in range(merges):
+        tbl.merge(
+            spark.createDataFrame([(f"k{i}", i)], "id string, value long"), pol
+        )
+    return tbl
+
+
+def test_healthy_table_is_ok(spark, tmp_path):
+    _mk(spark, str(tmp_path), merges=1)
+    rep = diagnose_lake(str(tmp_path))
+    assert rep["status"] == "ok"
+    t = rep["tables"]["t"]
+    assert t["current_version"] == 1 and t["versions_on_disk"] == [1]
+    assert t["issues"] == []
+
+
+def test_stray_version_and_superseded_are_flagged(spark, tmp_path):
+    tbl = _mk(spark, str(tmp_path), merges=2)
+    os.makedirs(os.path.join(tbl.path, "v99"))
+    rep = diagnose_table(tbl.path)
+    assert rep["status"] == "warn"
+    assert any("beyond the pointer" in i and "[99]" in i for i in rep["issues"])
+    assert any(i.startswith("info: 1 superseded") for i in rep["issues"])
+
+
+def test_missing_pointed_version_is_critical(spark, tmp_path, capsys):
+    tbl = _mk(spark, str(tmp_path))
+    shutil.rmtree(os.path.join(tbl.path, "v1"))
+    rep = diagnose_table(tbl.path)
+    assert rep["status"] == "critical"
+    assert any("version dir is missing" in i for i in rep["issues"])
+
+    from cumulus_etl_spark.cli import main
+
+    rc = main(["doctor", str(tmp_path)])
+    assert rc == 2  # critical surfaces in the exit code
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "critical"
+
+
+def test_change_feed_hole_is_flagged(spark, tmp_path):
+    tbl = _mk(spark, str(tmp_path), feed=True, merges=3)
+    shutil.rmtree(os.path.join(tbl.path, "changes", "v2"))
+    rep = diagnose_table(tbl.path)
+    assert rep["status"] == "warn"
+    assert any("hole(s) [2]" in i for i in rep["issues"])
+
+
+def test_doctor_is_read_only_on_pending_staging(spark, tmp_path):
+    """A staged-but-unpublished change dir must be REPORTED, not swept
+    (change_versions() would publish it as a side effect — the doctor
+    must be safe against a lake mid-write)."""
+    tbl = _mk(spark, str(tmp_path), feed=True, merges=1)
+    staged = os.path.join(tbl.path, ".changes_staging", "v1")
+    os.makedirs(staged)
+    rep = diagnose_table(tbl.path)
+    assert any("staged-but-unpublished" in i for i in rep["issues"])
+    assert os.path.isdir(staged)  # untouched
+    # orphan staging (beyond pointer) is informational only
+    os.makedirs(os.path.join(tbl.path, ".changes_staging", "v42"))
+    rep2 = diagnose_table(tbl.path)
+    assert any("orphan staging" in i for i in rep2["issues"])
