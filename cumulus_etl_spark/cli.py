@@ -362,6 +362,18 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--explain", action="store_true",
                        help="also print the formatted physical plan")
 
+    p_zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet dataset Z-order-clustered by 1-4 columns "
+        "(file-level min/max pruning on every clustered column)",
+    )
+    p_zo.add_argument("input_path")
+    p_zo.add_argument("output_path")
+    p_zo.add_argument("--by", required=True,
+                      help="comma-separated numeric/date columns (1-4)")
+    p_zo.add_argument("--files", type=int, default=16,
+                      help="output file count (one Z-range per file)")
+
     p_doc = sub.add_parser(
         "doctor",
         help="read-only lake integrity check: pointer/version/change-feed "
@@ -1065,6 +1077,25 @@ def main(argv: list[str] | None = None) -> int:
         if args.dp_epsilon is not None:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
+        return 0
+    if args.verb == "zorder":
+        from cumulus_etl_spark.operators.zorder import zorder_rewrite
+
+        df = spark.read.parquet(args.input_path)
+        cols = [c.strip() for c in args.by.split(",") if c.strip()]
+        unknown = [c for c in cols if c not in df.columns]
+        if unknown:
+            raise SystemExit(f"zorder: unknown columns {unknown}; table has {df.columns}")
+        zorder_rewrite(df, cols, num_files=args.files).write.mode(
+            "overwrite"
+        ).parquet(args.output_path)
+        out = spark.read.parquet(args.output_path)
+        print(json.dumps({
+            "rows": out.count(),
+            "files": len(out.inputFiles()),
+            "clustered_by": cols,
+            "output": args.output_path,
+        }))
         return 0
     if args.verb == "doctor":
         from cumulus_etl_spark.sinks.doctor import diagnose_lake

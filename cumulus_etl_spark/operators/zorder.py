@@ -51,6 +51,23 @@ def interleave_bits(cells: list[Column]) -> Column:
     return out
 
 
+def zorder_rewrite(df: DataFrame, cols: list[str], num_files: int = 16) -> DataFrame:
+    """The OPTIMIZE-ZORDER rewrite for a plain parquet dataset: range-
+    partition on the Morton key into ``num_files`` output partitions and
+    sort within each, so every output file owns a contiguous Z-range and
+    its parquet min/max footers prune on EVERY clustered column. One
+    range shuffle (plus the key's min/max agg); write the result with
+    ``.write.parquet(...)``. Row multiset is unchanged — this moves
+    bytes, not data."""
+    key = zorder_key(df, cols)
+    return (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def zorder_key(df: DataFrame, cols: list[str]) -> Column:
     """Z-order sort key over ``cols`` for this DataFrame's value ranges.
 

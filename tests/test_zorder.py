@@ -91,3 +91,57 @@ def test_interleave_monotonic_per_axis(spark):
         ).alias("mono_second"),
     ).filter(~F.col("mono_first") | ~F.col("mono_second")).count()
     assert bad == 0
+
+
+def test_zorder_rewrite_preserves_rows_and_clusters_files(spark, tmp_path):
+    """The OPTIMIZE-ZORDER rewrite: row multiset unchanged, and every
+    output file owns a NARROW range of BOTH clustered columns (the
+    property parquet footer min/max pruning feeds on), unlike the
+    scattered input layout."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.zorder import zorder_rewrite
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 1000).alias("x"),   # scattered
+        (F.col("id") * 40503 % 1000).alias("y"),
+    )
+    src = str(tmp_path / "src")
+    df.repartition(8).write.parquet(src)
+    out = str(tmp_path / "zo")
+    zorder_rewrite(spark.read.parquet(src), ["x", "y"], num_files=8).write.parquet(out)
+
+    zo = spark.read.parquet(out)
+    assert zo.count() == n
+    assert (
+        zo.agg(F.sum("x"), F.sum("y")).collect()[0]
+        == df.agg(F.sum("x"), F.sum("y")).collect()[0]
+    )
+
+    def mean_file_span(path, col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in per) / len(per)
+
+    # clustered files each cover a fraction of the global [0,1000) span
+    # on BOTH dimensions; the hash-scattered input covers ~all of it
+    for col in ("x", "y"):
+        assert mean_file_span(out, col) < 0.62 * mean_file_span(src, col), col
+
+    # CLI e2e
+    from cumulus_etl_spark.cli import main
+
+    out2 = str(tmp_path / "zo2")
+    assert main(["zorder", src, out2, "--by", "x,y", "--files", "8"]) == 0
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["zorder", src, str(tmp_path / "zo3"), "--by", "nope"])
