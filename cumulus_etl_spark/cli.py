@@ -320,6 +320,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="SQL boolean marking the positive class, e.g. \"source = 'src0'\"")
     p_tf.add_argument("--lr", type=float, default=0.5)
     p_tf.add_argument("--iters", type=int, default=20)
+    p_tf.add_argument("--model", choices=["logreg", "nb"], default="logreg",
+                      help="logreg = GD on text-stat features (binary); "
+                      "nb = multinomial Naive Bayes on words (the "
+                      "--label-expr may be any string expression, so nb "
+                      "supports multiclass)")
 
     p_prof = sub.add_parser(
         "profile", help="single-pass column profile (nulls/distinct/min-max) of a parquet path"
@@ -871,6 +876,36 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.input_path)
+        if args.model == "nb":
+            from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
+
+            label = _F.expr(args.label_expr)
+            wc, stats = nb_train(docs, args.text_col, label)
+            scored = nb_score(docs, wc, stats, args.id_col, args.text_col)
+            pred = scored.filter(_F.col("rank") == 1).select(
+                _F.col("id").alias(args.id_col),
+                _F.col("label").alias("predicted"),
+                "log_prob",
+            )
+            pred.write.mode("overwrite").parquet(args.output_path)
+            truth = docs.select(
+                args.id_col, label.cast("string").alias("truth")
+            )
+            joined = spark.read.parquet(args.output_path).join(truth, args.id_col)
+            n = joined.count()
+            correct = joined.filter(_F.col("predicted") == _F.col("truth")).count()
+            classes = {
+                r["label"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+                for r in stats.collect()
+            }
+            print(json.dumps({
+                "model": "nb",
+                "n_docs": n,
+                "classes": classes,
+                "train_accuracy": round(correct / max(n, 1), 4),
+                "output": args.output_path,
+            }))
+            return 0
         feat_names = ["n_tokens", "n_punct", "n_stopwords", "mean_word_len"]
         words = _T.words_array(_F.col(args.text_col))
         featurized = docs.select(

@@ -203,3 +203,97 @@ def auc_roc(scored: DataFrame, score_col: str = "score", label_col: str = "label
     if npos == 0 or nneg == 0:
         return float("nan")
     return (float(agg["rpos"]) - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+# ---- Multinomial Naive Bayes (the classic scalable text classifier) ----
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str,
+    label: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial Naive Bayes with add-1 smoothing in TWO hash
+    aggregations — the textbook scalable text classifier (the same
+    family as fastText's linear baseline for pretraining-data domain/
+    quality labeling).
+
+    Returns ``(word_counts, label_stats)``:
+
+    - word_counts: (label, word, c) — token occurrences per class;
+    - label_stats: (label, n_docs, n_tokens, vocab) — per-class doc and
+      token totals plus the GLOBAL distinct-word count replicated per
+      row (so scoring needs no extra pass).
+
+    Scale shape: the (label, word) aggregation map-side-combines to the
+    per-class vocabulary size; nothing is collected to the driver."""
+    w = docs.select(
+        label.cast("string").alias("label"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    word_counts = w.groupBy("label", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vocab = word_counts.select("word").distinct().count()
+    per_label = word_counts.groupBy("label").agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
+    )
+    n_docs = docs.groupBy(label.cast("string").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    label_stats = n_docs.join(per_label, "label", "left").select(
+        "label",
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.lit(vocab).cast("bigint").alias("vocab"),
+    )
+    return word_counts, label_stats
+
+
+def nb_score(
+    docs: DataFrame,
+    word_counts: DataFrame,
+    label_stats: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Log-space NB scoring; returns (id, label, log_prob, rank) with
+    rank 1 = predicted class (ties to the lexicographically first
+    label, so predictions are a total order).
+
+    Uses the smoothing identity that makes absent (word, label) pairs
+    FREE: with add-1 smoothing,
+
+        log P(d | l) = -n_d·log(T_l + V) + Σ_{w∈d} log(c_{w,l} + 1)
+
+    and the sum's terms vanish where c = 0 (log 1), so only EXISTING
+    model entries join — the score needs an inner join on word plus one
+    small cross join with the per-label totals, never a dense
+    |doc words| × |labels| fill-in."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    doc_len = toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("n_d"))
+    hits = (
+        toks.join(word_counts, "word")
+        .groupBy("id", "label")
+        .agg(F.sum(F.log(F.col("c").cast("double") + 1.0)).alias("hit_sum"))
+    )
+    total_docs = label_stats.agg(F.sum("n_docs")).collect()[0][0]
+    base = doc_len.crossJoin(F.broadcast(label_stats)).select(
+        "id",
+        "label",
+        (
+            F.log(F.col("n_docs").cast("double") / F.lit(float(total_docs)))
+            - F.col("n_d") * F.log(F.col("n_tokens").cast("double") + F.col("vocab"))
+        ).alias("base"),
+    )
+    scored = base.join(hits, ["id", "label"], "left").select(
+        "id",
+        "label",
+        (F.col("base") + F.coalesce("hit_sum", F.lit(0.0))).alias("log_prob"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("log_prob"), F.asc("label"))
+    return scored.withColumn("rank", F.row_number().over(w))

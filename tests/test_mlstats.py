@@ -163,3 +163,81 @@ def test_auc_rank_identity_matches_pairwise_bruteforce(spark):
     )
     got = (s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * len(neg))
     assert abs(got - want) < 1e-12, (got, want)
+
+
+# ---- multinomial Naive Bayes ----
+
+def test_nb_exact_python_replay(spark):
+    """Replay the add-1-smoothed multinomial NB log-probability in plain
+    Python, bit-for-bit."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
+
+    rows = [
+        (0, "spam spam eggs", "spam"),
+        (1, "spam spam spam ham", "spam"),
+        (2, "eggs ham toast", "ok"),
+        (3, "toast toast jam", "ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    wc, stats = nb_train(docs, "text", F.col("y"))
+    got = {
+        (r["id"], r["label"]): r["log_prob"]
+        for r in nb_score(docs, wc, stats, "doc_id", "text").collect()
+    }
+
+    # python model
+    counts, totals, ndocs = {}, {}, {}
+    for _, text, y in rows:
+        ndocs[y] = ndocs.get(y, 0) + 1
+        for w in text.split():
+            counts[(y, w)] = counts.get((y, w), 0) + 1
+            totals[y] = totals.get(y, 0) + 1
+    vocab = len({w for (_, w) in counts})
+    total_docs = sum(ndocs.values())
+
+    def logp(text, y):
+        s = math.log(ndocs[y] / total_docs)
+        ws = text.split()
+        s -= len(ws) * math.log(totals[y] + vocab)
+        for w in ws:
+            c = counts.get((y, w), 0)
+            if c:
+                s += math.log(c + 1.0)
+        return s
+
+    for (i, text, _y) in rows:
+        for lab in ("spam", "ok"):
+            assert got[(i, lab)] == pytest.approx(logp(text, lab), abs=1e-12)
+
+    # and the argmax recovers the training labels on this separable toy
+    pred = {
+        r["id"]: r["label"]
+        for r in nb_score(docs, wc, stats, "doc_id", "text")
+        .filter(F.col("rank") == 1).collect()
+    }
+    assert pred == {0: "spam", 1: "spam", 2: "ok", 3: "ok"}
+
+
+def test_nb_multiclass_and_cli(spark, sf_smoke, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    out = str(tmp_path / "scores")
+    rc = main([
+        "train-filter", f"{sf_smoke}/documents.parquet", out,
+        "--label-expr", "source", "--model", "nb",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["model"] == "nb"
+    assert len(rep["classes"]) >= 2  # multiclass: one class per source
+    assert 0.0 <= rep["train_accuracy"] <= 1.0
+    scored = spark.read.parquet(out)
+    assert scored.count() == rep["n_docs"]
+    assert set(scored.columns) == {"doc_id", "predicted", "log_prob"}
