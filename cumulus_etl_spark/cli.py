@@ -367,6 +367,20 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--explain", action="store_true",
                        help="also print the formatted physical plan")
 
+    p_cp = sub.add_parser(
+        "changepoints",
+        help="CUSUM sustained-shift detection over an ordered series "
+        "(optionally per key)",
+    )
+    p_cp.add_argument("input_path")
+    p_cp.add_argument("--value-col", required=True)
+    p_cp.add_argument("--order-col", required=True)
+    p_cp.add_argument("--key-col", default=None)
+    p_cp.add_argument("--kappa", type=float, default=0.5,
+                      help="slack in reference sigmas (default 0.5)")
+    p_cp.add_argument("--h", type=float, default=5.0,
+                      help="decision threshold in sigmas (default 5)")
+
     p_zo = sub.add_parser(
         "zorder",
         help="rewrite a parquet dataset Z-order-clustered by 1-4 columns "
@@ -1112,6 +1126,42 @@ def main(argv: list[str] | None = None) -> int:
         if args.dp_epsilon is not None:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
+        return 0
+    if args.verb == "changepoints":
+        from pyspark.sql import functions as F
+
+        from cumulus_etl_spark.operators.timeseries import cusum_changepoints
+
+        df = spark.read.parquet(args.input_path)
+        need = [args.value_col, args.order_col] + (
+            [args.key_col] if args.key_col else []
+        )
+        unknown = [c for c in need if c not in df.columns]
+        if unknown:
+            raise SystemExit(
+                f"changepoints: unknown columns {unknown}; table has {df.columns}"
+            )
+        out = cusum_changepoints(
+            df, args.value_col, args.order_col, key_col=args.key_col,
+            kappa=args.kappa, h=args.h,
+        )
+        alarms = out.filter(F.col("changepoint")).select(
+            *( [args.key_col] if args.key_col else [] ),
+            args.order_col,
+            args.value_col,
+            F.round("cusum_pos", 3).alias("cusum_pos"),
+            F.round("cusum_neg", 3).alias("cusum_neg"),
+        ).collect()
+        print(json.dumps({
+            "n_rows": out.count(),
+            "n_changepoints": len(alarms),
+            "changepoints": [
+                {k: (str(v) if not isinstance(v, (int, float, bool)) else v)
+                 for k, v in r.asDict().items()}
+                for r in alarms
+            ][:200],
+            "kappa": args.kappa, "h": args.h,
+        }))
         return 0
     if args.verb == "zorder":
         from cumulus_etl_spark.operators.zorder import zorder_rewrite

@@ -87,3 +87,32 @@ def merge_upsert_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("nb_classify_throughput", None, tags=("ml", "text", "bench"), bench_only=True)
+def nb_classify_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/domain filtering as a bench number: train
+    multinomial NB on the documents table (class = source) and score
+    every document — the GPT-3-style classifier-filter pass over a
+    corpus, end to end (train: two hash aggs; score: word inner join +
+    broadcast cross join; operators/mlstats.py:nb_train/nb_score).
+    Returns one accounting row (docs, classes, train accuracy proxy) so
+    bench.py materializes the whole train+score pipeline.
+
+    Bench-only: the math is pinned by the exact Python replay in
+    test_mlstats.py; a DuckDB oracle row would duplicate that while
+    spending a rows-only slot."""
+    from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
+
+    docs = table(spark, sf_dir, "documents")
+    wc, stats = nb_train(docs, "text", F.col("source"))
+    scored = nb_score(docs, wc, stats, "doc_id", "text")
+    pred = scored.filter(F.col("rank") == 1).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("predicted")
+    )
+    truth = docs.select("doc_id", F.col("source").alias("truth"))
+    return pred.join(truth, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("predicted").alias("n_classes_predicted"),
+        F.sum((F.col("predicted") == F.col("truth")).cast("bigint")).alias("n_correct"),
+    )

@@ -1,0 +1,105 @@
+"""CUSUM changepoint detection (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.timeseries import cusum_changepoints
+
+
+def _series(spark, values, key=None):
+    rows = [(key, i, float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "k string, t long, x double")
+
+
+def _python_cusum(values, kappa=0.5):
+    mu = sum(values) / len(values)
+    var = sum((v - mu) ** 2 for v in values) / len(values)
+    sigma = max(math.sqrt(var), 1e-12)
+    sp = sn = 0.0
+    out = []
+    for v in values:
+        z = (v - mu) / sigma
+        sp = max(0.0, sp + z - kappa)
+        sn = max(0.0, sn - z - kappa)
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_matches_fold_replay(spark):
+    """The window-identity form equals the imperative max(0, ...) fold,
+    value for value."""
+    values = [10, 11, 9, 10, 12, 10, 9, 30, 31, 29, 30, 32, 31, 30, 29]
+    df = _series(spark, values)
+    got = (
+        cusum_changepoints(df, "x", "t", kappa=0.5, h=5.0)
+        .orderBy("t")
+        .collect()
+    )
+    want = _python_cusum(values)
+    for row, (sp, sn) in zip(got, want):
+        assert row["cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert row["cusum_neg"] == pytest.approx(sn, abs=1e-9)
+
+
+def test_cusum_flags_sustained_shift_not_spike(spark):
+    # one spike at t=10, a sustained shift from t=30
+    values = [10.0] * 10 + [25.0] + [10.0] * 19 + [14.0] * 20
+    df = _series(spark, values)
+    out = cusum_changepoints(df, "x", "t", kappa=0.5, h=5.0).orderBy("t").collect()
+    alarms = [r["t"] for r in out if r["changepoint"]]
+    assert alarms, "sustained shift must alarm"
+    assert all(t >= 30 for t in alarms), alarms  # spike alone never crosses h
+    # alarm points are crossings, not the whole excursion
+    in_alarm = [r["t"] for r in out if r["cusum_pos"] > 5.0]
+    assert len(alarms) < len(in_alarm)
+
+
+def test_cusum_per_key_partitions_independently(spark):
+    shifted = [10.0] * 20 + [14.0] * 20
+    flat = [10.0, 10.5] * 20
+    df = _series(spark, shifted, key="a").union(_series(spark, flat, key="b"))
+    out = cusum_changepoints(df, "x", "t", key_col="k", kappa=0.5, h=5.0)
+    alarms = {
+        r["k"] for r in out.filter(F.col("changepoint")).collect()
+    }
+    assert alarms == {"a"}
+
+
+def test_cusum_constant_series_is_quiet(spark):
+    df = _series(spark, [5.0] * 30)
+    out = cusum_changepoints(df, "x", "t").collect()
+    assert all(not r["changepoint"] for r in out)
+
+
+def test_changepoints_cli_verb(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    values = [10.0] * 25 + [14.0] * 25
+    spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(values)], "k string, t long, x double"
+    ).write.parquet(str(tmp_path / "series"))
+    rc = main([
+        "changepoints", str(tmp_path / "series"),
+        "--value-col", "x", "--order-col", "t", "--key-col", "k",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_rows"] == 50
+    assert rep["n_changepoints"] >= 1
+    # with a whole-series reference mean a 50/50 regime split alarms on
+    # BOTH sides (each regime sits ~1 sigma off the mean); the upward
+    # shift itself must alarm on the positive statistic, in the high half
+    pos_alarms = [c for c in rep["changepoints"] if c["cusum_pos"] > rep["h"]]
+    assert pos_alarms and all(int(c["t"]) >= 25 for c in pos_alarms)
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["changepoints", str(tmp_path / "series"),
+              "--value-col", "nope", "--order-col", "t"])
