@@ -101,16 +101,27 @@ def nb_classify_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bench-only: the math is pinned by the exact Python replay in
     test_mlstats.py; a DuckDB oracle row would duplicate that while
-    spending a rows-only slot."""
+    spending a rows-only slot.
+
+    The label is the source HASHED INTO A FIXED 8-class space, not the
+    raw source: NB scoring cost is |doc words| x |classes containing
+    the word|, so a rig whose class count grows with the data (the
+    bench's sf1 replication salts `source` per copy — 20 -> 200
+    classes) would measure class-space growth, not corpus scaling.
+    Real classifier-filter deployments have a fixed label set; the rig
+    must too (first bench run flagged exactly this: 107x at sf1 with
+    raw sources, linear with the fixed space)."""
     from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
 
     docs = table(spark, sf_dir, "documents")
-    wc, stats = nb_train(docs, "text", F.col("source"))
+    label = (F.abs(F.xxhash64("source")) % 8).cast("string")
+    docs = docs.withColumn("__cls", label)
+    wc, stats = nb_train(docs, "text", F.col("__cls"))
     scored = nb_score(docs, wc, stats, "doc_id", "text")
     pred = scored.filter(F.col("rank") == 1).select(
         F.col("id").alias("doc_id"), F.col("label").alias("predicted")
     )
-    truth = docs.select("doc_id", F.col("source").alias("truth"))
+    truth = docs.select("doc_id", F.col("__cls").alias("truth"))
     return pred.join(truth, "doc_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("predicted").alias("n_classes_predicted"),

@@ -241,3 +241,17 @@ def test_nb_multiclass_and_cli(spark, sf_smoke, tmp_path, capsys):
     scored = spark.read.parquet(out)
     assert scored.count() == rep["n_docs"]
     assert set(scored.columns) == {"doc_id", "predicted", "log_prob"}
+
+
+def test_nb_classify_rig_fixed_label_space(spark):
+    """The bench rig must classify into a FIXED label space (NB scoring
+    cost is words x classes; a class count that grows with the data
+    would measure label-space growth, not corpus scaling)."""
+    from cumulus_etl_spark.plans.catalog import BENCH_RIGS
+
+    row = BENCH_RIGS["nb_classify_throughput"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_docs"] == 500
+    assert 1 <= row["n_classes_predicted"] <= 8
+    assert 0 <= row["n_correct"] <= row["n_docs"]
