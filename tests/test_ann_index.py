@@ -137,6 +137,29 @@ def test_rebuild_compacts_files_and_preserves_results(spark, sf_smoke, tmp_path)
         idx.rebuild_into(str(tmp_path / "ivf2"), landing)
 
 
+def test_rebuild_of_pq_index_copies_codebooks_and_preserves_results(
+    spark, sf_smoke, tmp_path
+):
+    emb = _embeddings(spark, sf_smoke).filter(F.col("vec_id") < 80)
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+    idx = IvfIndex(spark, str(tmp_path / "pq1"))
+    idx.build(emb, n_centroids=4, pq_sub=4, pq_k=8)
+    idx.ingest(landing)
+
+    new = idx.rebuild_into(str(tmp_path / "pq2"), landing)
+    assert new.codebooks() == idx.codebooks()  # copied verbatim, not retrained
+    assert set(spark.read.parquet(new.lists_dir).columns) == {
+        "neighbor_id", "codes", "list_id"
+    }
+    queries = emb.limit(4)
+    before = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in idx.search(queries, k=3, n_probe=4).collect()}
+    after = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in new.search(queries, k=3, n_probe=4).collect()}
+    assert after == before
+
+
 def test_pq_index_stores_codes_and_matches_full_adc(spark, sf_smoke, tmp_path):
     """IVFPQ: lists hold codes (no raw vectors); with every list probed,
     ADC search equals the full-corpus pq_adc_topk over the same

@@ -255,3 +255,54 @@ def test_nb_classify_rig_fixed_label_space(spark):
     assert row["n_docs"] == 500
     assert 1 <= row["n_classes_predicted"] <= 8
     assert 0 <= row["n_correct"] <= row["n_docs"]
+
+
+def test_nb_replay_on_random_corpora(spark):
+    """Seeded random corpora: the distributed NB log-probs equal the
+    Python model on arbitrary word/label mixes (multiclass, unseen
+    words, repeated tokens)."""
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
+
+    rng = random.Random(11)
+    vocab_pool = [f"w{i}" for i in range(12)]
+    labels_pool = ["a", "b", "c"]
+    for case in range(3):
+        rows = [
+            (
+                i,
+                " ".join(rng.choices(vocab_pool, k=rng.randint(1, 9))),
+                rng.choice(labels_pool),
+            )
+            for i in range(rng.randint(4, 25))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, y string")
+        wc, stats = nb_train(docs, "text", F.col("y"))
+        got = {
+            (r["id"], r["label"]): r["log_prob"]
+            for r in nb_score(docs, wc, stats, "doc_id", "text").collect()
+        }
+
+        counts, totals, ndocs = {}, {}, {}
+        for _, text, y in rows:
+            ndocs[y] = ndocs.get(y, 0) + 1
+            for w in text.split():
+                counts[(y, w)] = counts.get((y, w), 0) + 1
+                totals[y] = totals.get(y, 0) + 1
+        vocab = len({w for (_, w) in counts})
+        total_docs = sum(ndocs.values())
+        for (i, text, _y) in rows:
+            for lab in ndocs:
+                s = math.log(ndocs[lab] / total_docs)
+                ws = text.split()
+                s -= len(ws) * math.log(totals.get(lab, 0) + vocab)
+                for w in ws:
+                    c = counts.get((lab, w), 0)
+                    if c:
+                        s += math.log(c + 1.0)
+                assert got[(i, lab)] == pytest.approx(s, abs=1e-10), (case, i, lab)

@@ -103,3 +103,23 @@ def test_changepoints_cli_verb(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["changepoints", str(tmp_path / "series"),
               "--value-col", "nope", "--order-col", "t"])
+
+
+def test_cusum_window_identity_on_random_series(spark):
+    """Seeded random series: the window-identity form must equal the
+    imperative fold on arbitrary data, not just crafted shapes."""
+    import random
+
+    import pytest
+
+    rng = random.Random(7)
+    for case in range(3):
+        values = [rng.uniform(-5, 5) for _ in range(rng.randint(5, 80))]
+        got = (
+            cusum_changepoints(_series(spark, values), "x", "t", kappa=0.5)
+            .orderBy("t")
+            .collect()
+        )
+        for row, (sp, sn) in zip(got, _python_cusum(values)):
+            assert row["cusum_pos"] == pytest.approx(sp, abs=1e-9), case
+            assert row["cusum_neg"] == pytest.approx(sn, abs=1e-9), case
