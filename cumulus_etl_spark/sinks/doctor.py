@@ -39,6 +39,50 @@ def _vnums(path: str) -> list[int]:
     )
 
 
+def _version_schema(vdir: str) -> dict[str, str] | None:
+    """Column → arrow-type map for a version dir, UNIONED across every
+    parquet footer (recursing into __bucket=N subdirs): the sink
+    hardlinks unchanged files from the previous version, so a single
+    footer reflects one file's vintage, not the version's read schema
+    (which Spark assembles with mergeSchema). Footer reads are
+    metadata-only; pyarrow, no Spark session — the doctor stays cheap
+    and side-effect-free. On an intra-version type conflict the later
+    file wins (the cross-version comparison still surfaces the change)."""
+    import pyarrow.parquet as pq
+
+    merged: dict[str, str] = {}
+    for base, _dirs, files in sorted(os.walk(vdir)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                schema = pq.read_schema(os.path.join(base, f))
+                for name, t in zip(schema.names, schema.types):
+                    merged[name] = str(t)
+    return merged or None
+
+
+def _schema_drift(prev: dict[str, str], cur: dict[str, str]) -> list[str]:
+    issues = []
+    removed = sorted(set(prev) - set(cur))
+    added = sorted(set(cur) - set(prev))
+    changed = sorted(
+        c for c in set(prev) & set(cur) if prev[c] != cur[c]
+    )
+    if removed:
+        issues.append(
+            f"warn: column(s) {removed} present in the previous version "
+            "vanished from the current one (mergeSchema unions — a "
+            "removal means a rewrite dropped data)"
+        )
+    if changed:
+        issues.append(
+            "warn: column type change(s) "
+            + ", ".join(f"{c}: {prev[c]} -> {cur[c]}" for c in changed)
+        )
+    if added:
+        issues.append(f"info: column(s) {added} added in the current version")
+    return issues
+
+
 def diagnose_table(path: str) -> dict:
     """Integrity report for one ManagedTable directory."""
     issues: list[str] = []
@@ -78,6 +122,17 @@ def diagnose_table(path: str) -> dict:
                     f"info: {len(superseded)} superseded version(s) reclaimable "
                     "by `optimize`"
                 )
+
+    # schema drift vs the newest surviving previous version (footer read
+    # only; absent when optimize already dropped older versions)
+    cur = report.get("current_version")
+    if isinstance(cur, int) and cur in versions:
+        older = [v for v in versions if v < cur]
+        if older:
+            prev_schema = _version_schema(os.path.join(path, f"v{older[-1]}"))
+            cur_schema = _version_schema(os.path.join(path, f"v{cur}"))
+            if prev_schema and cur_schema:
+                issues.extend(_schema_drift(prev_schema, cur_schema))
 
     # change feed: committed versions must be hole-free up to retention
     feed = _vnums(os.path.join(path, "changes"))

@@ -75,3 +75,44 @@ def test_doctor_is_read_only_on_pending_staging(spark, tmp_path):
     os.makedirs(os.path.join(tbl.path, ".changes_staging", "v42"))
     rep2 = diagnose_table(tbl.path)
     assert any("orphan staging" in i for i in rep2["issues"])
+
+
+def test_schema_drift_added_column_is_informational(spark, tmp_path):
+    tbl = ManagedTable(spark, str(tmp_path), "t")
+    pol = MergePolicy(keys=("id",), last_updated_field=None)
+    tbl.merge(spark.createDataFrame([("a", 1)], "id string, value long"), pol)
+    tbl.merge(
+        spark.createDataFrame(
+            [("b", 2, "x")], "id string, value long, extra string"
+        ),
+        pol,
+    )
+    rep = diagnose_table(tbl.path)
+    assert any("column(s) ['extra'] added" in i for i in rep["issues"])
+    assert rep["status"] == "ok"  # additive evolution is not a defect
+
+
+def test_schema_drift_removed_and_retyped_columns_warn(spark, tmp_path):
+    """Handcrafted two-version layout: a rewrite that dropped a column
+    and changed a type must warn."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(str(tmp_path), "t")
+    os.makedirs(os.path.join(root, "v1"))
+    os.makedirs(os.path.join(root, "v2"))
+    pq.write_table(
+        pa.table({"id": ["a"], "value": pa.array([1], pa.int64()),
+                  "gone": ["z"]}),
+        os.path.join(root, "v1", "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": ["a"], "value": pa.array([1.5], pa.float64())}),
+        os.path.join(root, "v2", "part-0.parquet"),
+    )
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        json.dump({"version": 2}, fh)
+    rep = diagnose_table(root)
+    assert rep["status"] == "warn"
+    assert any("['gone'] present in the previous version" in i for i in rep["issues"])
+    assert any("value: int64 -> double" in i for i in rep["issues"])
