@@ -352,8 +352,18 @@ def main(argv: list[str] | None = None) -> int:
                          "(reports achieved l = min distinct sensitive "
                          "values per class)")
     p_kanon.add_argument("--dp-epsilon", type=float, default=None,
-                         help="add a deterministic Laplace(1/epsilon) "
-                         "n_noised column to the released cells")
+                         help="release epsilon-DP noised counts instead of "
+                         "exact ones (deterministic Laplace(1/epsilon) keyed "
+                         "by --dp-seed; requires --dp-seed)")
+    p_kanon.add_argument("--dp-seed", default=None,
+                         help="SECRET PRF key for the DP noise; keep it out "
+                         "of the published artifact — the noise is only DP "
+                         "while this key is secret")
+    p_kanon.add_argument("--dp-include-exact", action="store_true",
+                         help="keep the exact n_individuals/n_classes/"
+                         "min_class_size columns next to n_noised in the "
+                         "written DP release (NOT DP — for on-site "
+                         "side-by-side auditing only)")
 
     p_sql = sub.add_parser(
         "sql",
@@ -1100,12 +1110,28 @@ def main(argv: list[str] | None = None) -> int:
         if unknown:
             raise SystemExit(f"audit-k: unknown columns {unknown}; "
                              f"table has {df.columns}")
+        if args.dp_epsilon is not None and not args.dp_seed:
+            raise SystemExit(
+                "audit-k: --dp-epsilon requires --dp-seed (a secret PRF "
+                "key); deterministic noise without a secret key is "
+                "reversible, not DP"
+            )
         hist = k_anonymity_histogram(df, qi).collect()
-        release = small_cell_release(df, qi, k=args.k, epsilon=args.dp_epsilon)
+        # The exact release drives the on-site accounting below; when DP
+        # is requested the WRITTEN artifact is the noised one (exact
+        # counts excluded unless --dp-include-exact explicitly opts in).
+        release = small_cell_release(df, qi, k=args.k)
         if args.release_to:
-            release.write.mode("overwrite").parquet(args.release_to)
+            written = release
+            if args.dp_epsilon is not None:
+                written = small_cell_release(
+                    df, qi, k=args.k, epsilon=args.dp_epsilon,
+                    dp_seed=args.dp_seed,
+                    include_exact=args.dp_include_exact,
+                )
+            written.write.mode("overwrite").parquet(args.release_to)
         rel_rows = release.collect()
-        pooled = [r for r in rel_rows if r["n_classes"] > 1 or r["min_class_size"] < args.k]
+        pooled = [r for r in rel_rows if r["pooled"]]
         report = {
             "quasi_identifiers": qi,
             "k_threshold": args.k,

@@ -97,15 +97,23 @@ WITH classes AS (
   SELECT n_name, c_mktsegment AS segment, COUNT(*) AS n
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   GROUP BY 1, 2
+),
+tagged AS (
+  SELECT n < 10 AS pooled,
+         CASE WHEN n < 10 THEN NULL ELSE n_name END AS nation_name,
+         CASE WHEN n < 10 THEN NULL ELSE segment END AS segment,
+         n
+  FROM classes
 )
 SELECT
-  CASE WHEN n >= 10 THEN n_name ELSE '<suppressed>' END AS nation_name,
-  CASE WHEN n >= 10 THEN segment ELSE '<suppressed>' END AS segment,
+  CASE WHEN pooled THEN '<suppressed>' ELSE nation_name END AS nation_name,
+  CASE WHEN pooled THEN '<suppressed>' ELSE segment END AS segment,
   CAST(SUM(n) AS BIGINT) AS n_individuals,
   CAST(COUNT(*) AS BIGINT) AS n_classes,
-  CAST(MIN(n) AS BIGINT) AS min_class_size
-FROM classes
-GROUP BY 1, 2
+  CAST(MIN(n) AS BIGINT) AS min_class_size,
+  pooled
+FROM tagged
+GROUP BY pooled, nation_name, segment
 """
 
 
@@ -114,8 +122,11 @@ def deid_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit + small-cell suppression over quasi-identifiers
     (nation, market segment): equivalence classes of at least 10
     individuals release their exact counts; smaller classes pool into
-    one `<suppressed>` row whose totals still reconcile (sum of
-    n_individuals over the release equals the customer row count) —
+    one flag-marked `<suppressed>` row (pooling is the explicit boolean
+    `pooled` carried through the second aggregate, not a string match —
+    a kept class whose value stringifies to the label stays its own
+    row) whose totals still reconcile (sum of n_individuals over the
+    release equals the customer row count) —
     the public Cumulus release convention (count cells below 10 are
     censored before results leave a site) as a distributed operator
     (operators/privacy.py:small_cell_release). Two hash aggregates:

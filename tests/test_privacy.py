@@ -63,6 +63,11 @@ def test_small_cell_release_pools_below_k(spark):
         ("A", "x"): (12, 1, 12),
         (SUPPRESSED, SUPPRESSED): (6, 3, 1),
     }
+    flags = {
+        (r["city"], r["segment"]): r["pooled"]
+        for r in small_cell_release(df, ["city", "segment"], k=10).collect()
+    }
+    assert flags == {("A", "x"): False, (SUPPRESSED, SUPPRESSED): True}
 
 
 def test_threshold_boundary_exactly_k_is_released(spark):
@@ -119,7 +124,7 @@ def test_laplace_noise_exact_python_replay_and_properties(spark):
     got = {
         r["key"]: r["noise"]
         for r in df.select(
-            "key", laplace_noise(F.col("key"), epsilon).alias("noise")
+            "key", laplace_noise(F.col("key"), epsilon, seed="dp").alias("noise")
         ).collect()
     }
 
@@ -136,33 +141,75 @@ def test_laplace_noise_exact_python_replay_and_properties(spark):
     again = {
         r["key"]: r["noise"]
         for r in df.select(
-            "key", laplace_noise(F.col("key"), epsilon).alias("noise")
+            "key", laplace_noise(F.col("key"), epsilon, seed="dp").alias("noise")
         ).collect()
     }
     assert again == got
 
     with pytest.raises(ValueError):
-        laplace_noise(F.col("key"), 0.0)
+        laplace_noise(F.col("key"), 0.0, seed="dp")
+    # no default seed: keyed noise without a secret is reversible, not DP
+    with pytest.raises(ValueError, match="secret seed"):
+        laplace_noise(F.col("key"), epsilon)
 
 
 def test_release_with_dp_epsilon_adds_bounded_noised_counts(spark):
+    import pytest
+
     df = _people(spark)
-    rel = small_cell_release(df, ["city", "segment"], k=3, epsilon=1.0)
-    rows = {
-        (r["city"], r["segment"]): r for r in rel.collect()
-    }
+    # epsilon without a secret seed refuses loudly
+    with pytest.raises(ValueError, match="dp_seed"):
+        small_cell_release(df, ["city", "segment"], k=3, epsilon=1.0)
+
+    rel = small_cell_release(df, ["city", "segment"], k=3, epsilon=1.0,
+                             dp_seed="site-secret")
+    # the DP release excludes exact counts by default: publishing the
+    # exact n next to the noised one would void the noise
+    assert set(rel.columns) == {"city", "segment", "pooled", "n_noised"}
+    rows = {(r["city"], r["segment"]): r for r in rel.collect()}
     assert all(r["n_noised"] >= 0 for r in rows.values())
-    # noise is keyed by the QI tuple -> re-running releases identical counts
+    # noise is keyed by (secret seed, QI tuple) -> re-running with the
+    # same seed releases identical counts; a different seed re-draws
     rows2 = {
         (r["city"], r["segment"]): r["n_noised"]
         for r in small_cell_release(
-            df, ["city", "segment"], k=3, epsilon=1.0
+            df, ["city", "segment"], k=3, epsilon=1.0, dp_seed="site-secret"
         ).collect()
     }
     assert rows2 == {k: r["n_noised"] for k, r in rows.items()}
+    other = {
+        (r["city"], r["segment"]): r["n_noised"]
+        for r in small_cell_release(
+            df, ["city", "segment"], k=3, epsilon=1.0, dp_seed="other-secret"
+        ).collect()
+    }
+    assert other != rows2
+    # explicit opt-in keeps the exact columns for on-site auditing
+    audited = small_cell_release(df, ["city", "segment"], k=3, epsilon=1.0,
+                                 dp_seed="site-secret", include_exact=True)
+    arows = {(r["city"], r["segment"]): r for r in audited.collect()}
+    assert {k: r["n_noised"] for k, r in arows.items()} == rows2
     # with epsilon=1 and counts >= 3, the noised count is within a few b of truth
-    for key, r in rows.items():
+    for key, r in arows.items():
         assert abs(r["n_noised"] - r["n_individuals"]) < 15, key
+
+
+def test_release_pooled_label_collision_stays_separate(spark):
+    """A kept class whose QI value equals the pooled label must NOT merge
+    into the pooled row: pooling is an explicit flag, not a string match.
+    The two rows share display strings and differ only in `pooled`."""
+    rows = [("<suppressed>", "x")] * 12 + [("B", "x")] + [("C", "y")] * 2
+    df = spark.createDataFrame(rows, "city string, segment string")
+    got = {
+        (r["city"], r["segment"], r["pooled"]): (
+            r["n_individuals"], r["n_classes"], r["min_class_size"]
+        )
+        for r in small_cell_release(df, ["city", "segment"], k=10).collect()
+    }
+    assert got == {
+        ("<suppressed>", "x", False): (12, 1, 12),   # the kept class, intact
+        (SUPPRESSED, SUPPRESSED, True): (3, 2, 1),   # the real pooled row
+    }
 
 
 def test_release_matches_dict_model_random_cases(spark):
@@ -230,14 +277,26 @@ def test_audit_k_cli_verb(spark, sf_smoke, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["audit-k", f"{sf_smoke}/customer.parquet", "--quasi", "nope"])
 
-    # l-diversity + DP flags
+    # DP without a secret seed refuses loudly
+    with pytest.raises(SystemExit, match="dp-seed"):
+        main([
+            "audit-k", f"{sf_smoke}/customer.parquet",
+            "--quasi", "c_mktsegment", "--dp-epsilon", "1.0",
+        ])
+
+    # l-diversity + DP flags; the WRITTEN DP release carries only the
+    # QI columns + pooled + n_noised (no exact counts)
+    dp_dir = str(tmp_path / "dp_release")
     rc = main([
         "audit-k", f"{sf_smoke}/customer.parquet",
         "--quasi", "c_mktsegment", "--k", "10",
         "--sensitive", "c_nationkey", "--dp-epsilon", "1.0",
+        "--dp-seed", "site-secret", "--release-to", dp_dir,
     ])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["sensitive_column"] == "c_nationkey"
     assert rep["achieved_l"] >= 1
     assert rep["dp_epsilon"] == 1.0
+    dp_written = spark.read.parquet(dp_dir)
+    assert set(dp_written.columns) == {"c_mktsegment", "pooled", "n_noised"}
