@@ -373,7 +373,9 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("tables_dir")
     p_sql.add_argument("query", help="ANSI SQL; views are the dir's table names")
     p_sql.add_argument("--limit", type=int, default=100,
-                       help="max rows printed (the full result still computes)")
+                       help="max rows printed; Spark pushes the limit into "
+                       "the plan, so non-aggregating queries short-circuit "
+                       "instead of computing the full result")
     p_sql.add_argument("--explain", action="store_true",
                        help="also print the formatted physical plan")
 

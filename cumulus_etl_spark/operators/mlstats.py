@@ -268,14 +268,28 @@ def nb_score(
     and the sum's terms vanish where c = 0 (log 1), so only EXISTING
     model entries join — the score needs an inner join on word plus one
     small cross join with the per-label totals, never a dense
-    |doc words| × |labels| fill-in."""
+    |doc words| × |labels| fill-in.
+
+    Every input id gets a prediction: token counts are left-joined onto
+    the full id set with n_d = 0 for empty/whitespace-only documents,
+    which therefore score prior-only (log P(l)) instead of silently
+    dropping out of the output (and out of any accuracy denominator)."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    doc_len = toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("n_d"))
+    doc_len = (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(
+            toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("n_d")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("n_d", F.lit(0.0)).alias("n_d"))
+    )
     hits = (
         toks.join(word_counts, "word")
         .groupBy("id", "label")

@@ -59,8 +59,15 @@ _LISTS_DIR = "lists"
 
 
 class IvfIndex:
-    """A persistent IVF index rooted at ``root`` (local or object-store
-    path): ``centroids.json`` + ``lists/list_id=N/*.parquet``."""
+    """A persistent IVF index rooted at ``root``: ``centroids.json`` +
+    ``lists/list_id=N/*.parquet``.
+
+    The root must be a LOCAL-FILESYSTEM path: the parquet lists go
+    through Spark readers/writers (which would handle any Hadoop
+    filesystem), but the centroid state, build bookkeeping and doctor
+    checks use plain ``open()``/``os.makedirs``, which fail on
+    ``s3a://``/``abfs://`` URLs.  Routing that state through the Hadoop
+    FileSystem API is the known extension point for object-store roots."""
 
     def __init__(self, spark: SparkSession, root: str,
                  id_col: str = "vec_id", vec_col: str = "embedding"):

@@ -223,6 +223,43 @@ def test_nb_exact_python_replay(spark):
     assert pred == {0: "spam", 1: "spam", 2: "ok", 3: "ok"}
 
 
+def test_nb_empty_docs_get_prior_only_predictions(spark):
+    """Empty/whitespace-only documents must not vanish from the output:
+    they carry no token evidence, so their score is the class log-prior
+    and the predicted label is the majority class."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.mlstats import nb_score, nb_train
+
+    rows = [
+        (0, "spam spam eggs", "spam"),
+        (1, "spam ham", "spam"),
+        (2, "toast jam", "ok"),
+        (3, "", "ok"),          # empty text
+        (4, "   ", "ok"),       # whitespace-only text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    wc, stats = nb_train(docs, "text", F.col("y"))
+    scored = nb_score(docs, wc, stats, "doc_id", "text")
+    # one row per (doc, label) for ALL five docs, including the empty ones
+    assert scored.count() == 5 * 2
+    got = {
+        (r["id"], r["label"]): r["log_prob"]
+        for r in scored.collect()
+    }
+    for i in (3, 4):
+        assert got[(i, "spam")] == pytest.approx(math.log(2 / 5), abs=1e-12)
+        assert got[(i, "ok")] == pytest.approx(math.log(3 / 5), abs=1e-12)
+    pred = {
+        r["id"]: r["label"]
+        for r in scored.filter(F.col("rank") == 1).collect()
+    }
+    assert pred[3] == "ok" and pred[4] == "ok"  # the majority prior wins
+
+
 def test_nb_multiclass_and_cli(spark, sf_smoke, tmp_path, capsys):
     import json
 
