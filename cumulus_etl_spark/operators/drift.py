@@ -1,0 +1,92 @@
+"""Distribution-drift detection between two dataset snapshots: PSI.
+
+A 100-TB training-data pipeline re-ingests continuously; the question
+"did this month's data shift under the model?" is answered by comparing
+the feature distribution of a new snapshot against a reference one.
+The Population Stability Index is the standard industry test:
+
+    PSI = sum_buckets (pct_actual - pct_expected) * ln(pct_actual / pct_expected)
+
+with the conventional reading PSI < 0.1 stable, 0.1-0.25 moderate
+drift, > 0.25 action required.
+
+Scale shape: each side collapses to its bucket histogram in ONE hash
+aggregate (map-side combine makes the shuffle |buckets|-sized, not
+row-count-sized), then a |buckets|-row full outer join computes the
+per-bucket contributions — the only data movement proportional to the
+input is the two scans.  No UDFs, no collects; fixed-width bucketing is
+floor division, so both engines (and any two runs) bin identically,
+which quantile-edge bucketing cannot promise across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int = 20,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """Per-bucket PSI contributions between a reference (``expected``)
+    and a new (``actual``) snapshot of ``value_col``.
+
+    Values bin by fixed-width floor division into ``n_buckets`` buckets
+    (the last is open-ended, the histogram convention shared with the
+    release count tables); a bucket empty on one side gets the
+    ``min_pct`` floor (the standard PSI epsilon) so the log stays
+    finite while the contribution still registers the appearance or
+    disappearance of mass.
+
+    Output, one row per occupied bucket ordered by bucket id:
+    ``bucket``, ``n_expected``, ``n_actual`` (bigint counts),
+    ``pct_expected``, ``pct_actual`` (6-decimal shares) and
+    ``psi_contrib`` (6-decimal contribution).  ``sum(psi_contrib)`` is
+    the PSI; rounding is for cross-engine hash stability of ln (same
+    discipline as the reservoir scores: adjacent contributions differ
+    by far more than one ulp of libm ln).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def hist(df: DataFrame, n_alias: str) -> DataFrame:
+        bucket = F.least(
+            F.floor(F.col(value_col) / bucket_width).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_alias)
+        )
+
+    from pyspark.sql.window import Window
+
+    e = hist(expected, "n_expected")
+    a = hist(actual, "n_actual")
+    joined = e.join(a, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    )
+    # side totals come from the |buckets|-row frame itself (an
+    # unpartitioned window over ~n_buckets rows), NOT from extra
+    # .count() actions — each input is scanned exactly once
+    everything = Window.partitionBy()
+    e_total = F.sum("n_expected").over(everything).cast("double")
+    a_total = F.sum("n_actual").over(everything).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("bucket")

