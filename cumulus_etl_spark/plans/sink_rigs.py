@@ -89,6 +89,65 @@ def merge_upsert_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register("ann_index_lifecycle", None, tags=("vector", "streaming", "bench"),
+          bench_only=True)
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock on the persistent IVF index's full lifecycle
+    (streaming/ann_index.py; round-10 verdict ask 3): build frozen
+    centroids from the embeddings table, ingest the corpus in TWO
+    streaming waves (new files landing in the same zone — the
+    incremental path a 100 TB embedding feed exercises daily), then
+    search a FIXED 100-query set (fixed so the measured search cost
+    scales with the corpus, not with queries x corpus).  Returns one
+    accounting row — rows ingested, non-empty lists, list imbalance
+    (max/mean, the probe-cost skew stat SCALE.md tracks), and matched
+    neighbors — so bench.py materializes every phase.
+
+    Bench-only by the merge_upsert_throughput precedent (tmp state
+    built and deleted inside the entry): search CORRECTNESS is already
+    pinned ≡ batch ann_ivf and partition pruning is inputFiles()-proven
+    in tests/test_ann_index.py; this entry exists to put numbers on
+    ingest throughput and probe cost."""
+    import os
+
+    from cumulus_etl_spark.streaming.ann_index import IvfIndex
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_bench_")
+    landing = os.path.join(root, "landing")
+    try:
+        idx = IvfIndex(spark, os.path.join(root, "ivf"))
+        idx.build(emb, n_centroids=16)
+        # wave 1: even ids land, ingest; wave 2: odd ids land, ingest —
+        # the second pass must touch only the NEW files (availableNow +
+        # checkpoint), which is exactly what the wall-clock should price
+        emb.filter(F.col("vec_id") % 2 == 0).write.parquet(
+            landing, mode="overwrite"
+        )
+        idx.ingest(landing)
+        emb.filter(F.col("vec_id") % 2 == 1).write.parquet(
+            landing, mode="append"
+        )
+        idx.ingest(landing)
+        stats = idx.stats()
+        queries = emb.filter(F.col("vec_id") < 100)
+        hits = idx.search(queries, k=10, n_probe=4)
+        n_hits = hits.count()
+        return spark.createDataFrame(
+            [(
+                int(stats["n_rows"]),
+                int(stats["n_lists_nonempty"]),
+                float(stats["imbalance_max_over_mean"] or 0.0),
+                int(stats["n_files"]),
+                int(n_hits),
+            )],
+            "n_rows bigint, n_lists bigint, imbalance double, "
+            "n_files bigint, n_hits bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("nb_classify_throughput", None, tags=("ml", "text", "bench"), bench_only=True)
 def nb_classify_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality/domain filtering as a bench number: train

@@ -320,3 +320,26 @@ def test_search_scan_reads_only_probed_partitions(spark, sf_smoke, tmp_path):
         .select(F.input_file_name()).distinct().collect()
     }
     assert len(all_parts) > len(read)
+
+
+def test_ann_index_lifecycle_bench_rig(spark, sf_smoke):
+    """The bench-only lifecycle rig (plans/sink_rigs.py) returns one
+    accounting row whose numbers reconcile with the corpus: every
+    embedding ingested exactly once across the two waves, k results per
+    query, and a bounded list imbalance."""
+    import duckdb
+
+    from cumulus_etl_spark.plans.catalog import BENCH_RIGS
+
+    row = BENCH_RIGS["ann_index_lifecycle"].build(spark, sf_smoke).collect()[0]
+    n_emb = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_smoke}/embeddings.parquet')"
+    ).fetchone()[0]
+    n_queries = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_smoke}/embeddings.parquet') "
+        "WHERE vec_id < 100"
+    ).fetchone()[0]
+    assert row["n_rows"] == n_emb          # both waves landed, no re-appends
+    assert row["n_hits"] == n_queries * 10  # k neighbors for every query
+    assert 1 <= row["n_lists"] <= 16
+    assert row["imbalance"] >= 1.0
