@@ -411,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
         "invariants per table",
     )
     p_doc.add_argument("lake_dir")
+    p_doc.add_argument("--sample-files", type=int, default=None,
+                       help="cap the schema-drift pass at this many parquet "
+                       "footers per version (evenly spaced over the sorted "
+                       "listing, first and last always included); default "
+                       "reads every footer — set a cap on million-file "
+                       "lakes to keep the driver-side sweep to minutes")
 
     p_stats = sub.add_parser(
         "stats", help="per-table row counts / versions / on-disk bytes for a lake dir"
@@ -1213,7 +1219,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "doctor":
         from cumulus_etl_spark.sinks.doctor import diagnose_lake
 
-        report = diagnose_lake(args.lake_dir)
+        report = diagnose_lake(args.lake_dir, sample_files=args.sample_files)
         print(json.dumps(report))
         return 0 if report["status"] != "critical" else 2
     if args.verb == "sql":

@@ -39,24 +39,42 @@ def _vnums(path: str) -> list[int]:
     )
 
 
-def _version_schema(vdir: str) -> dict[str, str] | None:
-    """Column → arrow-type map for a version dir, UNIONED across every
-    parquet footer (recursing into __bucket=N subdirs): the sink
-    hardlinks unchanged files from the previous version, so a single
-    footer reflects one file's vintage, not the version's read schema
-    (which Spark assembles with mergeSchema). Footer reads are
-    metadata-only; pyarrow, no Spark session — the doctor stays cheap
-    and side-effect-free. On an intra-version type conflict the later
-    file wins (the cross-version comparison still surfaces the change)."""
+def _version_schema(vdir: str, sample_files: int | None = None) -> dict[str, str] | None:
+    """Column → arrow-type map for a version dir, UNIONED across parquet
+    footers (recursing into __bucket=N subdirs): the sink hardlinks
+    unchanged files from the previous version, so a single footer
+    reflects one file's vintage, not the version's read schema (which
+    Spark assembles with mergeSchema). Footer reads are metadata-only;
+    pyarrow, no Spark session — the doctor stays cheap and
+    side-effect-free. On an intra-version type conflict the later file
+    wins (the cross-version comparison still surfaces the change).
+
+    ``sample_files`` caps the footers read per version: the sweep is
+    driver-side and one-file-at-a-time, so on a 10^5-10^6-file version
+    the unbounded walk turns a read-only diagnostic into an hours-long
+    loop.  When capped, files are picked evenly spaced across the
+    sorted listing (always including the first and last) — drift
+    arriving with a new write lands in the newest files, which a
+    prefix-only sample would skip."""
     import pyarrow.parquet as pq
 
+    paths = sorted(
+        os.path.join(base, f)
+        for base, _dirs, files in os.walk(vdir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if sample_files is not None and sample_files > 0 and len(paths) > sample_files:
+        if sample_files == 1:
+            paths = [paths[-1]]
+        else:
+            step = (len(paths) - 1) / (sample_files - 1)
+            paths = [paths[round(i * step)] for i in range(sample_files)]
     merged: dict[str, str] = {}
-    for base, _dirs, files in sorted(os.walk(vdir)):
-        for f in sorted(files):
-            if f.endswith(".parquet"):
-                schema = pq.read_schema(os.path.join(base, f))
-                for name, t in zip(schema.names, schema.types):
-                    merged[name] = str(t)
+    for p in paths:
+        schema = pq.read_schema(p)
+        for name, t in zip(schema.names, schema.types):
+            merged[name] = str(t)
     return merged or None
 
 
@@ -83,8 +101,12 @@ def _schema_drift(prev: dict[str, str], cur: dict[str, str]) -> list[str]:
     return issues
 
 
-def diagnose_table(path: str) -> dict:
-    """Integrity report for one ManagedTable directory."""
+def diagnose_table(path: str, sample_files: int | None = None) -> dict:
+    """Integrity report for one ManagedTable directory.
+
+    ``sample_files`` bounds the schema-drift pass to that many parquet
+    footers per version (see ``_version_schema``); None reads them all.
+    """
     issues: list[str] = []
     report: dict = {"path": path}
 
@@ -129,8 +151,10 @@ def diagnose_table(path: str) -> dict:
     if isinstance(cur, int) and cur in versions:
         older = [v for v in versions if v < cur]
         if older:
-            prev_schema = _version_schema(os.path.join(path, f"v{older[-1]}"))
-            cur_schema = _version_schema(os.path.join(path, f"v{cur}"))
+            prev_schema = _version_schema(
+                os.path.join(path, f"v{older[-1]}"), sample_files
+            )
+            cur_schema = _version_schema(os.path.join(path, f"v{cur}"), sample_files)
             if prev_schema and cur_schema:
                 issues.extend(_schema_drift(prev_schema, cur_schema))
 
@@ -180,9 +204,10 @@ def diagnose_table(path: str) -> dict:
     return report
 
 
-def diagnose_lake(root: str) -> dict:
+def diagnose_lake(root: str, sample_files: int | None = None) -> dict:
     """Reports on every table directory under ``root`` (a dir counts as a
-    table if it has a _CURRENT pointer or any vN dir)."""
+    table if it has a _CURRENT pointer or any vN dir).  ``sample_files``
+    bounds each table's schema-drift footer sweep."""
     tables: dict[str, dict] = {}
     if not os.path.isdir(root):
         raise ValueError(f"not a directory: {root}")
@@ -191,7 +216,7 @@ def diagnose_lake(root: str) -> dict:
         if not os.path.isdir(p):
             continue
         if os.path.exists(os.path.join(p, CURRENT_POINTER)) or _vnums(p):
-            tables[e] = diagnose_table(p)
+            tables[e] = diagnose_table(p, sample_files)
     worst = "ok"
     for rep in tables.values():
         if rep["status"] == "critical":

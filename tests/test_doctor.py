@@ -116,3 +116,57 @@ def test_schema_drift_removed_and_retyped_columns_warn(spark, tmp_path):
     assert rep["status"] == "warn"
     assert any("['gone'] present in the previous version" in i for i in rep["issues"])
     assert any("value: int64 -> double" in i for i in rep["issues"])
+
+
+def test_sample_files_bounds_footer_sweep_and_still_catches_drift(
+    spark, tmp_path, monkeypatch
+):
+    """--sample-files caps the driver-side footer loop per version (the
+    million-file-lake guard) while still catching drift that lands in
+    the newest files: the cap's even spacing always includes the last
+    file of the sorted listing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(str(tmp_path), "t")
+    os.makedirs(os.path.join(root, "v1"))
+    os.makedirs(os.path.join(root, "v2"))
+    for i in range(40):
+        pq.write_table(
+            pa.table({"id": ["a"], "value": pa.array([1], pa.int64())}),
+            os.path.join(root, "v1", f"part-{i:05d}.parquet"),
+        )
+    # v2: 39 unchanged files + the drift (a retype) only in the LAST file
+    for i in range(39):
+        pq.write_table(
+            pa.table({"id": ["a"], "value": pa.array([1], pa.int64())}),
+            os.path.join(root, "v2", f"part-{i:05d}.parquet"),
+        )
+    pq.write_table(
+        pa.table({"id": ["a"], "value": pa.array([1.5], pa.float64())}),
+        os.path.join(root, "v2", "part-00039.parquet"),
+    )
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        json.dump({"version": 2}, fh)
+
+    import cumulus_etl_spark.sinks.doctor as doctor_mod
+
+    reads = []
+    real = __import__("pyarrow.parquet", fromlist=["read_schema"]).read_schema
+
+    def counting(path, *a, **kw):
+        reads.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr("pyarrow.parquet.read_schema", counting)
+    rep = doctor_mod.diagnose_table(root, sample_files=8)
+    assert len(reads) <= 16  # <= 8 footers per version, two versions
+    assert any("value: int64 -> double" in i for i in rep["issues"])
+
+    # CLI flag threads through and the bound holds end-to-end
+    from cumulus_etl_spark.cli import main
+
+    reads.clear()
+    rc = main(["doctor", str(tmp_path), "--sample-files", "4"])
+    assert rc == 0
+    assert len(reads) <= 8
