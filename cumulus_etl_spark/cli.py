@@ -405,6 +405,21 @@ def main(argv: list[str] | None = None) -> int:
     p_zo.add_argument("--files", type=int, default=16,
                       help="output file count (one Z-range per file)")
 
+    p_drift = sub.add_parser(
+        "drift",
+        help="PSI distribution drift between two parquet snapshots of a "
+        "numeric column (reference vs new)",
+    )
+    p_drift.add_argument("expected_path", help="reference snapshot (parquet)")
+    p_drift.add_argument("actual_path", help="new snapshot (parquet)")
+    p_drift.add_argument("--column", required=True,
+                         help="numeric column to compare")
+    p_drift.add_argument("--bucket-width", type=float, required=True,
+                         help="fixed histogram bucket width (fixed-width "
+                         "binning keeps the comparison deterministic)")
+    p_drift.add_argument("--buckets", type=int, default=20,
+                         help="bucket count; the last is open-ended")
+
     p_doc = sub.add_parser(
         "doctor",
         help="read-only lake integrity check: pointer/version/change-feed "
@@ -1160,6 +1175,44 @@ def main(argv: list[str] | None = None) -> int:
         if args.dp_epsilon is not None:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
+        return 0
+    if args.verb == "drift":
+        from pyspark.sql import functions as F
+
+        from cumulus_etl_spark.operators.drift import psi_drift
+
+        expected = spark.read.parquet(args.expected_path)
+        actual = spark.read.parquet(args.actual_path)
+        for side, df in (("expected", expected), ("actual", actual)):
+            if args.column not in df.columns:
+                raise SystemExit(
+                    f"drift: column {args.column!r} not in the {side} "
+                    f"snapshot; it has {df.columns}"
+                )
+        rows = psi_drift(
+            expected, actual, args.column,
+            bucket_width=args.bucket_width, n_buckets=args.buckets,
+        ).collect()
+        psi = round(sum(r["psi_contrib"] for r in rows), 6)
+        # the standard PSI reading: <0.1 stable, 0.1-0.25 moderate, >0.25 act
+        verdict = (
+            "stable" if psi < 0.1
+            else "moderate" if psi <= 0.25
+            else "action"
+        )
+        print(json.dumps({
+            "column": args.column,
+            "psi": psi,
+            "verdict": verdict,
+            "n_expected": sum(r["n_expected"] for r in rows),
+            "n_actual": sum(r["n_actual"] for r in rows),
+            "buckets": [
+                {"bucket": r["bucket"], "n_expected": r["n_expected"],
+                 "n_actual": r["n_actual"], "pct_expected": r["pct_expected"],
+                 "pct_actual": r["pct_actual"], "psi_contrib": r["psi_contrib"]}
+                for r in rows
+            ],
+        }))
         return 0
     if args.verb == "changepoints":
         from pyspark.sql import functions as F

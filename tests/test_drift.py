@@ -85,3 +85,39 @@ def test_psi_single_stage_per_side(spark):
     plan = psi_drift(e, a, "x", 1.0, 4)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 2
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_drift_cli_verb(spark, tmp_path, capsys):
+    import json
+
+    import pytest
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "ref"), str(tmp_path / "new")
+    _snap(spark, [0.5] * 80 + [1.5] * 20).write.parquet(e_path)
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--column", "x",
+               "--bucket-width", "1.0", "--buckets", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["column"] == "x"
+    assert rep["n_expected"] == 100 and rep["n_actual"] == 100
+    want = round(
+        (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(0.5 / 0.2), 6
+    )
+    assert rep["psi"] == pytest.approx(want, abs=1e-6)
+    assert rep["verdict"] == "action"  # a 30-point share move is > 0.25
+    assert len(rep["buckets"]) == 2
+
+    # identical snapshots read as stable
+    rc = main(["drift", e_path, e_path, "--column", "x",
+               "--bucket-width", "1.0"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] == 0.0 and rep["verdict"] == "stable"
+
+    # unknown column fails loudly
+    with pytest.raises(SystemExit, match="drift: column"):
+        main(["drift", e_path, a_path, "--column", "nope",
+              "--bucket-width", "1.0"])
