@@ -25,6 +25,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bucketize(value_col: str, bucket_width: float, n_buckets: int):
+    """The shared fixed-width bucket expression: floor division clamped
+    into ``n_buckets`` buckets, the last open-ended.  One definition so
+    the batch operator and the streaming monitor can never bin apart."""
+    return F.least(
+        F.floor(F.col(value_col) / bucket_width).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+
+
+def psi_from_counts(
+    hist_expected: DataFrame,
+    hist_actual: DataFrame,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """PSI contributions from two pre-computed bucket histograms —
+    ``(bucket, n_expected)`` and ``(bucket, n_actual)`` frames.  This is
+    the |buckets|-row tail of ``psi_drift`` split out so an
+    incrementally-maintained histogram (streaming/drift.py) reports
+    through EXACTLY the same arithmetic as the batch operator."""
+    from pyspark.sql.window import Window
+
+    joined = hist_expected.join(hist_actual, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    )
+    # side totals come from the |buckets|-row frame itself (an
+    # unpartitioned window over ~n_buckets rows), NOT from extra
+    # .count() actions — each input is scanned exactly once
+    everything = Window.partitionBy()
+    e_total = F.sum("n_expected").over(everything).cast("double")
+    a_total = F.sum("n_actual").over(everything).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("bucket")
+
+
 def psi_drift(
     expected: DataFrame,
     actual: DataFrame,
@@ -57,36 +102,11 @@ def psi_drift(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
 
     def hist(df: DataFrame, n_alias: str) -> DataFrame:
-        bucket = F.least(
-            F.floor(F.col(value_col) / bucket_width).cast("int"),
-            F.lit(n_buckets - 1),
-        )
+        bucket = bucketize(value_col, bucket_width, n_buckets)
         return df.groupBy(bucket.alias("bucket")).agg(
             F.count(F.lit(1)).cast("bigint").alias(n_alias)
         )
 
-    from pyspark.sql.window import Window
-
-    e = hist(expected, "n_expected")
-    a = hist(actual, "n_actual")
-    joined = e.join(a, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
-        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    return psi_from_counts(
+        hist(expected, "n_expected"), hist(actual, "n_actual"), min_pct
     )
-    # side totals come from the |buckets|-row frame itself (an
-    # unpartitioned window over ~n_buckets rows), NOT from extra
-    # .count() actions — each input is scanned exactly once
-    everything = Window.partitionBy()
-    e_total = F.sum("n_expected").over(everything).cast("double")
-    a_total = F.sum("n_actual").over(everything).cast("double")
-    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
-    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
-    return joined.select(
-        "bucket",
-        "n_expected",
-        "n_actual",
-        F.round(pe, 6).alias("pct_expected"),
-        F.round(pa, 6).alias("pct_actual"),
-        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
-    ).orderBy("bucket")

@@ -1,0 +1,204 @@
+"""Streaming PSI drift monitor: an incrementally maintained histogram
+compared against a frozen reference.
+
+The batch operator (operators/drift.py:psi_drift, oracled as
+`profile_psi_drift`) answers "did snapshot B shift from snapshot A" in
+two scans; a LANDING ZONE wants the running answer as data arrives —
+"has this week's ingest drifted from the blessed reference yet?" —
+without rescanning history.  Bucket counts are trivially mergeable
+(two histograms over disjoint data add bucket-wise), so the persistent
+state is just the ≤ n_buckets cumulative rows of the actual side plus
+the frozen reference histogram.
+
+Replay discipline (the CMS/HDR sibling rule): count addition is
+NON-idempotent, so the stream's batch_id is written into the actual
+rows and a replayed micro-batch (crash between the fold merge and the
+stream's offset commit) is detected by its watermark and skipped, never
+double-counted.
+
+The report goes through operators/drift.py:psi_from_counts — the SAME
+|buckets|-row arithmetic the oracled batch operator ends with — and the
+invariant pinned in tests: after ANY batch split, the monitor's report
+EQUALS psi_drift(reference, concat(batches)).
+
+Scale shape: per batch, one map-side-combined hash aggregate (the
+shuffle carries ≤ n_buckets rows per input partition) plus a merge of a
+≤ n_buckets-row frame; state is ≤ 2 × n_buckets rows forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.drift import bucketize, psi_from_counts
+from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
+
+HIST_TABLE = "psi_hist"
+_CONFIG_FILE = "_psi_config.json"
+
+
+class StreamingPsiMonitor:
+    """Persistent drift monitor under ``root``: a frozen reference
+    histogram plus cumulative actual-side bucket counts.
+
+    ``root`` is local-filesystem (the config sidecar uses plain open(),
+    the ann_index contract); the histogram state itself is a
+    ManagedTable and merges atomically."""
+
+    def __init__(self, spark: SparkSession, root: str, value_col: str,
+                 bucket_width: float, n_buckets: int = 20):
+        if bucket_width <= 0:
+            raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+        if n_buckets < 2:
+            raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+        self.spark = spark
+        self.root = root
+        self.value_col = value_col
+        self.bucket_width = float(bucket_width)
+        self.n_buckets = int(n_buckets)
+        self.table = ManagedTable(spark, root, HIST_TABLE)
+        self._policy = MergePolicy(
+            keys=("side", "bucket"),
+            group_field="side",
+            last_updated_field=None,
+            num_buckets=1,
+        )
+        cfg_path = os.path.join(root, _CONFIG_FILE)
+        cfg = {
+            "value_col": value_col,
+            "bucket_width": self.bucket_width,
+            "n_buckets": self.n_buckets,
+        }
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as fh:
+                stored = json.load(fh)
+            if stored != cfg:
+                raise ValueError(
+                    f"monitor root {root!r} was created with {stored}; "
+                    f"reopened with {cfg} — mismatched binning would "
+                    "corrupt the cumulative histogram"
+                )
+        else:
+            os.makedirs(root, exist_ok=True)
+            with open(cfg_path, "w") as fh:
+                json.dump(cfg, fh)
+
+    # ---- histogram plumbing ------------------------------------------------
+
+    def _hist(self, rows: DataFrame) -> DataFrame:
+        bucket = bucketize(self.value_col, self.bucket_width, self.n_buckets)
+        return rows.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    def _side(self, side: str) -> DataFrame | None:
+        state = self.table.read()
+        if state is None:
+            return None
+        got = state.filter(F.col("side") == side).select("bucket", "n", "last_batch")
+        return got
+
+    # ---- reference ---------------------------------------------------------
+
+    def set_reference(self, reference: DataFrame) -> None:
+        """Freeze the reference histogram (one scan).  Re-pointing the
+        monitor at a new reference is an explicit re-baseline: the whole
+        'expected' group is replaced atomically; the cumulative actual
+        side is untouched."""
+        hist = (
+            self._hist(reference)
+            .withColumn("side", F.lit("expected"))
+            .withColumn("last_batch", F.lit(-1).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= n_buckets rows
+        )
+        self.table.merge(hist, self._policy)
+
+    # ---- ingest ------------------------------------------------------------
+
+    def ingest_batch(self, rows: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch's histogram into the cumulative actual
+        side (whole-group replacement of ≤ n_buckets rows).  The
+        batch_id watermark rides in the rows: a replayed batch is
+        skipped, not double-counted (count addition is non-idempotent —
+        the sketch-sibling discipline)."""
+        prior = self._side("actual")
+        prior_batch = -1
+        if prior is not None:
+            got = prior.agg(F.max("last_batch")).collect()[0][0]
+            prior_batch = -1 if got is None else got
+        if batch_id is None:
+            batch_id = prior_batch + 1
+        if batch_id <= prior_batch:
+            return  # replay: already folded
+        delta = self._hist(rows)
+        summed = (
+            delta
+            if prior is None
+            else delta.unionByName(prior.select("bucket", "n"))
+            .groupBy("bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        new = (
+            summed.withColumn("side", F.lit("actual"))
+            .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= n_buckets rows
+        )
+        self.table.merge(new, self._policy)
+
+    # ---- report ------------------------------------------------------------
+
+    def report(self, min_pct: float = 1e-6) -> DataFrame:
+        """Per-bucket PSI contributions of everything ingested so far vs
+        the frozen reference — psi_from_counts, i.e. bit-for-bit the
+        batch operator's arithmetic over the same counts."""
+        expected = self._side("expected")
+        actual = self._side("actual")
+        if expected is None or expected.limit(1).count() == 0:
+            raise ValueError("no reference histogram: call set_reference first")
+        e = expected.select("bucket", F.col("n").alias("n_expected"))
+        if actual is None:
+            actual = self.spark.createDataFrame([], "bucket int, n bigint")
+        a = actual.select("bucket", F.col("n").alias("n_actual"))
+        return psi_from_counts(e, a, min_pct)
+
+    def psi(self, min_pct: float = 1e-6) -> float:
+        """The scalar PSI (sum of contributions)."""
+        got = self.report(min_pct).agg(F.sum("psi_contrib")).collect()[0][0]
+        return round(float(got or 0.0), 6)
+
+
+def streaming_psi(
+    spark: SparkSession,
+    input_dir: str,
+    monitor_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    value_col: str,
+    reference: DataFrame,
+    bucket_width: float,
+    n_buckets: int = 20,
+) -> StreamingPsiMonitor:
+    """Checkpointed ingest: parquet rows landing in ``input_dir`` fold
+    into the persistent monitor batch by batch (availableNow; the
+    streaming_reservoir shape).  The reference is frozen on first open;
+    an existing monitor keeps its baseline."""
+    mon = StreamingPsiMonitor(
+        spark, monitor_root, value_col, bucket_width, n_buckets
+    )
+    if mon._side("expected") is None:
+        mon.set_reference(reference)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: mon.ingest_batch(batch_df, batch_id=batch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return mon

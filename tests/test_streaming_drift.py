@@ -1,0 +1,101 @@
+"""Streaming PSI drift monitor (streaming/drift.py).
+
+The pinned invariant: after ANY batch split, the monitor's report equals
+psi_drift(reference, concat(batches)) — the oracled batch operator
+(`profile_psi_drift`) over the same data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cumulus_etl_spark.operators.drift import psi_drift
+from cumulus_etl_spark.streaming.drift import StreamingPsiMonitor, streaming_psi
+
+
+def _snap(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "x double")
+
+
+def _rows(report):
+    return sorted(tuple(r) for r in report.collect())
+
+
+def test_streaming_fold_equals_batch_psi_over_any_split(spark, tmp_path):
+    ref = [0.5] * 40 + [1.5] * 40 + [2.5] * 20
+    arriving = [0.5] * 10 + [1.5] * 50 + [2.5] * 40
+    mon = StreamingPsiMonitor(spark, str(tmp_path / "mon"), "x", 1.0, 4)
+    mon.set_reference(_snap(spark, ref))
+    # three uneven batches
+    for lo, hi in ((0, 7), (7, 60), (60, 100)):
+        mon.ingest_batch(_snap(spark, arriving[lo:hi]))
+    want = psi_drift(_snap(spark, ref), _snap(spark, arriving), "x", 1.0, 4)
+    assert _rows(mon.report()) == _rows(want)
+    total = want.agg(F.sum("psi_contrib")).collect()[0][0]
+    assert mon.psi() == pytest.approx(round(total, 6), abs=1e-9)
+
+
+def test_replayed_batch_is_skipped_not_double_counted(spark, tmp_path):
+    mon = StreamingPsiMonitor(spark, str(tmp_path / "mon"), "x", 1.0, 4)
+    mon.set_reference(_snap(spark, [0.5] * 10))
+    mon.ingest_batch(_snap(spark, [0.5] * 5), batch_id=0)
+    before = _rows(mon.report())
+    mon.ingest_batch(_snap(spark, [0.5] * 5), batch_id=0)  # crash replay
+    assert _rows(mon.report()) == before
+    mon.ingest_batch(_snap(spark, [1.5] * 5), batch_id=1)  # new batch folds
+    after = {r["bucket"]: r["n_actual"] for r in mon.report().collect()}
+    assert after == {0: 5, 1: 5}
+
+
+def test_rebaseline_replaces_reference_keeps_actuals(spark, tmp_path):
+    mon = StreamingPsiMonitor(spark, str(tmp_path / "mon"), "x", 1.0, 4)
+    mon.set_reference(_snap(spark, [0.5] * 10))
+    mon.ingest_batch(_snap(spark, [0.5] * 6 + [1.5] * 2))
+    assert mon.psi() > 0.0
+    # re-baseline to the observed distribution: drift reads zero
+    mon.set_reference(_snap(spark, [0.5] * 6 + [1.5] * 2))
+    assert mon.psi() == 0.0
+    counts = {r["bucket"]: r["n_actual"] for r in mon.report().collect()}
+    assert counts == {0: 6, 1: 2}  # cumulative actuals untouched
+
+
+def test_mismatched_binning_refuses_to_reopen(spark, tmp_path):
+    root = str(tmp_path / "mon")
+    StreamingPsiMonitor(spark, root, "x", 1.0, 4)
+    with pytest.raises(ValueError, match="mismatched binning"):
+        StreamingPsiMonitor(spark, root, "x", 2.0, 4)
+    with pytest.raises(ValueError, match="mismatched binning"):
+        StreamingPsiMonitor(spark, root, "y", 1.0, 4)
+    # same config reopens fine
+    StreamingPsiMonitor(spark, root, "x", 1.0, 4)
+
+
+def test_report_without_reference_fails_loudly(spark, tmp_path):
+    mon = StreamingPsiMonitor(spark, str(tmp_path / "mon"), "x", 1.0, 4)
+    with pytest.raises(ValueError, match="set_reference"):
+        mon.report()
+
+
+def test_streaming_psi_availablenow_checkpointed(spark, tmp_path):
+    """End-to-end wrapper: files land, fold; a second run with no new
+    files is a no-op (availableNow + checkpoint); new files fold
+    incrementally and the report tracks the batch operator."""
+    landing = str(tmp_path / "landing")
+    ref = _snap(spark, [0.5] * 50 + [1.5] * 50)
+    wave1 = [0.5] * 30 + [1.5] * 10
+    _snap(spark, wave1).write.parquet(landing)
+    args = (spark, landing, str(tmp_path / "mon"), str(tmp_path / "ckpt"),
+            "x double", "x", ref, 1.0, 4)
+    mon = streaming_psi(*args)
+    want1 = psi_drift(ref, _snap(spark, wave1), "x", 1.0, 4)
+    assert _rows(mon.report()) == _rows(want1)
+
+    mon = streaming_psi(*args)  # no new files: identical state
+    assert _rows(mon.report()) == _rows(want1)
+
+    wave2 = [1.5] * 40
+    _snap(spark, wave2).write.parquet(landing, mode="append")
+    mon = streaming_psi(*args)
+    want2 = psi_drift(ref, _snap(spark, wave1 + wave2), "x", 1.0, 4)
+    assert _rows(mon.report()) == _rows(want2)
