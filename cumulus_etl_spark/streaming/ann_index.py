@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cumulus_etl_spark.sources import hadoop_io
 from cumulus_etl_spark.operators.similarity import (
     _nearest_centroids,
     as_double_array,
@@ -62,12 +63,14 @@ class IvfIndex:
     """A persistent IVF index rooted at ``root``: ``centroids.json`` +
     ``lists/list_id=N/*.parquet``.
 
-    The root must be a LOCAL-FILESYSTEM path: the parquet lists go
-    through Spark readers/writers (which would handle any Hadoop
-    filesystem), but the centroid state, build bookkeeping and doctor
-    checks use plain ``open()``/``os.makedirs``, which fail on
-    ``s3a://``/``abfs://`` URLs.  Routing that state through the Hadoop
-    FileSystem API is the known extension point for object-store roots."""
+    The root may live on ANY filesystem the session's Hadoop
+    configuration can resolve (local path, ``file://``, ``s3a://``,
+    ``abfs://``, ...): the parquet lists and the streaming checkpoint
+    already go through Spark, and the centroid/codebook sidecar goes
+    through the Hadoop FileSystem API (sources/hadoop_io.py) rather
+    than plain ``open()``/``os.makedirs`` — pinned by the ``file://``
+    round-trip in tests/test_ann_index.py, a URI scheme the os-path
+    calls would reject."""
 
     def __init__(self, spark: SparkSession, root: str,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -83,8 +86,7 @@ class IvfIndex:
         return os.path.join(self.root, _CENTROIDS_FILE)
 
     def _state(self) -> dict:
-        with open(self._centroids_path) as fh:
-            return json.load(fh)
+        return json.loads(hadoop_io.read_text(self.spark, self._centroids_path))
 
     def centroids(self) -> list[list[float]]:
         return self._state()["centroids"]
@@ -128,9 +130,7 @@ class IvfIndex:
                 corpus, n_sub=pq_sub, k=pq_k, vec_col=self.vec_col,
                 id_col=self.id_col, sample_rows=sample_rows, seed=seed,
             )
-        os.makedirs(self.root, exist_ok=True)
-        with open(self._centroids_path, "w") as fh:
-            json.dump(state, fh)
+        hadoop_io.write_text(self.spark, self._centroids_path, json.dumps(state))
         return len(cents)
 
     def ingest(self, landing_dir: str, compact: bool = False) -> None:
@@ -176,11 +176,13 @@ class IvfIndex:
         the old root is left untouched for the caller to delete after
         cutover. Re-assignment cost is one expression-only scan of the
         landing zone — no shuffle beyond the partitioned write."""
-        if os.path.exists(new_root):
+        if hadoop_io.exists(self.spark, new_root):
             raise ValueError(f"rebuild target {new_root} already exists")
-        os.makedirs(new_root)
-        with open(os.path.join(new_root, _CENTROIDS_FILE), "w") as fh:
-            json.dump(self._state(), fh)
+        hadoop_io.write_text(
+            self.spark,
+            os.path.join(new_root, _CENTROIDS_FILE),
+            json.dumps(self._state()),
+        )
         new = IvfIndex(self.spark, new_root, id_col=self.id_col, vec_col=self.vec_col)
         new.ingest(landing_dir, compact=True)
         return new

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cumulus_etl_spark.operators.drift import bucketize, psi_from_counts
+from cumulus_etl_spark.sources import hadoop_io
 from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
 
 HIST_TABLE = "psi_hist"
@@ -45,9 +46,11 @@ class StreamingPsiMonitor:
     """Persistent drift monitor under ``root``: a frozen reference
     histogram plus cumulative actual-side bucket counts.
 
-    ``root`` is local-filesystem (the config sidecar uses plain open(),
-    the ann_index contract); the histogram state itself is a
-    ManagedTable and merges atomically."""
+    The config sidecar goes through the Hadoop FileSystem API
+    (sources/hadoop_io.py) like the ANN index's centroid state; the
+    histogram table itself is a ManagedTable, whose versioned-parquet
+    backend is POSIX-local by design (hardlinks) — so the monitor root
+    follows the lake's locality, with the sidecar never the blocker."""
 
     def __init__(self, spark: SparkSession, root: str, value_col: str,
                  bucket_width: float, n_buckets: int = 20):
@@ -73,9 +76,8 @@ class StreamingPsiMonitor:
             "bucket_width": self.bucket_width,
             "n_buckets": self.n_buckets,
         }
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as fh:
-                stored = json.load(fh)
+        if hadoop_io.exists(spark, cfg_path):
+            stored = json.loads(hadoop_io.read_text(spark, cfg_path))
             if stored != cfg:
                 raise ValueError(
                     f"monitor root {root!r} was created with {stored}; "
@@ -83,9 +85,7 @@ class StreamingPsiMonitor:
                     "corrupt the cumulative histogram"
                 )
         else:
-            os.makedirs(root, exist_ok=True)
-            with open(cfg_path, "w") as fh:
-                json.dump(cfg, fh)
+            hadoop_io.write_text(spark, cfg_path, json.dumps(cfg))
 
     # ---- histogram plumbing ------------------------------------------------
 

@@ -343,3 +343,35 @@ def test_ann_index_lifecycle_bench_rig(spark, sf_smoke):
     assert row["n_hits"] == n_queries * 10  # k neighbors for every query
     assert 1 <= row["n_lists"] <= 16
     assert row["imbalance"] >= 1.0
+
+
+def test_index_root_accepts_hadoop_uri_scheme(spark, sf_smoke, tmp_path):
+    """The root is scheme-agnostic: a file:// URI — which plain
+    open()/os.makedirs would reject — builds, ingests, searches, and
+    rebuilds identically to a bare local path (the sidecar goes through
+    the Hadoop FileSystem API, sources/hadoop_io.py)."""
+    emb = _embeddings(spark, sf_smoke).filter(F.col("vec_id") < 60)
+    landing = str(tmp_path / "landing")
+    emb.write.parquet(landing)
+
+    uri_root = f"file://{tmp_path}/uri_ivf"
+    plain_root = str(tmp_path / "plain_ivf")
+    a = IvfIndex(spark, uri_root)
+    b = IvfIndex(spark, plain_root)
+    assert a.build(emb, n_centroids=4) == b.build(emb, n_centroids=4)
+    assert a.centroids() == b.centroids()  # sidecar round-trips via FS API
+    a.ingest(landing)
+    b.ingest(landing)
+    queries = emb.limit(3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in a.search(queries, k=3, n_probe=4).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in b.search(queries, k=3, n_probe=4).collect()}
+    assert got == want and got
+    # rebuild guards and state-copy work through the URI too
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        a.rebuild_into(uri_root, landing)
+    rebuilt = a.rebuild_into(f"file://{tmp_path}/uri_ivf2", landing)
+    assert rebuilt.centroids() == a.centroids()
