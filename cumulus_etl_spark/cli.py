@@ -392,6 +392,11 @@ def main(argv: list[str] | None = None) -> int:
                       help="slack in reference sigmas (default 0.5)")
     p_cp.add_argument("--h", type=float, default=5.0,
                       help="decision threshold in sigmas (default 5)")
+    p_cp.add_argument("--scan-partitions", type=int, default=None,
+                      help="keyless only: run the distributed two-pass "
+                      "prefix scan over this many range partitions "
+                      "instead of the single-task ordered fold (use for "
+                      "long series; results agree to float ulps)")
 
     p_zo = sub.add_parser(
         "zorder",
@@ -1228,10 +1233,26 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 f"changepoints: unknown columns {unknown}; table has {df.columns}"
             )
-        out = cusum_changepoints(
-            df, args.value_col, args.order_col, key_col=args.key_col,
-            kappa=args.kappa, h=args.h,
-        )
+        if args.scan_partitions and args.key_col:
+            raise SystemExit(
+                "changepoints: --scan-partitions is the keyless scan; "
+                "per-key series already parallelize across keys"
+            )
+        if args.scan_partitions:
+            from cumulus_etl_spark.operators.timeseries import (
+                cusum_changepoints_distributed,
+            )
+
+            out = cusum_changepoints_distributed(
+                df, args.value_col, args.order_col,
+                kappa=args.kappa, h=args.h,
+                scan_partitions=args.scan_partitions,
+            )
+        else:
+            out = cusum_changepoints(
+                df, args.value_col, args.order_col, key_col=args.key_col,
+                kappa=args.kappa, h=args.h,
+            )
         alarms = out.filter(F.col("changepoint")).select(
             *( [args.key_col] if args.key_col else [] ),
             args.order_col,

@@ -79,3 +79,132 @@ def cusum_changepoints(
         out.withColumn("changepoint", alarm & ~prev)
         .drop("__mu", "__sigma")
     )
+
+
+def cusum_changepoints_distributed(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    kappa: float = 0.5,
+    h: float = 5.0,
+    scan_partitions: int = 64,
+) -> DataFrame:
+    """Keyless CUSUM without the single-task ceiling: a distributed
+    two-pass prefix scan.
+
+    ``cusum_changepoints`` without a key runs the whole series through
+    ONE task (an ordered fold has no free parallelism) — fine for the
+    intended daily-counts input, wrong for a long raw series.  This
+    variant implements the classic parallel-scan decomposition instead:
+
+    1. range-partition the series on ``order_col`` and compute LOCAL
+       prefix sums/extrema per partition (windows partitioned by the
+       materialized partition id — all parallel);
+    2. fold the ``scan_partitions`` per-partition aggregates (total,
+       local prefix-min/max) into cumulative offsets driver-side — a
+       BOUNDED collect, |partitions| rows, the centroid-collect
+       discipline — and broadcast them back;
+    3. finish per row: global prefix P_t = offset + local prefix,
+       running extrema via min(prior partitions' floor, offset + local
+       running extremum), then the same S+ = P − min(0, runmin) /
+       S− = −(P − max(0, runmax)) identities as the single-task form.
+
+    The alarm edge (``changepoint`` = first crossing) also needs the
+    PREVIOUS row's alarm across partition boundaries; the driver fold
+    derives each partition's last-row alarm from its aggregates and
+    ships it as the first row's predecessor, so no second scan.
+
+    Equality with the single-task form is pinned in tests to 1e-9 (the
+    reassociated float sums differ only at ulp level).  Scale shape:
+    two shuffles (range partition + the stats broadcast join), one
+    bounded collect; no task ever holds more than |series|/partitions
+    rows."""
+    keys: list[str] = []
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mu"),
+        F.coalesce(F.stddev_pop(value_col), F.lit(0.0)).alias("__sigma"),
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    sigma = F.greatest(F.col("__sigma"), F.lit(1e-12))
+    y_pos = (F.col(value_col) - F.col("__mu")) / sigma - F.lit(kappa)
+    y_neg = (F.col(value_col) - F.col("__mu")) / sigma + F.lit(kappa)
+
+    ranged = (
+        joined.repartitionByRange(scan_partitions, F.col(order_col))
+        .select("*", F.spark_partition_id().alias("__pid"),
+                y_pos.alias("__y_pos"), y_neg.alias("__y_neg"))
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ranged.select(
+        "*",
+        F.sum("__y_pos").over(run).alias("__lp_pos"),
+        F.sum("__y_neg").over(run).alias("__lp_neg"),
+    ).select(
+        "*",
+        F.min("__lp_pos").over(run).alias("__lmin_pos"),
+        F.max("__lp_neg").over(run).alias("__lmax_neg"),
+    ).localCheckpoint(eager=True)
+    # ^ pinned: the frame is executed twice (aggregate collect below +
+    # the final join), and repartitionByRange SAMPLES its boundaries per
+    # execution — without the checkpoint the second execution could
+    # partition differently than the one the offsets were folded from.
+    # The checkpoint is also the scan's natural cost shape: pass 2
+    # reuses pass 1's rows instead of recomputing the windows.
+    per_part = (
+        local.groupBy("__pid")
+        .agg(
+            F.sum("__y_pos").alias("__tot_pos"),
+            F.sum("__y_neg").alias("__tot_neg"),
+            F.min("__lp_pos").alias("__min_pos"),
+            F.max("__lp_neg").alias("__max_neg"),
+        )
+        .orderBy("__pid")
+        .collect()
+    )
+    # driver fold over <= scan_partitions rows: cumulative offsets, the
+    # running extrema floor carried INTO each partition, and the
+    # previous partition's last-row alarm for the boundary edge
+    carry = []
+    off_pos = off_neg = 0.0
+    prior_min = float("inf")   # min of global prefixes BEFORE this partition
+    prior_max = float("-inf")
+    prev_last_alarm = False
+    for r in per_part:
+        carry.append((int(r["__pid"]), off_pos, off_neg,
+                      prior_min, prior_max, prev_last_alarm))
+        end_pos = off_pos + r["__tot_pos"]
+        end_neg = off_neg + r["__tot_neg"]
+        end_min = min(prior_min, off_pos + r["__min_pos"])
+        end_max = max(prior_max, off_neg + r["__max_neg"])
+        s_pos_last = end_pos - min(0.0, end_min)
+        s_neg_last = -(end_neg - max(0.0, end_max))
+        prev_last_alarm = s_pos_last > h or s_neg_last > h
+        prior_min, prior_max = end_min, end_max
+        off_pos, off_neg = end_pos, end_neg
+    spark = df.sparkSession
+    carry_df = spark.createDataFrame(
+        carry,
+        "__pid int, __off_pos double, __off_neg double, "
+        "__prior_min double, __prior_max double, __prev_last_alarm boolean",
+    )
+    g = local.join(F.broadcast(carry_df), "__pid")
+    p_pos = F.col("__off_pos") + F.col("__lp_pos")
+    p_neg = F.col("__off_neg") + F.col("__lp_neg")
+    runmin = F.least(F.col("__prior_min"), F.col("__off_pos") + F.col("__lmin_pos"))
+    runmax = F.greatest(F.col("__prior_max"), F.col("__off_neg") + F.col("__lmax_neg"))
+    s_pos = p_pos - F.least(F.lit(0.0), runmin)
+    s_neg = -(p_neg - F.greatest(F.lit(0.0), runmax))
+    out = g.withColumn("cusum_pos", s_pos).withColumn("cusum_neg", s_neg)
+    alarm = (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h)
+    prev = F.coalesce(
+        F.lag(alarm, 1).over(w),          # within-partition predecessor
+        F.col("__prev_last_alarm"),       # boundary: prior partition's last row
+    )
+    return (
+        out.withColumn("changepoint", alarm & ~prev)
+        .drop("__mu", "__sigma", "__pid", "__y_pos", "__y_neg",
+              "__lp_pos", "__lp_neg", "__lmin_pos", "__lmax_neg",
+              "__off_pos", "__off_neg", "__prior_min", "__prior_max",
+              "__prev_last_alarm")
+    )
