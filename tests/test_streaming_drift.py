@@ -99,3 +99,35 @@ def test_streaming_psi_availablenow_checkpointed(spark, tmp_path):
     mon = streaming_psi(*args)
     want2 = psi_drift(ref, _snap(spark, wave1 + wave2), "x", 1.0, 4)
     assert _rows(mon.report()) == _rows(want2)
+
+
+def test_monitor_randomized_splits_and_replays_equal_batch(spark, tmp_path):
+    """Seeded fuzz (the r10 randomized-replay hardening discipline):
+    random batch splits with random mid-stream replays must always land
+    on psi_drift over the concatenated data — replays skipped, order of
+    arrival irrelevant to the final histogram."""
+    import random
+
+    rng = random.Random(11)
+    for case in range(3):
+        n = rng.randint(30, 120)
+        ref = [rng.uniform(0, 4) for _ in range(80)]
+        arriving = [rng.uniform(0, 4) for _ in range(n)]
+        mon = StreamingPsiMonitor(
+            spark, str(tmp_path / f"mon{case}"), "x", 1.0, 4
+        )
+        mon.set_reference(_snap(spark, ref))
+        # random split points
+        cuts = sorted(rng.sample(range(1, n), min(3, n - 1))) + [n]
+        lo = 0
+        batch_id = 0
+        for hi in cuts:
+            mon.ingest_batch(_snap(spark, arriving[lo:hi]), batch_id=batch_id)
+            if rng.random() < 0.5:  # crash replay of the same batch
+                mon.ingest_batch(_snap(spark, arriving[lo:hi]), batch_id=batch_id)
+            if rng.random() < 0.3 and batch_id > 0:  # stale replay
+                mon.ingest_batch(_snap(spark, arriving[:5]), batch_id=0)
+            lo = hi
+            batch_id += 1
+        want = psi_drift(_snap(spark, ref), _snap(spark, arriving), "x", 1.0, 4)
+        assert _rows(mon.report()) == _rows(want), case
