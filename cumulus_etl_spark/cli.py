@@ -417,11 +417,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_drift.add_argument("expected_path", help="reference snapshot (parquet)")
     p_drift.add_argument("actual_path", help="new snapshot (parquet)")
-    p_drift.add_argument("--column", required=True,
-                         help="numeric column to compare")
-    p_drift.add_argument("--bucket-width", type=float, required=True,
-                         help="fixed histogram bucket width (fixed-width "
-                         "binning keeps the comparison deterministic)")
+    p_drift.add_argument("--column", default=None,
+                         help="numeric column to compare (single-column "
+                         "mode; requires --bucket-width)")
+    p_drift.add_argument("--bucket-width", type=float, default=None,
+                         help="fixed histogram bucket width for --column "
+                         "(fixed-width binning keeps the comparison "
+                         "deterministic)")
+    p_drift.add_argument("--columns", default=None,
+                         help="comma-separated numeric columns (multi "
+                         "mode: one melted pass per side, grid derived "
+                         "from the reference's per-column min/max)")
     p_drift.add_argument("--buckets", type=int, default=20,
                          help="bucket count; the last is open-ended")
 
@@ -1184,16 +1190,48 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "drift":
         from pyspark.sql import functions as F
 
-        from cumulus_etl_spark.operators.drift import psi_drift
+        from cumulus_etl_spark.operators.drift import psi_drift, psi_drift_multi
 
+        if bool(args.column) == bool(args.columns):
+            raise SystemExit("drift: pass exactly one of --column / --columns")
+        if args.column and args.bucket_width is None:
+            raise SystemExit("drift: --column requires --bucket-width")
         expected = spark.read.parquet(args.expected_path)
         actual = spark.read.parquet(args.actual_path)
+        want_cols = (
+            [args.column] if args.column
+            else [c.strip() for c in args.columns.split(",") if c.strip()]
+        )
         for side, df in (("expected", expected), ("actual", actual)):
-            if args.column not in df.columns:
+            missing = [c for c in want_cols if c not in df.columns]
+            if missing:
                 raise SystemExit(
-                    f"drift: column {args.column!r} not in the {side} "
+                    f"drift: column(s) {missing} not in the {side} "
                     f"snapshot; it has {df.columns}"
                 )
+        if args.columns:
+            per = psi_drift_multi(
+                expected, actual, want_cols, n_buckets=args.buckets
+            ).collect()
+            report = {"columns": {}}
+            for c in want_cols:
+                rows_c = [r for r in per if r["column"] == c]
+                psi = round(sum(r["psi_contrib"] for r in rows_c), 6)
+                report["columns"][c] = {
+                    "psi": psi,
+                    "verdict": ("stable" if psi < 0.1
+                                else "moderate" if psi <= 0.25 else "action"),
+                    "n_expected": sum(r["n_expected"] for r in rows_c),
+                    "n_actual": sum(r["n_actual"] for r in rows_c),
+                }
+            worst = max(
+                (v["psi"] for v in report["columns"].values()), default=0.0
+            )
+            report["worst_psi"] = worst
+            report["verdict"] = ("stable" if worst < 0.1
+                                 else "moderate" if worst <= 0.25 else "action")
+            print(json.dumps(report))
+            return 0
         rows = psi_drift(
             expected, actual, args.column,
             bucket_width=args.bucket_width, n_buckets=args.buckets,

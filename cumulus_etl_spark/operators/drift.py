@@ -110,3 +110,117 @@ def psi_drift(
     return psi_from_counts(
         hist(expected, "n_expected"), hist(actual, "n_actual"), min_pct
     )
+
+
+def psi_drift_multi(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_cols: list[str],
+    n_buckets: int = 20,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """Per-column PSI for MANY numeric columns at a column-count-
+    independent scan cost: two scans of the reference (one bounded
+    range aggregate, one histogram) plus one of the new snapshot.
+
+    A drift audit rarely watches one feature; scanning a 100 TB snapshot
+    once per column is the naive cost.  Instead each side is MELTED to
+    (column, value) rows with ``stack`` (a projection — no shuffle, no
+    UDF) and histogrammed in ONE hash aggregate keyed by (column,
+    bucket), so N columns cost the same scans as one.
+
+    Bucket widths derive from the REFERENCE side's per-column min/max
+    ((max − min) / (n_buckets − 1), one bounded aggregate, broadcast
+    back): the reference is the frozen baseline, so its range — not the
+    drifting snapshot's — defines the grid, and values outside it land
+    in the clamped edge buckets exactly where a drift audit wants them.
+    A constant reference column (max = min) gets width 1 so the math
+    stays finite; everything lands in bucket 0 unless the actual side
+    moved.
+
+    Output: ``column`` + the ``psi_drift`` schema, ordered by (column,
+    bucket).  Per-column ``sum(psi_contrib)`` is that column's PSI.
+    Equality with per-column ``psi_drift`` at the same widths is pinned
+    in tests."""
+    if not value_cols:
+        raise ValueError("psi_drift_multi needs at least one column")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    stack_expr = "stack({n}, {args}) as (column, value)".format(
+        n=len(value_cols),
+        args=", ".join(
+            f"'{c}', cast(`{c}` as double)" for c in value_cols
+        ),
+    )
+
+    def melted(df: DataFrame) -> DataFrame:
+        return df.selectExpr(stack_expr)
+
+    # the per-column grid is |columns| rows — collect it (the bounded
+    # centroid-collect discipline) and inline the constants, so the two
+    # histograms carry NO join: buckets are pure literal arithmetic and
+    # each histogram is one scan + one hash aggregate
+    ranges = {
+        r["column"]: (
+            float(r["__lo"]),
+            (float(r["__hi"]) - float(r["__lo"])) / float(n_buckets - 1)
+            if r["__hi"] > r["__lo"]
+            else 1.0,
+        )
+        for r in melted(expected)
+        .groupBy("column")
+        .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+        .collect()
+    }
+    missing = [c for c in value_cols if c not in ranges]
+    if missing:
+        raise ValueError(
+            f"reference snapshot has no non-null values for {missing}; "
+            "a drift grid needs a populated baseline"
+        )
+
+    scaled = None
+    for c, (lo, width) in ranges.items():
+        branch = (F.col("value") - F.lit(lo)) / F.lit(width)
+        scaled = (
+            F.when(F.col("column") == c, branch)
+            if scaled is None
+            else scaled.when(F.col("column") == c, branch)
+        )
+
+    def hist(df: DataFrame, n_alias: str) -> DataFrame:
+        bucket = F.least(
+            F.greatest(F.floor(scaled), F.lit(0)).cast("int"),
+            F.lit(n_buckets - 1),
+        )
+        return (
+            melted(df)
+            .groupBy("column", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
+        )
+
+    from pyspark.sql.window import Window
+
+    e = hist(expected, "n_expected")
+    a = hist(actual, "n_actual")
+    joined = e.join(a, ["column", "bucket"], "full_outer").select(
+        "column",
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    )
+    per_col = Window.partitionBy("column")
+    e_total = F.sum("n_expected").over(per_col).cast("double")
+    a_total = F.sum("n_actual").over(per_col).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "column",
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("column", "bucket")

@@ -121,3 +121,120 @@ def test_drift_cli_verb(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="drift: column"):
         main(["drift", e_path, a_path, "--column", "nope",
               "--bucket-width", "1.0"])
+
+
+def test_psi_multi_equals_per_column_psi_at_same_widths(spark):
+    """psi_drift_multi's per-column slices equal psi_drift run per
+    column with the same reference-derived grid (shifted by the
+    reference min, which plain psi_drift anchors at 0 — so compare on a
+    data set whose reference min is 0 per column)."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    rows = [
+        (float(i % 8), float((i * 3) % 12)) for i in range(200)
+    ]  # both columns: min 0
+    e = spark.createDataFrame(rows, "a double, b double")
+    rows2 = [(float(i % 5), float((i * 7) % 6)) for i in range(150)]
+    a = spark.createDataFrame(rows2, "a double, b double")
+
+    multi = psi_drift_multi(e, a, ["a", "b"], n_buckets=4)
+    got = {
+        (r["column"], r["bucket"]): (
+            r["n_expected"], r["n_actual"], r["psi_contrib"]
+        )
+        for r in multi.collect()
+    }
+    for col, lo, hi in (("a", 0.0, 7.0), ("b", 0.0, 9.0)):
+        width = (hi - lo) / 3.0
+        want = psi_drift(
+            e.select(F.col(col).alias("x")),
+            a.select(F.col(col).alias("x")),
+            "x", width, 4,
+        )
+        for r in want.collect():
+            assert got[(col, r["bucket"])] == (
+                r["n_expected"], r["n_actual"], r["psi_contrib"]
+            ), (col, r["bucket"])
+
+
+def test_psi_multi_constant_reference_column(spark):
+    """A constant reference column gets width 1 (finite math); a moved
+    actual side registers in the clamped edge bucket."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    e = spark.createDataFrame([(5.0,)] * 10, "c double")
+    a = spark.createDataFrame([(5.0,)] * 5 + [(9.0,)] * 5, "c double")
+    rows = {r["bucket"]: r for r in psi_drift_multi(e, a, ["c"], 4).collect()}
+    assert rows[0]["n_expected"] == 10 and rows[0]["n_actual"] == 5
+    assert rows[3]["n_actual"] == 5 and rows[3]["n_expected"] == 0
+    total = sum(r["psi_contrib"] for r in rows.values())
+    assert total > 0.25  # half the mass left the reference's only bucket
+
+
+def test_psi_multi_below_reference_range_clamps_low(spark):
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    e = spark.createDataFrame([(float(v),) for v in (10, 13, 16, 19)], "c double")
+    a = spark.createDataFrame([(2.0,), (11.0,)], "c double")  # 2.0 < ref min
+    rows = {r["bucket"]: r for r in psi_drift_multi(e, a, ["c"], 4).collect()}
+    assert rows[0]["n_actual"] == 2  # clamped into the low edge bucket
+    assert set(rows) == {0, 1, 2, 3}
+
+
+def test_psi_multi_single_scan_per_histogram(spark):
+    """Scale-shape pin: the melted histogram is one hash aggregate keyed
+    by (column, bucket) — adding columns must not add scans. The
+    returned plan carries exactly 2 scans (one histogram per side); the
+    reference range aggregate ran as its own bounded job at call time
+    (|columns| rows collected, constants inlined — no join in the
+    plan), for 3 scans total however many columns are audited."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    e = spark.createDataFrame([(1.0, 2.0, 3.0)] * 50, "a double, b double, c double")
+    a = spark.createDataFrame([(1.5, 2.5, 3.5)] * 50, "a double, b double, c double")
+    plan = (
+        psi_drift_multi(e, a, ["a", "b", "c"], 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 2
+    # the only join is the |columns x buckets|-row full-outer between the
+    # two histograms; the grid constants are inlined, never joined
+    import re
+
+    joins = re.findall(r"(\w*Join\w*) ", plan)
+    assert all("FullOuter" in plan[plan.index(j):plan.index(j) + 120]
+               for j in set(joins)), joins
+
+
+def test_drift_cli_multi_column_mode(spark, tmp_path, capsys):
+    import json
+
+    import pytest
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "ref2"), str(tmp_path / "new2")
+    spark.createDataFrame(
+        [(float(i % 10), 5.0) for i in range(100)], "moved double, flat double"
+    ).write.parquet(e_path)
+    spark.createDataFrame(
+        [(float(i % 3), 5.0) for i in range(100)], "moved double, flat double"
+    ).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--columns", "moved,flat",
+               "--buckets", "5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["columns"]["flat"]["psi"] == 0.0
+    assert rep["columns"]["flat"]["verdict"] == "stable"
+    assert rep["columns"]["moved"]["psi"] > 0.25
+    assert rep["verdict"] == "action"
+    assert rep["worst_psi"] == rep["columns"]["moved"]["psi"]
+
+    # mode validation: exactly one of --column / --columns
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["drift", e_path, a_path, "--column", "moved",
+              "--columns", "flat"])
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["drift", e_path, a_path])
+    with pytest.raises(SystemExit, match="bucket-width"):
+        main(["drift", e_path, a_path, "--column", "moved"])
