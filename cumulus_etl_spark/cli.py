@@ -295,6 +295,26 @@ def main(argv: list[str] | None = None) -> int:
     p_res.add_argument("--schema", required=True,
                        help="input schema, e.g. 'doc_id string, w double'")
 
+    p_dm = sub.add_parser(
+        "drift-monitor",
+        help="fold a parquet landing dir into a persistent PSI drift "
+        "monitor against a frozen reference snapshot",
+    )
+    p_dm.add_argument("input_dir", help="landing directory of parquet files")
+    p_dm.add_argument("monitor_dir", help="where the monitor state lives")
+    p_dm.add_argument("--reference", required=True,
+                      help="reference snapshot (parquet path); frozen on "
+                      "first open, ignored after (re-baseline by pointing "
+                      "at a fresh monitor_dir)")
+    p_dm.add_argument("--column", required=True, help="numeric column")
+    p_dm.add_argument("--bucket-width", type=float, required=True)
+    p_dm.add_argument("--buckets", type=int, default=20)
+    p_dm.add_argument("--checkpoint", default=None,
+                      help="stream checkpoint dir (default: "
+                      "<monitor_dir>/_checkpoint)")
+    p_dm.add_argument("--schema", required=True,
+                      help="input schema, e.g. 'x double, ts timestamp'")
+
     p_opt = sub.add_parser(
         "optimize",
         help="drop superseded table versions (the finalize/vacuum analog; "
@@ -1082,6 +1102,38 @@ def main(argv: list[str] | None = None) -> int:
         out = res.sample()
         rep = [] if out is None else [r.asDict() for r in out.collect()]
         print(json.dumps({"sample": rep, "k": args.k, "sketch": args.sketch_dir}))
+        return 0
+    if args.verb == "drift-monitor":
+        import os as _os
+
+        from cumulus_etl_spark.streaming.drift import streaming_psi
+
+        mon = streaming_psi(
+            spark,
+            args.input_dir,
+            args.monitor_dir,
+            args.checkpoint or _os.path.join(args.monitor_dir, "_checkpoint"),
+            args.schema,
+            args.column,
+            spark.read.parquet(args.reference),
+            bucket_width=args.bucket_width,
+            n_buckets=args.buckets,
+        )
+        psi = mon.psi()
+        rows = mon.report().collect()
+        print(json.dumps({
+            "column": args.column,
+            "psi": psi,
+            "verdict": ("stable" if psi < 0.1
+                        else "moderate" if psi <= 0.25 else "action"),
+            "n_actual_total": sum(r["n_actual"] for r in rows),
+            "buckets": [
+                {"bucket": r["bucket"], "n_expected": r["n_expected"],
+                 "n_actual": r["n_actual"], "psi_contrib": r["psi_contrib"]}
+                for r in rows
+            ],
+            "monitor": args.monitor_dir,
+        }))
         return 0
     if args.verb == "optimize":
         import os as _os

@@ -131,3 +131,39 @@ def test_monitor_randomized_splits_and_replays_equal_batch(spark, tmp_path):
             batch_id += 1
         want = psi_drift(_snap(spark, ref), _snap(spark, arriving), "x", 1.0, 4)
         assert _rows(mon.report()) == _rows(want), case
+
+
+def test_drift_monitor_cli_verb(spark, tmp_path, capsys):
+    """The drift-monitor verb folds a landing dir incrementally: a
+    second invocation with no new files reports identical state; new
+    files move the PSI."""
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    ref_path = str(tmp_path / "ref")
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(ref_path)
+    landing = str(tmp_path / "landing")
+    _snap(spark, [0.5] * 40).write.parquet(landing)
+
+    argv = ["drift-monitor", landing, str(tmp_path / "mon"),
+            "--reference", ref_path, "--column", "x",
+            "--bucket-width", "1.0", "--buckets", "4",
+            "--schema", "x double"]
+    rc = main(argv)
+    assert rc == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_actual_total"] == 40
+    assert rep1["psi"] > 0.25 and rep1["verdict"] == "action"  # 100%/50% split
+
+    rc = main(argv)  # no new files: availableNow+checkpoint no-op
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2 == rep1
+
+    _snap(spark, [1.5] * 40).write.parquet(landing, mode="append")
+    rc = main(argv)
+    assert rc == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["n_actual_total"] == 80
+    assert rep3["psi"] == 0.0 and rep3["verdict"] == "stable"  # back to 50/50
