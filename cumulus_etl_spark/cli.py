@@ -430,6 +430,18 @@ def main(argv: list[str] | None = None) -> int:
     p_zo.add_argument("--files", type=int, default=16,
                       help="output file count (one Z-range per file)")
 
+    p_exp = sub.add_parser(
+        "expect",
+        help="data-contract gate: evaluate a JSON list of expectations "
+        "(not_null/non_empty/unique/between/in_set/matches/"
+        "row_count_between) over a parquet path in ONE scan; "
+        "exit 3 on contract failure",
+    )
+    p_exp.add_argument("input_path")
+    p_exp.add_argument("--spec", required=True,
+                       help="path to a JSON file holding the expectation "
+                       "list, or an inline JSON array")
+
     p_drift = sub.add_parser(
         "drift",
         help="PSI distribution drift between two parquet snapshots of a "
@@ -1239,6 +1251,17 @@ def main(argv: list[str] | None = None) -> int:
             report["dp_epsilon"] = args.dp_epsilon
         print(json.dumps(report))
         return 0
+    if args.verb == "expect":
+        from cumulus_etl_spark.operators.expectations import check_expectations
+
+        raw = args.spec
+        if not raw.lstrip().startswith("["):
+            with open(raw) as fh:
+                raw = fh.read()
+        spec = json.loads(raw)
+        report = check_expectations(spark.read.parquet(args.input_path), spec)
+        print(json.dumps(report))
+        return 0 if report["passed"] else 3
     if args.verb == "drift":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,131 @@
+"""Declarative data-quality expectations, evaluated in ONE pass.
+
+A training-data pipeline gates ingest on data contracts — "doc_id is
+never null and unique, text is non-empty in 99.9% of rows, source comes
+from the known set, totals sit in range" — and at 100 TB the naive
+per-constraint scan is the cost killer.  This operator compiles every
+constraint to an aggregate EXPRESSION over one scan (the deequ
+architecture re-expressed as plain Catalyst): row-level checks become
+conditional counts, uniqueness becomes count_distinct, and the whole
+suite collapses to a single collected row however many constraints are
+declared.  No UDFs; everything stays inside whole-stage codegen (the
+distinct counts expand the aggregate, still one scan).
+
+Constraint spec — a list of dicts, each with ``check`` plus fields:
+
+- ``not_null``        {column, min_ratio=1.0}
+- ``non_empty``       {column, min_ratio=1.0}    (trimmed string != '')
+- ``unique``          {column}                    (distinct == non-null count)
+- ``between``         {column, lo, hi, min_ratio=1.0}   (inclusive)
+- ``in_set``          {column, values, min_ratio=1.0}
+- ``matches``         {column, pattern, min_ratio=1.0}  (Java regex, full match)
+- ``row_count_between`` {lo=0, hi=None}
+
+Ratios are over ALL rows for not_null, and over NON-NULL rows for the
+value checks (a null fails not_null, not between — declare both to
+require both), which keeps each constraint independently actionable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_KNOWN = (
+    "not_null", "non_empty", "unique", "between", "in_set", "matches",
+    "row_count_between",
+)
+
+
+def _pred(spec: dict):
+    """The row-level pass predicate over NON-NULL values, or None for
+    aggregate-level checks."""
+    c = F.col(spec["column"]) if "column" in spec else None
+    kind = spec["check"]
+    if kind == "non_empty":
+        return F.trim(c.cast("string")) != ""
+    if kind == "between":
+        return (c >= F.lit(spec["lo"])) & (c <= F.lit(spec["hi"]))
+    if kind == "in_set":
+        return c.isin(list(spec["values"]))
+    if kind == "matches":
+        return c.cast("string").rlike(f"^(?:{spec['pattern']})$")
+    return None
+
+
+def check_expectations(df: DataFrame, expectations: list[dict]) -> dict:
+    """Evaluate every expectation in one aggregate pass; returns
+
+    ``{"passed": bool, "n_rows": int, "results": [per-constraint dicts]}``
+
+    where each result carries the constraint, the measured metric
+    (ratio or count), the threshold it was held to, and ``passed``.
+    Raises ValueError on unknown checks or missing fields up front —
+    a malformed contract must fail before the scan, not inside it.
+    """
+    for spec in expectations:
+        kind = spec.get("check")
+        if kind not in _KNOWN:
+            raise ValueError(f"unknown expectation {kind!r}; known: {_KNOWN}")
+        if kind != "row_count_between" and "column" not in spec:
+            raise ValueError(f"expectation {kind!r} needs a 'column'")
+        if kind == "between" and not {"lo", "hi"} <= spec.keys():
+            raise ValueError("'between' needs 'lo' and 'hi'")
+        if kind == "in_set" and "values" not in spec:
+            raise ValueError("'in_set' needs 'values'")
+        if kind == "matches" and "pattern" not in spec:
+            raise ValueError("'matches' needs 'pattern'")
+        if "column" in spec and spec["column"] not in df.columns:
+            raise ValueError(
+                f"expectation column {spec['column']!r} not in the table; "
+                f"it has {df.columns}"
+            )
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, spec in enumerate(expectations):
+        kind = spec["check"]
+        if kind == "row_count_between":
+            continue
+        c = F.col(spec["column"])
+        if kind == "not_null":
+            aggs.append(F.count(c).cast("bigint").alias(f"__ok_{i}"))
+        elif kind == "unique":
+            aggs.append(F.count_distinct(c).cast("bigint").alias(f"__d_{i}"))
+            aggs.append(F.count(c).cast("bigint").alias(f"__nn_{i}"))
+        else:
+            pred = _pred(spec)
+            aggs.append(
+                F.sum(F.when(c.isNotNull() & pred, 1).otherwise(0))
+                .cast("bigint").alias(f"__ok_{i}")
+            )
+            aggs.append(F.count(c).cast("bigint").alias(f"__nn_{i}"))
+    row = df.agg(*aggs).collect()[0]
+
+    n = row["__n"]
+    results = []
+    passed_all = True
+    for i, spec in enumerate(expectations):
+        kind = spec["check"]
+        out: dict = {k: v for k, v in spec.items()}
+        if kind == "row_count_between":
+            lo = spec.get("lo", 0)
+            hi = spec.get("hi")
+            ok = n >= lo and (hi is None or n <= hi)
+            out.update(metric=n, passed=bool(ok))
+        elif kind == "not_null":
+            ratio = (row[f"__ok_{i}"] / n) if n else 1.0
+            want = float(spec.get("min_ratio", 1.0))
+            out.update(metric=round(ratio, 6), threshold=want,
+                       passed=bool(ratio >= want))
+        elif kind == "unique":
+            distinct, nn = row[f"__d_{i}"], row[f"__nn_{i}"]
+            out.update(metric=int(nn - distinct), passed=bool(distinct == nn))
+        else:
+            nn = row[f"__nn_{i}"]
+            ratio = (row[f"__ok_{i}"] / nn) if nn else 1.0
+            want = float(spec.get("min_ratio", 1.0))
+            out.update(metric=round(ratio, 6), threshold=want,
+                       passed=bool(ratio >= want))
+        passed_all = passed_all and out["passed"]
+        results.append(out)
+    return {"passed": passed_all, "n_rows": int(n), "results": results}
