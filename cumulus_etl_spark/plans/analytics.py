@@ -469,8 +469,8 @@ al AS (SELECT *, (s_pos > 5.0 OR s_neg > 5.0) AS alarm FROM s2)
 SELECT event_type,
        strftime(day, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n,
-       ROUND(s_pos, 4) AS cusum_pos_r4,
-       ROUND(s_neg, 4) AS cusum_neg_r4,
+       ROUND(s_pos, 4) + 0.0 AS cusum_pos_r4,
+       ROUND(s_neg, 4) + 0.0 AS cusum_neg_r4,
        (alarm AND NOT COALESCE(
           LAG(alarm) OVER (PARTITION BY event_type ORDER BY day), FALSE))
          AS changepoint
@@ -494,7 +494,14 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     top.  Statistics surface in sigma units rounded to 4 decimals:
     mu/sigma come from avg/stddev_pop whose partial-merge order is
     engine- and run-dependent at the ulp level; 1e-4 spacing is ~9
-    orders above any such skew (the reservoir-score discipline)."""
+    orders above any such skew (the reservoir-score discipline).
+    Both rounded statistics add ``+ 0.0`` on BOTH engines: ``s_neg``
+    is a negated difference that is exactly ``-0.0`` whenever the
+    running max equals the prefix, DuckDB's ROUND preserves the sign
+    bit while Spark's normalizes it, and ``-0.0 == 0.0`` compares
+    equal but serializes differently — the IEEE identity ``x + 0.0``
+    (round-to-nearest) maps ``-0.0`` to ``+0.0`` on any engine (the
+    plans/catalog.py signed-zero rule, round-11 verdict adjudication)."""
     from cumulus_etl_spark.operators.timeseries import cusum_changepoints
 
     ev = table(spark, sf_dir, "events")
@@ -508,8 +515,8 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n",
-        F.round("cusum_pos", 4).alias("cusum_pos_r4"),
-        F.round("cusum_neg", 4).alias("cusum_neg_r4"),
+        (F.round("cusum_pos", 4) + F.lit(0.0)).alias("cusum_pos_r4"),
+        (F.round("cusum_neg", 4) + F.lit(0.0)).alias("cusum_neg_r4"),
         "changepoint",
     )
 

@@ -11,6 +11,16 @@ Determinism rules (both sides must follow them):
   doubles — Spark's partial aggregation order would diverge from DuckDB.
 - Any LIMIT/top-k has a total tiebreak order.
 - DuckDB SUM(integer) returns HUGEINT: oracles cast to BIGINT.
+- IEEE signed zero: any rounded DOUBLE column whose expression can be
+  exactly ``-0.0`` — a negated difference ``-(x - y)``, or
+  ``a - greatest/least(...)`` where the operands can tie — must add
+  ``+ 0.0`` AFTER the round on BOTH engines. DuckDB's ROUND preserves
+  the sign bit, Spark's normalizes it; ``-0.0 == 0.0`` compares equal
+  but serializes (and therefore hashes) differently. ``x + 0.0`` maps
+  ``-0.0`` to ``+0.0`` under round-to-nearest on any engine and is a
+  no-op for every other value. Columns cast to an integer type are
+  immune (integers carry no sign bit on zero). Adjudicated by the
+  round-11 verdict on `events_cusum_changepoints`.
 """
 
 from __future__ import annotations

@@ -30,6 +30,12 @@ def canon_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver hashes SERIALIZED values, which distinguish IEEE
+        # -0.0 from +0.0 even though they compare == — mirror that here
+        # so the pre-flight catches the signed-zero class the round-11
+        # CUSUM row failed on (plans/catalog.py signed-zero rule).
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     if isinstance(v, list):
         return tuple(canon_value(x) for x in v)

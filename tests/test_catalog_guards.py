@@ -66,3 +66,33 @@ def test_oracled_outputs_are_scalar_only(spark, sf_smoke, name):
         "join/serialize them to a scalar (e.g. F.array_join) and mirror it "
         "in the oracle (array_to_string)"
     )
+
+
+def test_signed_zero_normalization_hashes_equal(spark, tmp_path):
+    """The signed-zero rule (plans/catalog.py): DuckDB's ROUND preserves
+    IEEE -0.0 where Spark's normalizes it, so a rounded negated
+    difference hashes apart while every value compares ==. Pin (a) that
+    the harness's canonicalizer now DISTINGUISHES -0.0 (the round-11
+    CUSUM failure class is detectable locally), and (b) that the
+    ``round(...) + 0.0`` normalization makes both engines emit +0.0."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tests.oracle_harness import canon_value
+
+    # (a) the failure class is visible to the local pre-flight
+    assert canon_value(-0.0) != canon_value(0.0)
+    assert canon_value(1.5) == canon_value(1.5)
+
+    # (b) a -(x - y) frame where x == y: DuckDB ROUND keeps -0.0 ...
+    con = duckdb.connect()
+    raw, = con.sql("SELECT ROUND(-(2.5 - GREATEST(0.0, 2.5)), 4)").fetchone()
+    assert canon_value(raw) == canon_value(-0.0), "DuckDB stopped preserving -0.0"
+    # ... and + 0.0 normalizes it on BOTH engines to the same hashable value
+    duck, = con.sql("SELECT ROUND(-(2.5 - GREATEST(0.0, 2.5)), 4) + 0.0").fetchone()
+    sdf = spark.range(1).select(
+        (F.round(-(F.lit(2.5) - F.greatest(F.lit(0.0), F.lit(2.5))), 4)
+         + F.lit(0.0)).alias("v")
+    )
+    spark_v = sdf.collect()[0][0]
+    assert canon_value(duck) == canon_value(spark_v) == canon_value(0.0)
