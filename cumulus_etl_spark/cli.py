@@ -302,10 +302,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_dm.add_argument("input_dir", help="landing directory of parquet files")
     p_dm.add_argument("monitor_dir", help="where the monitor state lives")
-    p_dm.add_argument("--reference", required=True,
-                      help="reference snapshot (parquet path); frozen on "
-                      "first open, ignored after (re-baseline by pointing "
-                      "at a fresh monitor_dir)")
+    p_dm.add_argument("--reference", default=None,
+                      help="reference snapshot (parquet path); required on "
+                      "first open, then frozen — an established monitor "
+                      "never re-reads it, so it may be omitted (or even "
+                      "deleted) on re-runs (re-baseline by pointing at a "
+                      "fresh monitor_dir)")
     p_dm.add_argument("--column", required=True, help="numeric column")
     p_dm.add_argument("--bucket-width", type=float, required=True)
     p_dm.add_argument("--buckets", type=int, default=20)
@@ -1127,7 +1129,10 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint or _os.path.join(args.monitor_dir, "_checkpoint"),
             args.schema,
             args.column,
-            spark.read.parquet(args.reference),
+            # lazy loader: only resolved (and the path only required to
+            # exist) when the monitor has no frozen baseline yet
+            (lambda: spark.read.parquet(args.reference))
+            if args.reference else None,
             bucket_width=args.bucket_width,
             n_buckets=args.buckets,
         )

@@ -17,6 +17,16 @@ per-bucket contributions — the only data movement proportional to the
 input is the two scans.  No UDFs, no collects; fixed-width bucketing is
 floor division, so both engines (and any two runs) bin identically,
 which quantile-edge bucketing cannot promise across engines.
+
+NULL policy: NULLs are excluded from every histogram (single-column,
+multi-column, and the streaming monitor all filter them before
+binning).  Without the filter Spark's ``least`` would silently bin a
+NULL into the LAST bucket (floor(null/w) is null; least skips null
+arguments) while the multi path's ``greatest`` would bin it into
+bucket 0 — phantom edge-bucket drift, and the two modes would disagree
+on identical data.  A drift audit that cares about null-rate drift
+should watch it as its own metric (the `expect` verb's null_fraction),
+not as histogram mass.
 """
 
 from __future__ import annotations
@@ -28,9 +38,15 @@ from pyspark.sql import functions as F
 def bucketize(value_col: str, bucket_width: float, n_buckets: int):
     """The shared fixed-width bucket expression: floor division clamped
     into ``n_buckets`` buckets, the last open-ended.  One definition so
-    the batch operator and the streaming monitor can never bin apart."""
+    the batch operator and the streaming monitor can never bin apart.
+    Callers MUST filter NULLs first (the module null policy): on a NULL
+    this expression yields ``n_buckets - 1`` because ``least`` skips
+    null arguments, which would masquerade as edge-bucket mass.
+    Below-range values clamp into bucket 0 (both edge buckets are
+    open-ended), the same convention as the multi-column grid — so
+    single-column and multi-column modes bin identically everywhere."""
     return F.least(
-        F.floor(F.col(value_col) / bucket_width).cast("int"),
+        F.greatest(F.floor(F.col(value_col) / bucket_width), F.lit(0)).cast("int"),
         F.lit(n_buckets - 1),
     )
 
@@ -103,8 +119,10 @@ def psi_drift(
 
     def hist(df: DataFrame, n_alias: str) -> DataFrame:
         bucket = bucketize(value_col, bucket_width, n_buckets)
-        return df.groupBy(bucket.alias("bucket")).agg(
-            F.count(F.lit(1)).cast("bigint").alias(n_alias)
+        return (
+            df.filter(F.col(value_col).isNotNull())  # module null policy
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
         )
 
     return psi_from_counts(
@@ -125,9 +143,12 @@ def psi_drift_multi(
 
     A drift audit rarely watches one feature; scanning a 100 TB snapshot
     once per column is the naive cost.  Instead each side is MELTED to
-    (column, value) rows with ``stack`` (a projection — no shuffle, no
-    UDF) and histogrammed in ONE hash aggregate keyed by (column,
-    bucket), so N columns cost the same scans as one.
+    (column, value) rows by exploding an array of (name, value) structs
+    (a generator projection — no shuffle, no UDF, and the column names
+    ride as Column-API literals, never parsed SQL text, so any legal
+    name — backticks, quotes, dots — is safe) and histogrammed in ONE
+    hash aggregate keyed by (column, bucket), so N columns cost the
+    same scans as one.  NULLs are dropped at the melt (module policy).
 
     Bucket widths derive from the REFERENCE side's per-column min/max
     ((max − min) / (n_buckets − 1), one bounded aggregate, broadcast
@@ -147,15 +168,33 @@ def psi_drift_multi(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
 
-    stack_expr = "stack({n}, {args}) as (column, value)".format(
-        n=len(value_cols),
-        args=", ".join(
-            f"'{c}', cast(`{c}` as double)" for c in value_cols
-        ),
-    )
-
     def melted(df: DataFrame) -> DataFrame:
-        return df.selectExpr(stack_expr)
+        missing = [c for c in value_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"psi_drift_multi: column(s) {missing} not in the "
+                f"snapshot; it has {df.columns}"
+            )
+        def ref(c: str):
+            # literal name resolution: backtick-quote with doubled
+            # backticks, so dots / quotes / backticks never parse as
+            # attribute syntax (df[c] and F.col(c) both would)
+            return F.col("`" + c.replace("`", "``") + "`")
+
+        kv = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    ref(c).cast("double").alias("value"),
+                )
+                for c in value_cols
+            ])
+        )
+        return (
+            df.select(kv.alias("kv"))
+            .select("kv.column", "kv.value")
+            .where(F.col("value").isNotNull())  # module null policy
+        )
 
     # the per-column grid is |columns| rows — collect it (the bounded
     # centroid-collect discipline) and inline the constants, so the two

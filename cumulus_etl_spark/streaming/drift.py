@@ -40,6 +40,7 @@ from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
 
 HIST_TABLE = "psi_hist"
 _CONFIG_FILE = "_psi_config.json"
+_CHECKPOINT_FILE = "_psi_checkpoint.json"
 
 
 class StreamingPsiMonitor:
@@ -91,8 +92,10 @@ class StreamingPsiMonitor:
 
     def _hist(self, rows: DataFrame) -> DataFrame:
         bucket = bucketize(self.value_col, self.bucket_width, self.n_buckets)
-        return rows.groupBy(bucket.alias("bucket")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n")
+        return (
+            rows.filter(F.col(self.value_col).isNotNull())  # drift null policy
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         )
 
     def _side(self, side: str) -> DataFrame | None:
@@ -178,18 +181,53 @@ def streaming_psi(
     checkpoint_dir: str,
     schema: str,
     value_col: str,
-    reference: DataFrame,
-    bucket_width: float,
+    reference=None,
+    bucket_width: float = 0.0,
     n_buckets: int = 20,
 ) -> StreamingPsiMonitor:
     """Checkpointed ingest: parquet rows landing in ``input_dir`` fold
     into the persistent monitor batch by batch (availableNow; the
-    streaming_reservoir shape).  The reference is frozen on first open;
-    an existing monitor keeps its baseline."""
+    streaming_reservoir shape).
+
+    ``reference`` may be a DataFrame or a zero-arg loader returning one
+    — it is resolved ONLY when the monitor has no frozen baseline yet
+    (first open).  An established monitor ignores it entirely, so the
+    original reference snapshot may be moved or deleted without
+    breaking re-runs; pass None once the baseline exists.
+
+    The checkpoint dir is part of the monitor's identity: stream batch
+    ids are PER-CHECKPOINT, so re-pointing an established monitor at a
+    fresh checkpoint would restart ids at 0 and the replay watermark
+    would silently drop the early batches as replays (and re-fold high
+    ids) — corrupted counts with no error.  The first checkpoint path
+    is pinned in a sidecar and any later mismatch is rejected loudly;
+    re-baseline by starting a fresh monitor_root."""
+    ckpt_path = os.path.join(monitor_root, _CHECKPOINT_FILE)
+    if hadoop_io.exists(spark, ckpt_path):
+        stored = json.loads(hadoop_io.read_text(spark, ckpt_path))
+        if stored["checkpoint_dir"] != checkpoint_dir:
+            raise ValueError(
+                f"monitor root {monitor_root!r} was built against "
+                f"checkpoint {stored['checkpoint_dir']!r}; reopened with "
+                f"{checkpoint_dir!r} — batch ids are per-checkpoint, so a "
+                "new checkpoint would corrupt the replay watermark. Keep "
+                "the original checkpoint dir or start a fresh monitor."
+            )
+    else:
+        hadoop_io.write_text(
+            spark, ckpt_path, json.dumps({"checkpoint_dir": checkpoint_dir})
+        )
     mon = StreamingPsiMonitor(
         spark, monitor_root, value_col, bucket_width, n_buckets
     )
     if mon._side("expected") is None:
+        if reference is None:
+            raise ValueError(
+                "new monitor has no frozen baseline: pass a reference "
+                "snapshot (DataFrame or loader) on first open"
+            )
+        if callable(reference):
+            reference = reference()
         mon.set_reference(reference)
     stream = spark.readStream.schema(schema).parquet(input_dir)
     (

@@ -238,3 +238,73 @@ def test_drift_cli_multi_column_mode(spark, tmp_path, capsys):
         main(["drift", e_path, a_path])
     with pytest.raises(SystemExit, match="bucket-width"):
         main(["drift", e_path, a_path, "--column", "moved"])
+
+
+def test_psi_null_policy_nulls_excluded_and_modes_agree(spark):
+    """ADVICE r11 (medium): NULLs must be EXCLUDED from every histogram
+    — least() used to bin them into the LAST bucket in single-column
+    mode while greatest() sent them to bucket 0 in multi mode, so a
+    null-heavy snapshot reported phantom edge drift and the two modes
+    disagreed on identical data. Pin both: counts see only non-null
+    rows, and single/multi produce identical slices on a null-bearing
+    frame (at the multi grid's width, shifted by its reference min)."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    e_vals = [None if i % 3 == 0 else float(i) for i in range(60)]
+    a_vals = [None if i % 4 == 0 else float(i) for i in range(80)]
+    e = spark.createDataFrame([(v,) for v in e_vals], "v double")
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+
+    multi = {
+        r["bucket"]: (r["n_expected"], r["n_actual"], r["psi_contrib"])
+        for r in psi_drift_multi(e, a, ["v"], n_buckets=5).collect()
+    }
+    # nulls never counted: totals match the non-null row counts exactly
+    n_e = sum(v[0] for v in multi.values())
+    n_a = sum(v[1] for v in multi.values())
+    assert n_e == sum(1 for v in e_vals if v is not None)
+    assert n_a == sum(1 for v in a_vals if v is not None)
+
+    lo = min(v for v in e_vals if v is not None)
+    hi = max(v for v in e_vals if v is not None)
+    width = (hi - lo) / 4.0
+    single = {
+        r["bucket"]: (r["n_expected"], r["n_actual"], r["psi_contrib"])
+        for r in psi_drift(
+            e.select((F.col("v") - F.lit(lo)).alias("x")),
+            a.select((F.col("v") - F.lit(lo)).alias("x")),
+            "x", width, 5,
+        ).collect()
+    }
+    assert single == multi
+
+
+def test_psi_single_column_clamps_below_range(spark):
+    """bucketize clamps below-range values into bucket 0 (both edge
+    buckets open-ended) — the same convention as the multi grid, so the
+    two modes bin identically everywhere, including negatives."""
+    e = _snap(spark, [0.5] * 5 + [3.5] * 5)
+    a = _snap(spark, [-2.0, -0.1, 0.5, 3.5])
+    rows = {r["bucket"]: r for r in psi_drift(e, a, "x", 1.0, 4).collect()}
+    assert set(rows) == {0, 3}
+    assert rows[0]["n_actual"] == 3  # the two negatives clamp into 0
+
+
+def test_psi_multi_hostile_column_names(spark):
+    """ADVICE r11 (low): the melt rides the Column API (explode of an
+    array of (name, value) structs), never a formatted SQL string — a
+    backtick, quote, or dot in a column name must just work."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    cols = ["a`b", "c'd", "e.f"]
+    e = spark.createDataFrame(
+        [(float(i % 4), float(i % 6), float(i % 3)) for i in range(40)], cols
+    )
+    a = spark.createDataFrame(
+        [(float(i % 2), float(i % 6), float(i % 5)) for i in range(40)], cols
+    )
+    rows = psi_drift_multi(e, a, cols, n_buckets=4).collect()
+    assert sorted({r["column"] for r in rows}) == sorted(cols)
+    # and a missing column still fails loudly with the real name
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        psi_drift_multi(e, a, ["a`b", "nope"], n_buckets=4)

@@ -167,3 +167,87 @@ def test_drift_monitor_cli_verb(spark, tmp_path, capsys):
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["n_actual_total"] == 80
     assert rep3["psi"] == 0.0 and rep3["verdict"] == "stable"  # back to 50/50
+
+
+def test_monitor_ingest_filters_nulls(spark, tmp_path):
+    """The monitor shares the batch operator's null policy: a NULL in a
+    micro-batch is dropped, never binned into an edge bucket."""
+    mon = StreamingPsiMonitor(spark, str(tmp_path / "mon"), "x", 1.0, 4)
+    mon.set_reference(_snap(spark, [0.5] * 10))
+    withnulls = spark.createDataFrame(
+        [(0.5,), (None,), (0.5,), (None,), (1.5,)], "x double"
+    )
+    mon.ingest_batch(withnulls)
+    counts = {r["bucket"]: r["n_actual"] for r in mon.report().collect()}
+    assert counts == {0: 2, 1: 1}  # 2 nulls gone, not in bucket 3
+
+
+def test_fresh_checkpoint_on_established_monitor_rejected(spark, tmp_path):
+    """ADVICE r11 (low): stream batch ids are PER-CHECKPOINT — pointing
+    an established monitor at a new checkpoint dir would restart ids at
+    0 and the replay watermark would silently drop/refold batches. The
+    first checkpoint path is pinned; a mismatch is a loud error."""
+    landing = str(tmp_path / "landing")
+    ref = _snap(spark, [0.5] * 20)
+    _snap(spark, [0.5] * 10).write.parquet(landing)
+    streaming_psi(spark, landing, str(tmp_path / "mon"),
+                  str(tmp_path / "ckpt1"), "x double", "x", ref, 1.0, 4)
+    with pytest.raises(ValueError, match="per-checkpoint"):
+        streaming_psi(spark, landing, str(tmp_path / "mon"),
+                      str(tmp_path / "ckpt2"), "x double", "x", ref, 1.0, 4)
+
+
+def test_established_monitor_never_reads_reference(spark, tmp_path):
+    """ADVICE r11 (low): the reference is frozen on first open — an
+    established monitor must run with reference=None (the original
+    snapshot may have been moved or deleted), and a passed loader must
+    not even be invoked."""
+    landing = str(tmp_path / "landing")
+    _snap(spark, [0.5] * 10).write.parquet(landing)
+    args = (spark, landing, str(tmp_path / "mon"), str(tmp_path / "ckpt"),
+            "x double", "x")
+    mon = streaming_psi(*args, _snap(spark, [0.5] * 20), 1.0, 4)
+    before = _rows(mon.report())
+
+    mon = streaming_psi(*args, None, 1.0, 4)  # no reference at all
+    assert _rows(mon.report()) == before
+
+    def exploding_loader():
+        raise AssertionError("established monitor resolved the reference")
+
+    mon = streaming_psi(*args, exploding_loader, 1.0, 4)
+    assert _rows(mon.report()) == before
+
+
+def test_new_monitor_without_reference_fails_loudly(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _snap(spark, [0.5] * 10).write.parquet(landing)
+    with pytest.raises(ValueError, match="no frozen baseline"):
+        streaming_psi(spark, landing, str(tmp_path / "mon"),
+                      str(tmp_path / "ckpt"), "x double", "x", None, 1.0, 4)
+
+
+def test_drift_monitor_cli_rerun_without_reference(spark, tmp_path, capsys):
+    """The verb's --reference is only required on first open: a re-run
+    may omit it entirely — even after the snapshot is deleted."""
+    import json
+    import shutil
+
+    from cumulus_etl_spark.cli import main
+
+    ref_path = str(tmp_path / "ref")
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(ref_path)
+    landing = str(tmp_path / "landing")
+    _snap(spark, [0.5] * 40).write.parquet(landing)
+    base = ["drift-monitor", landing, str(tmp_path / "mon"),
+            "--column", "x", "--bucket-width", "1.0", "--buckets", "4",
+            "--schema", "x double"]
+    rc = main(base + ["--reference", ref_path])
+    assert rc == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    shutil.rmtree(ref_path)  # baseline frozen; the snapshot may go away
+    rc = main(base)  # no --reference on re-run
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2 == rep1
