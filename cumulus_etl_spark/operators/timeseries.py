@@ -88,6 +88,7 @@ def cusum_changepoints_distributed(
     kappa: float = 0.5,
     h: float = 5.0,
     scan_partitions: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """Keyless CUSUM without the single-task ceiling: a distributed
     two-pass prefix scan.
@@ -118,7 +119,21 @@ def cusum_changepoints_distributed(
     reassociated float sums differ only at ulp level).  Scale shape:
     two shuffles (range partition + the stats broadcast join), one
     bounded collect; no task ever holds more than |series|/partitions
-    rows."""
+    rows.
+
+    ``exact=True`` quantizes the per-row deviations to DECIMAL(20,9)
+    before any summation (the catalog dsum discipline applied to a
+    prefix SCAN): decimal addition is exact and order-independent, so
+    the distributed reassociation — local sums + driver-folded offsets
+    — lands BIT-IDENTICAL to a sequential fold of the same quantized
+    series on any engine, which is what lets the distributed path carry
+    its own DuckDB hash row (plans/analytics.py:
+    events_cusum_keyless_distributed).  The only remaining cross-engine
+    freedom is the quantization itself: y is known to ~1e-15 relative
+    (stddev_pop partial-merge order), 6 orders below the 1e-9 grid.
+    Decimals carry no signed zero, so the round-11 -0.0 hash class is
+    structurally dead here.  Cost: decimal ops run ~2-3x double ops —
+    the audit mode, not the default."""
     keys: list[str] = []
     stats = df.groupBy(*keys).agg(
         F.avg(value_col).alias("__mu"),
@@ -128,6 +143,9 @@ def cusum_changepoints_distributed(
     sigma = F.greatest(F.col("__sigma"), F.lit(1e-12))
     y_pos = (F.col(value_col) - F.col("__mu")) / sigma - F.lit(kappa)
     y_neg = (F.col(value_col) - F.col("__mu")) / sigma + F.lit(kappa)
+    if exact:
+        y_pos = y_pos.cast("decimal(20,9)")
+        y_neg = y_neg.cast("decimal(20,9)")
 
     ranged = (
         joined.repartitionByRange(scan_partitions, F.col(order_col))
@@ -164,37 +182,48 @@ def cusum_changepoints_distributed(
     )
     # driver fold over <= scan_partitions rows: cumulative offsets, the
     # running extrema floor carried INTO each partition, and the
-    # previous partition's last-row alarm for the boundary edge
+    # previous partition's last-row alarm for the boundary edge.
+    # Arithmetic stays in whatever type the scan used (decimal.Decimal
+    # in exact mode — a float detour here would undo the exactness);
+    # "no prior partition" is None, which Spark's least/greatest skip
+    # exactly like the fold's min/max-with-infinity did.
+    from decimal import Decimal
+
+    zero = Decimal(0) if exact else 0.0
     carry = []
-    off_pos = off_neg = 0.0
-    prior_min = float("inf")   # min of global prefixes BEFORE this partition
-    prior_max = float("-inf")
+    off_pos = off_neg = zero
+    prior_min = None   # min of global prefixes BEFORE this partition
+    prior_max = None
     prev_last_alarm = False
     for r in per_part:
         carry.append((int(r["__pid"]), off_pos, off_neg,
                       prior_min, prior_max, prev_last_alarm))
         end_pos = off_pos + r["__tot_pos"]
         end_neg = off_neg + r["__tot_neg"]
-        end_min = min(prior_min, off_pos + r["__min_pos"])
-        end_max = max(prior_max, off_neg + r["__max_neg"])
-        s_pos_last = end_pos - min(0.0, end_min)
-        s_neg_last = -(end_neg - max(0.0, end_max))
-        prev_last_alarm = s_pos_last > h or s_neg_last > h
+        local_min = off_pos + r["__min_pos"]
+        local_max = off_neg + r["__max_neg"]
+        end_min = local_min if prior_min is None else min(prior_min, local_min)
+        end_max = local_max if prior_max is None else max(prior_max, local_max)
+        s_pos_last = end_pos - min(zero, end_min)
+        s_neg_last = -(end_neg - max(zero, end_max))
+        prev_last_alarm = float(s_pos_last) > h or float(s_neg_last) > h
         prior_min, prior_max = end_min, end_max
         off_pos, off_neg = end_pos, end_neg
     spark = df.sparkSession
+    num_t = "decimal(30,9)" if exact else "double"
     carry_df = spark.createDataFrame(
         carry,
-        "__pid int, __off_pos double, __off_neg double, "
-        "__prior_min double, __prior_max double, __prev_last_alarm boolean",
+        f"__pid int, __off_pos {num_t}, __off_neg {num_t}, "
+        f"__prior_min {num_t}, __prior_max {num_t}, __prev_last_alarm boolean",
     )
     g = local.join(F.broadcast(carry_df), "__pid")
+    zlit = F.lit(Decimal(0)).cast(num_t) if exact else F.lit(0.0)
     p_pos = F.col("__off_pos") + F.col("__lp_pos")
     p_neg = F.col("__off_neg") + F.col("__lp_neg")
     runmin = F.least(F.col("__prior_min"), F.col("__off_pos") + F.col("__lmin_pos"))
     runmax = F.greatest(F.col("__prior_max"), F.col("__off_neg") + F.col("__lmax_neg"))
-    s_pos = p_pos - F.least(F.lit(0.0), runmin)
-    s_neg = -(p_neg - F.greatest(F.lit(0.0), runmax))
+    s_pos = p_pos - F.least(zlit, runmin)
+    s_neg = -(p_neg - F.greatest(zlit, runmax))
     out = g.withColumn("cusum_pos", s_pos).withColumn("cusum_neg", s_neg)
     alarm = (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h)
     prev = F.coalesce(

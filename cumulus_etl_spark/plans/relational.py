@@ -497,40 +497,23 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SESSION_ORACLE = """
-WITH flagged AS (
-  SELECT
-    user_id,
-    CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
-           OR LAG(ts) OVER w IS NULL
-         THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
-FROM flagged
-GROUP BY user_id
-"""
-
-
-@register("window_sessionize", _SESSION_ORACLE, tags=("window", "events"))
-def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min timeout): LAG + conditional flag +
-    grouped count. The batch analogue of stateful streaming sessions."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = table(spark, sf_dir, "events")
-    # cast is a no-op on TIMESTAMP but rescues TIMESTAMP_NTZ parquet
-    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
-    lag_epoch = F.lag(epoch).over(w)
-    new_session = F.when(lag_epoch.isNull() | ((epoch - lag_epoch) > 1_800_000), 1).otherwise(0)
-    return (
-        ev.select("user_id", new_session.alias("new_session"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("new_session").cast("bigint").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
+# RETIRED round 12 (gate-window capacity; funds the new
+# `events_cusum_keyless_distributed` oracle in plans/analytics.py):
+# the `window_sessionize` entry (gap-based LAG sessionization with a
+# strict-> 30-min gap, last green r9) was subsumed by
+# `window_session_native` (relational2.py) — the SAME
+# (user_id, n_sessions, n_events) surface hash-checked through the
+# actual library code path (streaming/sessions.py's native
+# session_window) against the same gaps-and-islands DuckDB oracle.
+# The ONLY semantic the retired entry held uniquely — the strict->
+# vs half-open->= gap boundary — was never exercised by the parquet
+# data (no event lands at an exact 1800 s gap), so the hash row never
+# pinned it; tests/test_sql_surface.py:
+# test_sessionize_gap_boundary_strict_vs_half_open now pins that
+# distinction directly on a hand-built boundary frame, which the row
+# could not.  Its building blocks stay oracled elsewhere: LAG via
+# `window_lag_lead_events`, conditional grouped sums across the agg
+# family.
 
 
 _MOVAVG_ORACLE = """

@@ -547,7 +547,7 @@ _SESSION_NATIVE_ORACLE = """
 WITH flagged AS (
   SELECT user_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -563,13 +563,21 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via Spark's NATIVE session_window grouping
     (the same function streams through streaming/sessions.py:
     sessionize_stream_native) — proven here against the gaps-and-islands
-    LAG oracle, so the batch window formulation (window_sessionize), the
-    native session_window operator, and the streaming path are all pinned
-    to one semantic. Two caveats folded in: the per-user grouping key
-    rides alongside the session_window expression, and the oracle's gap
-    test is >= (session windows are half-open [start, last+gap), so an
-    event at exactly last+gap opens a NEW session — unlike
-    window_sessionize's strictly-greater formulation)."""
+    LAG oracle, so the native session_window operator and the streaming
+    path are pinned to one semantic. Since r12 this is the catalog's
+    sessionization row (the plain-LAG `window_sessionize` entry was
+    retired into it — ledger note in relational.py). Two caveats folded
+    in: the per-user grouping key rides alongside the session_window
+    expression, and the oracle's gap test is strictly > — Spark's
+    session_window MERGES an event arriving at exactly last+gap into
+    the running session (its [ts, ts+gap) windows coalesce when they
+    touch, verified empirically), so the earlier >= formulation was
+    wrong at the boundary; the parquet data never lands on an exact
+    gap (which is why the >= row was green through r10), and
+    test_sql_surface.py pins the boundary semantic on a hand-built
+    frame the data cannot.  Oracle corrected r12 → this entry LEADS
+    the r13 gate window to re-prove (__spark_entry__.py rotation
+    note)."""
     from cumulus_etl_spark.streaming.sessions import sessionize_stream_native
 
     ev = table(spark, sf_dir, "events")

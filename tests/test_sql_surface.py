@@ -60,3 +60,49 @@ def test_intersect_distinct_pin(spark, sf_correct):
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
     ).fetchall())
     assert got == oracle
+
+
+def test_sessionize_gap_boundary_strict_vs_half_open(spark):
+    """The boundary semantic the parquet data never exercises, pinned
+    on a hand-built frame: an event at EXACTLY the 1800 s gap. Spark's
+    native session_window MERGES it into the running session (its
+    [ts, ts+gap) per-event windows coalesce when they touch) — i.e. a
+    strict-> gap test — which is why the `window_session_native` oracle
+    uses > (corrected r12; the earlier >= formulation was wrong here
+    but green because no real pair lands on the boundary). The >=
+    (half-open) formulation is shown disagreeing on the same frame, so
+    the distinction the retired `window_sessionize` row never actually
+    pinned is now an executable record (relational.py ledger note)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cumulus_etl_spark.streaming.sessions import sessionize_stream_native
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", 1, t0),
+        ("u", 2, t0 + dt.timedelta(seconds=1800)),   # exactly at the gap
+        ("u", 3, t0 + dt.timedelta(seconds=1801)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+
+    native = sessionize_stream_native(ev, gap_seconds=1800)
+    n_native = native.groupBy("user_id").count().collect()[0]["count"]
+    assert n_native == 1  # boundary event merges: strict-> semantics
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    lag_epoch = F.lag(epoch).over(w)
+
+    def n_sessions(cond):
+        new = F.when(lag_epoch.isNull() | cond, 1).otherwise(0)
+        return (
+            ev.select("user_id", new.alias("ns"))
+            .groupBy("user_id").agg(F.sum("ns").alias("n"))
+            .collect()[0]["n"]
+        )
+
+    assert n_sessions((epoch - lag_epoch) > 1_800_000) == 1   # matches native
+    assert n_sessions((epoch - lag_epoch) >= 1_800_000) == 2  # half-open differs

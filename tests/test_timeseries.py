@@ -197,3 +197,56 @@ def test_distributed_keyless_cusum_equals_single_task_form(spark):
     # boundary edge: a changepoint on the first row of a partition is an
     # EDGE only if the prior partition's last row was below threshold —
     # covered implicitly above (flags equal across parts=3/17 splits)
+
+
+def test_distributed_exact_mode_is_partition_count_invariant(spark):
+    """exact=True quantizes deviations to DECIMAL(28,9) before any
+    summation, so the distributed reassociation is EXACT: the output is
+    bit-identical (not 1e-9-close) across different scan_partitions —
+    and identical to a pure-Python sequential fold of the same
+    quantized series. This is what lets the distributed path carry its
+    own DuckDB hash row (events_cusum_keyless_distributed)."""
+    import random
+    from decimal import Decimal
+
+    from cumulus_etl_spark.operators.timeseries import (
+        cusum_changepoints_distributed,
+    )
+
+    rng = random.Random(7)
+    values = [10 + rng.gauss(0, 2) for _ in range(400)]
+    values[250:] = [v + 6 for v in values[250:]]  # a real shift
+    df = _series(spark, values)
+
+    def run(parts):
+        rows = (
+            cusum_changepoints_distributed(
+                df, "x", "t", kappa=0.5, h=5.0,
+                scan_partitions=parts, exact=True,
+            )
+            .orderBy("t")
+            .select("t", "cusum_pos", "cusum_neg", "changepoint")
+            .collect()
+        )
+        return [tuple(r) for r in rows]
+
+    a, b, c = run(1), run(4), run(13)
+    assert a == b == c  # bit-exact, any partitioning
+
+    # sequential decimal fold oracle in plain Python
+    mu = sum(values) / len(values)
+    var = sum((v - mu) ** 2 for v in values) / len(values)
+    sigma = max(var ** 0.5, 1e-12)
+    q = Decimal("0.000000001")
+    p_pos = p_neg = Decimal(0)
+    run_min = run_max = Decimal(0)
+    for i, v in enumerate(values):
+        z = (v - mu) / sigma
+        p_pos += Decimal(z - 0.5).quantize(q)
+        p_neg += Decimal(z + 0.5).quantize(q)
+        run_min = min(run_min, p_pos)
+        run_max = max(run_max, p_neg)
+        s_pos = p_pos - min(Decimal(0), run_min)
+        s_neg = -(p_neg - max(Decimal(0), run_max))
+        assert Decimal(a[i][1]) == s_pos, i
+        assert Decimal(a[i][2]) == s_neg, i
