@@ -125,3 +125,52 @@ def test_expect_cli_verb_gates_on_exit_code(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["passed"] is True
+
+
+def test_unique_approx_flag_screens_without_expand(spark):
+    """Round-11 verdict note: each EXACT unique adds an Expand branch
+    (the aggregate input multiplies per distinct-agg); `approx: true`
+    routes through approx_count_distinct — an accumulating aggregate
+    with NO Expand however many columns — for wide uniqueness sweeps.
+    Pin both the plan shape and the pass/fail contract."""
+    from pyspark.sql import functions as F
+
+    from cumulus_etl_spark.operators.expectations import check_expectations
+
+    rows = [(i, i % 97, f"s{i}") for i in range(500)]  # b has real dups
+    df = spark.createDataFrame(rows, "a long, b long, c string")
+
+    # contract: a unique (true), b unique (false — 403 dups), both modes
+    exact = check_expectations(df, [
+        {"check": "unique", "column": "a"},
+        {"check": "unique", "column": "b"},
+    ])
+    assert exact["results"][0]["passed"]
+    assert not exact["results"][1]["passed"]
+    assert exact["results"][1]["metric"] == 500 - 97
+
+    approx = check_expectations(df, [
+        {"check": "unique", "column": "a", "approx": True},
+        {"check": "unique", "column": "b", "approx": True},
+    ])
+    assert approx["results"][0]["passed"]       # estimate covers nn
+    assert not approx["results"][1]["passed"]   # 80% duplicates: far past tol
+    assert not approx["passed"]
+
+    # plan shape: N exact uniques -> Expand; N approx uniques -> none
+    def plan_of(specs):
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for i, s in enumerate(specs):
+            col = F.col(s["column"])
+            agg = (F.approx_count_distinct(col, rsd=0.02) if s.get("approx")
+                   else F.count_distinct(col))
+            aggs.append(agg.alias(f"d{i}"))
+        return df.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+
+    cols = ["a", "b", "c"]
+    assert "Expand" in plan_of([{"check": "unique", "column": c} for c in cols])
+    approx_plan = plan_of(
+        [{"check": "unique", "column": c, "approx": True} for c in cols]
+    )
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Scan ExistingRDD") == 1
