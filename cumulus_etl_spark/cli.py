@@ -1312,11 +1312,15 @@ def main(argv: list[str] | None = None) -> int:
                                  else "moderate" if worst <= 0.25 else "action")
             print(json.dumps(report))
             return 0
+        from cumulus_etl_spark.operators.drift import ks_js_from_rows
+
         rows = psi_drift(
             expected, actual, args.column,
             bucket_width=args.bucket_width, n_buckets=args.buckets,
         ).collect()
         psi = round(sum(r["psi_contrib"] for r in rows), 6)
+        # KS + JS ride the same collected histogram — no extra scans
+        ks, js = ks_js_from_rows(rows)
         # the standard PSI reading: <0.1 stable, 0.1-0.25 moderate, >0.25 act
         verdict = (
             "stable" if psi < 0.1
@@ -1327,6 +1331,8 @@ def main(argv: list[str] | None = None) -> int:
             "column": args.column,
             "psi": psi,
             "verdict": verdict,
+            "ks_stat": ks,
+            "js_divergence": js,
             "n_expected": sum(r["n_expected"] for r in rows),
             "n_actual": sum(r["n_actual"] for r in rows),
             "buckets": [

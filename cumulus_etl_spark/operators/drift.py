@@ -263,3 +263,114 @@ def psi_drift_multi(
         F.round(pa, 6).alias("pct_actual"),
         F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
     ).orderBy("column", "bucket")
+
+
+def ks_js_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """One-row drift summary complementing PSI: the binned two-sample
+    Kolmogorov-Smirnov statistic and the Jensen-Shannon divergence,
+    over the SAME fixed-width histograms as ``psi_drift`` (same
+    ``bucketize``, same null policy) — so a drift report can quote all
+    three standard tests from the same two scans.
+
+    KS here is the max |CDF_expected - CDF_actual| over bucket
+    boundaries: EXACT for discrete/binned data, a lower bound on the
+    continuous-data statistic with error at most the largest bucket
+    mass (the standard practical trade at scale — the exact continuous
+    KS needs a global sort; the binned form needs |buckets| rows).
+    JS divergence is symmetric, bounded by ln 2, and defined even where
+    one side has empty buckets (0·ln0 = 0 — no epsilon floor needed,
+    unlike PSI).
+
+    Output (one row): ``ks_stat``, ``js_divergence`` (6-decimal
+    doubles), ``n_expected``, ``n_actual`` (bigint totals).  Scale
+    shape: one map-side-combined hash aggregate per side (shuffle
+    bounded by bucket count), then windows over the |buckets|-row
+    frame; each input scanned exactly once."""
+    from pyspark.sql.window import Window
+
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def hist(df: DataFrame, n_alias: str) -> DataFrame:
+        bucket = bucketize(value_col, bucket_width, n_buckets)
+        return (
+            df.filter(F.col(value_col).isNotNull())  # module null policy
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
+        )
+
+    joined = (
+        hist(expected, "n_expected")
+        .join(hist(actual, "n_actual"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+        )
+    )
+    everything = Window.partitionBy()
+    cum = (
+        Window.partitionBy()
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    te = F.sum("n_expected").over(everything).cast("double")
+    ta = F.sum("n_actual").over(everything).cast("double")
+    cdf_e = F.sum("n_expected").over(cum) / te
+    cdf_a = F.sum("n_actual").over(cum) / ta
+    pe = F.col("n_expected") / te
+    pa = F.col("n_actual") / ta
+    m = (pe + pa) / F.lit(2.0)
+    # 0 * ln(0/m) = 0: guard each side's term on its own mass
+    term_e = F.when(pe > 0, pe * F.log(pe / m)).otherwise(F.lit(0.0))
+    term_a = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    per_bucket = joined.select(
+        "n_expected", "n_actual",
+        F.abs(cdf_e - cdf_a).alias("__gap"),
+        (F.lit(0.5) * (term_e + term_a)).alias("__js_contrib"),
+    )
+    return per_bucket.agg(
+        F.round(F.max("__gap"), 6).alias("ks_stat"),
+        F.round(F.greatest(F.sum("__js_contrib"), F.lit(0.0)), 6).alias(
+            "js_divergence"
+        ),
+        F.sum("n_expected").cast("bigint").alias("n_expected"),
+        F.sum("n_actual").cast("bigint").alias("n_actual"),
+    )
+
+
+def ks_js_from_rows(rows) -> tuple[float, float]:
+    """Driver-side twin of ``ks_js_drift`` over ALREADY-COLLECTED
+    per-bucket rows (any objects with ``bucket``/``n_expected``/
+    ``n_actual`` — e.g. the collected ``psi_drift`` report): the
+    ``drift`` CLI verb already holds the |buckets|-row histogram, so
+    quoting KS and JS alongside PSI must not cost two more scans of
+    the snapshots.  Pinned equal to the DataFrame operator in tests."""
+    import math
+
+    ordered = sorted(rows, key=lambda r: r["bucket"])
+    te = float(sum(r["n_expected"] for r in ordered))
+    ta = float(sum(r["n_actual"] for r in ordered))
+    ce = ca = 0.0
+    ks = 0.0
+    js = 0.0
+    for r in ordered:
+        pe = r["n_expected"] / te if te else 0.0
+        pa = r["n_actual"] / ta if ta else 0.0
+        ce += pe
+        ca += pa
+        ks = max(ks, abs(ce - ca))
+        m = (pe + pa) / 2.0
+        if pe > 0:
+            js += 0.5 * pe * math.log(pe / m)
+        if pa > 0:
+            js += 0.5 * pa * math.log(pa / m)
+    return round(ks, 6), round(max(js, 0.0), 6)

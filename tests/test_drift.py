@@ -308,3 +308,92 @@ def test_psi_multi_hostile_column_names(spark):
     # and a missing column still fails loudly with the real name
     with pytest.raises(ValueError, match="not in the snapshot"):
         psi_drift_multi(e, a, ["a`b", "nope"], n_buckets=4)
+
+
+def test_ks_js_hand_computed(spark):
+    """Binned KS + JS on hand-countable rows. expected: [.8, .2] over
+    buckets {0,1}; actual: [.5, .5]. CDFs: (.8, 1.0) vs (.5, 1.0) ->
+    KS = .3. JS = 0.5*(.8 ln(.8/.65) + .2 ln(.2/.35))
+              + 0.5*(.5 ln(.5/.65) + .5 ln(.5/.35))."""
+    import math
+
+    from cumulus_etl_spark.operators.drift import ks_js_drift
+
+    e = _snap(spark, [0.5] * 8 + [1.5] * 2)
+    a = _snap(spark, [0.2] * 5 + [1.9] * 5)
+    row = ks_js_drift(e, a, "x", 1.0, 4).collect()[0]
+    assert row["ks_stat"] == pytest.approx(0.3, abs=1e-6)
+    want_js = 0.5 * (0.8 * math.log(0.8 / 0.65) + 0.2 * math.log(0.2 / 0.35)) \
+        + 0.5 * (0.5 * math.log(0.5 / 0.65) + 0.5 * math.log(0.5 / 0.35))
+    assert row["js_divergence"] == pytest.approx(round(want_js, 6), abs=1e-6)
+    assert (row["n_expected"], row["n_actual"]) == (10, 10)
+
+
+def test_ks_js_bounds_and_identity(spark):
+    """Identical distributions -> both zero; disjoint -> KS = 1 and
+    JS = ln 2 (its upper bound). Empty-on-one-side buckets need no
+    epsilon floor (0*ln0 = 0), unlike PSI."""
+    import math
+
+    from cumulus_etl_spark.operators.drift import ks_js_drift
+
+    same = _snap(spark, [0.5] * 6 + [2.5] * 4)
+    row = ks_js_drift(same, same, "x", 1.0, 4).collect()[0]
+    assert (row["ks_stat"], row["js_divergence"]) == (0.0, 0.0)
+
+    lo = _snap(spark, [0.5] * 10)
+    hi = _snap(spark, [3.5] * 10)
+    row = ks_js_drift(lo, hi, "x", 1.0, 4).collect()[0]
+    assert row["ks_stat"] == 1.0
+    assert row["js_divergence"] == pytest.approx(round(math.log(2), 6), abs=1e-6)
+
+
+def test_ks_js_nulls_excluded_and_rows_twin_matches(spark):
+    """Shares the module null policy, and the driver-side
+    ks_js_from_rows twin (what the CLI uses on the already-collected
+    histogram) lands on exactly the DataFrame operator's numbers."""
+    from cumulus_etl_spark.operators.drift import (
+        ks_js_drift,
+        ks_js_from_rows,
+        psi_drift,
+    )
+
+    e = spark.createDataFrame(
+        [(None,)] * 5 + [(0.5,)] * 8 + [(1.5,)] * 2, "x double"
+    )
+    a = spark.createDataFrame(
+        [(None,)] * 3 + [(0.2,)] * 5 + [(1.9,)] * 5, "x double"
+    )
+    row = ks_js_drift(e, a, "x", 1.0, 4).collect()[0]
+    assert (row["n_expected"], row["n_actual"]) == (10, 10)  # nulls gone
+    rows = psi_drift(e, a, "x", 1.0, 4).collect()
+    ks, js = ks_js_from_rows(rows)
+    assert (ks, js) == (row["ks_stat"], row["js_divergence"])
+
+
+def test_ks_js_single_scan_per_side(spark):
+    from cumulus_etl_spark.operators.drift import ks_js_drift
+
+    e = _snap(spark, [0.5] * 20)
+    a = _snap(spark, [1.5] * 20)
+    plan = (
+        ks_js_drift(e, a, "x", 1.0, 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 2
+
+
+def test_drift_cli_reports_ks_js(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "refk"), str(tmp_path / "newk")
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(e_path)
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--column", "x",
+               "--bucket-width", "1.0", "--buckets", "4"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psi"] == 0.0 and rep["ks_stat"] == 0.0
+    assert rep["js_divergence"] == 0.0 and rep["verdict"] == "stable"
