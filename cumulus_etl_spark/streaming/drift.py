@@ -1,8 +1,9 @@
 """Streaming PSI drift monitor: an incrementally maintained histogram
 compared against a frozen reference.
 
-The batch operator (operators/drift.py:psi_drift, oracled as
-`profile_psi_drift`) answers "did snapshot B shift from snapshot A" in
+The batch operator (operators/drift.py:psi_drift — hash-pinned through
+the `profile_psi_drift_multi` oracle row, whose per-column slices are
+pytest-pinned equal to it) answers "did snapshot B shift from snapshot A" in
 two scans; a LANDING ZONE wants the running answer as data arrives —
 "has this week's ingest drifted from the blessed reference yet?" —
 without rescanning history.  Bucket counts are trivially mergeable

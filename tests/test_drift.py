@@ -1,8 +1,10 @@
 """PSI distribution-drift operator (operators/drift.py).
 
-The oracle-checked entry is plans/analytics.py:profile_psi_drift (yearly
-order-price snapshots); these tests pin the semantics on hand-countable
-rows and the invariants a drift monitor relies on.
+The oracle-checked entry is plans/analytics.py:profile_psi_drift_multi
+(yearly order snapshots, both numeric columns; it strictly contains the
+retired single-column profile_psi_drift row); these tests pin the
+semantics on hand-countable rows and the invariants a drift monitor
+relies on.
 """
 
 from __future__ import annotations

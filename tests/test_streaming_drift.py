@@ -1,8 +1,8 @@
 """Streaming PSI drift monitor (streaming/drift.py).
 
 The pinned invariant: after ANY batch split, the monitor's report equals
-psi_drift(reference, concat(batches)) — the oracled batch operator
-(`profile_psi_drift`) over the same data.
+psi_drift(reference, concat(batches)) — the batch operator (hash-pinned
+through the `profile_psi_drift_multi` oracle row) over the same data.
 """
 
 from __future__ import annotations
