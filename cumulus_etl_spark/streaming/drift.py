@@ -41,7 +41,6 @@ from cumulus_etl_spark.sinks import ManagedTable, MergePolicy
 
 HIST_TABLE = "psi_hist"
 _CONFIG_FILE = "_psi_config.json"
-_CHECKPOINT_FILE = "_psi_checkpoint.json"
 
 
 class StreamingPsiMonitor:
@@ -201,23 +200,12 @@ def streaming_psi(
     fresh checkpoint would restart ids at 0 and the replay watermark
     would silently drop the early batches as replays (and re-fold high
     ids) — corrupted counts with no error.  The first checkpoint path
-    is pinned in a sidecar and any later mismatch is rejected loudly;
+    is pinned in a sidecar and any later mismatch is rejected loudly
+    (streaming/ckpt.py — shared with every non-idempotent sketch);
     re-baseline by starting a fresh monitor_root."""
-    ckpt_path = os.path.join(monitor_root, _CHECKPOINT_FILE)
-    if hadoop_io.exists(spark, ckpt_path):
-        stored = json.loads(hadoop_io.read_text(spark, ckpt_path))
-        if stored["checkpoint_dir"] != checkpoint_dir:
-            raise ValueError(
-                f"monitor root {monitor_root!r} was built against "
-                f"checkpoint {stored['checkpoint_dir']!r}; reopened with "
-                f"{checkpoint_dir!r} — batch ids are per-checkpoint, so a "
-                "new checkpoint would corrupt the replay watermark. Keep "
-                "the original checkpoint dir or start a fresh monitor."
-            )
-    else:
-        hadoop_io.write_text(
-            spark, ckpt_path, json.dumps({"checkpoint_dir": checkpoint_dir})
-        )
+    from cumulus_etl_spark.streaming.ckpt import pin_checkpoint_identity
+
+    pin_checkpoint_identity(spark, monitor_root, checkpoint_dir)
     mon = StreamingPsiMonitor(
         spark, monitor_root, value_col, bucket_width, n_buckets
     )

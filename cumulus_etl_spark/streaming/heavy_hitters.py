@@ -346,6 +346,12 @@ def streaming_heavy_hitters(
     exactly the files that arrived since the last one.
     ``window_batches > 0`` selects the sliding-window ring
     (WindowedCountMin) instead of the all-time sketch."""
+    from cumulus_etl_spark.streaming.ckpt import pin_checkpoint_identity
+
+    # CMS cell addition is non-idempotent: the replay watermark only
+    # holds if this sketch always folds from the SAME checkpoint
+    # (streaming/ckpt.py — batch ids are per-checkpoint)
+    pin_checkpoint_identity(spark, sketch_root, checkpoint_dir)
     if window_batches > 0:
         cms: StreamingCountMin = WindowedCountMin(
             spark, sketch_root, window_batches=window_batches, **cms_kwargs

@@ -248,6 +248,11 @@ def streaming_quantiles(
     into the persistent histogram batch by batch; each run processes
     exactly the files that arrived since the last one (same shape as
     streaming_heavy_hitters)."""
+    from cumulus_etl_spark.streaming.ckpt import pin_checkpoint_identity
+
+    # HDR bucket addition is non-idempotent: same checkpoint-identity
+    # contract as the CMS / PSI siblings (streaming/ckpt.py)
+    pin_checkpoint_identity(spark, sketch_root, checkpoint_dir)
     hdr = StreamingHdrHistogram(
         spark, sketch_root, sub_bits=sub_bits, key_col=key_col
     )

@@ -114,3 +114,48 @@ def test_countmin_bucket_matches_reference_md5():
     for k in ["17", "42", "999"]:
         h = hashlib.md5(f"cms:3:{k}".encode()).hexdigest()[:15]
         assert got[k] == int(h, 16) % 512, k
+
+
+def test_checkpoint_identity_pinned_for_nonidempotent_sketches(spark, tmp_path):
+    """r12: the drift monitor's checkpoint-identity guard generalized
+    to every sketch with a NON-idempotent fold — batch ids are
+    per-checkpoint, so re-pointing an established CMS/HDR sketch at a
+    fresh checkpoint dir would silently corrupt the replay watermark.
+    First checkpoint pins; a different one is rejected loudly."""
+    import pytest as _pytest
+
+    from cumulus_etl_spark.streaming.heavy_hitters import (
+        streaming_heavy_hitters,
+    )
+    from cumulus_etl_spark.streaming.quantiles import streaming_quantiles
+
+    landing = str(tmp_path / "landing")
+    rows = spark.createDataFrame(
+        [("k%d" % (i % 5), float(i)) for i in range(40)], "key string, v double"
+    )
+    rows.coalesce(1).write.json(landing)
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(landing, "part-*.json")):
+        os.rename(f, f[: -len(".json")] + ".ndjson")
+
+    cms_args = dict(key_col="key", schema="key string, v double")
+    streaming_heavy_hitters(
+        spark, landing, str(tmp_path / "cms"), str(tmp_path / "ck1"), **cms_args
+    )
+    with _pytest.raises(ValueError, match="per-checkpoint"):
+        streaming_heavy_hitters(
+            spark, landing, str(tmp_path / "cms"), str(tmp_path / "ck2"),
+            **cms_args
+        )
+
+    streaming_quantiles(
+        spark, landing, str(tmp_path / "hdr"), str(tmp_path / "qk1"),
+        "v", "key string, v double",
+    )
+    with _pytest.raises(ValueError, match="per-checkpoint"):
+        streaming_quantiles(
+            spark, landing, str(tmp_path / "hdr"), str(tmp_path / "qk2"),
+            "v", "key string, v double",
+        )
