@@ -1290,6 +1290,8 @@ def main(argv: list[str] | None = None) -> int:
                     f"snapshot; it has {df.columns}"
                 )
         if args.columns:
+            from cumulus_etl_spark.operators.drift import ks_js_from_rows
+
             per = psi_drift_multi(
                 expected, actual, want_cols, n_buckets=args.buckets
             ).collect()
@@ -1297,10 +1299,14 @@ def main(argv: list[str] | None = None) -> int:
             for c in want_cols:
                 rows_c = [r for r in per if r["column"] == c]
                 psi = round(sum(r["psi_contrib"] for r in rows_c), 6)
+                # KS/JS ride the same collected grid — no extra scans
+                ks, js = ks_js_from_rows(rows_c)
                 report["columns"][c] = {
                     "psi": psi,
                     "verdict": ("stable" if psi < 0.1
                                 else "moderate" if psi <= 0.25 else "action"),
+                    "ks_stat": ks,
+                    "js_divergence": js,
                     "n_expected": sum(r["n_expected"] for r in rows_c),
                     "n_actual": sum(r["n_actual"] for r in rows_c),
                 }

@@ -399,3 +399,76 @@ def test_drift_cli_reports_ks_js(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["psi"] == 0.0 and rep["ks_stat"] == 0.0
     assert rep["js_divergence"] == 0.0 and rep["verdict"] == "stable"
+
+
+def test_ks_js_randomized_properties(spark):
+    """Seeded randomized pin for the KS/JS pair: symmetry (both metrics
+    are direction-free, unlike PSI), bounds (KS in [0,1], JS in
+    [0, ln 2]), and agreement with a plain-Python reference over the
+    same bucket counts — across several random histogram shapes
+    including one-sided-empty buckets."""
+    import math
+    import random
+
+    from cumulus_etl_spark.operators.drift import ks_js_drift
+
+    rng = random.Random(12)
+    for case in range(4):
+        nb = rng.choice([3, 4, 6])
+        e_vals, a_vals = [], []
+        for b in range(nb):
+            # some buckets empty on one side
+            if rng.random() > 0.2:
+                e_vals += [b + 0.5] * rng.randint(1, 12)
+            if rng.random() > 0.2:
+                a_vals += [b + 0.5] * rng.randint(1, 12)
+        if not e_vals or not a_vals:
+            continue
+        e, a = _snap(spark, e_vals), _snap(spark, a_vals)
+        fwd = ks_js_drift(e, a, "x", 1.0, nb).collect()[0]
+        rev = ks_js_drift(a, e, "x", 1.0, nb).collect()[0]
+        assert fwd["ks_stat"] == rev["ks_stat"], case
+        assert fwd["js_divergence"] == rev["js_divergence"], case
+        assert 0.0 <= fwd["ks_stat"] <= 1.0
+        assert 0.0 <= fwd["js_divergence"] <= round(math.log(2), 6) + 1e-9
+
+        # plain-Python reference over the same counts
+        ce = [sum(1 for v in e_vals if int(v) == b) for b in range(nb)]
+        ca = [sum(1 for v in a_vals if int(v) == b) for b in range(nb)]
+        te, ta = sum(ce), sum(ca)
+        cum_e = cum_a = 0.0
+        ks = js = 0.0
+        for b in range(nb):
+            pe, pa = ce[b] / te, ca[b] / ta
+            cum_e += pe
+            cum_a += pa
+            ks = max(ks, abs(cum_e - cum_a))
+            m = (pe + pa) / 2
+            if pe > 0:
+                js += 0.5 * pe * math.log(pe / m)
+            if pa > 0:
+                js += 0.5 * pa * math.log(pa / m)
+        assert fwd["ks_stat"] == pytest.approx(ks, abs=1e-6), case
+        assert fwd["js_divergence"] == pytest.approx(js, abs=1e-6), case
+
+
+def test_drift_cli_multi_reports_ks_js(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "refm"), str(tmp_path / "newm")
+    spark.createDataFrame(
+        [(float(i % 10), 5.0) for i in range(100)], "moved double, flat double"
+    ).write.parquet(e_path)
+    spark.createDataFrame(
+        [(float(i % 3), 5.0) for i in range(100)], "moved double, flat double"
+    ).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--columns", "moved,flat",
+               "--buckets", "5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["columns"]["flat"]["ks_stat"] == 0.0
+    assert rep["columns"]["flat"]["js_divergence"] == 0.0
+    assert rep["columns"]["moved"]["ks_stat"] > 0.2
+    assert rep["columns"]["moved"]["js_divergence"] > 0.05
