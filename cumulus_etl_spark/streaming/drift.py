@@ -76,6 +76,14 @@ class StreamingPsiMonitor:
             "value_col": value_col,
             "bucket_width": self.bucket_width,
             "n_buckets": self.n_buckets,
+            # binning-semantics version: the histogram state is only
+            # mergeable with batches binned the SAME way, so the
+            # convention itself is part of the monitor's identity.
+            # "clamp-low-v2" = below-range values clamp into bucket 0
+            # (operators/drift.py:bucketize, r12); a monitor created
+            # under the earlier unclamped convention mismatches here
+            # and is rejected loudly instead of silently mixing bins.
+            "binning": "clamp-low-v2",
         }
         if hadoop_io.exists(spark, cfg_path):
             stored = json.loads(hadoop_io.read_text(spark, cfg_path))

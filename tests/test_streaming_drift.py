@@ -251,3 +251,26 @@ def test_drift_monitor_cli_rerun_without_reference(spark, tmp_path, capsys):
     assert rc == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2 == rep1
+
+
+def test_binning_semantics_version_guards_reopen(spark, tmp_path):
+    """The binning convention is part of the monitor's identity: a
+    config sidecar written under a DIFFERENT binning version (e.g. the
+    pre-r12 unclamped floor division) must be rejected on reopen —
+    cumulative histogram state is only mergeable with batches binned
+    the same way, and a silent mix would corrupt the edge buckets."""
+    import json
+    import os
+
+    from cumulus_etl_spark.sources import hadoop_io
+
+    root = str(tmp_path / "mon")
+    mon = StreamingPsiMonitor(spark, root, "x", 1.0, 4)
+    mon.set_reference(_snap(spark, [0.5] * 10))
+
+    cfg_path = os.path.join(root, "_psi_config.json")
+    legacy = json.loads(hadoop_io.read_text(spark, cfg_path))
+    legacy.pop("binning")  # a pre-r12 sidecar has no binning field
+    hadoop_io.write_text(spark, cfg_path, json.dumps(legacy))
+    with pytest.raises(ValueError, match="mismatched binning"):
+        StreamingPsiMonitor(spark, root, "x", 1.0, 4)
