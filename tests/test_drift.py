@@ -472,3 +472,14 @@ def test_drift_cli_multi_reports_ks_js(spark, tmp_path, capsys):
     assert rep["columns"]["flat"]["js_divergence"] == 0.0
     assert rep["columns"]["moved"]["ks_stat"] > 0.2
     assert rep["columns"]["moved"]["js_divergence"] > 0.05
+
+
+def test_psi_multi_all_null_reference_column_fails_loudly(spark):
+    """A reference column with no non-null values cannot define a grid;
+    the error must name the column, before any histogram scan."""
+    from cumulus_etl_spark.operators.drift import psi_drift_multi
+
+    e = spark.createDataFrame([(1.0, None)] * 10, "ok double, empty double")
+    a = spark.createDataFrame([(1.5, 2.0)] * 10, "ok double, empty double")
+    with pytest.raises(ValueError, match="empty"):
+        psi_drift_multi(e, a, ["ok", "empty"], n_buckets=4)
