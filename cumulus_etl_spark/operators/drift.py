@@ -291,7 +291,18 @@ def ks_js_drift(
     doubles), ``n_expected``, ``n_actual`` (bigint totals).  Scale
     shape: one map-side-combined hash aggregate per side (shuffle
     bounded by bucket count), then windows over the |buckets|-row
-    frame; each input scanned exactly once."""
+    frame; each input scanned exactly once.
+
+    Empty sides are DEFINED, not NULL (r12 advice): a side with no
+    non-null rows has the all-zero mass function (its shares are
+    guarded — ``n/total`` only when ``total > 0``), so one empty side
+    reads as total separation (``ks_stat`` reaches 1.0 at the last
+    occupied bucket, ``js_divergence`` = ln(2)/2 · the occupied side's
+    mass = ~0.346574) and BOTH sides empty reads ``(0.0, 0.0, 0, 0)``.
+    Without the guard Spark's double division by a zero total yields
+    NULL while the driver-side twin ``ks_js_from_rows`` returns the
+    defined number — the twins are pinned equal in tests on exactly
+    these edges."""
     from pyspark.sql.window import Window
 
     if bucket_width <= 0:
@@ -324,10 +335,12 @@ def ks_js_drift(
     )
     te = F.sum("n_expected").over(everything).cast("double")
     ta = F.sum("n_actual").over(everything).cast("double")
-    cdf_e = F.sum("n_expected").over(cum) / te
-    cdf_a = F.sum("n_actual").over(cum) / ta
-    pe = F.col("n_expected") / te
-    pa = F.col("n_actual") / ta
+    # guarded shares: an empty side is the all-zero mass function (see
+    # docstring) — matches ks_js_from_rows' `n/total if total else 0.0`
+    cdf_e = F.when(te > 0, F.sum("n_expected").over(cum) / te).otherwise(F.lit(0.0))
+    cdf_a = F.when(ta > 0, F.sum("n_actual").over(cum) / ta).otherwise(F.lit(0.0))
+    pe = F.when(te > 0, F.col("n_expected") / te).otherwise(F.lit(0.0))
+    pa = F.when(ta > 0, F.col("n_actual") / ta).otherwise(F.lit(0.0))
     m = (pe + pa) / F.lit(2.0)
     # 0 * ln(0/m) = 0: guard each side's term on its own mass
     term_e = F.when(pe > 0, pe * F.log(pe / m)).otherwise(F.lit(0.0))
@@ -337,13 +350,16 @@ def ks_js_drift(
         F.abs(cdf_e - cdf_a).alias("__gap"),
         (F.lit(0.5) * (term_e + term_a)).alias("__js_contrib"),
     )
+    # coalesce: both sides empty → the join has ZERO rows, the
+    # aggregates come back NULL, and the defined result is (0.0, 0.0,
+    # 0, 0) — what the twin's empty loop returns
     return per_bucket.agg(
-        F.round(F.max("__gap"), 6).alias("ks_stat"),
-        F.round(F.greatest(F.sum("__js_contrib"), F.lit(0.0)), 6).alias(
-            "js_divergence"
-        ),
-        F.sum("n_expected").cast("bigint").alias("n_expected"),
-        F.sum("n_actual").cast("bigint").alias("n_actual"),
+        F.coalesce(F.round(F.max("__gap"), 6), F.lit(0.0)).alias("ks_stat"),
+        F.coalesce(
+            F.round(F.greatest(F.sum("__js_contrib"), F.lit(0.0)), 6), F.lit(0.0)
+        ).alias("js_divergence"),
+        F.coalesce(F.sum("n_expected"), F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce(F.sum("n_actual"), F.lit(0)).cast("bigint").alias("n_actual"),
     )
 
 
@@ -353,7 +369,11 @@ def ks_js_from_rows(rows) -> tuple[float, float]:
     ``n_actual`` — e.g. the collected ``psi_drift`` report): the
     ``drift`` CLI verb already holds the |buckets|-row histogram, so
     quoting KS and JS alongside PSI must not cost two more scans of
-    the snapshots.  Pinned equal to the DataFrame operator in tests."""
+    the snapshots.  Pinned equal to the DataFrame operator in tests —
+    INCLUDING the empty-side edges: `n/total if total else 0.0` below
+    is the same all-zero-mass definition the operator's guarded
+    divisions implement (one side empty → KS 1.0 / JS ln(2)/2; both
+    empty → (0.0, 0.0))."""
     import math
 
     ordered = sorted(rows, key=lambda r: r["bucket"])

@@ -143,14 +143,18 @@ def check_expectations(df: DataFrame, expectations: list[dict]) -> dict:
                        passed=bool(ratio >= want))
         elif kind == "unique":
             distinct, nn = row[f"__d_{i}"], row[f"__nn_{i}"]
+            # the mode is ALWAYS explicit in the result (r12 advice):
+            # an approx "passed": true is an HLL screen within
+            # tolerance, not a hard gate, and a JSON consumer must be
+            # able to tell the two apart without the original spec
             if spec.get("approx"):
                 tol = float(spec.get("tolerance", 0.05))
                 ok = distinct >= nn * (1.0 - tol)
                 out.update(metric=int(max(0, nn - distinct)),
-                           threshold=tol, passed=bool(ok))
+                           threshold=tol, passed=bool(ok), approx=True)
             else:
                 out.update(metric=int(nn - distinct),
-                           passed=bool(distinct == nn))
+                           passed=bool(distinct == nn), approx=False)
         else:
             nn = row[f"__nn_{i}"]
             ratio = (row[f"__ok_{i}"] / nn) if nn else 1.0

@@ -123,14 +123,28 @@ def cusum_changepoints_distributed(
 
     ``exact=True`` quantizes the per-row deviations to DECIMAL(20,9)
     before any summation (the catalog dsum discipline applied to a
-    prefix SCAN): decimal addition is exact and order-independent, so
+    prefix SCAN).  Precision 20 is a hard Spark constraint, not taste:
+    a window SUM widens to precision+10 → decimal(30,9), and the
+    carry-broadcast adds on top must stay within Spark's 38-digit
+    ceiling or Catalyst silently REDUCES THE SCALE
+    (allowPrecisionLoss) — at 28,9 the sums widen to 38,9, the adds
+    overflow, and the output comes back at scale ~7, empirically
+    breaking the bit-exactness this mode exists for (r13, found by the
+    r12 advice's alignment attempt).  The DuckDB oracle casts to the
+    SAME 20,9 (cross-engine equality needs the same SCALE; both stay
+    overflow-free at this precision).  Decimal addition is exact and
+    order-independent, so
     the distributed reassociation — local sums + driver-folded offsets
     — lands BIT-IDENTICAL to a sequential fold of the same quantized
     series on any engine, which is what lets the distributed path carry
     its own DuckDB hash row (plans/analytics.py:
     events_cusum_keyless_distributed).  The only remaining cross-engine
-    freedom is the quantization itself: y is known to ~1e-15 relative
-    (stddev_pop partial-merge order), 6 orders below the 1e-9 grid.
+    freedom is the quantization itself, in two parts: (a) y is known to
+    ~1e-15 relative (stddev_pop partial-merge order), 6 orders below
+    the 1e-9 grid; (b) the double→decimal cast rounding mode — both
+    Spark and DuckDB round HALF_UP at the grid, and an exact 5e-10
+    midpoint is unrepresentable in binary doubles anyway, so the
+    nearest-double argument both engines share resolves identically.
     Decimals carry no signed zero, so the round-11 -0.0 hash class is
     structurally dead here.  Cost: decimal ops run ~2-3x double ops —
     the audit mode, not the default."""

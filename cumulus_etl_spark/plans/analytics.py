@@ -584,8 +584,8 @@ stats AS (
 ),
 y AS (
   SELECT hr, n,
-         CAST((n - mu) / sigma - 0.5 AS DECIMAL(28,9)) AS y_pos,
-         CAST((n - mu) / sigma + 0.5 AS DECIMAL(28,9)) AS y_neg
+         CAST((n - mu) / sigma - 0.5 AS DECIMAL(20,9)) AS y_pos,
+         CAST((n - mu) / sigma + 0.5 AS DECIMAL(20,9)) AS y_neg
   FROM hourly, stats
 ),
 p AS (
@@ -594,8 +594,8 @@ p AS (
   WINDOW w AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 s2 AS (
-  SELECT *, p_pos - LEAST(CAST(0 AS DECIMAL(28,9)), MIN(p_pos) OVER w) AS s_pos,
-            -(p_neg - GREATEST(CAST(0 AS DECIMAL(28,9)), MAX(p_neg) OVER w)) AS s_neg
+  SELECT *, p_pos - LEAST(CAST(0 AS DECIMAL(20,9)), MIN(p_pos) OVER w) AS s_pos,
+            -(p_neg - GREATEST(CAST(0 AS DECIMAL(20,9)), MAX(p_neg) OVER w)) AS s_neg
   FROM p
   WINDOW w AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),

@@ -53,8 +53,36 @@ class StreamingPsiMonitor:
     backend is POSIX-local by design (hardlinks) — so the monitor root
     follows the lake's locality, with the sidecar never the blocker."""
 
-    def __init__(self, spark: SparkSession, root: str, value_col: str,
-                 bucket_width: float, n_buckets: int = 20):
+    def __init__(self, spark: SparkSession, root: str,
+                 value_col: str | None = None,
+                 bucket_width: float | None = None,
+                 n_buckets: int | None = None):
+        # Reopen convenience (r12 advice): an ESTABLISHED monitor
+        # already persists its binning in the config sidecar, so the
+        # caller may omit any of value_col/bucket_width/n_buckets and
+        # inherit the stored values — the documented "pass None once
+        # the baseline exists" call shape.  A NEW monitor must state
+        # all three; omitting them there is a loud error, not a
+        # guessed default.
+        cfg_path = os.path.join(root, _CONFIG_FILE)
+        if value_col is None or bucket_width is None or n_buckets is None:
+            if not hadoop_io.exists(spark, cfg_path):
+                missing = [
+                    n for n, v in (("value_col", value_col),
+                                   ("bucket_width", bucket_width),
+                                   ("n_buckets", n_buckets))
+                    if v is None
+                ]
+                raise ValueError(
+                    f"new monitor root {root!r} has no config sidecar: "
+                    f"{missing} must be given explicitly on first open"
+                )
+            stored = json.loads(hadoop_io.read_text(spark, cfg_path))
+            value_col = stored["value_col"] if value_col is None else value_col
+            bucket_width = (
+                stored["bucket_width"] if bucket_width is None else bucket_width
+            )
+            n_buckets = stored["n_buckets"] if n_buckets is None else n_buckets
         if bucket_width <= 0:
             raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
         if n_buckets < 2:
@@ -64,6 +92,7 @@ class StreamingPsiMonitor:
         self.value_col = value_col
         self.bucket_width = float(bucket_width)
         self.n_buckets = int(n_buckets)
+        assert value_col is not None  # narrowed above
         self.table = ManagedTable(spark, root, HIST_TABLE)
         self._policy = MergePolicy(
             keys=("side", "bucket"),
@@ -71,7 +100,6 @@ class StreamingPsiMonitor:
             last_updated_field=None,
             num_buckets=1,
         )
-        cfg_path = os.path.join(root, _CONFIG_FILE)
         cfg = {
             "value_col": value_col,
             "bucket_width": self.bucket_width,
@@ -188,10 +216,10 @@ def streaming_psi(
     monitor_root: str,
     checkpoint_dir: str,
     schema: str,
-    value_col: str,
+    value_col: str | None = None,
     reference=None,
-    bucket_width: float = 0.0,
-    n_buckets: int = 20,
+    bucket_width: float | None = None,
+    n_buckets: int | None = None,
 ) -> StreamingPsiMonitor:
     """Checkpointed ingest: parquet rows landing in ``input_dir`` fold
     into the persistent monitor batch by batch (availableNow; the
@@ -201,7 +229,11 @@ def streaming_psi(
     — it is resolved ONLY when the monitor has no frozen baseline yet
     (first open).  An established monitor ignores it entirely, so the
     original reference snapshot may be moved or deleted without
-    breaking re-runs; pass None once the baseline exists.
+    breaking re-runs; pass None once the baseline exists.  The same
+    holds for ``value_col``/``bucket_width``/``n_buckets``: on reopen
+    they load from the monitor's config sidecar when omitted (r12
+    advice — a reopen without them previously hit the constructor's
+    "bucket_width must be > 0"); a FIRST open must state them.
 
     The checkpoint dir is part of the monitor's identity: stream batch
     ids are PER-CHECKPOINT, so re-pointing an established monitor at a

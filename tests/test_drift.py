@@ -483,3 +483,49 @@ def test_psi_multi_all_null_reference_column_fails_loudly(spark):
     a = spark.createDataFrame([(1.5, 2.0)] * 10, "ok double, empty double")
     with pytest.raises(ValueError, match="empty"):
         psi_drift_multi(e, a, ["ok", "empty"], n_buckets=4)
+
+
+def test_ks_js_empty_side_defined_and_twin_matches(spark):
+    """r12 advice: an empty side must be DEFINED (all-zero mass), not a
+    NULL from Spark's division by a zero total — and the DataFrame
+    operator must land exactly where the driver-side twin already did:
+    one side empty -> KS 1.0 / JS ln(2)/2; both empty -> (0.0, 0.0)."""
+    import math
+
+    from cumulus_etl_spark.operators.drift import (
+        ks_js_drift,
+        ks_js_from_rows,
+    )
+
+    empty = spark.createDataFrame([], "x double")
+    nulls_only = spark.createDataFrame([(None,)] * 4, "x double")
+    full = _snap(spark, [0.5] * 6 + [2.5] * 4)
+
+    for bad in (empty, nulls_only):
+        row = ks_js_drift(bad, full, "x", 1.0, 4).collect()[0]
+        assert row["ks_stat"] == 1.0
+        assert row["js_divergence"] == pytest.approx(
+            round(math.log(2) / 2, 6), abs=1e-6
+        )
+        assert (row["n_expected"], row["n_actual"]) == (0, 10)
+        # twin over the same histogram rows agrees exactly (built by
+        # hand: psi_drift itself stays LOUD on an empty side — its
+        # epsilon-floored shares are undefined there, and under ANSI
+        # Spark raises DIVIDE_BY_ZERO rather than returning NULL)
+        rows = [
+            {"bucket": 0, "n_expected": 0, "n_actual": 6},
+            {"bucket": 2, "n_expected": 0, "n_actual": 4},
+        ]
+        assert ks_js_from_rows(rows) == (
+            row["ks_stat"], row["js_divergence"]
+        )
+        # and symmetrically
+        rev = ks_js_drift(full, bad, "x", 1.0, 4).collect()[0]
+        assert (rev["ks_stat"], rev["js_divergence"]) == (
+            row["ks_stat"], row["js_divergence"]
+        )
+
+    both = ks_js_drift(empty, nulls_only, "x", 1.0, 4).collect()[0]
+    assert (both["ks_stat"], both["js_divergence"]) == (0.0, 0.0)
+    assert (both["n_expected"], both["n_actual"]) == (0, 0)
+    assert ks_js_from_rows([]) == (0.0, 0.0)

@@ -274,3 +274,39 @@ def test_binning_semantics_version_guards_reopen(spark, tmp_path):
     hadoop_io.write_text(spark, cfg_path, json.dumps(legacy))
     with pytest.raises(ValueError, match="mismatched binning"):
         StreamingPsiMonitor(spark, root, "x", 1.0, 4)
+
+
+def test_reopen_loads_config_from_sidecar_when_omitted(spark, tmp_path):
+    """r12 advice: the docstring's 'pass None once the baseline exists'
+    call shape must actually work — an established monitor reopened
+    without value_col/bucket_width/n_buckets inherits them from its
+    config sidecar instead of raising 'bucket_width must be > 0'."""
+    landing = str(tmp_path / "landing")
+    ref = _snap(spark, [0.5] * 50 + [1.5] * 50)
+    wave1 = [0.5] * 30 + [1.5] * 10
+    _snap(spark, wave1).write.parquet(landing)
+    mon_root, ckpt = str(tmp_path / "mon"), str(tmp_path / "ckpt")
+    streaming_psi(spark, landing, mon_root, ckpt, "x double",
+                  "x", ref, 1.0, 4)
+
+    # reopen with EVERY binning parameter omitted
+    wave2 = [1.5] * 40
+    _snap(spark, wave2).write.parquet(landing, mode="append")
+    mon = streaming_psi(spark, landing, mon_root, ckpt, "x double")
+    assert (mon.value_col, mon.bucket_width, mon.n_buckets) == ("x", 1.0, 4)
+    want = psi_drift(ref, _snap(spark, wave1 + wave2), "x", 1.0, 4)
+    assert _rows(mon.report()) == _rows(want)
+
+    # the ctor itself also reopens from the sidecar...
+    again = StreamingPsiMonitor(spark, mon_root)
+    assert (again.value_col, again.bucket_width, again.n_buckets) == ("x", 1.0, 4)
+    # ...and an explicitly-passed MISMATCH still fails loudly
+    with pytest.raises(ValueError, match="mismatched binning"):
+        StreamingPsiMonitor(spark, mon_root, "x", 2.0, 4)
+
+
+def test_new_monitor_without_binning_params_fails_loudly(spark, tmp_path):
+    """A FIRST open may not guess a grid: omitting the binning params
+    on a root with no sidecar names exactly what is missing."""
+    with pytest.raises(ValueError, match="bucket_width.*first open"):
+        StreamingPsiMonitor(spark, str(tmp_path / "fresh"), value_col="x")

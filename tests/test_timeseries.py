@@ -200,7 +200,7 @@ def test_distributed_keyless_cusum_equals_single_task_form(spark):
 
 
 def test_distributed_exact_mode_is_partition_count_invariant(spark):
-    """exact=True quantizes deviations to DECIMAL(28,9) before any
+    """exact=True quantizes deviations to DECIMAL(20,9) before any
     summation, so the distributed reassociation is EXACT: the output is
     bit-identical (not 1e-9-close) across different scan_partitions —
     and identical to a pure-Python sequential fold of the same
