@@ -346,6 +346,98 @@ def profile_psi_drift_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_JS_ORACLE = """
+WITH e AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19)
+           AS bucket,
+         COUNT(*) AS n
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+a AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19)
+           AS bucket,
+         COUNT(*) AS n
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(e.bucket, a.bucket) AS bucket,
+         CAST(COALESCE(e.n, 0) AS BIGINT) AS n_expected,
+         CAST(COALESCE(a.n, 0) AS BIGINT) AS n_actual
+  FROM e FULL OUTER JOIN a ON e.bucket = a.bucket
+),
+t AS (
+  SELECT *,
+         CAST(SUM(n_expected) OVER () AS DOUBLE) AS te,
+         CAST(SUM(n_actual) OVER () AS DOUBLE) AS ta,
+         CAST(SUM(n_expected) OVER w AS DOUBLE) AS ce,
+         CAST(SUM(n_actual) OVER w AS DOUBLE) AS ca
+  FROM j
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT n_expected, n_actual,
+         ABS(CASE WHEN te > 0 THEN ce / te ELSE 0.0 END
+             - CASE WHEN ta > 0 THEN ca / ta ELSE 0.0 END) AS gap,
+         CASE WHEN te > 0 THEN n_expected / te ELSE 0.0 END AS pe,
+         CASE WHEN ta > 0 THEN n_actual / ta ELSE 0.0 END AS pa
+  FROM t
+)
+SELECT ROUND(MAX(gap), 6) + 0.0 AS ks_stat,
+       ROUND(GREATEST(SUM(
+           CASE WHEN pe > 0 THEN 0.5 * pe * ln(pe / ((pe + pa) / 2.0))
+                ELSE 0.0 END
+         + CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pe + pa) / 2.0))
+                ELSE 0.0 END
+       ), 0.0), 6) + 0.0 AS js_divergence,
+       CAST(SUM(n_expected) AS BIGINT) AS n_expected,
+       CAST(SUM(n_actual) AS BIGINT) AS n_actual
+FROM c
+"""
+
+
+@register("profile_ks_js_drift", _KS_JS_ORACLE, tags=("profile", "stats"))
+def profile_ks_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic + Jensen-Shannon
+    divergence between the SAME two order-snapshot years the PSI rows
+    audit (operators/drift.py:ks_js_drift, the r12 operator oracled per
+    round-12 verdict ask 3): one map-side-combined hash aggregate per
+    side over the shared fixed-width ``bucketize`` grid (25k-wide, 20
+    buckets — the retired ``agg_histogram_totalprice``/single-PSI
+    binning, one shared expression), then windows over the
+    |buckets|-row frame — KS is the max CDF gap over bucket boundaries,
+    JS the mass-guarded symmetric divergence (0·ln 0 = 0, no epsilon
+    floor).  The DuckDB side is the same histogram + window CDF
+    max-gap + guarded JS sum, with the empty-side guards the r12
+    advice made the operator's definition.  Rounding discipline: MAX
+    is order-independent; the JS sum reassociates cross-engine only at
+    the ~1e-15 ulp level, 9 orders below the 6-decimal grid (the
+    reservoir-score spacing argument).  Both rounded doubles carry the
+    catalog's ``+ 0.0`` signed-zero normalization post-round on BOTH
+    engines.  Funded net-zero by the r13 ``vector_ann_lsh`` retirement
+    (ledger note in plans/vectorops.py); with this row the ``drift``
+    verb's full report — PSI, KS, JS — is hash-pinned end to end.
+    Scale shape: two scans total, shuffles bounded by |buckets|, a
+    one-row result."""
+    from cumulus_etl_spark.operators.drift import ks_js_drift
+
+    o = table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    out = ks_js_drift(
+        o.filter(year == 1995), o.filter(year == 1996),
+        "o_totalprice", 25000.0, 20,
+    )
+    return out.select(
+        (F.col("ks_stat") + F.lit(0.0)).alias("ks_stat"),
+        (F.col("js_divergence") + F.lit(0.0)).alias("js_divergence"),
+        "n_expected",
+        "n_actual",
+    )
+
+
 @register("sample_stratified", None, tags=("sample",))
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling: per-segment Bernoulli fractions via
