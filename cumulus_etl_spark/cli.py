@@ -308,8 +308,16 @@ def main(argv: list[str] | None = None) -> int:
                       "never re-reads it, so it may be omitted (or even "
                       "deleted) on re-runs (re-baseline by pointing at a "
                       "fresh monitor_dir)")
-    p_dm.add_argument("--column", required=True, help="numeric column")
-    p_dm.add_argument("--bucket-width", type=float, required=True)
+    p_dm.add_argument("--column", default=None,
+                      help="single numeric column (requires --bucket-width)")
+    p_dm.add_argument("--columns", default=None,
+                      help="comma-separated numeric columns: the "
+                      "multi-column monitor — N columns for one scan "
+                      "per batch, per-column grid derived from the "
+                      "reference and frozen in the monitor sidecar")
+    p_dm.add_argument("--bucket-width", type=float, default=None,
+                      help="bucket width (single-column mode only; the "
+                      "multi-column grid is reference-derived)")
     p_dm.add_argument("--buckets", type=int, default=20)
     p_dm.add_argument("--checkpoint", default=None,
                       help="stream checkpoint dir (default: "
@@ -1120,6 +1128,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "drift-monitor":
         import os as _os
 
+        if args.column and args.columns:
+            raise SystemExit(
+                "drift-monitor: pass at most one of --column / --columns"
+            )
+        if args.columns:
+            # multi-column monitor: per-column PSI/KS/JS from ONE
+            # collected grid, like the batch `drift --columns` verb
+            from cumulus_etl_spark.streaming.drift import streaming_drift_multi
+
+            if args.bucket_width is not None:
+                raise SystemExit(
+                    "drift-monitor: --bucket-width is single-column "
+                    "only (the multi-column grid is reference-derived)"
+                )
+            cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+            mon = streaming_drift_multi(
+                spark,
+                args.input_dir,
+                args.monitor_dir,
+                args.checkpoint or _os.path.join(args.monitor_dir, "_checkpoint"),
+                args.schema,
+                cols,
+                (lambda: spark.read.parquet(args.reference))
+                if args.reference else None,
+                n_buckets=args.buckets,
+            )
+            report = mon.report_dict()
+            report["monitor"] = args.monitor_dir
+            print(json.dumps(report))
+            return 0
+        if not args.column:
+            raise SystemExit(
+                "drift-monitor: pass one of --column / --columns "
+                "(reopening an established single-column monitor may "
+                "still omit --bucket-width; it loads from the sidecar)"
+            )
         from cumulus_etl_spark.streaming.drift import streaming_psi
 
         mon = streaming_psi(

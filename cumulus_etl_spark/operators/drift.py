@@ -130,6 +130,144 @@ def psi_drift(
     )
 
 
+def melt_columns(df: DataFrame, value_cols: list[str]) -> DataFrame:
+    """MELT many numeric columns to (column, value) rows: explode of an
+    array of (name, value) structs — a generator projection, no
+    shuffle, no UDF, and the column names ride as Column-API literals
+    (never parsed SQL text), so any legal name — backticks, quotes,
+    dots — is safe.  NULLs are dropped here (the module null policy).
+    One definition shared by the batch multi-column operator and the
+    streaming multi-column monitor (r13) so the two can never melt
+    apart — the ``bucketize`` discipline applied to the melt."""
+    missing = [c for c in value_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"psi_drift_multi: column(s) {missing} not in the "
+            f"snapshot; it has {df.columns}"
+        )
+
+    def ref(c: str):
+        # literal name resolution: backtick-quote with doubled
+        # backticks, so dots / quotes / backticks never parse as
+        # attribute syntax (df[c] and F.col(c) both would)
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    kv = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                ref(c).cast("double").alias("value"),
+            )
+            for c in value_cols
+        ])
+    )
+    return (
+        df.select(kv.alias("kv"))
+        .select("kv.column", "kv.value")
+        .where(F.col("value").isNotNull())  # module null policy
+    )
+
+
+def reference_grid(
+    reference: DataFrame, value_cols: list[str], n_buckets: int
+) -> dict[str, tuple[float, float]]:
+    """The per-column fixed-width grid derived from the REFERENCE
+    side's min/max: ``{column: (lo, width)}`` with width
+    (max − min) / (n_buckets − 1), or 1.0 for a constant column so the
+    math stays finite.  ONE bounded aggregate, |columns| rows collected
+    (the centroid-collect discipline).  The reference is the frozen
+    baseline, so its range — not the drifting snapshot's — defines the
+    grid; the streaming monitor persists this dict in its sidecar so
+    later batches bin identically without rescanning the reference."""
+    ranges = {
+        r["column"]: (
+            float(r["__lo"]),
+            (float(r["__hi"]) - float(r["__lo"])) / float(n_buckets - 1)
+            if r["__hi"] > r["__lo"]
+            else 1.0,
+        )
+        for r in melt_columns(reference, value_cols)
+        .groupBy("column")
+        .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+        .collect()
+    }
+    missing = [c for c in value_cols if c not in ranges]
+    if missing:
+        raise ValueError(
+            f"reference snapshot has no non-null values for {missing}; "
+            "a drift grid needs a populated baseline"
+        )
+    return ranges
+
+
+def multi_hist(
+    df: DataFrame,
+    value_cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    n_buckets: int,
+    n_alias: str,
+) -> DataFrame:
+    """The (column, bucket, count) histogram of ``df`` under a
+    reference-derived grid: melt → per-column scale (grid constants
+    inlined as literals, so the histogram carries NO join) → ONE hash
+    aggregate keyed by (column, bucket).  N columns cost the same scan
+    as one."""
+    scaled = None
+    for c, (lo, width) in ranges.items():
+        branch = (F.col("value") - F.lit(lo)) / F.lit(width)
+        scaled = (
+            F.when(F.col("column") == c, branch)
+            if scaled is None
+            else scaled.when(F.col("column") == c, branch)
+        )
+    bucket = F.least(
+        F.greatest(F.floor(scaled), F.lit(0)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        melt_columns(df, value_cols)
+        .groupBy("column", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
+    )
+
+
+def psi_from_counts_multi(
+    hist_expected: DataFrame,
+    hist_actual: DataFrame,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """PSI contributions from two pre-computed (column, bucket)
+    histograms — the multi-column twin of ``psi_from_counts``, split
+    out (r13) so the streaming multi-column monitor reports through
+    EXACTLY the arithmetic the ``profile_psi_drift_multi`` oracle row
+    hash-pins.  Per-column side totals come from windows over the
+    |columns|×|buckets|-row frame — no extra actions."""
+    from pyspark.sql.window import Window
+
+    joined = hist_expected.join(
+        hist_actual, ["column", "bucket"], "full_outer"
+    ).select(
+        "column",
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    )
+    per_col = Window.partitionBy("column")
+    e_total = F.sum("n_expected").over(per_col).cast("double")
+    a_total = F.sum("n_actual").over(per_col).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "column",
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("column", "bucket")
+
+
 def psi_drift_multi(
     expected: DataFrame,
     actual: DataFrame,
@@ -168,101 +306,16 @@ def psi_drift_multi(
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
 
-    def melted(df: DataFrame) -> DataFrame:
-        missing = [c for c in value_cols if c not in df.columns]
-        if missing:
-            raise ValueError(
-                f"psi_drift_multi: column(s) {missing} not in the "
-                f"snapshot; it has {df.columns}"
-            )
-        def ref(c: str):
-            # literal name resolution: backtick-quote with doubled
-            # backticks, so dots / quotes / backticks never parse as
-            # attribute syntax (df[c] and F.col(c) both would)
-            return F.col("`" + c.replace("`", "``") + "`")
-
-        kv = F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("column"),
-                    ref(c).cast("double").alias("value"),
-                )
-                for c in value_cols
-            ])
-        )
-        return (
-            df.select(kv.alias("kv"))
-            .select("kv.column", "kv.value")
-            .where(F.col("value").isNotNull())  # module null policy
-        )
-
-    # the per-column grid is |columns| rows — collect it (the bounded
-    # centroid-collect discipline) and inline the constants, so the two
-    # histograms carry NO join: buckets are pure literal arithmetic and
-    # each histogram is one scan + one hash aggregate
-    ranges = {
-        r["column"]: (
-            float(r["__lo"]),
-            (float(r["__hi"]) - float(r["__lo"])) / float(n_buckets - 1)
-            if r["__hi"] > r["__lo"]
-            else 1.0,
-        )
-        for r in melted(expected)
-        .groupBy("column")
-        .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
-        .collect()
-    }
-    missing = [c for c in value_cols if c not in ranges]
-    if missing:
-        raise ValueError(
-            f"reference snapshot has no non-null values for {missing}; "
-            "a drift grid needs a populated baseline"
-        )
-
-    scaled = None
-    for c, (lo, width) in ranges.items():
-        branch = (F.col("value") - F.lit(lo)) / F.lit(width)
-        scaled = (
-            F.when(F.col("column") == c, branch)
-            if scaled is None
-            else scaled.when(F.col("column") == c, branch)
-        )
-
-    def hist(df: DataFrame, n_alias: str) -> DataFrame:
-        bucket = F.least(
-            F.greatest(F.floor(scaled), F.lit(0)).cast("int"),
-            F.lit(n_buckets - 1),
-        )
-        return (
-            melted(df)
-            .groupBy("column", bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
-        )
-
-    from pyspark.sql.window import Window
-
-    e = hist(expected, "n_expected")
-    a = hist(actual, "n_actual")
-    joined = e.join(a, ["column", "bucket"], "full_outer").select(
-        "column",
-        "bucket",
-        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
-        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    # melt / grid / histogram / report tail are the shared definitions
+    # above (r13 refactor — behavior identical, pinned by the
+    # profile_psi_drift_multi oracle row and test_drift.py): the
+    # streaming multi-column monitor composes the SAME four pieces.
+    ranges = reference_grid(expected, value_cols, n_buckets)
+    return psi_from_counts_multi(
+        multi_hist(expected, value_cols, ranges, n_buckets, "n_expected"),
+        multi_hist(actual, value_cols, ranges, n_buckets, "n_actual"),
+        min_pct,
     )
-    per_col = Window.partitionBy("column")
-    e_total = F.sum("n_expected").over(per_col).cast("double")
-    a_total = F.sum("n_actual").over(per_col).cast("double")
-    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
-    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
-    return joined.select(
-        "column",
-        "bucket",
-        "n_expected",
-        "n_actual",
-        F.round(pe, 6).alias("pct_expected"),
-        F.round(pa, 6).alias("pct_actual"),
-        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
-    ).orderBy("column", "bucket")
 
 
 def ks_js_drift(

@@ -25,6 +25,12 @@ EQUALS psi_drift(reference, concat(batches)).
 Scale shape: per batch, one map-side-combined hash aggregate (the
 shuffle carries ≤ n_buckets rows per input partition) plus a merge of a
 ≤ n_buckets-row frame; state is ≤ 2 × n_buckets rows forever.
+
+Two monitors share this design: ``StreamingPsiMonitor`` (one column,
+caller-fixed bucket width) and ``StreamingDriftMonitor`` (r13 —
+N columns for ONE melt+aggregate per batch, reference-derived grid
+frozen in the sidecar, per-column PSI/KS/JS report; state ≤
+2 × n_buckets × |columns| rows).
 """
 
 from __future__ import annotations
@@ -250,6 +256,288 @@ def streaming_psi(
         spark, monitor_root, value_col, bucket_width, n_buckets
     )
     if mon._side("expected") is None:
+        if reference is None:
+            raise ValueError(
+                "new monitor has no frozen baseline: pass a reference "
+                "snapshot (DataFrame or loader) on first open"
+            )
+        if callable(reference):
+            reference = reference()
+        mon.set_reference(reference)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: mon.ingest_batch(batch_df, batch_id=batch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return mon
+
+
+# ---- multi-column monitor (r13, round-12 verdict ask 5) -------------------
+
+MULTI_HIST_TABLE = "drift_hist_multi"
+_MULTI_CONFIG_FILE = "_drift_config.json"
+
+
+class StreamingDriftMonitor:
+    """Multi-column streaming drift monitor: the batch side went
+    multi-column in r12 (``psi_drift_multi``, oracled); a real
+    landing-dir audit wants the same N-columns-for-one-scan shape
+    INCREMENTALLY.  This is the single-column monitor's design with the
+    melt/(column, bucket) state: per batch, ONE generator-projection
+    melt + ONE map-side-combined hash aggregate however many columns
+    are watched; persistent state is ≤ 2 × n_buckets × |columns| rows
+    forever.
+
+    All four binning pieces are the batch operator's own definitions
+    (operators/drift.py: ``melt_columns`` / ``reference_grid`` /
+    ``multi_hist`` / ``psi_from_counts_multi``), so the pinned
+    invariant carries over verbatim: after ANY batch split, the
+    monitor's report EQUALS ``psi_drift_multi(reference,
+    concat(batches))``.
+
+    Grid semantics: the per-column (lo, width) grid derives from the
+    REFERENCE at ``set_reference`` time and is persisted in the config
+    sidecar — later batches bin identically without ever rescanning
+    the reference.  Because the cumulative actual-side counts are
+    binned UNDER that grid, re-pointing an established monitor at a
+    reference that yields a DIFFERENT grid is rejected loudly
+    (aggregated counts cannot be rebinned); re-baseline by starting a
+    fresh monitor root.  Replay discipline and the checkpoint-identity
+    guard are inherited unchanged from the single-column monitor."""
+
+    BINNING_VERSION = "clamp-low-v2"  # shared bucketing convention
+
+    def __init__(self, spark: SparkSession, root: str,
+                 value_cols: list[str] | None = None,
+                 n_buckets: int | None = None):
+        cfg_path = os.path.join(root, _MULTI_CONFIG_FILE)
+        stored = None
+        if hadoop_io.exists(spark, cfg_path):
+            stored = json.loads(hadoop_io.read_text(spark, cfg_path))
+        if value_cols is None or n_buckets is None:
+            # reopen convenience (the single-column monitor's r13
+            # sidecar rule): an established monitor knows its own shape
+            if stored is None:
+                missing = [
+                    n for n, v in (("value_cols", value_cols),
+                                   ("n_buckets", n_buckets))
+                    if v is None
+                ]
+                raise ValueError(
+                    f"new monitor root {root!r} has no config sidecar: "
+                    f"{missing} must be given explicitly on first open"
+                )
+            value_cols = (
+                list(stored["value_cols"]) if value_cols is None
+                else list(value_cols)
+            )
+            n_buckets = stored["n_buckets"] if n_buckets is None else n_buckets
+        value_cols = list(value_cols)
+        if not value_cols:
+            raise ValueError("StreamingDriftMonitor needs at least one column")
+        if n_buckets < 2:
+            raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+        self.spark = spark
+        self.root = root
+        self.value_cols = value_cols
+        self.n_buckets = int(n_buckets)
+        self._cfg_path = cfg_path
+        identity = {
+            "value_cols": value_cols,
+            "n_buckets": self.n_buckets,
+            "binning": self.BINNING_VERSION,
+        }
+        if stored is not None:
+            if {k: stored.get(k) for k in identity} != identity:
+                raise ValueError(
+                    f"monitor root {root!r} was created with "
+                    f"{ {k: stored.get(k) for k in identity} }; reopened "
+                    f"with {identity} — mismatched binning would corrupt "
+                    "the cumulative histograms"
+                )
+            # grid is derived state: present once set_reference ran
+            self.grid = (
+                {c: (lo, w) for c, (lo, w) in stored["grid"].items()}
+                if stored.get("grid")
+                else None
+            )
+        else:
+            self.grid = None
+            hadoop_io.write_text(
+                spark, cfg_path, json.dumps({**identity, "grid": None})
+            )
+        self.table = ManagedTable(spark, root, MULTI_HIST_TABLE)
+        self._policy = MergePolicy(
+            keys=("side", "column", "bucket"),
+            group_field="side",
+            last_updated_field=None,
+            num_buckets=1,
+        )
+
+    # ---- histogram plumbing ------------------------------------------------
+
+    def _hist(self, rows: DataFrame, n_alias: str = "n") -> DataFrame:
+        from cumulus_etl_spark.operators.drift import multi_hist
+
+        if self.grid is None:
+            raise ValueError(
+                "no frozen reference grid: call set_reference first"
+            )
+        return multi_hist(
+            rows, self.value_cols, self.grid, self.n_buckets, n_alias
+        )
+
+    def _side(self, side: str) -> DataFrame | None:
+        state = self.table.read()
+        if state is None:
+            return None
+        return state.filter(F.col("side") == side).select(
+            "column", "bucket", "n", "last_batch"
+        )
+
+    # ---- reference ---------------------------------------------------------
+
+    def set_reference(self, reference: DataFrame) -> None:
+        """Freeze the reference: derive the per-column grid (one bounded
+        aggregate), persist it in the sidecar, histogram the reference
+        under it (one more scan).  On an ESTABLISHED monitor the new
+        reference must reproduce the stored grid exactly — cumulative
+        actual counts are binned under it and cannot be rebinned."""
+        from cumulus_etl_spark.operators.drift import reference_grid
+
+        grid = reference_grid(reference, self.value_cols, self.n_buckets)
+        if self.grid is not None and grid != self.grid:
+            raise ValueError(
+                f"monitor root {self.root!r} has a frozen grid "
+                f"{self.grid}; the new reference derives {grid} — "
+                "re-baseline with a changed grid by starting a fresh "
+                "monitor root (cumulative counts cannot be rebinned)"
+            )
+        self.grid = grid
+        hadoop_io.write_text(
+            self.spark,
+            self._cfg_path,
+            json.dumps({
+                "value_cols": self.value_cols,
+                "n_buckets": self.n_buckets,
+                "binning": self.BINNING_VERSION,
+                "grid": {c: [lo, w] for c, (lo, w) in grid.items()},
+            }),
+        )
+        hist = (
+            self._hist(reference)
+            .withColumn("side", F.lit("expected"))
+            .withColumn("last_batch", F.lit(-1).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= |cols| * n_buckets rows
+        )
+        self.table.merge(hist, self._policy)
+
+    # ---- ingest ------------------------------------------------------------
+
+    def ingest_batch(self, rows: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch's (column, bucket) histogram into the
+        cumulative actual side.  Same replay watermark as the
+        single-column monitor: count addition is non-idempotent, so a
+        replayed batch_id is skipped, never double-counted."""
+        prior = self._side("actual")
+        prior_batch = -1
+        if prior is not None:
+            got = prior.agg(F.max("last_batch")).collect()[0][0]
+            prior_batch = -1 if got is None else got
+        if batch_id is None:
+            batch_id = prior_batch + 1
+        if batch_id <= prior_batch:
+            return  # replay: already folded
+        delta = self._hist(rows)
+        summed = (
+            delta
+            if prior is None
+            else delta.unionByName(prior.select("column", "bucket", "n"))
+            .groupBy("column", "bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        new = (
+            summed.withColumn("side", F.lit("actual"))
+            .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= |cols| * n_buckets rows
+        )
+        self.table.merge(new, self._policy)
+
+    # ---- report ------------------------------------------------------------
+
+    def report(self, min_pct: float = 1e-6) -> DataFrame:
+        """Per-(column, bucket) PSI contributions of everything ingested
+        so far vs the frozen reference — ``psi_from_counts_multi``,
+        i.e. bit-for-bit the arithmetic the ``profile_psi_drift_multi``
+        oracle row hash-pins, over the same counts."""
+        from cumulus_etl_spark.operators.drift import psi_from_counts_multi
+
+        expected = self._side("expected")
+        actual = self._side("actual")
+        if expected is None or expected.limit(1).count() == 0:
+            raise ValueError("no reference histogram: call set_reference first")
+        e = expected.select("column", "bucket", F.col("n").alias("n_expected"))
+        if actual is None:
+            actual = self.spark.createDataFrame(
+                [], "column string, bucket int, n bigint"
+            )
+        a = actual.select("column", "bucket", F.col("n").alias("n_actual"))
+        return psi_from_counts_multi(e, a, min_pct)
+
+    def report_dict(self, min_pct: float = 1e-6) -> dict:
+        """The ``drift --columns`` verb's per-column summary — PSI, KS,
+        JS, totals — quoted from ONE collected grid (|columns| ×
+        |buckets| rows, the bounded-collect discipline), through the
+        same driver-side twin the batch verb uses."""
+        from cumulus_etl_spark.operators.drift import ks_js_from_rows
+
+        per = self.report(min_pct).collect()
+        out: dict = {"columns": {}}
+        for c in self.value_cols:
+            rows_c = [r for r in per if r["column"] == c]
+            psi = round(sum(r["psi_contrib"] for r in rows_c), 6)
+            ks, js = ks_js_from_rows(rows_c)
+            out["columns"][c] = {
+                "psi": psi,
+                "verdict": ("stable" if psi < 0.1
+                            else "moderate" if psi <= 0.25 else "action"),
+                "ks_stat": ks,
+                "js_divergence": js,
+                "n_expected": sum(r["n_expected"] for r in rows_c),
+                "n_actual": sum(r["n_actual"] for r in rows_c),
+            }
+        worst = max((v["psi"] for v in out["columns"].values()), default=0.0)
+        out["worst_psi"] = worst
+        out["verdict"] = ("stable" if worst < 0.1
+                          else "moderate" if worst <= 0.25 else "action")
+        return out
+
+
+def streaming_drift_multi(
+    spark: SparkSession,
+    input_dir: str,
+    monitor_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    value_cols: list[str] | None = None,
+    reference=None,
+    n_buckets: int | None = None,
+) -> StreamingDriftMonitor:
+    """Checkpointed multi-column ingest: the ``streaming_psi`` shape
+    (availableNow, foreachBatch fold, checkpoint-identity pinned) over
+    the (column, bucket) state.  ``reference`` resolves only on first
+    open (DataFrame or zero-arg loader); ``value_cols``/``n_buckets``
+    load from the sidecar when omitted on reopen."""
+    from cumulus_etl_spark.streaming.ckpt import pin_checkpoint_identity
+
+    pin_checkpoint_identity(spark, monitor_root, checkpoint_dir)
+    mon = StreamingDriftMonitor(spark, monitor_root, value_cols, n_buckets)
+    if mon.grid is None:
         if reference is None:
             raise ValueError(
                 "new monitor has no frozen baseline: pass a reference "
