@@ -472,6 +472,15 @@ def main(argv: list[str] | None = None) -> int:
                          "from the reference's per-column min/max)")
     p_drift.add_argument("--buckets", type=int, default=20,
                          help="bucket count; the last is open-ended")
+    p_drift.add_argument("--timeline", default=None, metavar="TIME_COL",
+                         help="localize the drift onset: bin the ACTUAL "
+                         "snapshot by date_trunc(--period, TIME_COL) and "
+                         "report per-period PSI/KS/JS against the frozen "
+                         "reference — one scan per side however many "
+                         "periods (single-column mode only)")
+    p_drift.add_argument("--period", default="day",
+                         choices=["hour", "day", "week", "month"],
+                         help="timeline granularity (default: day)")
 
     p_doc = sub.add_parser(
         "doctor",
@@ -1320,6 +1329,8 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("drift: pass exactly one of --column / --columns")
         if args.column and args.bucket_width is None:
             raise SystemExit("drift: --column requires --bucket-width")
+        if args.timeline and args.columns:
+            raise SystemExit("drift: --timeline is single-column mode only")
         expected = spark.read.parquet(args.expected_path)
         actual = spark.read.parquet(args.actual_path)
         want_cols = (
@@ -1361,6 +1372,49 @@ def main(argv: list[str] | None = None) -> int:
             report["verdict"] = ("stable" if worst < 0.1
                                  else "moderate" if worst <= 0.25 else "action")
             print(json.dumps(report))
+            return 0
+        if args.timeline:
+            from cumulus_etl_spark.operators.drift import (
+                ks_js_from_rows,
+                psi_drift_timeline,
+            )
+
+            if args.timeline not in actual.columns:
+                raise SystemExit(
+                    f"drift: timeline column {args.timeline!r} not in the "
+                    f"actual snapshot; it has {actual.columns}"
+                )
+            grid = psi_drift_timeline(
+                expected, actual, args.column, args.timeline,
+                period=args.period, bucket_width=args.bucket_width,
+                n_buckets=args.buckets,
+            ).collect()
+            periods = sorted({r["period"] for r in grid})
+            out = {"column": args.column, "period": args.period,
+                   "periods": []}
+            for p in periods:
+                rows_p = [r for r in grid if r["period"] == p]
+                psi = round(sum(r["psi_contrib"] for r in rows_p), 6)
+                # KS/JS ride the same collected grid — no extra scans
+                ks, js = ks_js_from_rows(rows_p)
+                out["periods"].append({
+                    "period": str(p),
+                    "psi": psi,
+                    "verdict": ("stable" if psi < 0.1
+                                else "moderate" if psi <= 0.25 else "action"),
+                    "ks_stat": ks,
+                    "js_divergence": js,
+                    "n_actual": sum(r["n_actual"] for r in rows_p),
+                })
+            worst = max((p["psi"] for p in out["periods"]), default=0.0)
+            out["worst_psi"] = worst
+            out["verdict"] = ("stable" if worst < 0.1
+                              else "moderate" if worst <= 0.25 else "action")
+            first_bad = next(
+                (p["period"] for p in out["periods"] if p["psi"] > 0.25), None
+            )
+            out["first_action_period"] = first_bad
+            print(json.dumps(out))
             return 0
         from cumulus_etl_spark.operators.drift import ks_js_from_rows
 

@@ -447,3 +447,100 @@ def ks_js_from_rows(rows) -> tuple[float, float]:
         if pa > 0:
             js += 0.5 * pa * math.log(pa / m)
     return round(ks, 6), round(max(js, 0.0), 6)
+
+
+def psi_drift_timeline(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    time_col: str,
+    period: str = "day",
+    bucket_width: float = 1.0,
+    n_buckets: int = 20,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """WHEN did it drift: per-period PSI contributions of a timestamped
+    snapshot against ONE frozen reference — the batch answer to the
+    question the streaming monitor answers cumulatively.  A landing-
+    zone audit that finds drift wants the onset localized ("stable
+    until the 14th, action after") without scanning the snapshot once
+    per period; this bins by (date_trunc(period), value bucket) in ONE
+    hash aggregate, so N periods cost the same scan as one — the
+    psi_drift_multi trick with time as the melt key.
+
+    The reference histogram (|buckets| rows) is broadcast and
+    cross-joined against the distinct periods so every period compares
+    against the FULL baseline — a bucket with actual mass 0 in some
+    period still contributes (the min_pct floor registers disappeared
+    mass), exactly like the full-outer join in ``psi_from_counts``.
+
+    Rows with a NULL value OR a NULL timestamp are excluded (the module
+    null policy extended to the time axis: a row that cannot be placed
+    on the timeline cannot drift a period).
+
+    Output, one row per (period, occupied-or-reference bucket), ordered:
+    ``period`` (truncated timestamp), then the ``psi_drift`` schema.
+    Per-period ``sum(psi_contrib)`` is that period's PSI; the CLI quotes
+    per-period PSI/KS/JS from this one collected grid via
+    ``ks_js_from_rows`` (same twin as the other drift verbs).
+
+    Scale shape: one scan per side (the reference collapses to
+    |buckets| rows, the snapshot to |periods|×|buckets| rows, both via
+    map-side-combined hash aggregates), a broadcast cross join over
+    those bounded frames, windows partitioned by period.  No collects,
+    no UDFs; everything downstream of the two scans is
+    |periods|×|buckets|-sized."""
+    from pyspark.sql.window import Window
+
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    bucket = bucketize(value_col, bucket_width, n_buckets)
+    ref_hist = (
+        expected.filter(F.col(value_col).isNotNull())  # module null policy
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_expected"))
+    )
+    act_hist = (
+        actual.filter(
+            F.col(value_col).isNotNull() & F.col(time_col).isNotNull()
+        )
+        .groupBy(
+            F.date_trunc(period, F.col(time_col)).alias("period"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_actual"))
+        # the histogram frame feeds TWO consumers (the period universe
+        # and the join); without pinning it the snapshot would be
+        # scanned once per consumer.  |periods|×|buckets| rows — the
+        # bounded-localCheckpoint discipline, so the input is scanned
+        # exactly once however many periods the timeline spans.
+        .localCheckpoint(eager=True)
+    )
+    periods = act_hist.select("period").distinct()
+    # every period × every reference bucket: disappeared mass must
+    # surface in every period's report (min_pct floor), not just the
+    # buckets that period happened to occupy
+    frame = periods.crossJoin(F.broadcast(ref_hist))
+    joined = frame.join(act_hist, ["period", "bucket"], "full_outer").select(
+        "period",
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+    )
+    per_period = Window.partitionBy("period")
+    e_total = F.sum("n_expected").over(per_period).cast("double")
+    a_total = F.sum("n_actual").over(per_period).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "period",
+        "bucket",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("period", "bucket")

@@ -529,3 +529,158 @@ def test_ks_js_empty_side_defined_and_twin_matches(spark):
     assert (both["ks_stat"], both["js_divergence"]) == (0.0, 0.0)
     assert (both["n_expected"], both["n_actual"]) == (0, 0)
     assert ks_js_from_rows([]) == (0.0, 0.0)
+
+
+# ---- PSI drift timeline (r13 bonus surface) --------------------------------
+
+
+def _tsnap(spark, rows):
+    """(value, iso-timestamp) rows."""
+    return spark.createDataFrame(
+        [(float(v), t) for v, t in rows], "x double, ts string"
+    ).select("x", F.col("ts").cast("timestamp").alias("ts"))
+
+
+def test_timeline_per_period_equals_psi_drift_slices(spark):
+    """The load-bearing pin: each period's slice of the timeline grid
+    EQUALS psi_drift(reference, that period's rows) — the timeline is
+    the oracled single-column machinery evaluated per period, in one
+    scan instead of |periods|."""
+    from cumulus_etl_spark.operators.drift import psi_drift, psi_drift_timeline
+
+    ref = _snap(spark, [0.5] * 40 + [1.5] * 40 + [2.5] * 20)
+    day1 = [0.5] * 20 + [1.5] * 20 + [2.5] * 10       # same mix: stable
+    day2 = [0.5] * 5 + [1.5] * 30 + [2.5] * 15        # shifted
+    day3 = [2.5] * 25                                  # collapsed
+    actual = _tsnap(
+        spark,
+        [(v, "2024-03-01 08:00:00") for v in day1]
+        + [(v, "2024-03-02 09:30:00") for v in day2]
+        + [(v, "2024-03-03 23:59:59") for v in day3],
+    )
+    grid = psi_drift_timeline(
+        ref, actual, "x", "ts", period="day", bucket_width=1.0, n_buckets=4
+    ).collect()
+    by_day = {}
+    for r in grid:
+        by_day.setdefault(str(r["period"])[:10], []).append(r)
+    assert sorted(by_day) == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    for day, vals in (("2024-03-01", day1), ("2024-03-02", day2),
+                      ("2024-03-03", day3)):
+        want = {
+            r["bucket"]: (r["n_expected"], r["n_actual"], r["psi_contrib"])
+            for r in psi_drift(ref, _snap(spark, vals), "x", 1.0, 4).collect()
+        }
+        got = {
+            r["bucket"]: (r["n_expected"], r["n_actual"], r["psi_contrib"])
+            for r in by_day[day]
+        }
+        assert got == want, day
+    # and the drift reading localizes the onset
+    psis = {
+        d: round(sum(r["psi_contrib"] for r in rows), 6)
+        for d, rows in by_day.items()
+    }
+    assert psis["2024-03-01"] == 0.0
+    assert psis["2024-03-02"] > 0.1
+    assert psis["2024-03-03"] > psis["2024-03-02"] > psis["2024-03-01"]
+
+
+def test_timeline_reference_buckets_present_in_every_period(spark):
+    """A period with zero mass in a reference bucket still reports that
+    bucket (disappeared mass gets the min_pct floor) — the full-outer
+    semantics of psi_from_counts, per period."""
+    from cumulus_etl_spark.operators.drift import psi_drift_timeline
+
+    ref = _snap(spark, [0.5] * 10 + [1.5] * 10)
+    actual = _tsnap(spark, [(0.5, "2024-01-05 00:00:00")] * 7)
+    rows = psi_drift_timeline(
+        ref, actual, "x", "ts", "day", 1.0, 4
+    ).collect()
+    got = {r["bucket"]: (r["n_expected"], r["n_actual"]) for r in rows}
+    assert got == {0: (10, 7), 1: (10, 0)}  # bucket 1 present, empty
+
+
+def test_timeline_null_value_and_null_time_excluded(spark):
+    from cumulus_etl_spark.operators.drift import psi_drift_timeline
+
+    ref = _snap(spark, [0.5] * 10)
+    actual = spark.createDataFrame(
+        [(0.5, "2024-01-05 00:00:00")] * 4
+        + [(None, "2024-01-05 00:00:00")] * 3
+        + [(0.5, None)] * 3,
+        "x double, ts string",
+    ).select("x", F.col("ts").cast("timestamp").alias("ts"))
+    rows = psi_drift_timeline(ref, actual, "x", "ts", "day", 1.0, 4).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_actual"] == 4  # 6 unplaceable rows excluded
+
+
+def test_timeline_single_scan_per_side_and_broadcast(spark, tmp_path):
+    """Scale-shape pin: the SNAPSHOT inputs appear in no plan more than
+    once.  The actual side is consumed twice downstream (period
+    universe + join), so its |periods|x|buckets| histogram is pinned by
+    an eager localCheckpoint — the final plan reads the checkpointed
+    bounded frame (Scan ExistingRDD), and the one real read of the
+    actual parquet happened inside the checkpoint job, whose own plan
+    we also check carries exactly one scan."""
+    from cumulus_etl_spark.operators.drift import psi_drift_timeline
+
+    e_path, a_path = str(tmp_path / "e"), str(tmp_path / "a")
+    _snap(spark, [0.5] * 30).write.parquet(e_path)
+    _tsnap(spark, [(0.5, "2024-01-05 00:00:00")] * 30).write.parquet(a_path)
+    ref = spark.read.parquet(e_path)
+    actual = spark.read.parquet(a_path)
+    out = psi_drift_timeline(ref, actual, "x", "ts", "day", 1.0, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # final plan: the reference parquet once; the actual parquet not at
+    # all (only its checkpointed histogram, an ExistingRDD scan)
+    assert plan.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_timeline_validation(spark):
+    from cumulus_etl_spark.operators.drift import psi_drift_timeline
+
+    ref = _snap(spark, [0.5])
+    actual = _tsnap(spark, [(0.5, "2024-01-05 00:00:00")])
+    with pytest.raises(ValueError, match="bucket_width"):
+        psi_drift_timeline(ref, actual, "x", "ts", "day", 0.0, 4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift_timeline(ref, actual, "x", "ts", "day", 1.0, 1)
+
+
+def test_drift_cli_timeline(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "reft"), str(tmp_path / "newt")
+    _snap(spark, [0.5] * 50 + [1.5] * 50).write.parquet(e_path)
+    _tsnap(
+        spark,
+        [(0.5, "2024-03-01 08:00:00")] * 25
+        + [(1.5, "2024-03-01 08:00:00")] * 25
+        + [(1.5, "2024-03-02 08:00:00")] * 40,
+    ).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--column", "x",
+               "--bucket-width", "1.0", "--buckets", "4",
+               "--timeline", "ts", "--period", "day"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [p["period"][:10] for p in rep["periods"]] == [
+        "2024-03-01", "2024-03-02"
+    ]
+    assert rep["periods"][0]["psi"] == 0.0
+    assert rep["periods"][0]["verdict"] == "stable"
+    assert rep["periods"][1]["psi"] > 0.25
+    assert rep["verdict"] == "action"
+    assert rep["first_action_period"][:10] == "2024-03-02"
+
+    with pytest.raises(SystemExit, match="single-column"):
+        main(["drift", e_path, a_path, "--columns", "x",
+              "--timeline", "ts"])
+    with pytest.raises(SystemExit, match="timeline column"):
+        main(["drift", e_path, a_path, "--column", "x",
+              "--bucket-width", "1.0", "--timeline", "nope"])
