@@ -1189,13 +1189,20 @@ def main(argv: list[str] | None = None) -> int:
             bucket_width=args.bucket_width,
             n_buckets=args.buckets,
         )
-        psi = mon.psi()
+        from cumulus_etl_spark.operators.drift import ks_js_from_rows
+
         rows = mon.report().collect()
+        psi = round(sum(r["psi_contrib"] for r in rows), 6)
+        # KS/JS ride the same collected histogram — no extra scans (and
+        # psi comes from the same rows instead of a second report job)
+        ks, js = ks_js_from_rows(rows)
         print(json.dumps({
             "column": args.column,
             "psi": psi,
             "verdict": ("stable" if psi < 0.1
                         else "moderate" if psi <= 0.25 else "action"),
+            "ks_stat": ks,
+            "js_divergence": js,
             "n_actual_total": sum(r["n_actual"] for r in rows),
             "buckets": [
                 {"bucket": r["bucket"], "n_expected": r["n_expected"],

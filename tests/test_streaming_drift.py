@@ -167,6 +167,11 @@ def test_drift_monitor_cli_verb(spark, tmp_path, capsys):
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["n_actual_total"] == 80
     assert rep3["psi"] == 0.0 and rep3["verdict"] == "stable"  # back to 50/50
+    # r13: KS/JS quoted from the same collected histogram (the batch
+    # drift verb's report shape) — zero at the balanced state, real at
+    # the drifted one
+    assert rep3["ks_stat"] == 0.0 and rep3["js_divergence"] == 0.0
+    assert rep1["ks_stat"] > 0.3 and rep1["js_divergence"] > 0.05
 
 
 def test_monitor_ingest_filters_nulls(spark, tmp_path):
