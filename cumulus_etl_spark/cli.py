@@ -472,6 +472,15 @@ def main(argv: list[str] | None = None) -> int:
                          "from the reference's per-column min/max)")
     p_drift.add_argument("--buckets", type=int, default=20,
                          help="bucket count; the last is open-ended")
+    p_drift.add_argument("--categorical", action="store_true",
+                         help="treat --column as categorical: PSI over "
+                         "category shares (reference-defined top-k "
+                         "universe, the tail folded into __other__) "
+                         "plus chi-square / Cramér's V — no "
+                         "--bucket-width")
+    p_drift.add_argument("--top-k", type=int, default=50,
+                         help="categorical mode: universe size (the "
+                         "reference's top-k categories; default 50)")
     p_drift.add_argument("--timeline", default=None, metavar="TIME_COL",
                          help="localize the drift onset: bin the ACTUAL "
                          "snapshot by date_trunc(--period, TIME_COL) and "
@@ -1334,7 +1343,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if bool(args.column) == bool(args.columns):
             raise SystemExit("drift: pass exactly one of --column / --columns")
-        if args.column and args.bucket_width is None:
+        if args.categorical and (args.columns or args.timeline
+                                 or args.bucket_width is not None):
+            raise SystemExit(
+                "drift: --categorical takes only --column (and --top-k); "
+                "no bucket grid, no timeline, no multi mode"
+            )
+        if args.column and not args.categorical and args.bucket_width is None:
             raise SystemExit("drift: --column requires --bucket-width")
         if args.timeline and args.columns:
             raise SystemExit("drift: --timeline is single-column mode only")
@@ -1351,6 +1366,41 @@ def main(argv: list[str] | None = None) -> int:
                     f"drift: column(s) {missing} not in the {side} "
                     f"snapshot; it has {df.columns}"
                 )
+        if args.categorical:
+            from cumulus_etl_spark.operators.drift import (
+                categorical_drift,
+                chi2_from_rows,
+            )
+
+            rows = categorical_drift(
+                expected, actual, args.column, top_k=args.top_k
+            ).collect()
+            psi = round(sum(r["psi_contrib"] for r in rows), 6)
+            # chi-square + Cramér's V ride the same collected rows —
+            # no extra scans (the ks_js_from_rows pattern; KS needs an
+            # ordering and does not apply to categories)
+            chi2, v = chi2_from_rows(rows)
+            print(json.dumps({
+                "column": args.column,
+                "mode": "categorical",
+                "psi": psi,
+                "verdict": ("stable" if psi < 0.1
+                            else "moderate" if psi <= 0.25 else "action"),
+                "chi2": chi2,
+                "cramers_v": v,
+                "n_expected": sum(r["n_expected"] for r in rows),
+                "n_actual": sum(r["n_actual"] for r in rows),
+                "categories": [
+                    {"category": r["category"],
+                     "n_expected": r["n_expected"],
+                     "n_actual": r["n_actual"],
+                     "pct_expected": r["pct_expected"],
+                     "pct_actual": r["pct_actual"],
+                     "psi_contrib": r["psi_contrib"]}
+                    for r in rows
+                ],
+            }))
+            return 0
         if args.columns:
             from cumulus_etl_spark.operators.drift import ks_js_from_rows
 

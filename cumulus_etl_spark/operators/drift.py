@@ -544,3 +544,138 @@ def psi_drift_timeline(
         F.round(pa, 6).alias("pct_actual"),
         F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
     ).orderBy("period", "bucket")
+
+
+OTHER_CATEGORY = "__other__"
+
+
+def categorical_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    category_col: str,
+    top_k: int = 50,
+    min_pct: float = 1e-6,
+) -> DataFrame:
+    """PSI drift over a CATEGORICAL column — the numeric paths cover
+    totals and scores, but a landing-zone audit watches `source` /
+    `language` / `format`-style columns just as closely ("did the crawl
+    mix shift?"), and those have no bucket grid.
+
+    The REFERENCE defines the category universe (the same frozen-
+    baseline principle as the numeric grid): its ``top_k`` categories
+    by reference count (total tiebreak: count DESC, category ASC);
+    everything else — including categories the reference has NEVER
+    seen — folds into ``__other__``.  That bound is the 100-TB guard:
+    an id-like column with a billion distinct values still reports
+    ``top_k + 1`` rows, and a NEW dominant category surfaces loudly as
+    ``__other__`` mass appearing where the reference had (almost)
+    none.  NULLs are excluded (module policy).
+
+    Output, one row per reference-universe category (ordered):
+    ``category`` plus the ``psi_drift`` count/share/contribution
+    schema.  ``sum(psi_contrib)`` is the PSI, same reading as numeric;
+    the CLI quotes the chi-square homogeneity statistic and Cramér's V
+    from the same collected rows via ``chi2_from_rows`` (no extra
+    scans — the KS twin pattern; KS itself needs an ordering and does
+    not apply to categories).
+
+    Scale shape: one map-side-combined hash aggregate per side (the
+    shuffle is bounded per partition by that partition's distinct
+    categories), a broadcast of the ``top_k``-row universe onto each
+    count frame, a second tiny aggregate over the relabeled
+    |categories|-row frames, then the same windowed tail as
+    ``psi_from_counts``.  Each input scanned exactly once; nothing
+    downstream exceeds ``top_k + 1`` rows per side."""
+    from pyspark.sql.window import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    cat = F.col(category_col).cast("string")
+
+    def counts(df: DataFrame, n_alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(category_col).isNotNull())  # module null policy
+            .groupBy(cat.alias("category"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(n_alias))
+        )
+
+    # the counted frame feeds THREE consumers (the top-k universe and
+    # both folds' relabeling); pin it so the expected snapshot is
+    # scanned exactly once.  |distinct categories| rows, executor-local
+    # (localCheckpoint, not a collect) — tiny for a real categorical
+    # column, and still distributed if someone points this at an
+    # id-like column by mistake.
+    e_counts = counts(expected, "n_expected").localCheckpoint(eager=True)
+    universe = (
+        e_counts.orderBy(F.desc("n_expected"), F.asc("category"))
+        .limit(top_k)
+        .select("category", F.lit(True).alias("__in_universe"))
+    )
+
+    def fold(counted: DataFrame, n_alias: str) -> DataFrame:
+        labeled = counted.join(
+            F.broadcast(universe), "category", "left"
+        ).select(
+            F.when(F.col("__in_universe"), F.col("category"))
+            .otherwise(F.lit(OTHER_CATEGORY))
+            .alias("category"),
+            F.col(n_alias),
+        )
+        return labeled.groupBy("category").agg(
+            F.sum(n_alias).cast("bigint").alias(n_alias)
+        )
+
+    joined = (
+        fold(e_counts, "n_expected")
+        .join(fold(counts(actual, "n_actual"), "n_actual"),
+              "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).cast("bigint").alias("n_actual"),
+        )
+    )
+    everything = Window.partitionBy()
+    e_total = F.sum("n_expected").over(everything).cast("double")
+    a_total = F.sum("n_actual").over(everything).cast("double")
+    pe = F.greatest(F.col("n_expected") / e_total, F.lit(min_pct))
+    pa = F.greatest(F.col("n_actual") / a_total, F.lit(min_pct))
+    return joined.select(
+        "category",
+        "n_expected",
+        "n_actual",
+        F.round(pe, 6).alias("pct_expected"),
+        F.round(pa, 6).alias("pct_actual"),
+        F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_contrib"),
+    ).orderBy("category")
+
+
+def chi2_from_rows(rows) -> tuple[float, float]:
+    """Driver-side chi-square homogeneity test + Cramér's V over the
+    collected ``categorical_drift`` rows (any objects with
+    ``n_expected``/``n_actual``) — the ``ks_js_from_rows`` pattern: the
+    CLI already holds the |categories|-row report, so the significance
+    quote must not cost more scans.  Two-sample Pearson chi-square on
+    the 2×|categories| contingency table (cells with a zero column sum
+    contribute nothing); V = sqrt(chi2 / N) for the 2-row table,
+    in [0, 1].  Returns ``(chi2, cramers_v)`` rounded to 6."""
+    import math
+
+    rows = list(rows)
+    te = float(sum(r["n_expected"] for r in rows))
+    ta = float(sum(r["n_actual"] for r in rows))
+    n = te + ta
+    if n == 0 or te == 0 or ta == 0:
+        return 0.0, 0.0
+    chi2 = 0.0
+    for r in rows:
+        col_total = r["n_expected"] + r["n_actual"]
+        if col_total == 0:
+            continue
+        exp_e = te * col_total / n
+        exp_a = ta * col_total / n
+        chi2 += (r["n_expected"] - exp_e) ** 2 / exp_e
+        chi2 += (r["n_actual"] - exp_a) ** 2 / exp_a
+    v = math.sqrt(chi2 / n)  # min(rows-1, cols-1) = 1 for the 2xC table
+    return round(chi2, 6), round(min(v, 1.0), 6)

@@ -684,3 +684,139 @@ def test_drift_cli_timeline(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="timeline column"):
         main(["drift", e_path, a_path, "--column", "x",
               "--bucket-width", "1.0", "--timeline", "nope"])
+
+
+# ---- categorical drift (r13 bonus surface) ---------------------------------
+
+
+def _csnap(spark, cats):
+    return spark.createDataFrame([(c,) for c in cats], "src string")
+
+
+def test_categorical_hand_computed(spark):
+    """expected: a 80%, b 20%; actual: a 50%, b 50% — the same shares as
+    the numeric hand case, so the identical PSI contributions."""
+    from cumulus_etl_spark.operators.drift import categorical_drift
+
+    e = _csnap(spark, ["a"] * 8 + ["b"] * 2)
+    a = _csnap(spark, ["a"] * 5 + ["b"] * 5)
+    rows = {r["category"]: r for r in
+            categorical_drift(e, a, "src").collect()}
+    assert set(rows) == {"a", "b"}
+    c_a = (0.5 - 0.8) * math.log(0.5 / 0.8)
+    c_b = (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert rows["a"]["psi_contrib"] == pytest.approx(round(c_a, 6), abs=1e-9)
+    assert rows["b"]["psi_contrib"] == pytest.approx(round(c_b, 6), abs=1e-9)
+    assert (rows["a"]["n_expected"], rows["a"]["n_actual"]) == (8, 5)
+
+
+def test_categorical_topk_universe_and_other_fold(spark):
+    """The reference's top-k categories (count DESC, category ASC
+    tiebreak) are the universe; tail AND reference-unseen categories
+    fold into __other__ — a NEW dominant category surfaces as
+    __other__ mass appearing."""
+    from cumulus_etl_spark.operators.drift import OTHER_CATEGORY, categorical_drift
+
+    e = _csnap(spark, ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1)
+    a = _csnap(spark, ["a"] * 3 + ["zz_new"] * 9)
+    rows = {r["category"]: r for r in
+            categorical_drift(e, a, "src", top_k=2).collect()}
+    # tiebreak: b and c both count 3 -> b wins (category ASC)
+    assert set(rows) == {"a", "b", OTHER_CATEGORY}
+    assert (rows["a"]["n_expected"], rows["a"]["n_actual"]) == (5, 3)
+    assert (rows["b"]["n_expected"], rows["b"]["n_actual"]) == (3, 0)
+    # __other__: expected c+d = 4; actual zz_new = 9
+    assert (rows[OTHER_CATEGORY]["n_expected"],
+            rows[OTHER_CATEGORY]["n_actual"]) == (4, 9)
+    total = sum(r["psi_contrib"] for r in rows.values())
+    assert total > 0.25  # the mix shift reads as action
+
+
+def test_categorical_nulls_excluded_and_identity(spark):
+    from cumulus_etl_spark.operators.drift import categorical_drift
+
+    e = spark.createDataFrame(
+        [("a",)] * 6 + [(None,)] * 4 + [("b",)] * 4, "src string"
+    )
+    rows = categorical_drift(e, e, "src").collect()
+    assert sum(r["n_expected"] for r in rows) == 10  # nulls gone
+    assert all(r["psi_contrib"] == 0.0 for r in rows)
+
+
+def test_categorical_chi2_twin(spark):
+    """chi2_from_rows against a hand-built 2x2 contingency table:
+    expected (30, 10) vs actual (10, 30) -> chi2 = 20.0 on N=80,
+    V = 0.5 (textbook values)."""
+    from cumulus_etl_spark.operators.drift import (
+        categorical_drift,
+        chi2_from_rows,
+    )
+
+    e = _csnap(spark, ["a"] * 30 + ["b"] * 10)
+    a = _csnap(spark, ["a"] * 10 + ["b"] * 30)
+    rows = categorical_drift(e, a, "src").collect()
+    chi2, v = chi2_from_rows(rows)
+    assert chi2 == pytest.approx(20.0, abs=1e-9)
+    assert v == pytest.approx(0.5, abs=1e-9)
+    # degenerate sides are defined, not crashes
+    assert chi2_from_rows([]) == (0.0, 0.0)
+    assert chi2_from_rows(
+        [{"n_expected": 5, "n_actual": 0}]
+    ) == (0.0, 0.0)
+
+
+def test_categorical_single_scan_per_side_and_bounded(spark, tmp_path):
+    """Scale-shape pin: each snapshot is read ONCE.  The expected
+    side's counted frame feeds three consumers (universe + both
+    folds), so it is localCheckpoint-pinned — the one real read of the
+    expected parquet happens inside that checkpoint job, and the final
+    plan reads only the actual parquet (exactly one 'Scan parquet')
+    plus the checkpointed bounded frames; the universe rides a
+    broadcast."""
+    from cumulus_etl_spark.operators.drift import categorical_drift
+
+    e_path, a_path = str(tmp_path / "ce"), str(tmp_path / "ca")
+    _csnap(spark, [f"c{i % 7}" for i in range(100)]).write.parquet(e_path)
+    _csnap(spark, [f"c{i % 5}" for i in range(100)]).write.parquet(a_path)
+    out = categorical_drift(
+        spark.read.parquet(e_path), spark.read.parquet(a_path),
+        "src", top_k=3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_categorical_validation(spark):
+    from cumulus_etl_spark.operators.drift import categorical_drift
+
+    df = _csnap(spark, ["a"])
+    with pytest.raises(ValueError, match="top_k"):
+        categorical_drift(df, df, "src", top_k=0)
+
+
+def test_drift_cli_categorical(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+
+    e_path, a_path = str(tmp_path / "refc"), str(tmp_path / "newc")
+    _csnap(spark, ["web"] * 60 + ["pdf"] * 40).write.parquet(e_path)
+    _csnap(spark, ["web"] * 20 + ["pdf"] * 20 + ["crawl2"] * 60).write.parquet(a_path)
+    rc = main(["drift", e_path, a_path, "--column", "src", "--categorical"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "categorical"
+    assert rep["verdict"] == "action"          # 60% of mass is NEW
+    assert rep["chi2"] > 0 and 0 < rep["cramers_v"] <= 1
+    cats = {c["category"]: c for c in rep["categories"]}
+    assert cats["__other__"]["n_actual"] == 60
+    assert cats["__other__"]["n_expected"] == 0
+
+    with pytest.raises(SystemExit, match="categorical takes only"):
+        main(["drift", e_path, a_path, "--column", "src",
+              "--categorical", "--bucket-width", "1.0"])
+    with pytest.raises(SystemExit, match="categorical takes only"):
+        main(["drift", e_path, a_path, "--columns", "src",
+              "--categorical"])
