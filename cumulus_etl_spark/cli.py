@@ -319,6 +319,13 @@ def main(argv: list[str] | None = None) -> int:
                       help="bucket width (single-column mode only; the "
                       "multi-column grid is reference-derived)")
     p_dm.add_argument("--buckets", type=int, default=20)
+    p_dm.add_argument("--categorical", action="store_true",
+                      help="treat --column as categorical: incremental "
+                      "category-share drift under the reference's frozen "
+                      "top-k universe (tail folds into __other__); "
+                      "reports PSI + chi-square, no --bucket-width")
+    p_dm.add_argument("--top-k", type=int, default=50,
+                      help="categorical mode: universe size (default 50)")
     p_dm.add_argument("--checkpoint", default=None,
                       help="stream checkpoint dir (default: "
                       "<monitor_dir>/_checkpoint)")
@@ -1150,6 +1157,33 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(
                 "drift-monitor: pass at most one of --column / --columns"
             )
+        if args.categorical:
+            from cumulus_etl_spark.streaming.drift import (
+                streaming_categorical_drift,
+            )
+
+            if args.columns or args.bucket_width is not None:
+                raise SystemExit(
+                    "drift-monitor: --categorical takes only --column "
+                    "(and --top-k); no bucket grid, no multi mode"
+                )
+            # --column may be omitted on reopen (sidecar); a first open
+            # without it fails loudly inside the monitor
+            mon = streaming_categorical_drift(
+                spark,
+                args.input_dir,
+                args.monitor_dir,
+                args.checkpoint or _os.path.join(args.monitor_dir, "_checkpoint"),
+                args.schema,
+                args.column,
+                (lambda: spark.read.parquet(args.reference))
+                if args.reference else None,
+                top_k=args.top_k,
+            )
+            report = mon.report_dict()
+            report["monitor"] = args.monitor_dir
+            print(json.dumps(report))
+            return 0
         if args.columns:
             # multi-column monitor: per-column PSI/KS/JS from ONE
             # collected grid, like the batch `drift --columns` verb

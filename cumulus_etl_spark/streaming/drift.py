@@ -26,11 +26,14 @@ Scale shape: per batch, one map-side-combined hash aggregate (the
 shuffle carries ≤ n_buckets rows per input partition) plus a merge of a
 ≤ n_buckets-row frame; state is ≤ 2 × n_buckets rows forever.
 
-Two monitors share this design: ``StreamingPsiMonitor`` (one column,
-caller-fixed bucket width) and ``StreamingDriftMonitor`` (r13 —
+Three monitors share this design: ``StreamingPsiMonitor`` (one
+column, caller-fixed bucket width), ``StreamingDriftMonitor`` (r13 —
 N columns for ONE melt+aggregate per batch, reference-derived grid
 frozen in the sidecar, per-column PSI/KS/JS report; state ≤
-2 × n_buckets × |columns| rows).
+2 × n_buckets × |columns| rows) and ``StreamingCategoricalMonitor``
+(r13 — category shares under the frozen top-k universe, join-free
+``isin`` relabeling per batch, PSI + chi-square report; state ≤
+2 × (top_k + 1) rows).
 """
 
 from __future__ import annotations
@@ -538,6 +541,290 @@ def streaming_drift_multi(
     pin_checkpoint_identity(spark, monitor_root, checkpoint_dir)
     mon = StreamingDriftMonitor(spark, monitor_root, value_cols, n_buckets)
     if mon.grid is None:
+        if reference is None:
+            raise ValueError(
+                "new monitor has no frozen baseline: pass a reference "
+                "snapshot (DataFrame or loader) on first open"
+            )
+        if callable(reference):
+            reference = reference()
+        mon.set_reference(reference)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: mon.ingest_batch(batch_df, batch_id=batch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return mon
+
+
+# ---- categorical monitor (r13) --------------------------------------------
+
+CAT_HIST_TABLE = "drift_hist_cat"
+_CAT_CONFIG_FILE = "_catdrift_config.json"
+
+
+class StreamingCategoricalMonitor:
+    """Streaming counterpart of ``categorical_drift``: an incrementally
+    maintained category histogram ("has the source mix shifted yet?")
+    against a frozen reference.  Same skeleton as the other two
+    monitors — ≤ 2 × (top_k + 1) rows of state forever, batch-id replay
+    watermark, checkpoint-identity guard, config-sidecar reopen.
+
+    The category UNIVERSE (the reference's top-k by count, total
+    tiebreak, everything else → ``__other__``) freezes at
+    ``set_reference`` and persists in the sidecar, so later batches
+    fold identically without rescanning the reference; batch-side
+    relabeling is a literal ``isin`` over ≤ top_k strings — no join at
+    all on the ingest path.  A re-baseline whose reference derives a
+    DIFFERENT universe is rejected loudly (folded counts cannot be
+    re-split), the multi monitor's grid rule.
+
+    The report goes through ``psi_from_counts`` — literally the same
+    function the oracled numeric operator ends with, joined on the
+    category as the bucket key — so the pinned invariant carries over:
+    after ANY batch split the report EQUALS
+    ``categorical_drift(reference, concat(batches))``."""
+
+    FOLD_VERSION = "topk-other-v1"  # universe/fold convention
+
+    def __init__(self, spark: SparkSession, root: str,
+                 category_col: str | None = None,
+                 top_k: int | None = None):
+        cfg_path = os.path.join(root, _CAT_CONFIG_FILE)
+        stored = None
+        if hadoop_io.exists(spark, cfg_path):
+            stored = json.loads(hadoop_io.read_text(spark, cfg_path))
+        if category_col is None or top_k is None:
+            if stored is None:
+                missing = [
+                    n for n, v in (("category_col", category_col),
+                                   ("top_k", top_k))
+                    if v is None
+                ]
+                raise ValueError(
+                    f"new monitor root {root!r} has no config sidecar: "
+                    f"{missing} must be given explicitly on first open"
+                )
+            category_col = (
+                stored["category_col"] if category_col is None else category_col
+            )
+            top_k = stored["top_k"] if top_k is None else top_k
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        self.spark = spark
+        self.root = root
+        self.category_col = category_col
+        self.top_k = int(top_k)
+        self._cfg_path = cfg_path
+        identity = {
+            "category_col": category_col,
+            "top_k": self.top_k,
+            "fold": self.FOLD_VERSION,
+        }
+        if stored is not None:
+            if {k: stored.get(k) for k in identity} != identity:
+                raise ValueError(
+                    f"monitor root {root!r} was created with "
+                    f"{ {k: stored.get(k) for k in identity} }; reopened "
+                    f"with {identity} — mismatched binning would corrupt "
+                    "the cumulative histograms"
+                )
+            self.universe = (
+                list(stored["universe"]) if stored.get("universe") else None
+            )
+        else:
+            self.universe = None
+            hadoop_io.write_text(
+                spark, cfg_path, json.dumps({**identity, "universe": None})
+            )
+        self.table = ManagedTable(spark, root, CAT_HIST_TABLE)
+        self._policy = MergePolicy(
+            keys=("side", "category"),
+            group_field="side",
+            last_updated_field=None,
+            num_buckets=1,
+        )
+
+    # ---- histogram plumbing ------------------------------------------------
+
+    def _hist(self, rows: DataFrame) -> DataFrame:
+        from cumulus_etl_spark.operators.drift import OTHER_CATEGORY
+
+        if self.universe is None:
+            raise ValueError(
+                "no frozen category universe: call set_reference first"
+            )
+        cat = F.col(self.category_col).cast("string")
+        # literal isin over <= top_k strings (Column API, no SQL text,
+        # no join): the ingest path's whole relabel is one expression
+        label = (
+            F.when(cat.isin(self.universe), cat)
+            .otherwise(F.lit(OTHER_CATEGORY))
+        )
+        return (
+            rows.filter(F.col(self.category_col).isNotNull())  # null policy
+            .groupBy(label.alias("category"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    def _side(self, side: str) -> DataFrame | None:
+        state = self.table.read()
+        if state is None:
+            return None
+        return state.filter(F.col("side") == side).select(
+            "category", "n", "last_batch"
+        )
+
+    # ---- reference ---------------------------------------------------------
+
+    def set_reference(self, reference: DataFrame) -> None:
+        """Freeze the universe (top-k by reference count, count DESC /
+        category ASC — exactly ``categorical_drift``'s rule) and the
+        reference histogram.  On an ESTABLISHED monitor the new
+        reference must derive the SAME universe — cumulative actual
+        counts are folded under it and cannot be re-split."""
+        cat = F.col(self.category_col).cast("string")
+        counted = (
+            reference.filter(F.col(self.category_col).isNotNull())
+            .groupBy(cat.alias("category"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        top = [
+            r["category"]
+            for r in counted.orderBy(F.desc("n"), F.asc("category"))
+            .limit(self.top_k)
+            .collect()  # <= top_k rows, the bounded-collect discipline
+        ]
+        if self.universe is not None and top != self.universe:
+            raise ValueError(
+                f"monitor root {self.root!r} has a frozen universe "
+                f"{self.universe}; the new reference derives {top} — "
+                "re-baseline with a changed universe by starting a fresh "
+                "monitor root (folded counts cannot be re-split)"
+            )
+        self.universe = top
+        hadoop_io.write_text(
+            self.spark,
+            self._cfg_path,
+            json.dumps({
+                "category_col": self.category_col,
+                "top_k": self.top_k,
+                "fold": self.FOLD_VERSION,
+                "universe": top,
+            }),
+        )
+        hist = (
+            self._hist(reference)
+            .withColumn("side", F.lit("expected"))
+            .withColumn("last_batch", F.lit(-1).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= top_k + 1 rows
+        )
+        self.table.merge(hist, self._policy)
+
+    # ---- ingest ------------------------------------------------------------
+
+    def ingest_batch(self, rows: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch (replay watermark: the sketch-sibling
+        rule, count addition is non-idempotent)."""
+        prior = self._side("actual")
+        prior_batch = -1
+        if prior is not None:
+            got = prior.agg(F.max("last_batch")).collect()[0][0]
+            prior_batch = -1 if got is None else got
+        if batch_id is None:
+            batch_id = prior_batch + 1
+        if batch_id <= prior_batch:
+            return  # replay: already folded
+        delta = self._hist(rows)
+        summed = (
+            delta
+            if prior is None
+            else delta.unionByName(prior.select("category", "n"))
+            .groupBy("category")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        new = (
+            summed.withColumn("side", F.lit("actual"))
+            .withColumn("last_batch", F.lit(batch_id).cast("bigint"))
+            .localCheckpoint(eager=True)  # <= top_k + 1 rows
+        )
+        self.table.merge(new, self._policy)
+
+    # ---- report ------------------------------------------------------------
+
+    def report(self, min_pct: float = 1e-6) -> DataFrame:
+        """``categorical_drift``'s output schema over everything
+        ingested so far — the arithmetic is ``psi_from_counts`` itself
+        with the category as the bucket key (one shared definition,
+        the monitors' never-bin-apart rule)."""
+        from cumulus_etl_spark.operators.drift import psi_from_counts
+
+        expected = self._side("expected")
+        actual = self._side("actual")
+        if expected is None or expected.limit(1).count() == 0:
+            raise ValueError("no reference histogram: call set_reference first")
+        e = expected.select(
+            F.col("category").alias("bucket"), F.col("n").alias("n_expected")
+        )
+        if actual is None:
+            actual = self.spark.createDataFrame([], "category string, n bigint")
+        a = actual.select(
+            F.col("category").alias("bucket"), F.col("n").alias("n_actual")
+        )
+        return psi_from_counts(e, a, min_pct).withColumnRenamed(
+            "bucket", "category"
+        )
+
+    def report_dict(self, min_pct: float = 1e-6) -> dict:
+        """PSI + chi-square + Cramér's V from ONE collected
+        ≤ (top_k + 1)-row report — the batch verb's quote, incremental."""
+        from cumulus_etl_spark.operators.drift import chi2_from_rows
+
+        rows = self.report(min_pct).collect()
+        psi = round(sum(r["psi_contrib"] for r in rows), 6)
+        chi2, v = chi2_from_rows(rows)
+        return {
+            "column": self.category_col,
+            "mode": "categorical",
+            "psi": psi,
+            "verdict": ("stable" if psi < 0.1
+                        else "moderate" if psi <= 0.25 else "action"),
+            "chi2": chi2,
+            "cramers_v": v,
+            "n_expected": sum(r["n_expected"] for r in rows),
+            "n_actual": sum(r["n_actual"] for r in rows),
+            "categories": [
+                {"category": r["category"], "n_expected": r["n_expected"],
+                 "n_actual": r["n_actual"], "psi_contrib": r["psi_contrib"]}
+                for r in rows
+            ],
+        }
+
+
+def streaming_categorical_drift(
+    spark: SparkSession,
+    input_dir: str,
+    monitor_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    category_col: str | None = None,
+    reference=None,
+    top_k: int | None = None,
+) -> StreamingCategoricalMonitor:
+    """Checkpointed categorical ingest — the ``streaming_psi`` shape
+    (availableNow, foreachBatch fold, checkpoint-identity pinned);
+    ``reference`` resolves only on first open, ``category_col``/
+    ``top_k`` load from the sidecar when omitted on reopen."""
+    from cumulus_etl_spark.streaming.ckpt import pin_checkpoint_identity
+
+    pin_checkpoint_identity(spark, monitor_root, checkpoint_dir)
+    mon = StreamingCategoricalMonitor(spark, monitor_root, category_col, top_k)
+    if mon.universe is None:
         if reference is None:
             raise ValueError(
                 "new monitor has no frozen baseline: pass a reference "

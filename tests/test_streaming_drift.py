@@ -486,3 +486,123 @@ def test_drift_monitor_cli_columns(spark, tmp_path, capsys):
         main(["drift-monitor", landing, str(tmp_path / "m2"),
               "--columns", "a,b", "--bucket-width", "1.0",
               "--schema", "a double, b double"])
+
+
+# ---- categorical monitor (r13) ---------------------------------------------
+
+
+def _cats(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "src string")
+
+
+def test_cat_fold_equals_batch_categorical_drift_over_any_split(spark, tmp_path):
+    """The pinned invariant, categorical: after ANY batch split the
+    monitor's report EQUALS categorical_drift(reference,
+    concat(batches)) — same top-k universe rule, same __other__ fold,
+    literally psi_from_counts as the tail."""
+    from cumulus_etl_spark.operators.drift import categorical_drift
+    from cumulus_etl_spark.streaming.drift import StreamingCategoricalMonitor
+
+    ref = ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5
+    arriving = (["a"] * 20 + ["c"] * 25 + ["zz_new"] * 30 + ["d"] * 5)
+    mon = StreamingCategoricalMonitor(spark, str(tmp_path / "mon"), "src", 3)
+    mon.set_reference(_cats(spark, ref))
+    for lo, hi in ((0, 13), (13, 52), (52, 80)):  # uneven batches
+        mon.ingest_batch(_cats(spark, arriving[lo:hi]))
+    want = categorical_drift(
+        _cats(spark, ref), _cats(spark, arriving), "src", top_k=3
+    )
+    assert _rows(mon.report()) == _rows(want)
+    # state bounded: <= 2 * (top_k + 1) rows
+    assert mon.table.read().count() <= 2 * 4
+
+    rep = mon.report_dict()
+    assert rep["mode"] == "categorical"
+    assert rep["n_actual"] == 80 and rep["n_expected"] == 100
+    assert rep["chi2"] > 0 and 0 < rep["cramers_v"] <= 1
+
+
+def test_cat_replay_skipped_and_universe_persisted(spark, tmp_path):
+    from cumulus_etl_spark.streaming.drift import StreamingCategoricalMonitor
+
+    root = str(tmp_path / "mon")
+    mon = StreamingCategoricalMonitor(spark, root, "src", 2)
+    mon.set_reference(_cats(spark, ["a"] * 5 + ["b"] * 3 + ["c"] * 1))
+    assert mon.universe == ["a", "b"]
+    mon.ingest_batch(_cats(spark, ["a", "zz"] * 3), batch_id=0)
+    before = _rows(mon.report())
+    mon.ingest_batch(_cats(spark, ["a", "zz"] * 3), batch_id=0)  # replay
+    assert _rows(mon.report()) == before
+
+    # reopen with nothing: universe + identity load from the sidecar
+    again = StreamingCategoricalMonitor(spark, root)
+    assert (again.category_col, again.top_k) == ("src", 2)
+    assert again.universe == ["a", "b"]
+    again.ingest_batch(_cats(spark, ["b"] * 4), batch_id=1)
+    counts = {r["category"]: r["n_actual"] for r in again.report().collect()}
+    assert counts == {"a": 3, "b": 4, "__other__": 3}
+
+    # same universe re-baseline fine; a different one rejected
+    again.set_reference(_cats(spark, ["a"] * 9 + ["b"] * 4 + ["q"] * 2))
+    with pytest.raises(ValueError, match="re-split"):
+        again.set_reference(_cats(spark, ["q"] * 9 + ["b"] * 4))
+    # identity mismatch rejected; missing params on a FRESH root loud
+    with pytest.raises(ValueError, match="mismatched binning"):
+        StreamingCategoricalMonitor(spark, root, "src", 5)
+    with pytest.raises(ValueError, match="first open"):
+        StreamingCategoricalMonitor(spark, str(tmp_path / "fresh"), "src")
+
+
+def test_streaming_categorical_availablenow_and_cli(spark, tmp_path, capsys):
+    import json
+
+    from cumulus_etl_spark.cli import main
+    from cumulus_etl_spark.operators.drift import categorical_drift
+    from cumulus_etl_spark.streaming.drift import streaming_categorical_drift
+
+    landing = str(tmp_path / "landing")
+    ref_path = str(tmp_path / "ref")
+    ref_vals = ["web"] * 60 + ["pdf"] * 40
+    _cats(spark, ref_vals).write.parquet(ref_path)
+    wave1 = ["web"] * 30 + ["pdf"] * 10
+    _cats(spark, wave1).write.parquet(landing)
+
+    argv = ["drift-monitor", landing, str(tmp_path / "mon"),
+            "--reference", ref_path, "--column", "src", "--categorical",
+            "--top-k", "5", "--schema", "src string",
+            "--checkpoint", str(tmp_path / "ckpt")]
+    assert main(argv) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["n_actual"] == 40 and rep1["mode"] == "categorical"
+
+    assert main(argv) == 0  # no new files: availableNow no-op
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {k: v for k, v in rep2.items()} == rep1
+
+    wave2 = ["crawl2"] * 60
+    _cats(spark, wave2).write.parquet(landing, mode="append")
+    assert main(argv) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["n_actual"] == 100 and rep3["verdict"] == "action"
+    cats = {c["category"]: c for c in rep3["categories"]}
+    assert cats["__other__"]["n_actual"] == 60
+
+    # report tracks the batch operator end-to-end
+    mon = streaming_categorical_drift(
+        spark, landing, str(tmp_path / "mon"),
+        str(tmp_path / "ckpt"), "src string")
+    want = categorical_drift(
+        _cats(spark, ref_vals), _cats(spark, wave1 + wave2), "src", top_k=5
+    )
+    assert _rows(mon.report()) == _rows(want)
+
+    # inherited checkpoint-identity guard
+    with pytest.raises(ValueError, match="per-checkpoint"):
+        streaming_categorical_drift(
+            spark, landing, str(tmp_path / "mon"),
+            str(tmp_path / "ckpt_other"), "src string")
+    # flag validation
+    with pytest.raises(SystemExit, match="takes only"):
+        main(["drift-monitor", landing, str(tmp_path / "m2"),
+              "--column", "src", "--categorical", "--bucket-width", "1.0",
+              "--schema", "src string"])
