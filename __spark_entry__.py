@@ -82,15 +82,15 @@ _GATE_PRIORITY = [
 # Round-14 window (staged): profile_ks_js_drift LEADS + the 48
 # r11-stale entries (the 49-entry r11-green cohort minus the retired
 # profile_psi_drift): 49, one slot spare.  The 3-round freshness SLA
-# holds at every step.  Candidates for the spare slot: an oracle row
-# for the r13 psi_drift_timeline operator (operators/drift.py —
-# SQL-expressible: per-period histogram + the psi_from_counts
-# arithmetic PARTITIONed BY period; pytest-pinned equal to per-period
-# psi_drift slices until then) or for the r13 categorical_drift
-# (top-k universe + __other__ fold — plain SQL).  Registering ONE of
-# them r14 makes that window exactly 50 and takes the oracled count to
-# its structural capacity of 150 (3 × the 50-slot window) — the other,
-# and any later add, must be retirement-funded.
+# holds at every step.  Candidates for the spare slot: the r13
+# psi_drift_timeline and categorical_drift operators BOTH have their
+# oracle SQL already WRITTEN and driver-harness parity-pinned at three
+# SFs (plans/analytics.py "STAGED r14 oracles" block; the staged tests
+# in tests/test_drift.py re-prove them at sf0.01 every suite run) —
+# registration is one @register line each.  Registering ONE r14 makes
+# that window exactly 50 and takes the oracled count to its structural
+# capacity of 150 (3 × the 50-slot window) — the other, and any later
+# add, must be retirement-funded.
 #
 # Freshness is DERIVED, not asserted (r12 verdict "what's wrong" — two
 # off-by-one slips in two rounds): _FRESHNESS_ASOF pins (latest gated

@@ -438,6 +438,158 @@ def profile_ks_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- STAGED r14 oracles (NOT registered) -----------------------------------
+#
+# The r13 round shipped two more SQL-expressible drift operators
+# (psi_drift_timeline, categorical_drift); their oracle rows are
+# WRITTEN AND PARITY-PINNED here (tests/test_drift.py::
+# test_staged_timeline_oracle_parity / test_staged_categorical_oracle_
+# parity run them through the exact driver-compare harness at sf0.01
+# every suite run) but deliberately NOT registered: the catalog holds
+# net-zero at 153/149 this round, the r14 window has exactly ONE spare
+# slot after its staged leader (__spark_entry__.py ledger), and
+# registering both would cross the structural 150-oracle capacity
+# without a funding retirement.  r14's registration is one @register
+# line per entry — pick one for the spare slot, fund the other.
+
+_STAGED_TIMELINE_ORACLE = """
+WITH ref AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_expected
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995 AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+act AS (
+  SELECT date_trunc('month', o_orderdate) AS p,
+         LEAST(GREATEST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 0), 19)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_actual
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996
+    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+frame AS (
+  SELECT pp.p, r.bucket, r.n_expected
+  FROM (SELECT DISTINCT p FROM act) pp CROSS JOIN ref r
+),
+j AS (
+  SELECT COALESCE(f.p, a.p) AS p,
+         COALESCE(f.bucket, a.bucket) AS bucket,
+         COALESCE(f.n_expected, 0) AS n_expected,
+         COALESCE(a.n_actual, 0) AS n_actual
+  FROM frame f FULL OUTER JOIN act a ON f.p = a.p AND f.bucket = a.bucket
+),
+t AS (
+  SELECT *,
+         CAST(SUM(n_expected) OVER (PARTITION BY p) AS DOUBLE) AS te,
+         CAST(SUM(n_actual) OVER (PARTITION BY p) AS DOUBLE) AS ta
+  FROM j
+)
+SELECT strftime(p, '%Y-%m') AS period,
+       bucket,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_actual AS BIGINT) AS n_actual,
+       ROUND(GREATEST(n_expected / te, 1e-6), 6) AS pct_expected,
+       ROUND(GREATEST(n_actual / ta, 1e-6), 6) AS pct_actual,
+       ROUND((GREATEST(n_actual / ta, 1e-6) - GREATEST(n_expected / te, 1e-6))
+             * ln(GREATEST(n_actual / ta, 1e-6)
+                  / GREATEST(n_expected / te, 1e-6)), 6) AS psi_contrib
+FROM t
+"""
+
+
+def staged_profile_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 entry body for operators/drift.py:psi_drift_timeline:
+    monthly drift of 1996 order prices against the frozen 1995 baseline
+    on the same 25k/20 grid the PSI/KS rows share; the period
+    serializes as yyyy-MM on both engines (the CUSUM hour-format
+    pattern)."""
+    from cumulus_etl_spark.operators.drift import psi_drift_timeline
+
+    o = table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    grid = psi_drift_timeline(
+        o.filter(year == 1995), o.filter(year == 1996),
+        "o_totalprice", "o_orderdate",
+        period="month", bucket_width=25000.0, n_buckets=20,
+    )
+    return grid.select(
+        F.date_format("period", "yyyy-MM").alias("period"),
+        "bucket", "n_expected", "n_actual",
+        "pct_expected", "pct_actual", "psi_contrib",
+    )
+
+
+_STAGED_CATEGORICAL_ORACLE = """
+WITH ec AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995 AND o_orderpriority IS NOT NULL
+  GROUP BY 1
+),
+u AS (SELECT category FROM ec ORDER BY n DESC, category LIMIT 3),
+ef AS (
+  SELECT CASE WHEN category IN (SELECT category FROM u) THEN category
+              ELSE '__other__' END AS category,
+         CAST(SUM(n) AS BIGINT) AS n_expected
+  FROM ec GROUP BY 1
+),
+ac AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1996 AND o_orderpriority IS NOT NULL
+  GROUP BY 1
+),
+af AS (
+  SELECT CASE WHEN category IN (SELECT category FROM u) THEN category
+              ELSE '__other__' END AS category,
+         CAST(SUM(n) AS BIGINT) AS n_actual
+  FROM ac GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ef.category, af.category) AS category,
+         COALESCE(ef.n_expected, 0) AS n_expected,
+         COALESCE(af.n_actual, 0) AS n_actual
+  FROM ef FULL OUTER JOIN af ON ef.category = af.category
+),
+t AS (
+  SELECT *,
+         CAST(SUM(n_expected) OVER () AS DOUBLE) AS te,
+         CAST(SUM(n_actual) OVER () AS DOUBLE) AS ta
+  FROM j
+)
+SELECT category,
+       CAST(n_expected AS BIGINT) AS n_expected,
+       CAST(n_actual AS BIGINT) AS n_actual,
+       ROUND(GREATEST(n_expected / te, 1e-6), 6) AS pct_expected,
+       ROUND(GREATEST(n_actual / ta, 1e-6), 6) AS pct_actual,
+       ROUND((GREATEST(n_actual / ta, 1e-6) - GREATEST(n_expected / te, 1e-6))
+             * ln(GREATEST(n_actual / ta, 1e-6)
+                  / GREATEST(n_expected / te, 1e-6)), 6) AS psi_contrib
+FROM t
+"""
+
+
+def staged_profile_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged r14 entry body for operators/drift.py:categorical_drift:
+    order-priority mix drift between the two snapshot years under a
+    top-3 universe (so the __other__ fold is exercised on real data:
+    two of the five priorities fold)."""
+    from cumulus_etl_spark.operators.drift import categorical_drift
+
+    o = table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    return categorical_drift(
+        o.filter(year == 1995), o.filter(year == 1996),
+        "o_orderpriority", top_k=3,
+    )
+
+
 @register("sample_stratified", None, tags=("sample",))
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling: per-segment Bernoulli fractions via

@@ -820,3 +820,38 @@ def test_drift_cli_categorical(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="categorical takes only"):
         main(["drift", e_path, a_path, "--columns", "src",
               "--categorical"])
+
+
+# ---- staged r14 oracle parity (plans/analytics.py, unregistered) -----------
+
+
+def test_staged_timeline_oracle_parity(spark, sf_correct):
+    """The staged psi_drift_timeline oracle runs through the EXACT
+    driver-compare harness at sf0.01 every suite run, so r14's
+    registration is a proven one-line swap (the ledger in
+    plans/analytics.py explains why it is not registered this round)."""
+    from cumulus_etl_spark.plans.analytics import (
+        _STAGED_TIMELINE_ORACLE,
+        staged_profile_psi_timeline,
+    )
+    from tests.oracle_harness import compare
+
+    result = compare(
+        spark, sf_correct, "staged_profile_psi_timeline",
+        staged_profile_psi_timeline, _STAGED_TIMELINE_ORACLE,
+    )
+    assert result["ok"], result
+
+
+def test_staged_categorical_oracle_parity(spark, sf_correct):
+    from cumulus_etl_spark.plans.analytics import (
+        _STAGED_CATEGORICAL_ORACLE,
+        staged_profile_categorical_drift,
+    )
+    from tests.oracle_harness import compare
+
+    result = compare(
+        spark, sf_correct, "staged_profile_categorical_drift",
+        staged_profile_categorical_drift, _STAGED_CATEGORICAL_ORACLE,
+    )
+    assert result["ok"], result
