@@ -358,7 +358,12 @@ def ngram_jaccard_dedup_keep_best(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    comp = connected_components(touched, pairs, id_col="id", src_col="id_a", dst_col="id_b")
+    # edges_unique: the LSH candidate set is .distinct()-ed with
+    # id_a < id_b before verification, so CC can skip its dedup shuffle.
+    comp = connected_components(
+        touched, pairs, id_col="id", src_col="id_a", dst_col="id_b",
+        edges_unique=True,
+    )
     ranked = (
         df.select(F.col(id_col).alias("id"), score.alias("__score"))
         .join(comp, "id")

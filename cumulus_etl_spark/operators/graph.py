@@ -33,16 +33,30 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Label every vertex with the MIN vertex id of its component.
 
     vertices: one row per vertex (isolated vertices keep their own id
     as the label). edges: undirected pairs (symmetrized internally).
     Returns (id_col, component) — deterministic.
+
+    edges_unique: caller guarantees the input pairs are already unique
+    with src < dst (true for every verified-pair feed: prefix-filter and
+    LSH candidates are distinct-ed before verification), so the
+    symmetrized union cannot contain duplicates and the dedup shuffle is
+    skipped.
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint(eager=True)  # reused every round; pin it
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    if not edges_unique:
+        e = e.distinct()
+    # Pinned pre-partitioned on the per-round join key: every label round
+    # joins e on `a`, and a localCheckpoint preserves outputPartitioning,
+    # so hash-partitioning it ONCE here removes the per-round |2E|
+    # exchange entirely (the labels side still shuffles, but it is the
+    # |V|-row side) — guide §2.4 "remove shuffles outright".
+    e = e.repartition(F.col("a")).localCheckpoint(eager=True)
 
     labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
@@ -106,6 +120,7 @@ def dedup_clusters(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     pairs_pinned: bool = False,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs and elect the min-id canonical per
     cluster. Returns df's rows + `cluster_id` + `is_canonical` —
@@ -130,7 +145,8 @@ def dedup_clusters(
         .distinct()
     )
     comp = connected_components(
-        touched, pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+        touched, pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b,
+        edges_unique=pairs_unique,
     )
     return df.join(comp, id_col, "left").select(
         df["*"],
@@ -296,6 +312,12 @@ def triangle_counts(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Pinned (r13 opt): e feeds the degree agg, the id-range guard
+        # below AND the two orientation joins — without the pin the
+        # (possibly expensive) upstream edge derivation re-executes once
+        # per job (guard count + keyed checkpoint were two full upstream
+        # passes; now one).
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("id"))

@@ -324,8 +324,12 @@ def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", threshold=0.5, block_col="source", shingle_k=1
     ).select("id_a", "id_b")
     # pairs_pinned: prefix_filter_pairs already returns an eager
-    # checkpoint, so CC skips its own re-materialization pass
-    return dedup_clusters(d, pairs, "doc_id", pairs_pinned=True).select(
+    # checkpoint, so CC skips its own re-materialization pass.
+    # pairs_unique: the feed is a verified .distinct() pair set with
+    # id_a < id_b, so CC skips the symmetrize-dedup shuffle (r13 opt).
+    return dedup_clusters(
+        d, pairs, "doc_id", pairs_pinned=True, pairs_unique=True
+    ).select(
         "doc_id", "cluster_id", "is_canonical"
     )
 

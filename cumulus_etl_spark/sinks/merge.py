@@ -173,23 +173,43 @@ class ManagedTable:
             return []
         return [e for e in os.listdir(vdir) if e.startswith(BUCKET_COL + "=")]
 
-    def _read_version(self, ptr: dict, buckets: list[int] | None = None) -> DataFrame:
+    def _read_version(
+        self, ptr: dict, buckets: list[int] | None = None,
+        keep_bucket_col: bool = False,
+    ) -> DataFrame:
         """Scan the current version; ``buckets`` prunes to those hive
-        partitions (shows up as PartitionFilters in the plan)."""
+        partitions (shows up as PartitionFilters in the plan).
+
+        The read uses the pointer schema EXPLICITLY instead of
+        mergeSchema: the pointer always stores the union schema of its
+        version (schema evolution only ever adds columns), the parquet
+        reader null-fills columns missing from older re-linked files —
+        identical frames — and the driver stops footer-reading every
+        data file on every merge/read (guide §6: file metadata cost is
+        driver-side, per-file). ``keep_bucket_col``: retain the hive
+        partition column so a caller that writes the same layout back
+        can skip the routing shuffle."""
         vdir = self._vdir(int(ptr["version"]))
         schema = StructType.fromJson(json.loads(ptr["schema"]))
         if not self._bucket_dirs(vdir):
+            if keep_bucket_col:
+                return self.spark.createDataFrame([], schema).withColumn(
+                    BUCKET_COL, F.lit(None).cast("int")
+                )
             return self.spark.createDataFrame([], schema)
         df = (
-            self.spark.read.option("mergeSchema", "true")
+            self.spark.read.schema(schema)
             .option("basePath", vdir)
             .parquet(vdir)
         )
         if buckets is not None:
             df = df.filter(F.col(BUCKET_COL).isin(buckets))
-        # stable column contract: pointer-schema order (mergeSchema unions
-        # file schemas in discovery order, which is not contractual)
-        return df.select(*[F.col(f.name) for f in schema.fields])
+        # stable column contract: pointer-schema order (partition-column
+        # discovery appends BUCKET_COL in path order, not contractually)
+        cols = [F.col(f.name) for f in schema.fields]
+        if keep_bucket_col:
+            cols.append(F.col(BUCKET_COL))
+        return df.select(*cols)
 
     def _is_delta(self) -> bool:
         return HAVE_DELTA and DeltaTable.isDeltaTable(self.spark, self.path)
@@ -286,8 +306,25 @@ class ManagedTable:
         # side (parity: delta autoMerge, deltalake.py:71).
         allr = ex.unionByName(up, allowMissingColumns=True)
 
-        # Window results must be projected before they can gate a filter.
-        w = Window.partitionBy(*keys)
+        # ONE exchange for window + write (r13 opt, guide §2.4): when the
+        # bucket is a pure function of the MERGE KEYS (no group_field —
+        # with one, bucket = f(group) and an update can MOVE a key
+        # between groups, splitting its window frame), route rows to
+        # their output bucket FIRST and window-partition by
+        # (bucket, keys). Same frames as partitionBy(keys), but
+        # hash-partitioning on the bucket column already clusters every
+        # (bucket, keys) group, so the window needs no second exchange,
+        # and _write_raw(pre_bucketed=True) reuses the same layout for
+        # the partitioned write. Previously: window shuffle on keys +
+        # write shuffle on bucket = two full-data exchanges.
+        fuse_bucket = policy.bucket_cols == tuple(keys)
+        if fuse_bucket:
+            allr = allr.withColumn(
+                BUCKET_COL, _bucket_expr(policy.bucket_cols, policy.num_buckets)
+            ).repartition(F.col(BUCKET_COL))
+            w = Window.partitionBy(BUCKET_COL, *keys)
+        else:
+            w = Window.partitionBy(*keys)
         allr = allr.withColumn("__have_upd", F.max("__src").over(w) == 1).withColumn(
             "__have_ex", F.min("__src").over(w) == 0
         )
@@ -314,7 +351,9 @@ class ManagedTable:
         if policy.change_feed:
             # Classification reuses the window flags already computed for
             # the merge itself — no extra shuffle, one extra write.
-            helper = ["__src", "__have_upd", "__have_ex"]
+            helper = ["__src", "__have_upd", "__have_ex"] + (
+                [BUCKET_COL] if fuse_bucket else []
+            )
             if policy.update_existing:
                 helper.append("__take_upd")
                 change_parts.append(
@@ -348,7 +387,7 @@ class ManagedTable:
             if policy.change_feed:
                 helper2 = ["__src", "__have_upd", "__have_ex", "__g"] + (
                     ["__take_upd"] if policy.update_existing else []
-                )
+                ) + ([BUCKET_COL] if fuse_bucket else [])
                 change_parts.append(
                     merged.filter(stale).drop(*helper2)
                     .withColumn("_change_type", F.lit("delete"))
@@ -366,7 +405,9 @@ class ManagedTable:
             # feed consumers (crash between the two is completed lazily by
             # _publish_pending_changes).
             self._write_changes(next_v, changes)
-        self._write_version(out, policy, touched=touched, prev=ptr)
+        self._write_version(
+            out, policy, touched=touched, prev=ptr, pre_bucketed=fuse_bucket
+        )
         self._publish_changes(next_v)
 
     def delete_ids(
@@ -382,7 +423,11 @@ class ManagedTable:
         (the ids alone can't locate the rows)."""
         if isinstance(ids, list):
             ids = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} string")
-        ids = ids.select(F.col(ids.columns[0]).alias("__del_id")).distinct()
+        # No .distinct() (r13 opt): duplicate ids change neither the
+        # broadcast anti-join (remaining) nor the semi-join (deleted
+        # change rows), and the touched-bucket set below dedupes its own
+        # projection — the distinct was one extra shuffle per delete.
+        ids = ids.select(F.col(ids.columns[0]).alias("__del_id"))
         if self._is_delta():
             # Delta MERGE delete: file-pruned on the id equi-condition
             # (ref formats/deltalake.py:139-155 delete_records).
@@ -415,19 +460,28 @@ class ManagedTable:
             # Inherit from the table: a feed-maintained table must never
             # commit a silent hole that CDF consumers would skip forever.
             change_feed = bool(ptr.get("change_feed", False))
-        existing = self._read_version(ptr, buckets=touched)
+        # SHUFFLE-FREE delete (r13 opt, guide §2.4): the stored layout IS
+        # the output layout — every scanned row already carries its hive
+        # BUCKET_COL and a row never changes bucket on delete — so the
+        # broadcast anti-join plus a pre_bucketed write moves zero rows
+        # over the network. (Each write task may hold several buckets
+        # from scan packing; the writer's per-partition-value file split
+        # handles that, and the leading BUCKET_COL sort keeps one file
+        # per bucket per task.)
+        existing = self._read_version(ptr, buckets=touched, keep_bucket_col=True)
         remaining = existing.join(
             F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_anti"
         )
         next_v = (self.current_version() or 0) + 1
         if change_feed:
-            deleted = existing.join(
-                F.broadcast(ids), existing[id_col] == F.col("__del_id"), "left_semi"
+            deleted = existing.drop(BUCKET_COL).join(
+                F.broadcast(ids), F.col(id_col) == F.col("__del_id"), "left_semi"
             )
             self._write_changes(next_v, deleted.withColumn("_change_type", F.lit("delete")))
         self._write_raw(
             remaining, bucket_cols, num_buckets, sort_cols=bucket_cols,
             touched=touched, prev=ptr, change_feed=change_feed,
+            pre_bucketed=True,
         )
         self._publish_changes(next_v)
 
@@ -536,12 +590,14 @@ class ManagedTable:
         policy: MergePolicy,
         touched: list[int] | None,
         prev: dict | None,
+        pre_bucketed: bool = False,
     ) -> int:
         sort_cols = policy.keys if policy.cluster_on_keys else policy.bucket_cols
         return self._write_raw(
             df, policy.bucket_cols, policy.num_buckets,
             sort_cols=sort_cols, touched=touched, prev=prev,
             zorder_cols=policy.zorder_cols, change_feed=policy.change_feed,
+            pre_bucketed=pre_bucketed,
         )
 
     def _write_raw(
@@ -554,16 +610,29 @@ class ManagedTable:
         prev: dict | None,
         zorder_cols: tuple[str, ...] | None = None,
         change_feed: bool = False,
+        pre_bucketed: bool = False,
     ) -> int:
         """Write the next version: hive-partition by bucket; one shuffle
         routes rows to their bucket, rows sorted by ``sort_cols`` within
         each file so parquet min/max footers prune later key lookups (the
         liquid-clustering analog). Untouched buckets re-link from the
-        previous version (metadata-only). The pointer flip is atomic."""
+        previous version (metadata-only). The pointer flip is atomic.
+
+        ``pre_bucketed``: the caller already attached BUCKET_COL and
+        hash-partitioned the frame on it (merge fuses that exchange with
+        its window — r13 opt), so the routing shuffle is skipped here."""
         v = (self.current_version() or 0) + 1
         out = self._vdir(v)
-        schema = df.schema
-        bucketed = df.withColumn(BUCKET_COL, _bucket_expr(bucket_cols, num_buckets))
+        if pre_bucketed:
+            schema = StructType(
+                [f for f in df.schema.fields if f.name != BUCKET_COL]
+            )
+            bucketed = df  # already hash-partitioned on BUCKET_COL upstream
+        else:
+            schema = df.schema
+            bucketed = df.withColumn(
+                BUCKET_COL, _bucket_expr(bucket_cols, num_buckets)
+            ).repartition(F.col(BUCKET_COL))
         if zorder_cols:
             from cumulus_etl_spark.operators.zorder import zorder_key
 
@@ -571,7 +640,7 @@ class ManagedTable:
         else:
             order = [BUCKET_COL, *sort_cols]
         (
-            bucketed.repartition(F.col(BUCKET_COL))
+            bucketed
             .sortWithinPartitions(*order)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
