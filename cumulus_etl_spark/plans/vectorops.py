@@ -890,14 +890,11 @@ def vector_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents = S.first_k_centroids(emb, 8)
     v = S.as_double_array("embedding")
-    scored = F.array(
-        *[
-            F.struct(
-                F.sqrt(S.sq_l2(v, F.array(*[F.lit(x) for x in c]))).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    # One parsed SQL literal + transform (r13 opt, see S._matrix_sql):
+    # identical (d, c) structs/sort without per-element py4j literals.
+    scored = F.transform(
+        F.expr(S._matrix_sql(cents)),
+        lambda c, i: F.struct(F.sqrt(S.sq_l2(v, c)).alias("d"), i.alias("c")),
     )
     srt = F.array_sort(scored)
     a = F.element_at(srt, 1)["d"]
