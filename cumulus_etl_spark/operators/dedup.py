@@ -22,6 +22,29 @@ from pyspark.sql import functions as F
 _MINHASH_PRIME = (1 << 31) - 1
 
 
+def _fanout_partitions(df: DataFrame, n_items: int, items_per_task: int) -> int:
+    """Partition count for a stage whose work is ``n_items`` expansion
+    units (in-bucket pair structs, per-pair array intersects) rather
+    than its input bytes.
+
+    AQE sizes post-shuffle partitions by BYTES, so a small frame about
+    to fan out quadratically (bucket pair expansion) or to do heavy
+    per-row work (exact-Jaccard verification) coalesces into 1-4
+    partitions and runs nearly single-threaded — the cost signal AQE
+    cannot see (guide §2.5: measured 1 partition under the sf0.1
+    expansion of 5.6M pairs). Derived from the measured item count, the
+    number is scale-adaptive: it grows with the data, with the local
+    core count only as a floor, never a cap."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    return max(dp, n_items // items_per_task + 1)
+
+
+# Expansion emits cheap structs; verification does an array-intersect
+# per pair. Sized so a task is a few hundred ms of work at either rate.
+_EXPAND_ITEMS_PER_TASK = 200_000
+_VERIFY_ITEMS_PER_TASK = 250_000
+
+
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column] | None = None) -> DataFrame:
     """Exact dedup on key columns. With ``order_by`` → deterministic
     last-wins (SURVEY F6, ref etl/tasks/base.py:303-335); without →
@@ -439,14 +462,41 @@ def prefix_filter_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b; pairs cross blocks
     are excluded when ``block_col`` is given."""
     sh = _shingle_frame(df, id_col, text_col, block_col, shingle_k).cache()
-    cands = (
+    # Pin the bucket frame (small: one row per (block, prefix-token))
+    # and measure its pair fan-out; the expansion and verify stages are
+    # then explicitly partitioned by that measured work, because AQE's
+    # bytes-based coalescing puts this tiny-input/quadratic-work shape
+    # on 1-4 tasks (r13 opt, guide §2.5).
+    bk = (
         _prefix_buckets(sh, threshold)
         .filter(F.size("xs") > 1)
+        .localCheckpoint(eager=True)
+    )
+    n_fanout = int(
+        bk.agg(
+            F.coalesce(
+                F.sum(
+                    (F.size("xs").cast("bigint") * (F.size("xs") - 1)) / 2
+                ),
+                F.lit(0),
+            ).alias("n")
+        ).collect()[0]["n"]
+    )
+    n_exp = _fanout_partitions(bk, n_fanout, _EXPAND_ITEMS_PER_TASK)
+    n_ver = _fanout_partitions(bk, n_fanout, _VERIFY_ITEMS_PER_TASK)
+    cands = (
+        bk.repartition(n_exp, "blk", "h")
         .select(F.explode(_bucket_pairs()).alias("p"))
         .filter(F.least("p.sz_a", "p.sz_b") >= threshold * F.greatest("p.sz_a", "p.sz_b"))
         .filter(_ppjoin_positional_ok(threshold))
         .select("p.id_a", "p.id_b")
-        .distinct()
+        # The explicit-N repartition IS the distinct's exchange
+        # (hashpartitioning on both keys satisfies the aggregate's
+        # clustering, and user-specified counts are exempt from AQE
+        # coalescing) — so the dedup AND the verify join downstream run
+        # on n_ver tasks instead of the 4 AQE picked from 8 MB of ids.
+        .repartition(n_ver, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("raw").alias("raw_a"),
                   F.col("sz").alias("sz_a"))
