@@ -233,6 +233,14 @@ def nb_train(
     word_counts = w.groupBy("label", "word").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # Pin the model: the explode+aggregate over every token is the
+    # expensive subtree, and it feeds THREE consumers (the vocab count
+    # below, the per-label totals, and the scoring join) — unpinned,
+    # Catalyst re-executes the corpus scan + explode + shuffle once per
+    # consumer (the r13 before-plan shows the documents scan 4×). The
+    # pinned frame is model-sized (|classes|·|vocab| rows), never
+    # corpus-sized. (guide §1.2/§5: don't recompute what you can hold.)
+    word_counts = word_counts.localCheckpoint(eager=True)
     vocab = word_counts.select("word").distinct().count()
     per_label = word_counts.groupBy("label").agg(
         F.sum("c").cast("bigint").alias("n_tokens")
@@ -280,15 +288,21 @@ def nb_score(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
-    doc_len = (
-        docs.select(F.col(id_col).alias("id"))
-        .distinct()
-        .join(
-            toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("n_d")),
-            "id",
-            "left",
+    # Per-doc token counts as a PROJECTION (size of the filtered split
+    # array) summed per id — same numbers as counting the exploded
+    # tokens (empty/whitespace-only and null texts both give 0), but
+    # with no second explode of the corpus, no token-sized shuffle, and
+    # no extra join (guide §2.3 aggregate-before-shuffle / §4 prefer
+    # expressions).
+    n_tok_row = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != ""
         )
-        .select("id", F.coalesce("n_d", F.lit(0.0)).alias("n_d"))
+    ).cast("double")
+    doc_len = (
+        docs.select(F.col(id_col).alias("id"), n_tok_row.alias("__n"))
+        .groupBy("id")
+        .agg(F.coalesce(F.sum("__n"), F.lit(0.0)).alias("n_d"))
     )
     hits = (
         toks.join(word_counts, "word")
