@@ -263,20 +263,58 @@ class ManagedTable:
     # ---- write side ----
 
     def merge(self, updates: DataFrame, policy: MergePolicy) -> None:
-        """Upsert ``updates`` under ``policy`` (see module docstring)."""
-        updates = _dedupe_updates(updates, policy)
+        """Upsert ``updates`` under ``policy`` (see module docstring).
+
+        Within-batch dedup (freshest-timestamp winner, content-hash
+        tiebreak — the `_dedupe_updates` contract) is FUSED into the
+        merge's own exchange (r13 opt, guide §2.4): a standalone
+        pre-dedup costs one extra full-batch shuffle per merge (and one
+        extra full-TABLE shuffle on the bootstrap load, where the batch
+        IS the table). The winner row is identical: ``row_number`` over
+        the same partition keys with the same ordering, evaluated on the
+        same exchange the merge window / bucket routing already needs."""
         if HAVE_DELTA:
-            self._merge_delta(updates, policy)
+            self._merge_delta(_dedupe_updates(updates, policy), policy)
             return
         self._publish_pending_changes(drop_orphans=True)
         ptr = self._pointer()
+        fuse_bucket = policy.bucket_cols == tuple(policy.keys)
         if ptr is None:
-            if policy.change_feed:
-                # Changes stage BEFORE the pointer flip (the commit point)
-                # and publish into changes/ only after it — see
-                # _write_changes for the streaming-visibility contract.
-                self._write_changes(1, updates.withColumn("_change_type", F.lit("insert")))
-            self._write_version(updates, policy, touched=None, prev=None)
+            if fuse_bucket:
+                # Bootstrap, bucket = f(keys): route to the output bucket
+                # first and dedupe on that same exchange — ONE shuffle
+                # where dedupe-then-write was two.
+                bucketed = updates.withColumn(
+                    BUCKET_COL, _bucket_expr(policy.bucket_cols, policy.num_buckets)
+                ).repartition(F.col(BUCKET_COL))
+                w0 = Window.partitionBy(BUCKET_COL, *policy.keys).orderBy(
+                    *_dedupe_order(updates, policy)
+                )
+                deduped = (
+                    bucketed.withColumn("__rn", F.row_number().over(w0))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                if policy.change_feed:
+                    # Changes stage BEFORE the pointer flip (the commit
+                    # point) and publish into changes/ only after it —
+                    # see _write_changes for the visibility contract.
+                    self._write_changes(
+                        1,
+                        deduped.drop(BUCKET_COL).withColumn(
+                            "_change_type", F.lit("insert")
+                        ),
+                    )
+                self._write_version(
+                    deduped, policy, touched=None, prev=None, pre_bucketed=True
+                )
+            else:
+                deduped = _dedupe_updates(updates, policy)
+                if policy.change_feed:
+                    self._write_changes(
+                        1, deduped.withColumn("_change_type", F.lit("insert"))
+                    )
+                self._write_version(deduped, policy, touched=None, prev=None)
             self._publish_changes(1)
             return
         relayout = tuple(ptr.get("bucket_cols") or ()) != policy.bucket_cols or int(
@@ -317,7 +355,6 @@ class ManagedTable:
         # and _write_raw(pre_bucketed=True) reuses the same layout for
         # the partitioned write. Previously: window shuffle on keys +
         # write shuffle on bucket = two full-data exchanges.
-        fuse_bucket = policy.bucket_cols == tuple(keys)
         if fuse_bucket:
             allr = allr.withColumn(
                 BUCKET_COL, _bucket_expr(policy.bucket_cols, policy.num_buckets)
@@ -325,8 +362,20 @@ class ManagedTable:
             w = Window.partitionBy(BUCKET_COL, *keys)
         else:
             w = Window.partitionBy(*keys)
-        allr = allr.withColumn("__have_upd", F.max("__src").over(w) == 1).withColumn(
-            "__have_ex", F.min("__src").over(w) == 0
+        # Within-batch dedup on the SAME exchange: updates sort before
+        # existing rows (__src desc), then the `_dedupe_updates` order
+        # (freshest timestamp, content-hash tiebreak) — so __rn == 1 on a
+        # __src == 1 row marks exactly the batch winner that a standalone
+        # pre-dedup would have kept. The aggregate flags below are
+        # dedup-insensitive (max/min over the key group), and the guard's
+        # up_ts = max over all duplicates = the winner's timestamp.
+        upd_rn = F.row_number().over(
+            w.orderBy(F.col("__src").desc(), *_dedupe_order(updates, policy))
+        )
+        allr = (
+            allr.withColumn("__rn", upd_rn)
+            .withColumn("__have_upd", F.max("__src").over(w) == 1)
+            .withColumn("__have_ex", F.min("__src").over(w) == 0)
         )
 
         if policy.update_existing:
@@ -339,11 +388,11 @@ class ManagedTable:
                 # a missing timestamp on either side lets the update through)
                 guard = ~F.coalesce(up_ts < ex_ts, F.lit(False))
             allr = allr.withColumn("__take_upd", F.col("__have_upd") & guard)
-            keep = ((F.col("__src") == 1) & F.col("__take_upd")) | (
+            keep = ((F.col("__src") == 1) & F.col("__take_upd") & (F.col("__rn") == 1)) | (
                 (F.col("__src") == 0) & ~F.col("__take_upd")
             )
         else:
-            keep = (F.col("__src") == 0) | ~F.col("__have_ex")
+            keep = (F.col("__src") == 0) | (~F.col("__have_ex") & (F.col("__rn") == 1))
 
         merged = allr.filter(keep)
 
@@ -351,17 +400,20 @@ class ManagedTable:
         if policy.change_feed:
             # Classification reuses the window flags already computed for
             # the merge itself — no extra shuffle, one extra write.
-            helper = ["__src", "__have_upd", "__have_ex"] + (
+            helper = ["__src", "__rn", "__have_upd", "__have_ex"] + (
                 [BUCKET_COL] if fuse_bucket else []
             )
+            # __src == 1 parts take only the batch winner (__rn == 1),
+            # matching what the pre-fusion standalone dedup emitted.
+            win1 = (F.col("__src") == 1) & (F.col("__rn") == 1)
             if policy.update_existing:
                 helper.append("__take_upd")
                 change_parts.append(
-                    allr.filter((F.col("__src") == 1) & ~F.col("__have_ex"))
+                    allr.filter(win1 & ~F.col("__have_ex"))
                     .drop(*helper).withColumn("_change_type", F.lit("insert"))
                 )
                 change_parts.append(
-                    allr.filter((F.col("__src") == 1) & F.col("__have_ex") & F.col("__take_upd"))
+                    allr.filter(win1 & F.col("__have_ex") & F.col("__take_upd"))
                     .drop(*helper).withColumn("_change_type", F.lit("update_postimage"))
                 )
                 change_parts.append(
@@ -370,7 +422,7 @@ class ManagedTable:
                 )
             else:
                 change_parts.append(
-                    allr.filter((F.col("__src") == 1) & ~F.col("__have_ex"))
+                    allr.filter(win1 & ~F.col("__have_ex"))
                     .drop(*helper).withColumn("_change_type", F.lit("insert"))
                 )
 
@@ -385,7 +437,7 @@ class ManagedTable:
             )
             stale = (F.col("__src") == 0) & ~F.col("__have_upd") & F.col("__g").isNotNull()
             if policy.change_feed:
-                helper2 = ["__src", "__have_upd", "__have_ex", "__g"] + (
+                helper2 = ["__src", "__rn", "__have_upd", "__have_ex", "__g"] + (
                     ["__take_upd"] if policy.update_existing else []
                 ) + ([BUCKET_COL] if fuse_bucket else [])
                 change_parts.append(
@@ -394,7 +446,7 @@ class ManagedTable:
                 )
             merged = merged.filter(~stale).drop("__g")
 
-        out = merged.drop("__src", "__have_upd", "__have_ex", "__take_upd")
+        out = merged.drop("__src", "__rn", "__have_upd", "__have_ex", "__take_upd")
         next_v = (self.current_version() or 0) + 1
         if policy.change_feed and change_parts:
             changes = change_parts[0]
@@ -797,15 +849,28 @@ def dedupe_last_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFram
     )
 
 
+def _dedupe_order(updates: DataFrame, policy: MergePolicy) -> list[Column]:
+    """The within-batch winner ordering: freshest timestamp first (when
+    the batch carries the field), content-hash tiebreak so the survivor
+    is deterministic across runs/partitionings. The hash is over the
+    BATCH's own columns — evaluating these expressions on a frame that
+    unions the batch with existing rows ranks the batch rows exactly as
+    a standalone dedup of the batch would (extra columns are ignored,
+    batch values are unchanged by the union)."""
+    order = [F.xxhash64(F.to_json(F.struct(*updates.columns))).desc()]
+    if policy.last_updated_field and _has_field(updates, policy.last_updated_field):
+        order.insert(0, F.col(policy.last_updated_field).cast("timestamp").desc_nulls_last())
+    return order
+
+
 def _dedupe_updates(updates: DataFrame, policy: MergePolicy) -> DataFrame:
     """Collapse duplicate keys inside one batch: freshest timestamp wins;
     exact-tie rows fall back to a content-hash tiebreak so the survivor
     is deterministic across runs/partitionings (a distributed batch has
     no file order; callers who need true last-wins ordering use
-    dedupe_last_wins with an explicit order column — F6)."""
+    dedupe_last_wins with an explicit order column — F6). Used by the
+    Delta branch and the non-key-bucketed bootstrap; the parquet merge
+    path fuses the same window into its own exchange (see merge())."""
     keys = list(policy.keys)
-    order = [F.xxhash64(F.to_json(F.struct(*updates.columns))).desc()]
-    if policy.last_updated_field and _has_field(updates, policy.last_updated_field):
-        order.insert(0, F.col(policy.last_updated_field).cast("timestamp").desc_nulls_last())
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*_dedupe_order(updates, policy))
     return updates.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
