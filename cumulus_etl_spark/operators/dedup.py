@@ -486,9 +486,14 @@ def prefix_filter_pairs(
     n_ver = _fanout_partitions(bk, n_fanout, _VERIFY_ITEMS_PER_TASK)
     cands = (
         bk.repartition(n_exp, "blk", "h")
-        .select(F.explode(_bucket_pairs()).alias("p"))
-        .filter(F.least("p.sz_a", "p.sz_b") >= threshold * F.greatest("p.sz_a", "p.sz_b"))
-        .filter(_ppjoin_positional_ok(threshold))
+        # Size-ratio + positional filters run INSIDE the pair generator
+        # (r13 opt): the lambda filters partner candidates before any
+        # struct is built, so the ~90% of in-bucket pairs those filters
+        # reject never materialize as rows — the expansion emits only
+        # (id_a, id_b) survivors instead of 6-field structs for every
+        # pair (guide §2.3 "project before the exchange" applied to a
+        # generator). Same predicates, same surviving pair multiset.
+        .select(F.explode(_bucket_pairs(threshold)).alias("p"))
         .select("p.id_a", "p.id_b")
         # The explicit-N repartition IS the distinct's exchange
         # (hashpartitioning on both keys satisfies the aggregate's
@@ -499,14 +504,25 @@ def prefix_filter_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("raw").alias("raw_a"),
-                  F.col("sz").alias("sz_a"))
+                  F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("raw").alias("raw_b"),
-                  F.col("sz").alias("sz_b"))
+                  F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("raw_a", "raw_b"))
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    # Hashed pre-verify (r13 opt): intersecting the 64-bit hash arrays is
+    # much cheaper than intersecting raw shingle strings, and
+    # |sh∩| ≥ |raw∩| except under an intersection-internal hash collision
+    # — the same ≲2⁻⁶⁵-per-pair event the candidate stage already
+    # documents above — so pruning pairs whose HASHED overlap cannot
+    # reach the threshold never drops a raw-verified pair. Survivors
+    # (a few permille of candidates) still pass through the raw
+    # intersect, which remains the emitted arithmetic.
+    hinter = F.size(F.array_intersect("sh_a", "sh_b"))
+    hpre = hinter >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - hinter)
     out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
+        .filter(hpre)
         .withColumn("inter", inter)
         # raw-count algebra: inter ≥ t·(|A|+|B|−inter) ⟺ J ≥ t, exact
         # for dyadic t (0.5·int is exact below 2^53) — identical pair
@@ -564,29 +580,15 @@ def _prefix_buckets(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _bucket_pairs() -> Column:
-    """All in-bucket (i < j) pairs of the ``xs`` array — slice length is
-    size(xs), so oversized buckets are fully paired, never silently
-    truncated (round-5 ADVICE). Each pair carries both docs' sizes and
-    the shared token's PREFIX POSITIONS for the PPJoin positional
-    filter."""
-    return F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"), y["id"].alias("id_b"),
-                    x["sz"].alias("sz_a"), y["sz"].alias("sz_b"),
-                    x["pos"].alias("pos_a"), y["pos"].alias("pos_b"),
-                ),
-            ),
-        )
-    )
+def _bucket_pairs(threshold: float) -> Column:
+    """Surviving in-bucket (i < j) pairs of the ``xs`` array — slice
+    length is size(xs), so oversized buckets are fully paired, never
+    silently truncated (round-5 ADVICE). The size-ratio filter
+    (J ≥ t ⟹ min·1 ≥ t·max) and the PPJoin positional filter run inside
+    the generator lambda, so rejected pairs never materialize as structs
+    or rows (r13 opt), and survivors carry only (id_a, id_b).
 
-
-def _ppjoin_positional_ok(threshold: float) -> Column:
-    """PPJoin positional filter (Xiao et al. WWW'08): J ≥ t needs overlap
+    PPJoin positional filter (Xiao et al. WWW'08): J ≥ t needs overlap
     α = ⌈t/(1+t)·(|A|+|B|)⌉; a shared token at prefix positions
     (pos_a, pos_b) caps the achievable overlap at
     min(|A|−pos_a, |B|−pos_b) — common tokens at-or-after the FIRST
@@ -605,11 +607,28 @@ def _ppjoin_positional_ok(threshold: float) -> Column:
     under double rounding (LHS grows, RHS shrinks, fl() is monotone),
     and remaining >= inter always — so any verify-accepted pair passes,
     with no ceil/float-rounding edge for non-dyadic thresholds."""
-    szsum = F.col("p.sz_a") + F.col("p.sz_b")
-    remaining = F.least(
-        F.col("p.sz_a") - F.col("p.pos_a"), F.col("p.sz_b") - F.col("p.pos_b")
+
+    def keep(x: Column, y: Column) -> Column:
+        ratio_ok = F.least(x["sz"], y["sz"]) >= F.lit(threshold) * F.greatest(
+            x["sz"], y["sz"]
+        )
+        szsum = x["sz"] + y["sz"]
+        remaining = F.least(x["sz"] - x["pos"], y["sz"] - y["pos"])
+        pos_ok = remaining >= F.lit(threshold) * (szsum - remaining)
+        return ratio_ok & pos_ok
+
+    return F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                    lambda y: keep(x, y),
+                ),
+                lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
+            ),
+        )
     )
-    return remaining >= F.lit(threshold) * (szsum - remaining)
 
 
 def prefix_bucket_sizes(
