@@ -1846,16 +1846,31 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = item.filter(F.col("sup") >= 3).select("l_partkey")
     baskets = baskets.join(F.broadcast(freq), "l_partkey", "left_semi")
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # Pair generation as per-basket arrays (r13 opt, guide §2.3/§2.4):
+    # ONE shuffle groups each order's frequent items into a sorted array,
+    # and the i<j pairs are emitted by an array lambda — the previous
+    # basket self-join shuffled/broadcast the basket frame a second time
+    # and generated the full m² fan-out before filtering to i<j. Items
+    # are distinct per order and sorted ascending, so x < y pairs are
+    # exactly the a.l_partkey < b.l_partkey join output; the pair
+    # multiset (hence every support count) is identical.
+    lists = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(x.alias("ante"), y.alias("cons")),
+            ),
+        )
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
-        )
+        lists.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.ante").alias("ante"), F.col("p.cons").alias("cons"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
         .filter(F.col("sup") >= 3)
     )
