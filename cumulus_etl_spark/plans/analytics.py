@@ -1730,15 +1730,33 @@ pairs AS (
 
 
 def _support2_copurchase_pairs(li: DataFrame) -> DataFrame:
-    """(u, v) part pairs sharing >= 2 orders, u < v."""
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    """(u, v) part pairs sharing >= 2 orders, u < v.
+
+    Per-basket array generation (r13 opt, same shape as
+    agg_association_rules): one groupBy(l_orderkey) collects the order's
+    part keys into a sorted array (duplicates KEPT — the oracle's
+    COUNT(*) is over raw row pairs) and a lambda emits each i<j position
+    pair with distinct keys — exactly the a.l_partkey < b.l_partkey row
+    pairs of the previous lineitem self-join, at one shuffle instead of
+    a second shuffle/broadcast of lineitem plus the full m² fan-out."""
+    lists = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("xs")
+    ).filter(F.size("xs") > 1)
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                    lambda y: y != x,
+                ),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    return (
+        lists.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("u", "v")
