@@ -113,16 +113,24 @@ def countmin_estimates(
     depth: int = 4,
     width: int = 512,
     salt: str = "cms",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Point-estimate the frequency of every distinct key in df:
     estimate(k) = min over seeds of table[seed][bucket(seed, k)].
 
     Returns (key_col, cms_estimate). The table side is at most d*w rows
     so the probe join is broadcast — the only shuffle is the distinct on
-    keys. estimate >= exact count always (one-sided error)."""
+    keys. estimate >= exact count always (one-sided error).
+
+    ``keys``: optional one-row-per-key frame holding ``key_col`` to
+    probe instead of re-scanning + re-distincting ``df`` — callers that
+    already aggregate per key (e.g. the exact-vs-sketch comparison
+    entry) pass their pinned key set and save one full scan and one
+    distinct shuffle (r13 opt, guide §2.4)."""
     cells = countmin_table(df, key_col, depth=depth, width=width, salt=salt)
     probes = (
-        df.select(F.col(key_col)).distinct()
+        (keys.select(F.col(key_col)) if keys is not None
+         else df.select(F.col(key_col)).distinct())
         .select(
             F.col(key_col),
             F.col(key_col).cast("string").alias("k"),

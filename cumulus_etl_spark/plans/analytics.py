@@ -1375,9 +1375,14 @@ def agg_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cumulus_etl_spark.operators.sketch import countmin_estimates
 
     li = table(spark, sf_dir, "lineitem")
-    est = countmin_estimates(li, "l_partkey", depth=4, width=512, salt="cms")
+    # Pinned exact counts double as the sketch's probe-key set: one scan
+    # + one shuffle where the operator's internal distinct was a second
+    # scan of lineitem (r13 opt; keys= doc in countmin_estimates).
     exact = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    ).localCheckpoint(eager=False)
+    est = countmin_estimates(
+        li, "l_partkey", depth=4, width=512, salt="cms", keys=exact
     )
     return (
         exact.join(est, "l_partkey")
