@@ -350,6 +350,31 @@ def test_prefix_filter_pairs_equal_exact(spark, sf_correct):
     assert len(pf) > 0
 
 
+def test_prefix_filter_pairs_raw_fallback_equal(spark, sf_correct, monkeypatch):
+    """The r13 verify runs on hashed long arrays under a runtime-verified
+    vocabulary-injectivity premise; when that check fails the operator
+    must fall back to the raw-string verify with an IDENTICAL result.
+    xxhash64 collisions can't be staged with real strings, so force the
+    fallback by stubbing the check and assert pair-set + jaccard
+    equality between the two paths."""
+    from cumulus_etl_spark.operators import dedup as D
+    from cumulus_etl_spark.sources import table
+
+    d = table(spark, sf_correct, "documents")
+    kw = dict(id_col="doc_id", text_col="text", threshold=0.5,
+              block_col="source", shingle_k=1)
+    assert D._vocab_injective(
+        D._shingle_frame(d, "doc_id", "text", "source", 1)
+    ) is True  # the real corpus takes the hashed path
+    fast = {(r.id_a, r.id_b, r.jaccard)
+            for r in D.prefix_filter_pairs(d, **kw).collect()}
+    monkeypatch.setattr(D, "_vocab_injective", lambda sh: False)
+    slow = {(r.id_a, r.id_b, r.jaccard)
+            for r in D.prefix_filter_pairs(d, **kw).collect()}
+    assert fast == slow
+    assert len(fast) > 0
+
+
 def test_prefix_filter_pairs_equal_exact_sf01(spark):
     """Same equality at sf0.1 (5k docs, 445k true pairs) — the scale the
     driver benches at. Slow (~25 s) but the point of the prefix-filter
