@@ -69,23 +69,26 @@ def main():
 
     def run(fn):
         t0 = time.perf_counter()
-        out = fn(touched, pairs, id_col="doc_id", src_col="id_a",
-                 dst_col="id_b", edges_unique=True)
+        out = fn()
         n = out.agg(
             F.count("*"),
             F.sum(F.xxhash64("doc_id", "component").cast("decimal(38,0)")),
         ).collect()
         return time.perf_counter() - t0, tuple(n[0])
 
+    explicit = lambda: cc_new(touched, pairs, id_col="doc_id", src_col="id_a",
+                              dst_col="id_b", edges_unique=True)
+    seeded = lambda: cc_new(None, pairs, id_col="doc_id", src_col="id_a",
+                            dst_col="id_b", edges_unique=True)
     # warm both paths once, then interleave
-    run(cc_old); run(cc_new)
+    run(explicit); run(seeded)
     olds, news = [], []
     sigs = set()
     for _ in range(4):
-        t, s = run(cc_old); olds.append(round(t, 3)); sigs.add(s)
-        t, s = run(cc_new); news.append(round(t, 3)); sigs.add(s)
-    print(f"old(1-step/job): {olds} min={min(olds):.3f}")
-    print(f"new(2-step/job): {news} min={min(news):.3f}")
+        t, s = run(explicit); olds.append(round(t, 3)); sigs.add(s)
+        t, s = run(seeded); news.append(round(t, 3)); sigs.add(s)
+    print(f"explicit-vertices: {olds} min={min(olds):.3f}")
+    print(f"seeded (None):     {news} min={min(news):.3f}")
     print(f"signatures agree: {len(sigs) == 1} ({sigs})")
 
 

@@ -376,15 +376,13 @@ def ngram_jaccard_dedup_keep_best(
         "id_a", "id_b"
     ).localCheckpoint(eager=True)
     sh.unpersist()
-    touched = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
     # edges_unique: the LSH candidate set is .distinct()-ed with
     # id_a < id_b before verification, so CC can skip its dedup shuffle.
+    # vertices=None: CC derives the pair-incident vertex set and seeds
+    # labels from the edges in one shuffle-free agg (r13 opt) — the old
+    # touched-set union+distinct and round 1 both disappear.
     comp = connected_components(
-        touched, pairs, id_col="id", src_col="id_a", dst_col="id_b",
+        None, pairs, id_col="id", src_col="id_a", dst_col="id_b",
         edges_unique=True,
     )
     ranked = (

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    vertices: DataFrame,
+    vertices: DataFrame | None,
     edges: DataFrame,
     id_col: str = "id",
     src_col: str = "src",
@@ -38,8 +38,15 @@ def connected_components(
     """Label every vertex with the MIN vertex id of its component.
 
     vertices: one row per vertex (isolated vertices keep their own id
-    as the label). edges: undirected pairs (symmetrized internally).
-    Returns (id_col, component) — deterministic.
+    as the label), or None when every vertex is edge-incident — then
+    the vertex set is derived from the edges AND the initial labels are
+    seeded with round 1's result, min(self ∪ neighbors), computed as a
+    map-side-only aggregate on the pinned edge frame (zero shuffle —
+    the edges are already hash-partitioned on the group key), which
+    replaces both the caller's vertex-distinct job and the first
+    propagation round (r13 opt, guide §2.4). edges: undirected pairs
+    (symmetrized internally). Returns (id_col, component) —
+    deterministic, identical label sequence either way.
 
     edges_unique: caller guarantees the input pairs are already unique
     with src < dst (true for every verified-pair feed: prefix-filter and
@@ -58,8 +65,25 @@ def connected_components(
     # |V|-row side) — guide §2.4 "remove shuffles outright".
     e = e.repartition(F.col("a")).localCheckpoint(eager=True)
 
-    labels = vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    if vertices is None:
+        # Seeded start: label₀(v) = min({v} ∪ N(v)) — exactly what the
+        # old first round computed from identity labels, but as one
+        # shuffle-free aggregation over the pinned symmetric edges
+        # (every vertex appears as `a`). The loop below then begins at
+        # what used to be round 2, pointer-jumping enabled.
+        labels = (
+            e.groupBy("a")
+            .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+            .select(F.col("a").alias("v"), "label")
+            .localCheckpoint(eager=True)
+        )
+        seeded = True
+    else:
+        labels = vertices.select(
+            F.col(id_col).alias("v"), F.col(id_col).alias("label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+        seeded = False
 
     for it in range(max_iter):
         # min label over each vertex's neighbors; the self rows are
@@ -73,10 +97,11 @@ def connected_components(
             .select(F.col("b").alias("v"), "label", F.lit(False).alias("__self"))
         )
         cand = labels.select("v", "label", F.lit(True).alias("__self")).union(nbr)
-        if it > 0:
-            # pointer jumping: the label of my label. Skipped in round 1,
-            # where labels are still the identity map and the self-join
-            # would only re-derive label(v)=v at the cost of a shuffle.
+        if it > 0 or seeded:
+            # pointer jumping: the label of my label. Skipped in round 1
+            # of an UNSEEDED start, where labels are still the identity
+            # map and the self-join would only re-derive label(v)=v at
+            # the cost of a shuffle; a seeded start begins past that.
             hop = (
                 labels.alias("x")
                 .join(labels.alias("y"), F.col("x.label") == F.col("y.v"))
@@ -100,8 +125,14 @@ def connected_components(
             # (NULL __old) and must count as changed, not be skipped
             .observe(
                 obs,
-                F.sum(
-                    (~F.col("label").eqNullSafe(F.col("__old"))).cast("long")
+                # coalesce: sum over an EMPTY frame is NULL, which would
+                # never compare equal to 0 and spin all max_iter rounds
+                # on empty inputs (e.g. a pair feed with no duplicates)
+                F.coalesce(
+                    F.sum(
+                        (~F.col("label").eqNullSafe(F.col("__old"))).cast("long")
+                    ),
+                    F.lit(0),
                 ).alias("changed"),
             )
             .select("v", "label")
@@ -139,13 +170,13 @@ def dedup_clusters(
     # materialization pass.
     if not pairs_pinned:
         pairs = pairs.localCheckpoint(eager=True)
-    touched = (
-        pairs.select(F.col(pair_a).alias(id_col))
-        .union(pairs.select(F.col(pair_b).alias(id_col)))
-        .distinct()
-    )
+    # vertices=None: every pair-incident vertex appears in the symmetric
+    # edge frame, so CC derives the vertex set AND seeds labels with the
+    # first round's result in one shuffle-free aggregation — the old
+    # touched-set union+distinct job and propagation round 1 both
+    # disappear (r13 opt).
     comp = connected_components(
-        touched, pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b,
+        None, pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b,
         edges_unique=pairs_unique,
     )
     return df.join(comp, id_col, "left").select(

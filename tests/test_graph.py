@@ -69,6 +69,33 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == want
 
 
+def test_connected_components_seeded_equals_explicit(spark):
+    """vertices=None (edge-derived vertex set + shuffle-free seeded
+    labels, r13 opt) must produce the identical labeling as the
+    explicit-vertices path on every edge-incident vertex — randomized
+    graphs including chains (multi-round convergence) and an
+    empty-edge frame (the coalesce'd convergence guard)."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        n = 50
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        edges += [(i, i + 1) for i in range(60, 70)]  # a chain tail
+        edges = [(a, b) for a, b in edges if a != b]
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        touched = sorted({v for e in edges for v in e})
+        verts = spark.createDataFrame([(v,) for v in touched], "id long")
+        explicit = {r["id"]: r["component"]
+                    for r in connected_components(verts, edf).collect()}
+        seeded = {r["id"]: r["component"]
+                  for r in connected_components(None, edf).collect()}
+        assert seeded == explicit
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(None, empty).count() == 0
+
+
 def test_pagerank_mass_and_hub_dominance(spark):
     from cumulus_etl_spark.operators.graph import pagerank
     from pyspark.sql import functions as F
