@@ -45,6 +45,29 @@ _EXPAND_ITEMS_PER_TASK = 200_000
 _VERIFY_ITEMS_PER_TASK = 250_000
 
 
+def _parallel_floor(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row
+    work (shingle hashing: one xxhash64 per token per doc).
+
+    A small input (one file / one row group, or one huge unsplittable
+    file) lands on fewer tasks than the cluster has cores, and every
+    per-row expression upstream of the first exchange then runs at that
+    width — the sf0.1 documents scan is ONE task, so the whole shingle
+    build ran single-threaded (guide §2.5 "input skew … otherwise
+    repartition immediately after the read"). Round-robin repartition to
+    ``defaultParallelism`` only when the scan is under that floor: at
+    cluster scale the scan already has thousands of splits and this is a
+    NO-OP (no shuffle added), so the floor is scale-adaptive, not a
+    local[32] constant. Row placement does not affect any consumer here
+    (set-semantic aggregations / joins; per-pair integer arithmetic), so
+    results are bit-identical (measured: signature-equal, 0.84 → 0.57 s
+    on the sf0.1 shingle build)."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column] | None = None) -> DataFrame:
     """Exact dedup on key columns. With ``order_by`` → deterministic
     last-wins (SURVEY F6, ref etl/tasks/base.py:303-335); without →
@@ -170,7 +193,9 @@ def minhash_lsh_candidates(
     within-bucket self-join can't go quadratic on skew; exact dups are
     caught by fingerprint dedup first anyway.
     """
-    sh = df.select(F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh"))
+    sh = _parallel_floor(df).select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
+    ).localCheckpoint(eager=True)  # banded_signatures requires a pinned frame
     return _lsh_candidates_from_shingles(
         sh, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
@@ -184,13 +209,28 @@ def banded_signatures(
     """(id, band_idx, band_hash) rows from an (id, sh: array<long>)
     hashed-shingle frame — the LSH index rows two docs collide on.
 
-    Explode→aggregate formulation, NOT nested array expressions: building
-    the signature as array-transforms inlines the whole shingle pipeline
-    into every one of the 32 hashes × 8 band hashes (≈256 copies → codegen
-    explosion; measured 88s for 500 docs). Exploding shingle hashes to
-    rows costs each hash once, then 32 min() aggregates build the
-    signature in a single partial+final hash agg — also the right shape at
-    100TB (shingle rows parallelize; giant docs don't make giant arrays).
+    MAP-SIDE formulation (r13 opt, guide §2.3/§2.4): each of the
+    ``num_hashes`` signature rows is ``array_min(transform(sh, a·h+b
+    mod p))`` over the PINNED shingle column, so the whole signature +
+    band hashing is one shuffle-free projection; the only exchange left
+    in candidate generation is the bucket groupBy, which carries 8 rows
+    per doc. The previous explode→groupBy(id) shape shuffled ONE ROW PER
+    SHINGLE (the corpus's entire token stream) just to compute per-doc
+    mins — at 100 TB that shuffle dwarfs everything else in the LSH
+    path; locally the two are within noise (A/B min-of-3: 0.94 vs
+    0.92 s at 32 partitions, signature-identical), so the exchange
+    removal is pure scale win.
+
+    CONTRACT: ``sh`` must be pinned (cache / localCheckpoint) — every
+    caller is (ngram_jaccard_dedup[_keep_best] cache, DedupIndex
+    localCheckpoint, minhash_lsh_candidates pins internally). On an
+    UN-pinned frame the 32 transforms would re-inline the upstream
+    shingle pipeline per hash (the historical 88 s / 500 docs codegen
+    blowup this function's explode shape originally avoided).
+
+    Identical output to the explode shape by construction: min over the
+    same multiset of universal-hash values, same (a, b) coefficients
+    (seed 42), same band concat/hash — the A/B signature check pins it.
     """
     import random
 
@@ -200,12 +240,19 @@ def banded_signatures(
         (rng.randrange(1, _MINHASH_PRIME), rng.randrange(0, _MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    hashed = sh.select("id", F.explode("sh").alias("h"))
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)
+
     sig_cols = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(f"s{j}")
+        F.array_min(F.transform("sh", _perm(a, b))).alias(f"s{j}")
         for j, (a, b) in enumerate(coefs)
     ]
-    sigs = hashed.groupBy("id").agg(*sig_cols)
+    # explode-shape parity: a doc with an empty (or null) shingle set
+    # produced no exploded rows and hence no signature — filter it here
+    # rather than emitting NULL-signature band rows that would bucket
+    # every empty doc together.
+    sigs = sh.filter(F.size("sh") > 0).select("id", *sig_cols)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -299,7 +346,7 @@ def ngram_jaccard_dedup(
     on the hashed shingle sets — identical counts modulo (negligible)
     64-bit collisions, and long-array intersects beat string-array ones.
     """
-    sh = df.select(
+    sh = _parallel_floor(df).select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
     ).withColumn("sz", F.size("sh")).cache()
     j = _jaccard_verified_pairs(sh, threshold, **lsh_kwargs)
@@ -369,7 +416,7 @@ def ngram_jaccard_dedup_keep_best(
         if score_col
         else F.length(F.col(text_col)).cast("double")
     )
-    sh = df.select(
+    sh = _parallel_floor(df).select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
     ).withColumn("sz", F.size("sh")).cache()
     pairs = _jaccard_verified_pairs(sh, threshold, **lsh_kwargs).select(
@@ -585,10 +632,12 @@ def _shingle_frame(
 ) -> DataFrame:
     """(id, blk, raw, sh, sz): raw distinct shingles, their 64-bit hashes
     and the RAW size — shared by prefix_filter_pairs and the bucket-size
-    diagnostics."""
+    diagnostics. The parallelism floor spreads the per-doc
+    shingle+hash work when the scan is narrower than the cluster
+    (no-op at scale; see _parallel_floor)."""
     blk = F.col(block_col) if block_col else F.lit("")
     return (
-        df.select(
+        _parallel_floor(df).select(
             F.col(id_col).alias("id"),
             blk.alias("blk"),
             raw_shingles(text_col, shingle_k).alias("raw"),
