@@ -226,7 +226,12 @@ def nb_train(
 
     Scale shape: the (label, word) aggregation map-side-combines to the
     per-class vocabulary size; nothing is collected to the driver."""
-    w = docs.select(
+    from cumulus_etl_spark.operators.dedup import _parallel_floor
+
+    # Parallelism floor on the token explode (r13 opt, guide §2.5 —
+    # no-op at scale; word counts are exact integers, so placement
+    # cannot change the model).
+    w = _parallel_floor(docs).select(
         label.cast("string").alias("label"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
@@ -284,6 +289,9 @@ def nb_score(
     dropping out of the output (and out of any accuracy denominator)."""
     from pyspark.sql.window import Window
 
+    from cumulus_etl_spark.operators.dedup import _parallel_floor
+
+    docs = _parallel_floor(docs)  # §2.5 floor: tokenization + doc-length
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),

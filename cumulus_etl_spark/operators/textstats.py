@@ -491,7 +491,15 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    tokens = docs.filter(F.trim(text_col) != "").select(
+    from cumulus_etl_spark.operators.dedup import _parallel_floor
+
+    # Parallelism floor on the corpus tokenization (r13 opt, guide §2.5):
+    # a narrow scan runs the whole explode+tokenize single-threaded; the
+    # floor is a no-op at scale. Oracle-safe: everything between the scan
+    # and the first exchange is integer-exact (tf counts), and all float
+    # arithmetic runs after exchanges whose partitioning is independent
+    # of the scan layout (the exact path additionally sums DECIMAL).
+    tokens = _parallel_floor(docs.filter(F.trim(text_col) != "")).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
     )

@@ -49,7 +49,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Covers SURVEY §2.6 aggregation + §2.8 arithmetic. Money math in DECIMAL
     for cross-engine exactness, surfaced as DOUBLE.
     """
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+    from cumulus_etl_spark.operators.dedup import _parallel_floor
+
+    # Parallelism floor (r13 opt, guide §2.5): the sf inputs are single
+    # row-group files, so the scan + the heavy decimal partial agg ran on
+    # ONE task; the floor spreads it and is a no-op on an already-split
+    # scan. Applied ABOVE the filter so the shipdate predicate still
+    # pushes down to the parquet scan. Oracle-safe: every aggregate here
+    # is an exact decimal sum/avg or a count — order-independent by the
+    # catalog's own dsum/davg discipline.
+    li = _parallel_floor(
+        table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+        )
+    )
     price = dec("l_extendedprice", 15, 4)
     disc = dec("l_discount", 8, 6)
     tax = dec("l_tax", 8, 6)

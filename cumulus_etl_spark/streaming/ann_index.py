@@ -229,14 +229,22 @@ class IvfIndex:
         """Probed-partition candidate pairs: explode each query's n_probe
         nearest centroids, collect the probe ids (bounded: ≤ n_centroids
         ints) into a LITERAL isin so partition pruning happens at the
-        scan, then broadcast-join queries onto the surviving lists."""
+        scan, then broadcast-join queries onto the surviving lists.
+
+        The probe frame is eagerly pinned (r13 opt, guide §2.4/§5): it
+        feeds BOTH the probe-id collect and the broadcast build, and
+        un-pinned each consumer re-ran the query-side scan + the
+        nearest-centroid argmin projection. One |queries|·n_probe-row
+        checkpoint (bounded by the query set) computes it once —
+        measured 1.09 → 0.87 s warm on the sf0.1 search, output
+        signature identical."""
         cents = self.centroids()
         qv = as_double_array(self.vec_col)
         probes = queries.select(
             F.col(self.id_col).alias("query_id"),
             *extra_q,
             F.explode(_nearest_centroids(qv, cents, n_probe)).alias("list_id"),
-        )
+        ).localCheckpoint(eager=True)
         probed = sorted(
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         )
