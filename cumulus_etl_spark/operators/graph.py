@@ -85,6 +85,30 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         seeded = False
 
+    # Size-guarded broadcast of the labels side (r13 opt, guide §3.1):
+    # the per-round joins put the |V|-row labels frame on the build side
+    # of the |2E|-row pinned edges, but a checkpointed RDD carries no
+    # size stats, so AQE can never pick the broadcast itself. One cheap
+    # count on the materialized checkpoint (|V| is round-invariant)
+    # decides it explicitly: when labels fits the session's own
+    # autoBroadcastJoinThreshold, each round's neighbor and pointer-jump
+    # joins run broadcast-hash over the PINNED edge partitions — per
+    # round 3 Exchange → 1 (only the label groupBy). At scale |V| blows
+    # the threshold and the shuffled path below runs unchanged.
+    # Same-JVM A/B (_ab_cc_bcast.py, identical pinned feed): broadcast
+    # faster in all 4 interleaved rounds, min 3.38 → 2.42 s, signatures
+    # identical.
+    try:
+        _thr = int(
+            labels.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            .lower().rstrip("b")
+        )
+    except (TypeError, ValueError):
+        _thr = 10 * 1024 * 1024
+    # ~32 bytes/row estimate (two 64-bit ids + row overhead); _thr <= 0
+    # means the user disabled auto-broadcast — respect that here too.
+    bcast_labels = _thr > 0 and labels.count() * 32 <= _thr
+
     for it in range(max_iter):
         # min label over each vertex's neighbors; the self rows are
         # tagged so the aggregation can carry each vertex's OLD label
@@ -92,8 +116,9 @@ def connected_components(
         # an `observe` metric collected DURING the round's checkpoint
         # job instead of a separate join+count job per round (round-7
         # verdict ask 6: one job per round, down from two).
+        lab_r = F.broadcast(labels) if bcast_labels else labels
         nbr = (
-            e.join(labels, e["a"] == labels["v"])
+            e.join(lab_r, e["a"] == lab_r["v"])
             .select(F.col("b").alias("v"), "label", F.lit(False).alias("__self"))
         )
         cand = labels.select("v", "label", F.lit(True).alias("__self")).union(nbr)
@@ -104,7 +129,7 @@ def connected_components(
             # the cost of a shuffle; a seeded start begins past that.
             hop = (
                 labels.alias("x")
-                .join(labels.alias("y"), F.col("x.label") == F.col("y.v"))
+                .join(lab_r.alias("y"), F.col("x.label") == F.col("y.v"))
                 .select(
                     F.col("x.v").alias("v"),
                     F.col("y.label").alias("label"),
