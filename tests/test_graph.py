@@ -96,6 +96,32 @@ def test_connected_components_seeded_equals_explicit(spark):
     assert connected_components(None, empty).count() == 0
 
 
+def test_connected_components_shuffled_path_equals_broadcast(spark):
+    """The r13 size-guarded broadcast of the labels side must be a pure
+    plan choice: with auto-broadcast disabled (the guard respects -1 and
+    falls back to the shuffled joins — the 100 TB regime every test graph
+    is otherwise too small to reach) the labeling must be identical."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    edges += [(i, i + 1) for i in range(70, 82)]  # chain: multi-round
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+
+    bcast = {r["id"]: r["component"]
+             for r in connected_components(None, edf).collect()}
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = {r["id"]: r["component"]
+                    for r in connected_components(None, edf).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert shuffled == bcast
+
+
 def test_pagerank_mass_and_hub_dominance(spark):
     from cumulus_etl_spark.operators.graph import pagerank
     from pyspark.sql import functions as F

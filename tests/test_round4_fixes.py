@@ -252,6 +252,50 @@ def test_minhash_survivors_equal_exact(spark):
     assert lsh == exact
 
 
+def test_banded_signatures_match_explode_formulation(spark):
+    """r13 opt pin: the map-side array_min(transform) signature build
+    must emit the exact (id, band_idx, band_hash) rows of the historical
+    explode->groupBy(id) formulation — including dropping docs whose
+    shingle set is empty or null (explode emitted no rows for those)."""
+    import random
+
+    from cumulus_etl_spark.operators import dedup as D
+
+    rows = [
+        (1, [11, 22, 33, 44]),
+        (2, [22, 33, 44, 55, 66]),
+        (3, [11]),
+        (4, []),            # empty set: must produce NO signature rows
+        (5, None),          # null set: likewise
+        (6, [77, 88, 99, 11, 22, 33]),
+    ]
+    sh = spark.createDataFrame(rows, "id long, sh array<long>")
+    got = {(r["id"], r["band_idx"], r["band_hash"])
+           for r in D.banded_signatures(sh, num_hashes=32, bands=8).collect()}
+
+    # reference: the pre-r13 explode->aggregate shape, same coefficients
+    rng = random.Random(42)
+    coefs = [(rng.randrange(1, D._MINHASH_PRIME), rng.randrange(0, D._MINHASH_PRIME))
+             for _ in range(32)]
+    hashed = sh.select("id", F.explode("sh").alias("h"))
+    sig_cols = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(D._MINHASH_PRIME)).alias(f"s{j}")
+        for j, (a, b) in enumerate(coefs)
+    ]
+    sigs = hashed.groupBy("id").agg(*sig_cols)
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.col(f"s{b * 4 + i}").cast("string") for i in range(4)
+        ]))
+        for b in range(8)
+    ])
+    want = {(r["id"], r["band_idx"], r["band_hash"]) for r in
+            sigs.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+            .collect()}
+    assert got == want
+    assert not any(i in (4, 5) for i, _, _ in got)
+
+
 def test_assign_clusters_join_path_matches_literal(spark):
     """VERDICT r3 item 4: the broadcast-centroid-frame join (large-k path)
     must produce identical assignments and distances to the literal-
