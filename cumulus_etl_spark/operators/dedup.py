@@ -525,27 +525,33 @@ def prefix_filter_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; pairs cross blocks
     are excluded when ``block_col`` is given."""
+    from pyspark.sql import Observation
+
     sh = _shingle_frame(df, id_col, text_col, block_col, shingle_k).cache()
     # Pin the bucket frame (small: one row per (block, prefix-token))
     # and measure its pair fan-out; the expansion and verify stages are
     # then explicitly partitioned by that measured work, because AQE's
     # bytes-based coalescing puts this tiny-input/quadratic-work shape
-    # on 1-4 tasks (r13 opt, guide §2.5).
+    # on 1-4 tasks (r13 opt, guide §2.5). The fan-out count rides the
+    # checkpoint job as an observe metric (r13 opt, the graph.py
+    # convergence pattern) instead of a separate post-hoc aggregate job
+    # over the pinned frame — same number, one fewer job per call.
+    obs = Observation()
     bk = (
         _prefix_buckets(sh, threshold)
         .filter(F.size("xs") > 1)
-        .localCheckpoint(eager=True)
-    )
-    n_fanout = int(
-        bk.agg(
+        .observe(
+            obs,
             F.coalesce(
                 F.sum(
                     (F.size("xs").cast("bigint") * (F.size("xs") - 1)) / 2
                 ),
                 F.lit(0),
-            ).alias("n")
-        ).collect()[0]["n"]
+            ).alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
+    n_fanout = int(obs.get["n"])
     n_exp = _fanout_partitions(bk, n_fanout, _EXPAND_ITEMS_PER_TASK)
     n_ver = _fanout_partitions(bk, n_fanout, _VERIFY_ITEMS_PER_TASK)
     cands = (
