@@ -45,6 +45,70 @@ _EXPAND_ITEMS_PER_TASK = 200_000
 _VERIFY_ITEMS_PER_TASK = 250_000
 
 
+def _parse_bytes(spark, s: str | None, default: int) -> int:
+    """Spark-semantics byte-size parse ('10m', '1g', '512k', '-1',
+    plain bytes) via the JVM's own JavaUtils, falling back to
+    ``default`` on anything unparseable (r13 ADVICE: int(str.rstrip('b'))
+    raised on size suffixes and silently discarded the user's value).
+    Plain integers — including '-1' (disable), which JavaUtils rejects —
+    parse first without a py4j round trip."""
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        pass
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                str(s)
+            )
+        )
+    except Exception:
+        return default
+
+
+def _scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan-task count of a FILE-SOURCED frame, from the plan's
+    file index only — never ``df.rdd`` (r13 ADVICE medium: converting a
+    plan that contains exchanges to an RDD forces AQE to execute the
+    upstream query stages just to read a partition count — silent double
+    compute for any caller-supplied frame with a join/agg upstream).
+
+    Returns None for non-file sources (in-memory frames, RDD scans,
+    checkpoints) — callers skip the floor there rather than guess. With
+    >= defaultParallelism files the exact split count is irrelevant
+    (the floor is a no-op) and nothing is stat'ed; below that, the few
+    files are stat'ed through the Hadoop FS API and charged
+    ceil(len / maxPartitionBytes) splits each — close enough to Spark's
+    packing (openCost only matters in the many-small-files regime, which
+    the short-circuit already covered)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if len(files) >= dp:
+        return len(files)
+    max_split = _parse_bytes(
+        spark,
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"),
+        128 << 20,
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    splits = 0
+    for uri in files:
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            n = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        except Exception:
+            n = 0  # unstat-able file counts as one task (narrow-scan assumption)
+        splits += max(1, -(-n // max_split))
+    return splits
+
+
 def _parallel_floor(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy per-row
     work (shingle hashing: one xxhash64 per token per doc).
@@ -61,9 +125,16 @@ def _parallel_floor(df: DataFrame) -> DataFrame:
     local[32] constant. Row placement does not affect any consumer here
     (set-semantic aggregations / joins; per-pair integer arithmetic), so
     results are bit-identical (measured: signature-equal, 0.84 → 0.57 s
-    on the sf0.1 shingle build)."""
+    on the sf0.1 shingle build).
+
+    Boundary rule (pinned by two A/B rounds): apply ONLY where heavy
+    per-row work (shingle/token hashing, wide decimal aggregation) runs
+    below the first exchange — a bare split+explode does not amortize
+    the added shuffle (bm25/nb floors measured as losses and removed,
+    r14; association-rules floor rejected, r13)."""
     dp = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
+    width = _scan_splits(df)
+    if width is not None and width < dp:
         return df.repartition(dp)
     return df
 

@@ -226,12 +226,11 @@ def nb_train(
 
     Scale shape: the (label, word) aggregation map-side-combines to the
     per-class vocabulary size; nothing is collected to the driver."""
-    from cumulus_etl_spark.operators.dedup import _parallel_floor
-
-    # Parallelism floor on the token explode (r13 opt, guide §2.5 —
-    # no-op at scale; word counts are exact integers, so placement
-    # cannot change the model).
-    w = _parallel_floor(docs).select(
+    # No parallelism floor (r14): the split+explode below the first
+    # exchange is too light to amortize the floor's repartition —
+    # same-JVM interleaved A/B (_ab_floor.py): nb rig floor ON min
+    # 2.57 s vs OFF 2.17 s, signatures identical.
+    w = docs.select(
         label.cast("string").alias("label"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
@@ -289,9 +288,7 @@ def nb_score(
     dropping out of the output (and out of any accuracy denominator)."""
     from pyspark.sql.window import Window
 
-    from cumulus_etl_spark.operators.dedup import _parallel_floor
-
-    docs = _parallel_floor(docs)  # §2.5 floor: tokenization + doc-length
+    # No parallelism floor (r14): see nb_train — A/B-measured loss.
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("word"),

@@ -491,15 +491,14 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    from cumulus_etl_spark.operators.dedup import _parallel_floor
-
-    # Parallelism floor on the corpus tokenization (r13 opt, guide §2.5):
-    # a narrow scan runs the whole explode+tokenize single-threaded; the
-    # floor is a no-op at scale. Oracle-safe: everything between the scan
-    # and the first exchange is integer-exact (tf counts), and all float
-    # arithmetic runs after exchanges whose partitioning is independent
-    # of the scan layout (the exact path additionally sums DECIMAL).
-    tokens = _parallel_floor(docs.filter(F.trim(text_col) != "")).select(
+    # No parallelism floor here (r14): the per-row work below the first
+    # exchange is a bare split+explode (no hashing), too light to
+    # amortize the floor's repartition — same-JVM interleaved A/B
+    # (_ab_floor.py): floor ON min 1.77 s vs OFF 1.67 s, and the r13
+    # driver measured the floored form 2.65x slower. The floor stays on
+    # the shingle-hashing call sites where the same A/B shows it winning
+    # (operators/dedup.py).
+    tokens = docs.filter(F.trim(text_col) != "").select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("term"),
     )
