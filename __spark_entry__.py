@@ -25,88 +25,89 @@ from cumulus_etl_spark.plans import CATALOG
 # so _ordered() structurally sorts them after every oracled entry
 # (round-4 verdict task 2); _GATE_PRIORITY itself lists oracled names only.
 _GATE_PRIORITY = [
-    # -- ROUND-13 WINDOW (verdict-r12 asks 1-3, as staged):
-    #    FIRST window_session_native — its oracle's gap test was
-    #    CORRECTED r12 from >= to strictly > (Spark's session_window
-    #    empirically MERGES an event at exactly last+gap; green through
-    #    r10 only because the parquet data never lands on the boundary
-    #    — plans/relational2.py), and a changed oracle re-proves before
-    #    anything else.  SECOND events_cusum_keyless_distributed — the
-    #    catalog's only never-gated oracled entry (added r12), PULLED
-    #    FORWARD from its staged r14 lead because the r13
-    #    vector_ann_lsh retirement freed a slot (verdict ask 2:
-    #    "if any r13 slot frees, pull it forward; never-gated outranks
-    #    stale").  The freed slot itself funds profile_ks_js_drift
-    #    (verdict ask 3; ledger notes in plans/vectorops.py and
-    #    plans/analytics.py), which is new this round and staged to
-    #    lead r14 --
-    "window_session_native", "events_cusum_keyless_distributed",
-    # -- then the 48 remaining r10-stale entries (the 50-entry
-    #    r10-green cohort minus window_session_native, leading above,
-    #    and minus vector_ann_lsh, retired r13 into
-    #    vector_ann_lsh_recall; 2 + 48 = exactly the 50-slot window) --
-    "agg_association_rules", "agg_countmin_windowed",
-    "agg_frequent_triples", "bm25_topk", "corpus_importance_rank",
-    "corpus_prepare_pipeline", "corpus_quality_percentile_cut",
-    "corpus_split_leakage", "corpus_train_val_split",
-    "deid_year_generalize", "events_decayed_counts",
-    "events_hourly_rollup", "events_interarrival_quantiles",
-    "events_markov_transitions", "graph_pagerank_integer",
-    "join_sorted_neighborhood", "ml_gram_matrix",
-    "multimodal_frame_sample", "profile_orders", "q11_important_parts",
-    "q15_top_supplier", "q1_pricing_summary", "q21_waiting_supplier",
-    "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_priority_exists", "q5_local_supplier_volume",
-    "q9_profit_by_nation_year", "sample_hash_stratified",
-    "sample_weighted_reservoir", "scalar_array_functions",
-    "text_bpe_train_merges", "text_cdc_chunks",
-    "text_fingerprint_dedup", "text_lang_id", "text_minhash_dedup",
-    "text_quality_score", "text_simhash_pairs",
-    "text_substring_removal", "text_token_stats", "vector_ann_ivf",
-    "vector_ann_ivf_int8", "vector_ann_lsh_recall",
-    "vector_cluster_quality", "vector_kmeans_assign",
-    "vector_pq_adc_topk", "vector_pq_recall", "vector_rrf_fusion",
-    # -- position 51: the r14 staged leader (see rotation ledger) --
-    "profile_ks_js_drift",
+    # -- ROUND-14 WINDOW: FIRST profile_ks_js_drift — the catalog's only
+    #    never-gated oracled entry (added r13, staged then to lead r14).
+    #    THEN the r13-verdict ask-5 re-coverage block: the r13
+    #    optimization round rewrote the internals of the dedup/CC,
+    #    merge/last-wins and sketch paths, and the r13 sampling window
+    #    happened to leave those entries driver-unchecked — the verdict
+    #    orders "lead with text_dedup_clusters, then dedup_last_wins,
+    #    merge_upsert_throughput-family, agg_countmin_topk, graph_kcore
+    #    — every semantics-sensitive r13 diff gets a driver-green row".
+    #    cdc_snapshot_diff is the merge-family oracled proxy
+    #    (merge_upsert_throughput itself is a bench-only rig);
+    #    dedup_last_wins is already in the r11-stale cohort below.
+    #    These four r12-gated entries jump three r11-gated ones (see
+    #    _VERDICT_RECOVER below) — a deliberate, verdict-directed
+    #    exception to the stalest-first discipline --
+    "profile_ks_js_drift", "text_dedup_clusters", "cdc_snapshot_diff",
+    "agg_countmin_topk", "graph_kcore",
+    # -- then 45 of the 48 r11-stale entries (dedup_last_wins pulled to
+    #    the front of the cohort per the same verdict ask) --
+    "dedup_last_wins",
+    "agg_grouping_sets", "agg_percentiles", "agg_pivot_event_types",
+    "corpus_decontaminate", "corpus_domain_mixture",
+    "corpus_line_dedup", "corpus_pack_sequences",
+    "corpus_passage_dedup", "corpus_pii_scrub",
+    "corpus_shard_by_budget", "deid_dp_release", "deid_k_anonymity",
+    "join_anti_no_orders", "join_asof_last_purchase",
+    "join_brand_revenue", "join_left_outer_nations",
+    "join_range_activity_after_signup", "join_semi_big_spenders",
+    "multimodal_audio_pcm_invariants",
+    "multimodal_image_header_invariants", "privacy_l_diversity",
+    "q10_returned_items", "q14_type_share", "q18_large_orders",
+    "q19_bracket_filter", "q22_idle_rich_customers",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "scalar_json_extract", "set_except_quiet_customers",
+    "set_intersect_all_multiplicity", "set_union_tagged",
+    "sort_global_topk", "text_gopher_quality", "text_inverted_index",
+    "text_repetition_stats", "vector_int8_topk",
+    "vector_knn_bruteforce", "vector_neardup_cosine",
+    "vector_norm_stats", "window_lag_lead_events",
+    "window_moving_average", "window_topk_per_customer",
+    # -- positions 51-53: the three r11-stale entries the re-coverage
+    #    block displaced (expression-only scalar entries, code untouched
+    #    since r6 — the lowest-risk deferrals); staged to LEAD r15 --
+    "scalar_case_bucketing", "scalar_date_functions",
+    "scalar_string_functions",
 ]
 
-# Rotation ledger (r13). Catalog stays net-zero at 153/149: one oracle
-# added (profile_ks_js_drift — plans/analytics.py, verdict-r12 ask 3),
-# one retired with a ledger note (vector_ann_lsh → bench-only rig,
-# subsumed by vector_ann_lsh_recall whose oracle rebuilds the identical
-# ann_topk CTEs — plans/vectorops.py).  profile_ks_js_drift sits at
-# position 51 below: structurally FIRST in line after this round's
-# window, i.e. staged to lead r14 (never-gated outranks stale; locally
-# parity-pinned every round by tests/test_oracle_parity.py until then).
+# r13-verdict ask-5 re-coverage (see the window comment above): these
+# r12-gated entries deliberately outrank three staler r11-gated ones
+# this round; tests/test_entry_contract.py exempts exactly this list
+# from the stalest-first monotonicity check.
+_VERDICT_RECOVER = [
+    "text_dedup_clusters", "cdc_snapshot_diff",
+    "agg_countmin_topk", "graph_kcore",
+]
+
+# Rotation ledger (r14, an optimization round — catalog unchanged at
+# 153/149; the staged psi_drift_timeline / categorical_drift
+# registrations stay parked in plans/analytics.py: registering a new
+# oracle entry is feature work, out of scope for an optimization round.
+# Their oracle SQL remains parity-pinned at sf0.01 every suite run by
+# tests/test_drift.py, so a later build round can still land them as
+# one @register line each.)
 #
-# Round-14 window (staged): profile_ks_js_drift LEADS + the 48
-# r11-stale entries (the 49-entry r11-green cohort minus the retired
-# profile_psi_drift): 49, one slot spare.  The 3-round freshness SLA
-# holds at every step.  Candidates for the spare slot: the r13
-# psi_drift_timeline and categorical_drift operators BOTH have their
-# oracle SQL already WRITTEN and driver-harness parity-pinned at three
-# SFs (plans/analytics.py "STAGED r14 oracles" block; the staged tests
-# in tests/test_drift.py re-prove them at sf0.01 every suite run) —
-# registration is one @register line each.  Registering ONE r14 makes
-# that window exactly 50 and takes the oracled count to its structural
-# capacity of 150 (3 × the 50-slot window) — the other, and any later
-# add, must be retirement-funded.
+# Round-15 window (staged): scalar_case_bucketing,
+# scalar_date_functions, scalar_string_functions LEAD (the three
+# r11-gated entries the r14 verdict-directed re-coverage displaced —
+# 4 rounds stale by then, recover first) + the r12-stale cohort minus
+# the four entries re-covered this round.
 #
 # Freshness is DERIVED, not asserted (r12 verdict "what's wrong" — two
 # off-by-one slips in two rounds): _FRESHNESS_ASOF pins (latest gated
 # round, {round: entry count} over the CURRENT catalog, never-gated
 # names), and tests/test_entry_contract.py recomputes all three from
-# the CORRECTNESS_r*.json artifacts and the catalog itself.  As of r12
-# the counts over the CURRENT catalog are r12:50, r11:48, r10:49 — the
-# r12 ledger's "r11:49" counted the retired profile_psi_drift, and the
-# r10 cohort drops this round's vector_ann_lsh retirement (the judge's
-# cumulative audit said r10:50 against the r12 catalog; the derived
-# check tracks retirements automatically, which is the point).  Update
-# the tuple when a new gate round lands; the test does the arithmetic.
+# the CORRECTNESS_r*.json artifacts and the catalog itself.  As of r13
+# the counts over the CURRENT catalog are r13:50, r12:50, r11:48 (the
+# r12/r13 windows are disjoint 50-entry sets; profile_ks_js_drift,
+# added r13, is the only never-gated oracled entry).  Update the tuple
+# when a new gate round lands; the test does the arithmetic.
 _FRESHNESS_ASOF = (
-    12,
-    {12: 50, 11: 48, 10: 49},
-    ["events_cusum_keyless_distributed", "profile_ks_js_drift"],
+    13,
+    {13: 50, 12: 50, 11: 48},
+    ["profile_ks_js_drift"],
 )
 
 
