@@ -135,6 +135,18 @@ def main() -> None:
     # the min (steady-state, scheduler hiccups drop out); (b) loadavg
     # before/after is recorded so a contended run is visible in the JSON.
     load_start = os.getloadavg()
+    # Host-drift anchor (r13 verdict ask 8): the sandbox host changed
+    # silicon mid-r13 and every per-query delta was dominated by it. A
+    # fixed 1e7-iteration pure-Python loop is a single-core speed probe
+    # whose ratio across rounds separates "the machine changed" from
+    # "the plan changed" (r13 eras measured ~0.7-0.9 s fast host vs
+    # ~1.4-1.5 s slow host). Additions-only: the bench contract line
+    # gains one field.
+    probe_t0 = time.perf_counter()
+    _acc = 0
+    for _i in range(10_000_000):
+        _acc += _i
+    probe_s = round(time.perf_counter() - probe_t0, 3)
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
         best = float("inf")
@@ -230,6 +242,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "cpus": os.cpu_count(),
+        "probe_1e7_s": probe_s,
     }
     detail = {
         "record": "bench_detail",
@@ -260,6 +273,7 @@ def main() -> None:
         "sf": sf,
         "scale": scale_summary,
         "load": noise["loadavg_start"][0],
+        "probe_1e7_s": probe_s,
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: never overflow the driver tail again

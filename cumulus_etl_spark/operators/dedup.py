@@ -264,9 +264,16 @@ def minhash_lsh_candidates(
     within-bucket self-join can't go quadratic on skew; exact dups are
     caught by fingerprint dedup first anyway.
     """
+    # banded_signatures requires a pinned frame; .cache() satisfies the
+    # contract (it stops the 32-transform re-inlining just as well — the
+    # ngram_jaccard_dedup callers already rely on that) while keeping the
+    # API lazy (no job at call time) and the lineage intact: an eager
+    # localCheckpoint here pinned roughly the corpus token stream to
+    # non-reliable executor-local blocks, where one executor loss fails
+    # the job unrecoverably (r13 ADVICE).
     sh = _parallel_floor(df).select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, shingle_k).alias("sh")
-    ).localCheckpoint(eager=True)  # banded_signatures requires a pinned frame
+    ).cache()
     return _lsh_candidates_from_shingles(
         sh, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )

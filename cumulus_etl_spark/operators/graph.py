@@ -65,6 +65,12 @@ def connected_components(
     # |V|-row side) — guide §2.4 "remove shuffles outright".
     e = e.repartition(F.col("a")).localCheckpoint(eager=True)
 
+    # |V| rides the labels materialization as an observe metric (the
+    # graph.py convergence pattern, r14): the broadcast guard below
+    # needs the round-invariant vertex count, and collecting it during
+    # the checkpoint job replaces the separate labels.count() job the
+    # r13 form paid per CC invocation.
+    n_obs = Observation()
     if vertices is None:
         # Seeded start: label₀(v) = min({v} ∪ N(v)) — exactly what the
         # old first round computed from identity labels, but as one
@@ -75,13 +81,14 @@ def connected_components(
             e.groupBy("a")
             .agg(F.least(F.col("a"), F.min("b")).alias("label"))
             .select(F.col("a").alias("v"), "label")
+            .observe(n_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         seeded = True
     else:
         labels = vertices.select(
             F.col(id_col).alias("v"), F.col(id_col).alias("label")
-        )
+        ).observe(n_obs, F.count(F.lit(1)).alias("n"))
         labels = labels.localCheckpoint(eager=True)
         seeded = False
 
@@ -107,7 +114,9 @@ def connected_components(
     )
     # ~32 bytes/row estimate (two 64-bit ids + row overhead); _thr <= 0
     # means the user disabled auto-broadcast — respect that here too.
-    bcast_labels = _thr > 0 and labels.count() * 32 <= _thr
+    # (The eager localCheckpoint above already ran the job, so the
+    # observe metric is ready — no extra action.)
+    bcast_labels = _thr > 0 and int(n_obs.get["n"]) * 32 <= _thr
 
     for it in range(max_iter):
         # min label over each vertex's neighbors; the self rows are
@@ -137,6 +146,14 @@ def connected_components(
                 )
             )
             cand = cand.union(hop)
+            # A SECOND pointer hop per round (label³, broadcast-join
+            # only — tripling instead of doubling) was tried r14 and
+            # REVERTED: the sf0.1 dedup feed still converges in the
+            # same 4 rounds (fixpoint at round 3 under doubling AND
+            # tripling — the tail component's min-eccentricity sits
+            # where both schedules need 3 changed rounds), so the extra
+            # per-round broadcast join bought nothing. See
+            # OPTIMIZATION_r14.md.
         obs = Observation()
         new_labels = (
             cand.groupBy("v")
@@ -166,7 +183,14 @@ def connected_components(
         labels = new_labels
         if obs.get["changed"] == 0:
             break
+    global _last_rounds
+    _last_rounds = it + 1
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
+
+
+# Diagnostic: propagation rounds of the most recent connected_components
+# call (measurement rigs read it; not part of any query result).
+_last_rounds = 0
 
 
 def dedup_clusters(
