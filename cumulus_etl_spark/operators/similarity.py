@@ -42,6 +42,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# -- SQL-string forms of the vector math (r14 opt, the _matrix_sql
+# discipline): every Python-API lambda (zip_with/aggregate/transform)
+# costs a _create_lambda round-trip storm on py4j at PLAN BUILD time —
+# cProfile put ~0.7 s of vector_ann_lsh's 1.3 s bench entry in py4j
+# socket reads. The strings below parse in the JVM in one call and
+# produce the IDENTICAL expression tree (same sequential fold, same op
+# order), so values are bit-equal — pinned by the signature A/B and the
+# recall oracles. Use these on hot build paths where the operands are
+# plain column names; keep the Column forms for composability. --
+
+
+def _as_double_sql(col: str) -> str:
+    return f"transform(`{col}`, x -> cast(x as double))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``dot`` over two array expressions (already-quoted)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text of ``cosine`` over two column NAMES — same op order as
+    the Column form: dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))."""
+    qa, qb = f"`{a}`", f"`{b}`"
+    return (
+        f"({_dot_sql(qa, qb)} / "
+        f"(sqrt({_dot_sql(qa, qa)}) * sqrt({_dot_sql(qb, qb)})))"
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,15 +86,17 @@ def knn_bruteforce(
     neighbor_id so results are total-ordered and reproducible.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.expr(_as_double_sql(vec_col)).alias("qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.expr(_as_double_sql(vec_col)).alias("cv")
     )
     scored = c.join(F.broadcast(q))
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    scored = scored.select(
+        "query_id", "neighbor_id", F.expr(_cosine_sql("qv", "cv")).alias("score")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -145,13 +177,34 @@ def _matrix_sql(mat: list[list[float]]) -> str:
     return arr([arr([repr(float(x)) + "D" for x in row]) for row in mat])
 
 
-def lsh_signatures_all(vec: Column, all_planes: list[list[list[float]]]) -> Column:
+def lsh_signatures_all(
+    vec: Column | str, all_planes: list[list[list[float]]]
+) -> Column:
     """Array of per-table sign-bit bucket ids, as ONE expression.
 
     Equivalent to ``array(lsh_signature(vec, t) for t in all_planes)``
     but the coefficient tensor is a single literal and the loops are
-    higher-order functions, so the expression tree (and the Python-side
-    build cost) stays O(1) in tables×planes instead of O(t×p×dim)."""
+    higher-order functions, so the expression tree stays O(1) in
+    tables×planes instead of O(t×p×dim).
+
+    Pass ``vec`` as a COLUMN NAME to get the whole expression as one
+    parsed SQL literal (r14 opt, the _matrix_sql discipline): the
+    Python-API form pays ~6 lambda constructions × hundreds of py4j
+    round trips of pure driver time at every plan build (~0.45 s of
+    vector_ann_lsh's 1.3 s bench entry, measured by cProfile — all of
+    it socket recv on py4j). Same arithmetic either way: sequential
+    zip_with/aggregate fold per plane, sign test, 1<<j bit packed with
+    bitwise or — the A/B signature check pins value equality."""
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        sig_sql = (
+            f"transform({_nested_array_sql(all_planes)}, tbl -> aggregate("
+            f"transform(tbl, (plane, j) -> IF("
+            f"aggregate(zip_with({v}, plane, (x, y) -> x * y), 0D,"
+            f" (acc, x) -> acc + x) >= 0D, shiftleft(1L, j), 0L)),"
+            f" 0L, (acc, x) -> acc | x))"
+        )
+        return F.expr(sig_sql)
     n_planes = len(all_planes[0])
     powers = F.expr("array(" + ",".join(str(1 << j) + "L" for j in range(n_planes)) + ")")
     return F.transform(
@@ -200,12 +253,14 @@ def ann_lsh(
     )
 
     def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        v = as_double_array(vec_col)
-        base = df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            F.expr(_as_double_sql(vec_col)).alias(vec_alias),
+        )
         return base.select(
             id_alias,
             vec_alias,
-            F.posexplode(lsh_signatures_all(F.col(vec_alias), all_planes)).alias(
+            F.posexplode(lsh_signatures_all(vec_alias, all_planes)).alias(
                 "table_idx", "bucket"
             ),
         )
@@ -218,7 +273,9 @@ def ann_lsh(
     if exclude_self:
         cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
     cands = cands.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cands.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    scored = cands.select(
+        "query_id", "neighbor_id", F.expr(_cosine_sql("qv", "cv")).alias("score")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
