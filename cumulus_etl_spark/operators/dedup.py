@@ -532,17 +532,26 @@ def ngram_jaccard_dedup_keep_best(
 
 def _vocab_injective(sh: DataFrame) -> bool:
     """True iff ``xxhash64`` is injective on the corpus's shingle
-    vocabulary: distinct raw shingles == distinct shingle hashes. One
-    vocab-sized aggregate on the cached shingle frame, bounded one-row
-    collect. The premise that lets ``prefix_filter_pairs`` verify on
+    vocabulary — the premise that lets ``prefix_filter_pairs`` verify on
     long arrays with EXACT raw-set semantics (see its docstring);
     failure odds ~vocab²/2⁶⁵, and the caller falls back to raw-string
-    verification when it ever returns False."""
+    verification when it ever returns False.
+
+    ONE exchange (r14, verdict ask 4): group the token stream by its
+    hash and test min(token) == max(token) per group — a hash group
+    holding two distinct tokens is exactly a collision. The previous
+    ``distinct`` + ``countDistinct`` form shuffled the corpus's distinct
+    raw token stream TWICE; this form map-side-combines to per-partition
+    (hash, min, max) triples before its single exchange, so the shuffled
+    bytes are bounded by the per-partition vocabulary, not the token
+    stream. Same boolean in all worlds: injective ⟺ every hash group
+    has one distinct token ⟺ no group with min ≠ max."""
     return bool(
         sh.select(F.explode("raw").alias("t"))
-        .distinct()
-        .agg((F.count("t") == F.countDistinct(F.xxhash64("t"))).alias("ok"))
-        .collect()[0]["ok"]
+        .groupBy(F.xxhash64("t").alias("h"))
+        .agg((F.min("t") != F.max("t")).cast("long").alias("bad"))
+        .agg(F.coalesce(F.sum("bad"), F.lit(0)).alias("n_bad"))
+        .collect()[0]["n_bad"] == 0
     )
 
 
