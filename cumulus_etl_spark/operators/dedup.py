@@ -530,6 +530,13 @@ def ngram_jaccard_dedup_keep_best(
     return df.join(losers, id_col, "left_anti")
 
 
+def _vocab_verdict(n_bad: int) -> bool:
+    """Injectivity decision from the observed collision-group count —
+    the seam the forced-fallback test monkeypatches (the check itself
+    rides _prefix_buckets' frequency aggregation; see there)."""
+    return n_bad == 0
+
+
 def _vocab_injective(sh: DataFrame) -> bool:
     """True iff ``xxhash64`` is injective on the corpus's shingle
     vocabulary — the premise that lets ``prefix_filter_pairs`` verify on
@@ -624,8 +631,9 @@ def prefix_filter_pairs(
     # convergence pattern) instead of a separate post-hoc aggregate job
     # over the pinned frame — same number, one fewer job per call.
     obs = Observation()
+    vocab_obs = Observation()
     bk = (
-        _prefix_buckets(sh, threshold)
+        _prefix_buckets(sh, threshold, vocab_obs=vocab_obs)
         .filter(F.size("xs") > 1)
         .observe(
             obs,
@@ -660,21 +668,22 @@ def prefix_filter_pairs(
         .repartition(n_ver, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verified-injective hashed verify (r13 opt, guide §2.3): ONE
-    # corpus-level aggregate proves xxhash64 injective on this corpus's
-    # shingle VOCABULARY (distinct raw shingles == distinct hashes —
-    # a vocab-sized agg on the already-cached shingle frame; bounded
-    # one-row collect). Under injectivity, `sh` is the image of the
-    # distinct raw set under an injective map, so per-pair
+    # Verified-injective hashed verify (r13 opt, guide §2.3): the
+    # injectivity of xxhash64 on this corpus's shingle VOCABULARY is
+    # runtime-checked, and as of r14 the check RIDES the bucket
+    # frequency aggregation above as an observe metric (see
+    # _prefix_buckets) — the r13 form paid a separate corpus-token-
+    # stream job per invocation, measured at 13-14% of this entry's
+    # wall at sf1 (verdict ask 4). Under injectivity, `sh` is the image
+    # of the distinct raw set under an injective map, so per-pair
     # |sh_a ∩ sh_b| == |raw_a ∩ raw_b| EXACTLY — the verify runs on long
     # arrays and the raw string arrays drop out of the join entirely
     # (fewer shuffle bytes AND no per-pair string hashing; measured
     # 13.1 → 2.4 s on the sf0.1 candidate set, output signature
-    # bit-identical). This upgrades the old per-pair probabilistic
-    # collision argument to a runtime-VERIFIED premise; if the check
-    # ever fails (~vocab²/2⁶⁵ odds), the original raw-string path below
-    # runs unchanged, so the emitted arithmetic is exact in all worlds.
-    if _vocab_injective(sh):
+    # bit-identical). If the check ever fails (~vocab²/2⁶⁵ odds), the
+    # original raw-string path below runs unchanged, so the emitted
+    # arithmetic is exact in all worlds.
+    if _vocab_verdict(int(vocab_obs.get["n_bad"])):
         a = sh.select(F.col("id").alias("id_a"),
                       F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
         b = sh.select(F.col("id").alias("id_b"),
@@ -740,12 +749,49 @@ def _shingle_frame(
     )
 
 
-def _prefix_buckets(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_buckets(
+    sh: DataFrame, threshold: float, vocab_obs=None
+) -> DataFrame:
     """(blk, h, xs): per (block, prefix-token) candidate buckets, each a
     sorted array of (id, sz). Prefix length uses the RAW size, so a
-    collision-shortened hash array only widens the indexed prefix."""
+    collision-shortened hash array only widens the indexed prefix.
+
+    ``vocab_obs`` (r14, verdict ask 4): an ``Observation`` that collects
+    the xxhash64-injectivity verdict ON the frequency aggregation this
+    function already runs, instead of ``prefix_filter_pairs`` paying a
+    separate corpus-token-stream job for ``_vocab_injective`` (measured
+    13-14% of the whole entry at sf1). The frequency aggregate then
+    groups the RAW token stream by its hash (carrying per-group
+    min/max token — a group with two distinct tokens IS a collision)
+    and emits ``n_bad`` as an observe metric riding the caller's bucket
+    checkpoint job: zero extra jobs, zero extra exchanges, and only
+    vocab-sized min/max strings added to a map-side-combined exchange.
+
+    df equality: ``raw`` is DISTINCT per doc, so under injectivity each
+    (doc, hash) contributes exactly one row either way and ``df_tok``
+    is bit-identical to the explode("sh") form. Under a collision
+    (odds ~vocab²/2⁶⁵) df_tok can differ — but the prefix theorem needs
+    only SOME shared global order (see prefix_filter_pairs), every
+    candidate is exactly verified, and the caller switches to the raw
+    fallback verify in that world anyway, so the emitted pair set stays
+    exact in all worlds."""
     ex = sh.select("id", "blk", "sz", F.explode("sh").alias("h"))
-    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df_tok"))
+    if vocab_obs is None:
+        freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df_tok"))
+    else:
+        freq = (
+            sh.select(F.explode("raw").alias("t"))
+            .groupBy(F.xxhash64("t").alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("df_tok"),
+                (F.min("t") != F.max("t")).cast("long").alias("__bad"),
+            )
+            .observe(
+                vocab_obs,
+                F.coalesce(F.sum("__bad"), F.lit(0)).alias("n_bad"),
+            )
+            .select("h", "df_tok")
+        )
     ranked = ex.join(freq, "h")
     arr = ranked.groupBy("id", "blk", "sz").agg(
         F.array_sort(F.collect_list(F.struct(F.col("df_tok"), F.col("h")))).alias("st")

@@ -509,20 +509,31 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(query_text_col)), r"\s+"))
         ).alias("term"),
     )
-    # Prune the full-vocabulary (term, df) table to the query terms
-    # BEFORE broadcasting it: df is |vocab|-sized (10^8+ at corpus
-    # scale) while q_terms is tiny, so the semi-join runs as a
-    # broadcast of q_terms onto df and only query-term df rows reach
-    # the (still tiny) broadcast below.
-    df_q = df.join(F.broadcast(q_terms.select("term").distinct()), "term", "semi")
+    # Prune the postings to the query terms BEFORE the df aggregation
+    # (r14, guide §2.3/§2.4; strengthens the round-9 "never broadcast
+    # the full vocabulary" fix): the old form aggregated df over the
+    # FULL vocabulary — a |vocab|-sized shuffle (10^8+ terms at corpus
+    # scale) — and only then semi-joined the result down to the query
+    # terms. df(t) is per-term, so restricting the input rows to the
+    # query terms first yields the identical df values for every term
+    # that can reach the scoring join, and the aggregation input drops
+    # from the corpus vocabulary to the query-matching postings (the
+    # semi-join is a broadcast of the tiny query vocabulary — no
+    # shuffle added). countDistinct(doc_id) is also dropped for
+    # count(1): tf rows are unique by (doc_id, term) BY CONSTRUCTION
+    # (they come out of groupBy(doc_id, term)), and count(1) avoids
+    # the distinct-expand two-phase aggregate.
+    df_q = (
+        tf.join(F.broadcast(q_terms.select("term").distinct()), "term", "semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     cand = (
         tf.join(F.broadcast(q_terms), "term")
         .join(F.broadcast(df_q), "term")

@@ -368,7 +368,9 @@ def test_prefix_filter_pairs_raw_fallback_equal(spark, sf_correct, monkeypatch):
     ) is True  # the real corpus takes the hashed path
     fast = {(r.id_a, r.id_b, r.jaccard)
             for r in D.prefix_filter_pairs(d, **kw).collect()}
-    monkeypatch.setattr(D, "_vocab_injective", lambda sh: False)
+    # r14: the riding observe-based check routes its decision through
+    # _vocab_verdict — stub THAT to force the raw fallback path
+    monkeypatch.setattr(D, "_vocab_verdict", lambda n_bad: False)
     slow = {(r.id_a, r.id_b, r.jaccard)
             for r in D.prefix_filter_pairs(d, **kw).collect()}
     assert fast == slow
