@@ -649,8 +649,31 @@ def prefix_filter_pairs(
     n_fanout = int(obs.get["n"])
     n_exp = _fanout_partitions(bk, n_fanout, _EXPAND_ITEMS_PER_TASK)
     n_ver = _fanout_partitions(bk, n_fanout, _VERIFY_ITEMS_PER_TASK)
+    # Within-bucket salting (r14, verdict ask 7, guide §2.2): explicit
+    # fan-out partitioning spreads BUCKETS across tasks, but one
+    # pathological bucket still generated all its O(|xs|²) pairs in a
+    # single task — measured 14.4× max-vs-median task skew on the
+    # expansion stage at sf1 (where the 10× replication plants 10-sized
+    # exact-dup cliques in every bucket). Each bucket's ANCHOR range is
+    # chunked so one chunk owns ≤ ~_EXPAND_ITEMS_PER_TASK pair
+    # enumerations (ck anchors × ≤ n−1 partners each), and chunks hash
+    # to tasks independently via the ci key. Each global anchor index
+    # lands in exactly one chunk and keeps its exact partner slice, so
+    # the emitted pair multiset is identical; unskewed buckets get
+    # ⌈(n−1)/ck⌉ = 1 chunk and the explode is a no-op row-wise.
+    n_anchor = F.size("xs") - 1  # the last element pairs with nothing
+    ck = F.greatest(
+        F.lit(1),
+        (F.lit(_EXPAND_ITEMS_PER_TASK) / F.greatest(n_anchor, F.lit(1))).cast("int"),
+    )
+    chunked = bk.select(
+        "blk", "h", "xs", ck.alias("ck"),
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(n_anchor / ck).cast("int") - 1)
+        ).alias("ci"),
+    )
     cands = (
-        bk.repartition(n_exp, "blk", "h")
+        chunked.repartition(n_exp, "blk", "h", "ci")
         # Size-ratio + positional filters run INSIDE the pair generator
         # (r13 opt): the lambda filters partner candidates before any
         # struct is built, so the ~90% of in-bucket pairs those filters
@@ -816,6 +839,14 @@ def _bucket_pairs(threshold: float) -> Column:
     the generator lambda, so rejected pairs never materialize as structs
     or rows (r13 opt), and survivors carry only (id_a, id_b).
 
+    Chunk-aware (r14 skew fix): the row carries ``ci``/``ck`` (chunk
+    index / anchors-per-chunk) and this generator enumerates only the
+    anchors in [ci·ck, ci·ck+ck) — against their FULL original partner
+    slice — so a pathological bucket's quadratic work spreads over
+    ⌈(n−1)/ck⌉ rows instead of one. Anchor indices past n−1 in the last
+    chunk get an empty partner slice (exactly like the old form's final
+    element), so the union over chunks is the exact old pair multiset.
+
     PPJoin positional filter (Xiao et al. WWW'08): J ≥ t needs overlap
     α = ⌈t/(1+t)·(|A|+|B|)⌉; a shared token at prefix positions
     (pos_a, pos_b) caps the achievable overlap at
@@ -845,12 +876,13 @@ def _bucket_pairs(threshold: float) -> Column:
         pos_ok = remaining >= F.lit(threshold) * (szsum - remaining)
         return ratio_ok & pos_ok
 
+    base = F.col("ci") * F.col("ck")
     return F.flatten(
         F.transform(
-            F.col("xs"),
+            F.slice(F.col("xs"), base + 1, F.col("ck")),
             lambda x, i: F.transform(
                 F.filter(
-                    F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                    F.slice(F.col("xs"), base + i + 2, F.size(F.col("xs"))),
                     lambda y: keep(x, y),
                 ),
                 lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),

@@ -53,8 +53,17 @@ def run_old():
     n_fanout = int(obs.get["n"])
     n_exp = D._fanout_partitions(bk, n_fanout, D._EXPAND_ITEMS_PER_TASK)
     n_ver = D._fanout_partitions(bk, n_fanout, D._VERIFY_ITEMS_PER_TASK)
+    # chunk columns for the (r14 skew-fix) chunk-aware _bucket_pairs —
+    # orthogonal to this A/B's subject, used identically by both arms
+    n_anchor = F.size("xs") - 1
+    ck = F.greatest(F.lit(1), (F.lit(D._EXPAND_ITEMS_PER_TASK)
+                               / F.greatest(n_anchor, F.lit(1))).cast("int"))
+    chunked = bk.select(
+        "blk", "h", "xs", ck.alias("ck"),
+        F.explode(F.sequence(F.lit(0), F.ceil(n_anchor / ck).cast("int") - 1)).alias("ci"),
+    )
     cands = (
-        bk.repartition(n_exp, "blk", "h")
+        chunked.repartition(n_exp, "blk", "h", "ci")
         .select(F.explode(D._bucket_pairs(0.5)).alias("p"))
         .select("p.id_a", "p.id_b")
         .repartition(n_ver, "id_a", "id_b")
